@@ -1,13 +1,735 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions, TimeUnits, VectorFunctions}
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: the engine's query inventory (SURVEY.md §2) with a
+  * DuckDB-SQL oracle per query. Column names are aligned between each
+  * DataFrame result and its oracle; every query ends in a deterministic
+  * total ORDER BY on both sides; doubles are rounded on both sides.
+  *
+  * Timestamps are exported as epoch milliseconds (bigint) or
+  * `yyyy-MM-dd` strings so the hash compare never depends on engine
+  * timestamp rendering. Sessions run in UTC.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Total-order key for the events stream: ms timestamp ⊕ unique id.
+    * This is the ingest-sequence the reference gets implicitly from
+    * arrival order (sisdb_fmap_write.c:374-385). */
+  private val evKey: Column = unix_millis(col("ts")) * 1000000L + col("event_id")
+  private val evKeySql = "epoch_ms(ts)*1000000+event_id"
+
+  /** Flagship query on sf=0.001: daily OHLCV rollup of the events
+    * stream — the reference's bread-and-butter tick→day aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qRollupOhlc(spark, "/root/testdata/sf0.001")
+
+  // ───────────────────────── scans / filters ─────────────────────────
+
+  /** S1/P2: time-range scan with projection — filter + column pruning
+    * must reach the parquet scan. */
+  private def qRangeScan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_millis(col("l_shipdate")).as("ship_ms"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1: projection with predicate. */
+  private def qProjection(s: SparkSession, dir: String): DataFrame =
+    Query.fields(
+      t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .withColumn("o_totalprice", round(col("o_totalprice"), 2))
+      .orderBy("o_orderkey")
+
+  /** P2 `start = -1`: latest record per subject (`gets`). */
+  private def qLastPerKey(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("k", evKey)
+    Query.lastRows(e, "user_id", "k")
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ms"),
+        col("event_type"), round(col("value"), 2).as("value"))
+      .orderBy("user_id")
+  }
+
+  /** P3: where-equality on the main index with offset = -1 (the record
+    * before each match, per subject). */
+  private def qWhereOffset(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("ship_ms", unix_millis(col("l_shipdate")))
+    val target = java.time.LocalDate.parse("1996-06-15")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    Query.whereOffset(li, "l_suppkey", "ship_ms", target, -1,
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "ship_ms")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** P4: composite predicate vocabulary (isin / between / contains). */
+  private def qPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("F", "O") &&
+        col("o_totalprice").between(1000, 50000) &&
+        col("o_orderpriority").contains("URGENT"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** P6: key prefix matching. */
+  private def qPrefixMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("source").startsWith("src1"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .orderBy("source")
+
+  // ───────────────────────────── joins ───────────────────────────────
+
+  /** J1: k-way time-ordered merge of two streams. */
+  private def qMergeStreams(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      unix_millis(col("ts")).as("t_ms"), lit("event").as("kind"),
+      round(col("value"), 2).as("v"))
+    val o = t(s, dir, "orders").select(
+      unix_millis(col("o_orderdate")).as("t_ms"), lit("order").as("kind"),
+      round(col("o_totalprice"), 2).as("v"))
+    e.unionByName(o).orderBy("t_ms", "kind", "v")
+  }
+
+  /** J2: as-of join — for each purchase, the latest click of the same
+    * user at or before it (union + running-last, one shuffle; see
+    * [[graft.ops.AsOf]]). */
+  private def qAsOf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).withColumn("k", evKey)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id")).withColumn("k", evKey)
+      .select(col("user_id"), col("k").as("ck"), col("k").as("click_key"))
+    AsOf.join(purchases, clicks, Seq("user_id"), "k", "ck", Seq("click_key"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"), col("click_key"))
+      .orderBy("event_id")
+  }
+
+  /** J3 + real joins: revenue per nation through a 4-table join with
+    * broadcast dimensions. */
+  private def qJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  // ───────────────────────── aggregations ────────────────────────────
+
+  /** A-family: grouped pricing summary (TPC-H Q1 shape). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1: daily OHLCV bars per event type. */
+  private def qRollupOhlc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    Rollup.ohlc(e,
+        Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day")),
+        evKey, col("value"), volume = Some(col("value")))
+      .select(col("event_type"), col("day"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("cnt"), round(col("volume"), 2).as("volume"))
+      .orderBy("event_type", "day")
+  }
+
+  /** A1 hierarchy: day bars roll up to month bars (fine feeds coarse —
+    * the reference's 数据层级 cascade). */
+  private def qRollupMonth(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val day = Rollup.ohlc(e,
+      Seq(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day")),
+      evKey, col("value"), volume = Some(col("value")))
+    Rollup.rollUpBars(day,
+        Seq(col("event_type"), substring(col("day"), 1, 7).as("month")),
+        col("day"))
+      .select(col("event_type"), col("month"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        round(col("volume"), 2).as("volume"))
+      .orderBy("event_type", "month")
+  }
+
+  /** A4: mean & (exact, interpolated) median per group. */
+  private def qStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(round(avg("value"), 6).as("avg_value"),
+        round(median(col("value")), 6).as("med_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"))
+      .orderBy("event_type")
+
+  /** A6: min-max normalization within groups. */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame =
+    Analytics.minMaxNorm(t(s, dir, "orders"), "o_totalprice",
+        Seq("o_orderpriority"), "norm")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("norm"), 6).as("norm"))
+      .orderBy("o_orderkey")
+
+  /** A7: equal-frequency bucketing (ntile). */
+  private def qBuckets(s: SparkSession, dir: String): DataFrame =
+    Analytics.buckets(t(s, dir, "orders"), 10,
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), "bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** A8: top-K ranked set. */
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    Analytics.topK(t(s, dir, "orders"), 25,
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"))
+
+  // ──────────────────── window / series analytics ────────────────────
+
+  /** W1/W2 + A5: drift, acceleration, bounded running mean per subject
+    * series. */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("k", evKey)
+    val w = Window.partitionBy("user_id").orderBy("k")
+    e.select(col("event_id"),
+        round(Analytics.drift(col("value"), w), 6).as("drift"),
+        round(Analytics.accel(col("value"), w), 6).as("accel"),
+        round(Analytics.runningAvg(col("value"), w, 10), 6).as("ravg10"))
+      .orderBy("event_id")
+  }
+
+  /** Running cumulative sum + row_number per subject. */
+  private def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("k", evKey)
+    val w = Window.partitionBy("user_id").orderBy("k")
+    e.select(col("event_id"), row_number().over(w).as("rn"),
+        round(sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6)
+          .as("cum_value"))
+      .orderBy("event_id")
+  }
+
+  /** W5: Pearson correlation per group. */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qp"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** W6: max-correlation lag search over aligned daily series. */
+  private def qLagCorr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(avg(when(col("event_type") === "click", col("value"))).as("cv"),
+        avg(when(col("event_type") === "purchase", col("value"))).as("pv"))
+    Analytics.lagCorr(daily, "cv", "pv", "day", 5)
+      .select(col("offset"), round(col("corr_xy"), 6).as("corr_xy"))
+      .orderBy("offset")
+  }
+
+  // ─────────────────────── sorts / limits / sets ─────────────────────
+
+  /** O2: per-subject `count = -3` (last 3 records per user). */
+  private def qLimitPerKey(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("k", evKey)
+    Query.limitPerSubject(e, "user_id", "k", -3)
+      .select("user_id", "event_id")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** §2.7 set ops: INTERSECT / EXCEPT over key sets. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(tp: String) =
+      e.filter(col("event_type") === tp).select("user_id").distinct()
+    users("purchase").intersect(users("click")).except(users("error"))
+      .orderBy("user_id")
+  }
+
+  // ───────────────────────── write algebra ───────────────────────────
+
+  /** M3: unique-key upsert — incoming half replaces existing half per
+    * (subject, solely, time-bucket); highest ingest seq wins. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("seq", col("event_id"))
+      .select("user_id", "event_type", "day", "value", "seq", "event_id")
+    val existing = e.filter(col("event_id") < 5000)
+    val incoming = e.filter(col("event_id") >= 5000)
+    Write.upsert(existing, incoming, "user_id", Seq("event_type"), "day",
+        "seq", tieBreak = Seq(col("event_id").desc))
+      .select(col("user_id"), col("event_type"), col("day"),
+        round(col("value"), 2).as("value"))
+      .orderBy("user_id", "event_type", "day")
+  }
+
+  /** M5: delete-by-range as an anti-filter rewrite. */
+  private def qDeleteRange(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val lo = java.time.LocalDate.parse("2024-01-10")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val hi = java.time.LocalDate.parse("2024-01-20")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    Write.deleteRange(e.withColumn("t_ms", unix_millis(col("ts"))),
+        col("t_ms"), lo, hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
+  /** Time-unit corners: D→T end-of-day ms (sis_dynamic.c:382). */
+  private def qTimeUnits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_shipdate")).distinct()
+      .select(TimeUnits.dayInt(col("l_shipdate")).as("day_int"),
+        TimeUnits.dayIntToEodMs(
+          TimeUnits.dayInt(col("l_shipdate"))).as("eod_ms"))
+      .orderBy("day_int")
+
+  // ───────────── dedup / similarity / text (north star) ──────────────
+
+  /** Exact dedup on normalized text. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .select("doc_id", "dup_count")
+      .orderBy("doc_id")
+
+  /** Word-3-gram Jaccard near-dup pairs (blocked by lang). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = d.select(col("lang"), col("doc_id").as("id_b"), col("text").as("tb"))
+    a.join(b, "lang").filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.ngramJaccard(col("ta"), col("tb"), 3))
+      .filter(col("jac") >= 0.05)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact; LSH-blocked variant is
+    * `ann_lsh`). */
+  private def qCosineDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(
+        t(s, dir, "embeddings").withColumn("embedding",
+          col("embedding").cast("array<double>")),
+        "vec_id", "embedding", threshold = 0.3, blocked = false)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force exact top-k cosine ANN baseline. */
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (scale path) — rows-only check; recall is asserted
+    * against the brute-force baseline in ScalaTest. */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** MinHash-LSH near-dup candidates with estimated Jaccard — rows-only
+    * (murmur/xxhash64 are not reproducible in the oracle engine). */
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = Dedup.minhash(d, "text", shingleK = 3, numHashes = 32)
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)
+    Dedup.minhashJaccard(cands, sig, "doc_id")
+      .filter(col("est_jaccard") > 0)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash signatures (custom codegen'd expression) — rows-only;
+    * Hamming-pair detection is asserted in ScalaTest. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), "text")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** Text quality / shape signals (length, tokens, punctuation,
+    * stopword ratio, composite score). */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    Text.withQualitySignals(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("punct_ratio"), col("en_stopword_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  /** Language ID (n-gram/function-word heuristic) — rows-only; accuracy
+    * asserted in ScalaTest against the labeled `lang` column. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint (custom codegen'd FNV-1a expression) — checked
+    * against the portable column-expression formulation in ScalaTest;
+    * rows-only here. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.withFingerprint(t(s, dir, "documents"), "text")
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata
+    * (byte length, sha256) — the decode stage is stubbed, the Spark-side
+    * schema/partitioning is real. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        sha2(col("payload"), 256).as("sha"))
+      .orderBy("doc_id")
+
+  /** Streaming-shaped tumbling-window aggregation (batch-equivalent of
+    * the Structured Streaming path, oracle-checkable). */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(unix_millis(col("w.start")).as("win_ms"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_ms", "event_type")
+
+  // ───────────────────────── the inventory ───────────────────────────
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_range_scan" -> qRangeScan _,
+    "p1_projection" -> qProjection _,
+    "p2_last_per_key" -> qLastPerKey _,
+    "p3_where_offset" -> qWhereOffset _,
+    "p4_predicates" -> qPredicates _,
+    "p6_prefix_match" -> qPrefixMatch _,
+    "j1_merge_streams" -> qMergeStreams _,
+    "j2_asof_join" -> qAsOf _,
+    "j3_join_revenue" -> qJoinRevenue _,
+    "a0_pricing_summary" -> qPricingSummary _,
+    "a1_rollup_ohlc" -> qRollupOhlc _,
+    "a1_rollup_month" -> qRollupMonth _,
+    "a4_stats" -> qStats _,
+    "a6_normalize" -> qNormalize _,
+    "a7_buckets" -> qBuckets _,
+    "a8_topk" -> qTopK _,
+    "w1_drift" -> qDrift _,
+    "w3_running_sum" -> qRunningSum _,
+    "w5_corr" -> qCorr _,
+    "w6_lag_corr" -> qLagCorr _,
+    "o2_limit_per_key" -> qLimitPerKey _,
+    "set_ops" -> qSetOps _,
+    "m3_upsert" -> qUpsert _,
+    "m5_delete_range" -> qDeleteRange _,
+    "tu_time_units" -> qTimeUnits _,
+    "d1_dedup_exact" -> qDedupExact _,
+    "d2_minhash_lsh" -> qMinhashLsh _,
+    "d3_simhash" -> qSimhash _,
+    "d4_ngram_jaccard" -> qNgramJaccard _,
+    "d5_cosine_dup" -> qCosineDup _,
+    "x1_ann_topk" -> qAnnTopK _,
+    "x2_ann_lsh" -> qAnnLsh _,
+    "tx1_lang_id" -> qLangId _,
+    "tx2_text_quality" -> qTextQuality _,
+    "tx4_fingerprint" -> qFingerprint _,
+    "mm1_multimodal_meta" -> qMultimodalMeta _,
+    "st1_stream_window" -> qStreamWindow _)
+
+  // ─────────────────────────── oracles ───────────────────────────────
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_range_scan" ->
+      """SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms,
+         round(l_extendedprice, 2) AS price
+         FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+         ORDER BY l_orderkey, l_linenumber""",
+    "p1_projection" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+         FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "p2_last_per_key" ->
+      s"""SELECT user_id, arg_max(epoch_ms(ts), $evKeySql) AS last_ms,
+          arg_max(event_type, $evKeySql) AS event_type,
+          round(arg_max(value, $evKeySql), 2) AS value
+          FROM events GROUP BY user_id ORDER BY user_id""",
+    "p3_where_offset" ->
+      """WITH s AS (
+           SELECT l_suppkey, l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms,
+             lead(CASE WHEN l_shipdate = TIMESTAMP '1996-06-15' THEN 1 ELSE 0 END, 1, 0)
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY epoch_ms(l_shipdate), l_orderkey, l_linenumber) AS sel
+           FROM lineitem)
+         SELECT l_suppkey, l_orderkey, l_linenumber, ship_ms FROM s
+         WHERE sel = 1 ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "p4_predicates" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 50000
+           AND o_orderpriority LIKE '%URGENT%'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p6_prefix_match" ->
+      """SELECT source, count(*) AS n, sum(n_chars) AS chars
+         FROM documents WHERE source LIKE 'src1%' GROUP BY source ORDER BY source""",
+    "j1_merge_streams" ->
+      """SELECT * FROM (
+           SELECT epoch_ms(ts) AS t_ms, 'event' AS kind, round(value, 2) AS v FROM events
+           UNION ALL
+           SELECT epoch_ms(o_orderdate), 'order', round(o_totalprice, 2) FROM orders)
+         ORDER BY t_ms, kind, v""",
+    "j2_asof_join" ->
+      s"""SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms,
+          (SELECT max(epoch_ms(c.ts)*1000000+c.event_id) FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND epoch_ms(c.ts)*1000000+c.event_id <= epoch_ms(p.ts)*1000000+p.event_id)
+            AS click_key
+          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "j3_join_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "a0_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a1_rollup_ohlc" ->
+      s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          round(arg_min(value, $evKeySql), 6) AS open,
+          round(max(value), 6) AS high,
+          round(min(value), 6) AS low,
+          round(arg_max(value, $evKeySql), 6) AS close,
+          count(*) AS cnt, round(sum(value), 2) AS volume
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a1_rollup_month" ->
+      s"""WITH day_bars AS (
+           SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             arg_min(value, $evKeySql) AS open, max(value) AS high,
+             min(value) AS low, arg_max(value, $evKeySql) AS close,
+             sum(value) AS volume
+           FROM events GROUP BY 1, 2)
+          SELECT event_type, substr(day, 1, 7) AS month,
+            round(arg_min(open, day), 6) AS open, round(max(high), 6) AS high,
+            round(min(low), 6) AS low, round(arg_max(close, day), 6) AS close,
+            round(sum(volume), 2) AS volume
+          FROM day_bars GROUP BY 1, 2 ORDER BY 1, 2""",
+    "a4_stats" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_value,
+         round(median(value), 6) AS med_value,
+         round(quantile_cont(value, 0.9), 6) AS p90_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a6_normalize" ->
+      """SELECT o_orderkey, o_orderpriority,
+         round(CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS norm
+         FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+                 max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+               FROM orders)
+         ORDER BY o_orderkey""",
+    "a7_buckets" ->
+      """SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+         round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+         FROM (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+               FROM orders)
+         GROUP BY bucket ORDER BY bucket""",
+    "a8_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "w1_drift" ->
+      s"""SELECT event_id,
+          round(value - lag(value, 1) OVER w, 6) AS drift,
+          round(value - 2 * lag(value, 1) OVER w + lag(value, 2) OVER w, 6) AS accel,
+          round(avg(value) OVER (w ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ravg10
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evKeySql)
+          ORDER BY event_id""",
+    "w3_running_sum" ->
+      s"""SELECT event_id, row_number() OVER w AS rn,
+          round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+            AS cum_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evKeySql)
+          ORDER BY event_id""",
+    "w5_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w6_lag_corr" ->
+      """WITH d AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS cv,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS pv
+           FROM events GROUP BY 1),
+         l AS (SELECT cv,
+             lag(pv, 1) OVER w AS pv1, lag(pv, 2) OVER w AS pv2,
+             lag(pv, 3) OVER w AS pv3, lag(pv, 4) OVER w AS pv4,
+             lag(pv, 5) OVER w AS pv5, pv AS pv0
+           FROM d WINDOW w AS (ORDER BY day))
+         SELECT 0 AS offset, round(corr(cv, pv0), 6) AS corr_xy FROM l
+         UNION ALL SELECT 1, round(corr(cv, pv1), 6) FROM l
+         UNION ALL SELECT 2, round(corr(cv, pv2), 6) FROM l
+         UNION ALL SELECT 3, round(corr(cv, pv3), 6) FROM l
+         UNION ALL SELECT 4, round(corr(cv, pv4), 6) FROM l
+         UNION ALL SELECT 5, round(corr(cv, pv5), 6) FROM l
+         ORDER BY offset""",
+    "o2_limit_per_key" ->
+      s"""SELECT user_id, event_id FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY $evKeySql DESC) AS rn
+           FROM events)
+          WHERE rn <= 3 ORDER BY user_id, event_id""",
+    "set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+         ORDER BY user_id""",
+    "m3_upsert" ->
+      """SELECT user_id, event_type, day, round(value, 2) AS value FROM (
+           SELECT user_id, event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+               ORDER BY (CASE WHEN event_id >= 5000 THEN event_id ELSE -1 END) DESC,
+                        event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type, day""",
+    "m5_delete_range" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events
+         WHERE ts NOT BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+         GROUP BY event_type ORDER BY event_type""",
+    "tu_time_units" ->
+      """SELECT year(l_shipdate)*10000 + month(l_shipdate)*100 + day(l_shipdate) AS day_int,
+         epoch_ms(l_shipdate) + 86399999 AS eod_ms
+         FROM (SELECT DISTINCT l_shipdate FROM lineitem)
+         ORDER BY day_int""",
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ORDER BY doc_id""",
+    "d4_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+         FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+               len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+         ORDER BY id_a, id_b""",
+    "d5_cosine_dup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+             AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
+         ORDER BY id_a, id_b""",
+    "x1_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_inner_product(q.v, c.v) /
+                 (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))
+                   AS cos_raw
+               FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos_raw,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS rank
+               FROM s)
+         SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "tx2_text_quality" ->
+      """SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
+         round(len(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+           len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 6)
+           AS mean_token_len,
+         round((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+           / len(text), 6) AS punct_ratio,
+         round(len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+           / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 6)
+           AS en_stopword_ratio,
+         round(
+           least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) / 64.0, 1.0) * 0.35
+           + (CASE WHEN len(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
+                len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
+                BETWEEN 2.5 AND 9.0 THEN 1.0 ELSE 0.3 END) * 0.25
+           + (1.0 - least((len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                / len(text) * 4.0, 1.0)) * 0.2
+           + least(len(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
+               / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) * 5.0, 1.0) * 0.2,
+           6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "mm1_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+         FROM documents ORDER BY doc_id""",
+    "st1_stream_window" ->
+      """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_ms, event_type,
+         count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""")
 }

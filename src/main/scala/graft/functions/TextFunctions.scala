@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * tokenization, shingling, quality signals, language-ID features,
+  * fingerprints. All are native column expressions (codegen'd, no UDFs)
+  * so they run at scan speed and distribute trivially.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty strings removed. */
+  def tokensWs(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-ready tokens: runs of letters, runs of digits, or
+    * single punctuation marks (a common pre-tokenizer split). */
+  def tokensBpeish(text: Column): Column =
+    filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0)
+
+  def tokenCountWs(text: Column): Column = size(tokensWs(text))
+
+  /** Word k-shingles (n-grams over the whitespace tokens), distinct. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokensWs(text)
+    val n = size(toks)
+    array_distinct(
+      when(n < k, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(sequence(lit(0), n - k),
+            i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Character n-grams of the lowercased text (language-ID features). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val len = length(t)
+    when(len < n, array(t)).otherwise(
+      transform(sequence(lit(1), len - n + 1), i => substr(t, i, lit(n))))
+  }
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = total - length(regexp_replace(text, "\\p{Punct}", ""))
+    when(total === 0, 0.0).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Fraction of tokens that are in `stopwords` (lowercased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokensWs(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokensWs(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, real
+    * word lengths, low punctuation density — the length/punct/stopword
+    * heuristics a pretraining filter applies. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val wlen = meanTokenLen(text)
+    val wlenScore = when(wlen.between(2.5, 9.0), 1.0).otherwise(0.3)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    round(lenScore * 0.35 + wlenScore * 0.25 + punctScore * 0.2 + swScore * 0.2, 6)
+  }
+
+  /** 64-bit FNV-1a over the UTF-8 bytes of a string — a portable,
+    * engine-independent hash (unlike Spark's murmur/xxhash, this is
+    * trivially reproducible elsewhere, incl. in plain SQL). */
+  def fnv1a64(s: Column): Column = {
+    // expression form: fold over the byte array
+    aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(substr(s, i, lit(1)))),
+      lit(-3750763034362895579L), // 0xcbf29ce484222325
+      (acc, b) => (acc.bitwiseXOR(b.cast("long"))) * lit(1099511628211L))
+  }
+
+  /** Document fingerprint: FNV-1a of the normalized text (lowercase,
+    * collapsed whitespace) — exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    fnv1a64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** xxhash64-based per-token hashes (fast path when cross-engine
+    * reproducibility is not required). */
+  def tokenHashes(text: Column, seed: Int = 42): Column =
+    transform(tokensWs(lower(text)), t => xxhash64(lit(seed), t))
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` embedding columns, built from
+  * codegen'd native functions (`zip_with`/`aggregate`) — no UDFs, so the
+  * expressions stay inside whole-stage codegen and compute identically
+  * in any engine that folds left-to-right (matters for oracle parity).
+  */
+object VectorFunctions {
+
+  /** Element-wise dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; null-safe on zero vectors (returns null). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(null)).otherwise(d / den)
+  }
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Random-hyperplane LSH signature: sign bits of dot products against
+    * `planes` (deterministically seeded), packed into a Long. Buckets
+    * cosine-similar vectors together — the scale path for ANN (§2 north
+    * star): candidates come from a hash-partitioned equi-join on the
+    * bucket id instead of a cross join.
+    */
+  def hyperplaneSig(vec: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-ish planes (xorshift-seeded). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

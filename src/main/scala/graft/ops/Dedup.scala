@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data curation, designed scale-
+  * first: every variant is a groupBy/equi-join on a derived key — no
+  * cross joins, no driver-side state.
+  *
+  *  - exact:   hash-groupBy on normalized text
+  *  - minhash: shingles → k minhashes → LSH bands → bucket equi-join
+  *  - simhash: 64-bit weighted-bit signature, bucket by 16-bit chunks
+  *             (Hamming-distance candidates via pigeonhole)
+  *  - ngram:   word-shingle Jaccard verification on candidate pairs
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id representative per normalized text.
+    * One shuffle (map-side combinable min). */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(regexp_replace(lower(trim(col(text))), "\\s+", " ").as("norm_text"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: `numHashes` permutations approximated by
+    * (a*h + b) mod p over xxhash64 shingle hashes. Returns the input
+    * plus a `minhash` array column. */
+  def minhash(df: DataFrame, text: String, shingleK: Int, numHashes: Int,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+      math.abs(rnd.nextLong()) % P))
+    val shingleHash = transform(wordShingles(col(text), shingleK),
+      s => pmod(xxhash64(s), lit(P)))
+    val sigs = coefs.map { case (a, b) =>
+      array_min(transform(col("__sh"), h => pmod(h * a + b, lit(P))))
+    }
+    df.withColumn("__sh", shingleHash)
+      .withColumn("minhash", array(sigs: _*))
+      .drop("__sh")
+  }
+
+  /** LSH banding: explode the signature into `bands` rows keyed by
+    * (band index, hash of the band slice); docs sharing any band bucket
+    * are near-dup candidates. Candidate generation is a self-equi-join
+    * on the bucket key — shuffle-partitioned by bucket, which is the
+    * standard way this stays tractable at 10^10 docs. Returns distinct
+    * candidate (id_a < id_b) pairs. */
+  def lshCandidates(withSig: DataFrame, id: String, bands: Int,
+      sigLen: Int): DataFrame = {
+    val rowsPerBand = sigLen / bands
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b),
+        concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))))
+    val buckets = withSig
+      .select(col(id), posexplode(array(bandCols: _*)))
+      .toDF(id, "band", "bucket")
+    val a = buckets.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(id).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Estimated Jaccard from minhash signatures for candidate pairs. */
+  def minhashJaccard(pairs: DataFrame, withSig: DataFrame, id: String): DataFrame = {
+    val sigA = withSig.select(col(id).as("id_a"), col("minhash").as("__sig_a"))
+    val sigB = withSig.select(col(id).as("id_b"), col("minhash").as("__sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / size(col("__sig_a")))
+      .drop("__sig_a", "__sig_b")
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the sum of
+    * (+1/-1) votes from each token hash's bit i. Near-dups differ in
+    * few bits. Single-pass custom codegen'd expression
+    * ([[graft.functions.SimHash64Expr]]). */
+  def simhash(df: DataFrame, text: String, out: String = "simhash"): DataFrame =
+    df.withColumn(out, graft.functions.SimHash64Expr(tokenHashes(col(text))))
+
+  /** Hamming distance between two long signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact word-ngram Jaccard similarity between two text columns. */
+  def ngramJaccard(a: Column, b: Column, k: Int): Column = {
+    val sa = wordShingles(a, k)
+    val sb = wordShingles(b, k)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+}

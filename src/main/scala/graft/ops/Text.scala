@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over a documents table: language ID, quality scoring,
+  * token counting, fingerprinting. Everything is a native column
+  * expression evaluated at scan speed — per-document work, embarrassingly
+  * parallel, no shuffles except the caller's own aggregations.
+  */
+object Text {
+
+  /** Tiny per-language stopword/function-word lists for the n-gram
+    * heuristic language identifier. Real deployments plug in fastText &
+    * co; the *engine* part — a scored argmax over per-language token
+    * evidence, computed columnar — is what matters here. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Language-ID: per-language evidence = fraction of tokens in that
+    * language's function-word list; argmax with 'und' (undetermined)
+    * fallback below `minScore`. */
+  def langId(text: Column, minScore: Double = 0.02): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(round(stopwordRatio(text, words), 9).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") < minScore, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Quality + shape signals a pretraining filter wants, one pass. */
+  def withQualitySignals(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    df.withColumn("n_tokens", tokenCountWs(t))
+      .withColumn("n_chars_", length(t))
+      .withColumn("mean_token_len", round(meanTokenLen(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("en_stopword_ratio", round(stopwordRatio(t, stopwords("en")), 6))
+      .withColumn("quality", qualityScore(t, stopwords("en")))
+  }
+
+  /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr). */
+  def withFingerprint(df: DataFrame, text: String): DataFrame =
+    df.withColumn("fingerprint",
+      graft.functions.Fnv1a64Expr(
+        regexp_replace(lower(trim(col(text))), "\\s+", " ")))
+}

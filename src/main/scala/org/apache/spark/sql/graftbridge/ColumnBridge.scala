@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column↔Expression conversion `private[sql]`
+  * (columnNodeSupport.scala); custom Catalyst expressions still need it
+  * to expose a Column API. This shim lives under `org.apache.spark.sql`
+  * purely for access — the standard pattern for Spark extension libs.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
