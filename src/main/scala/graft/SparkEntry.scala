@@ -1,7 +1,10 @@
 package graft
 
-import graft.functions.{TextFunctions, TimeUnits, VectorFunctions}
+import graft.fmt.Render
+import graft.functions.{TextFunctions, TimeUnits, VectorFunctions, Zint}
 import graft.ops._
+import graft.schema.SdbSchema
+import graft.sources.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -330,17 +333,16 @@ object SparkEntry {
       .select("doc_id", "dup_count")
       .orderBy("doc_id")
 
-  /** Word-3-gram Jaccard near-dup pairs (blocked by lang). */
-  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "lang", "text")
-    val a = d.select(col("lang"), col("doc_id").as("id_a"), col("text").as("ta"))
-    val b = d.select(col("lang"), col("doc_id").as("id_b"), col("text").as("tb"))
-    a.join(b, "lang").filter(col("id_a") < col("id_b"))
-      .withColumn("jac", Dedup.ngramJaccard(col("ta"), col("tb"), 3))
-      .filter(col("jac") >= 0.05)
+  /** Word-3-gram Jaccard near-dup pairs (blocked by lang) — exact, via
+    * the inverted shingle index (shingle once per doc, equi-join on the
+    * shingle): identical output to the all-pairs formulation but scales
+    * linearly instead of O(n²) text re-shingling per pair. */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id", "text", 3, minJaccard = 0.05, blockCols = Seq("lang"))
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
       .orderBy("id_a", "id_b")
-  }
 
   /** Embedding-cosine near-dup pairs (exact; LSH-blocked variant is
     * `ann_lsh`). */
@@ -437,12 +439,182 @@ object SparkEntry {
         col("n"), col("total"))
       .orderBy("win_ms", "event_type")
 
+  // ───────── range sentinels (the reference's `get` bread & butter) ──
+
+  private def withDay(e: DataFrame): DataFrame =
+    e.withColumn("day", TimeUnits.dayInt(col("ts")).cast("long"))
+      .withColumn("k", evKey)
+
+  /** P2 `stop = 0`: strict equality on the main (day) index. */
+  private def qRangeEq(s: SparkSession, dir: String): DataFrame =
+    Query.range(withDay(t(s, dir, "events")), "user_id", "day",
+        start = 20240115L, stop = 0L)
+      .select("user_id", "event_id", "day")
+      .orderBy("user_id", "event_id")
+
+  /** P2 `stop = -1`: open-ended start..latest. */
+  private def qRangeOpen(s: SparkSession, dir: String): DataFrame =
+    Query.range(withDay(t(s, dir, "events")), "user_id", "day",
+        start = 20240125L, stop = -1L)
+      .select("user_id", "event_id", "day")
+      .orderBy("user_id", "event_id")
+
+  /** P2 `ifprev = 1`: users with rows on the day get them; users without
+    * get their last earlier row (as-of fallback,
+    * sisdb_fmap.h:109-137 / CMP_FIND_AGO). */
+  private def qRangeIfprev(s: SparkSession, dir: String): DataFrame =
+    Query.range(withDay(t(s, dir, "events")), "user_id", "day",
+        start = 20240115L, stop = 0L, ifprev = true, tieBreak = Seq("k"))
+      .select("user_id", "event_id", "day")
+      .orderBy("user_id", "event_id")
+
+  // ───────── remaining analytics (A5 damped, W4 trend, W7 dir corr) ──
+
+  /** A5 faithful damped incremental average per subject
+    * (sis_ai_calc_avgm, sis_ai.c:358-383). */
+  private def qDampedAvg(s: SparkSession, dir: String): DataFrame =
+    Analytics.dampedAvg(t(s, dir, "events"), Seq("user_id"), evKey,
+        col("value"))
+      .select(col("user_id"), round(col("avgm"), 6).as("avgm"),
+        col("n_used"))
+      .orderBy("user_id")
+
+  /** W7 sign/direction correlation of day-over-day moves
+    * (sis_ai_corr_dir, sis_ai_corr.c:71-92). */
+  private def qDirCorr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(avg(when(col("event_type") === "click", col("value"))).as("cv"),
+        avg(when(col("event_type") === "purchase", col("value"))).as("pv"))
+    val w = Window.orderBy("day")
+    val diffs = daily.select(
+      (col("cv") - lag("cv", 1).over(w)).as("x"),
+      (col("pv") - lag("pv", 1).over(w)).as("y"))
+    diffs.agg(round(Analytics.dirCorr(col("x"), col("y")), 6).as("corr_dir"))
+  }
+
+  /** W4 trend-turn detection per subject (custom Aggregator — no Spark
+    * built-in; rows-only here, semantics asserted in TrendSpec). */
+  private def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("k", evKey)
+    val tr = Trend.trendUdaf(0.02)
+    e.groupBy("user_id")
+      .agg(tr(col("k"), col("value")).as("t"))
+      .select(col("user_id"), col("t.dir").as("dir"), col("t.start").as("start"),
+        round(col("t.rate"), 6).as("rate"), round(col("t.drift"), 6).as("drift"))
+      .orderBy("user_id")
+  }
+
+  // ───────── store / schema / formats / ingest surfaces ──────────────
+
+  /** S2/M7: partitioned save + pruned read-back — the engine's main
+    * scale lever. The read plan carries PartitionFilters on `day`
+    * (asserted in StoreSpec); the checked answer must equal reading the
+    * source directly. */
+  private def qPartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_by_day"
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Write.save(e, store, Seq("day"))
+    s.read.parquet(store)
+      .filter(col("day").between("2024-01-10", "2024-01-14"))
+      .withColumn("day", col("day").cast("string"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day", "event_type")
+  }
+
+  /** §1.2/§1.3: schema-DSL-declared table with a P (zint price) column:
+    * encode→decode at the declared `dot` — the storage codec's
+    * round-half-up at 2 decimals, byte-exact vs the oracle formula. */
+  private def qSchemaZint(s: SparkSession, dir: String): DataFrame = {
+    val sdb = SdbSchema.parse(
+      "{quote:{fields:{time:[T,8],code:[C,16,1,0,O],price:[P,8,1,2]}}}")
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"))
+    li.withColumn("z", Zint.encode64(col("price"), sdb.dotOf("price")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Zint.decode64(col("z")).as("price_dec"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** S10 formatters: CSV and JSON row rendering with projection. */
+  private def qRenderRows(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") < 200)
+    val csv = Render.toCsvRows(o, Seq("o_orderkey", "o_orderpriority"), out = "csv")
+    Render.toJsonRows(csv, Seq("o_orderkey", "o_orderpriority"), out = "js")
+      .select("o_orderkey", "csv", "js")
+      .orderBy("o_orderkey")
+  }
+
+  /** M9 update-by-search: conditional field rewrite. */
+  private def qUpdateBySearch(s: SparkSession, dir: String): DataFrame =
+    Write.updateBySearch(t(s, dir, "events"),
+        col("event_type") === "error", Map("value" -> lit(0.0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+
+  /** Dynamic schema convert with the never-cross-type-coerce rule
+    * (sis_dynamic.h:110-117): v2 redeclares qty as an int → zeroed, adds
+    * tax → zeroed; same-style fields carry over. */
+  private def qConvert(s: SparkSession, dir: String): DataFrame = {
+    val v1 = SdbSchema.parse("{item:{fields:{qty:[F,8],flag:[C,1],price:[F,8]}}}")
+    val v2 = SdbSchema.parse("{item:{fields:{qty:[I,4],flag:[C,1],price:[F,8],tax:[F,8]}}}")
+    val src = t(s, dir, "lineitem").select(
+      col("l_quantity").as("qty"), col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("price"))
+    Convert.align(src, v1, v2)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("qty").cast("long").as("sum_qty"),
+        round(sum("price"), 2).as("sum_price"),
+        round(sum("tax"), 2).as("sum_tax"))
+      .orderBy("flag")
+  }
+
+  /** S7 CSV sink + source round-trip through an SdbSchema-typed read. */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_csv/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+    val src = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    Sources.writeCsv(src, tmp)
+    val sdb = SdbSchema.parse(
+      "{orders:{fields:{o_orderkey:[I,8],o_custkey:[I,8],o_totalprice:[F,8],o_orderstatus:[C,1]}}}")
+    Sources.readCsv(s, tmp, sdb)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** S9/M1 JSON row ingest: `{field: val}` strings → typed columns via
+    * the declared schema (the reference's `set key {json}` path). */
+  private def qJsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val sdb = SdbSchema.parse(
+      "{ev:{fields:{event_id:[I,8],user_id:[I,8],value:[F,8]}}}")
+    val js = t(s, dir, "events").select(to_json(struct(
+      col("event_id"), col("user_id"), col("value"))).as("j"))
+    Sources.fromJsonRows(js, "j", sdb).drop("j")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("user_id")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_range_scan" -> qRangeScan _,
+    "s2_partition_pruned" -> qPartitionPruned _,
+    "s7_csv_roundtrip" -> qCsvRoundtrip _,
+    "s9_json_ingest" -> qJsonIngest _,
+    "s10_render_rows" -> qRenderRows _,
+    "sc1_schema_zint" -> qSchemaZint _,
+    "cv1_convert" -> qConvert _,
     "p1_projection" -> qProjection _,
     "p2_last_per_key" -> qLastPerKey _,
+    "p2a_range_eq" -> qRangeEq _,
+    "p2b_range_open" -> qRangeOpen _,
+    "p2c_range_ifprev" -> qRangeIfprev _,
     "p3_where_offset" -> qWhereOffset _,
     "p4_predicates" -> qPredicates _,
     "p6_prefix_match" -> qPrefixMatch _,
@@ -453,17 +625,21 @@ object SparkEntry {
     "a1_rollup_ohlc" -> qRollupOhlc _,
     "a1_rollup_month" -> qRollupMonth _,
     "a4_stats" -> qStats _,
+    "a5_damped_avg" -> qDampedAvg _,
     "a6_normalize" -> qNormalize _,
     "a7_buckets" -> qBuckets _,
     "a8_topk" -> qTopK _,
     "w1_drift" -> qDrift _,
     "w3_running_sum" -> qRunningSum _,
+    "w4_trend" -> qTrend _,
     "w5_corr" -> qCorr _,
     "w6_lag_corr" -> qLagCorr _,
+    "w7_dir_corr" -> qDirCorr _,
     "o2_limit_per_key" -> qLimitPerKey _,
     "set_ops" -> qSetOps _,
     "m3_upsert" -> qUpsert _,
     "m5_delete_range" -> qDeleteRange _,
+    "m9_update_search" -> qUpdateBySearch _,
     "tu_time_units" -> qTimeUnits _,
     "d1_dedup_exact" -> qDedupExact _,
     "d2_minhash_lsh" -> qMinhashLsh _,
@@ -487,6 +663,56 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
          ORDER BY l_orderkey, l_linenumber""",
+    "s2_partition_pruned" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
+         GROUP BY 1, 2 ORDER BY day, event_type""",
+    "s7_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s9_json_ingest" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "s10_render_rows" ->
+      """SELECT o_orderkey,
+         o_orderkey::VARCHAR || ',' || o_orderpriority AS csv,
+         '{"o_orderkey":' || o_orderkey || ',"o_orderpriority":"' ||
+           o_orderpriority || '"}' AS js
+         FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""",
+    "sc1_schema_zint" ->
+      """SELECT l_orderkey, l_linenumber,
+         floor(abs(l_extendedprice) * 100.0 + 0.5) / 100.0 AS price_dec
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "cv1_convert" ->
+      """SELECT l_returnflag AS flag, count(*) AS n, 0::BIGINT AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price, round(sum(0.0), 2) AS sum_tax
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "p2a_range_eq" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y%m%d')::BIGINT AS day
+         FROM events WHERE strftime(ts, '%Y%m%d')::BIGINT = 20240115
+         ORDER BY user_id, event_id""",
+    "p2b_range_open" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y%m%d')::BIGINT AS day
+         FROM events WHERE strftime(ts, '%Y%m%d')::BIGINT >= 20240125
+         ORDER BY user_id, event_id""",
+    "p2c_range_ifprev" ->
+      s"""WITH e AS (
+            SELECT user_id, event_id, $evKeySql AS k,
+              strftime(ts, '%Y%m%d')::BIGINT AS day
+            FROM events),
+          hit AS (SELECT DISTINCT user_id FROM e WHERE day = 20240115)
+          SELECT user_id, event_id, day FROM e WHERE day = 20240115
+          UNION ALL
+          SELECT user_id, event_id, day FROM (
+            SELECT user_id, event_id, day,
+              row_number() OVER (PARTITION BY user_id ORDER BY day DESC, k DESC) AS rn
+            FROM e
+            WHERE day < 20240115
+              AND user_id NOT IN (SELECT user_id FROM hit))
+          WHERE rn = 1
+          ORDER BY user_id, event_id""",
     "p1_projection" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
          FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
@@ -512,7 +738,7 @@ object SparkEntry {
            AND o_orderpriority LIKE '%URGENT%'
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "p6_prefix_match" ->
-      """SELECT source, count(*) AS n, sum(n_chars) AS chars
+      """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS chars
          FROM documents WHERE source LIKE 'src1%' GROUP BY source ORDER BY source""",
     "j1_merge_streams" ->
       """SELECT * FROM (
@@ -570,6 +796,31 @@ object SparkEntry {
          round(median(value), 6) AS med_value,
          round(quantile_cont(value, 0.9), 6) AS p90_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "a5_damped_avg" ->
+      s"""WITH s AS (
+            SELECT user_id,
+              list(value ORDER BY $evKeySql) AS vs
+            FROM events GROUP BY user_id),
+          f AS (
+            SELECT user_id,
+              list_reduce(
+                -- avgm deliberately FIRST: duckdb's list_reduce evaluates
+                -- result-struct fields sequentially with in-place updates,
+                -- so a field after nums would read the incremented nums
+                list_prepend({'avgm': 0.0, 'nums': 0}::STRUCT(avgm DOUBLE, nums INT),
+                  list_transform(vs, v -> {'avgm': v, 'nums': 0}::STRUCT(avgm DOUBLE, nums INT))),
+                (acc, x) -> CASE
+                  WHEN abs(x.avgm) < 1e-7 THEN acc
+                  WHEN acc.nums = 0 THEN {'avgm': x.avgm, 'nums': 1}
+                  WHEN acc.nums < 10 THEN
+                    {'avgm': (acc.avgm * 9 + x.avgm) / 10, 'nums': acc.nums + 1}
+                  WHEN acc.nums < 100 THEN
+                    {'avgm': (acc.avgm * acc.nums + x.avgm) / (acc.nums + 1), 'nums': acc.nums + 1}
+                  ELSE {'avgm': (acc.avgm * 99 + x.avgm) / 100, 'nums': acc.nums}
+                END) AS r
+            FROM s)
+          SELECT user_id, round(r.avgm, 6) AS avgm, r.nums AS n_used
+          FROM f ORDER BY user_id""",
     "a6_normalize" ->
       """SELECT o_orderkey, o_orderpriority,
          round(CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS norm
@@ -618,13 +869,31 @@ object SparkEntry {
              lag(pv, 3) OVER w AS pv3, lag(pv, 4) OVER w AS pv4,
              lag(pv, 5) OVER w AS pv5, pv AS pv0
            FROM d WINDOW w AS (ORDER BY day))
-         SELECT 0 AS offset, round(corr(cv, pv0), 6) AS corr_xy FROM l
+         SELECT 0 AS "offset", round(corr(cv, pv0), 6) AS corr_xy FROM l
          UNION ALL SELECT 1, round(corr(cv, pv1), 6) FROM l
          UNION ALL SELECT 2, round(corr(cv, pv2), 6) FROM l
          UNION ALL SELECT 3, round(corr(cv, pv3), 6) FROM l
          UNION ALL SELECT 4, round(corr(cv, pv4), 6) FROM l
          UNION ALL SELECT 5, round(corr(cv, pv5), 6) FROM l
-         ORDER BY offset""",
+         ORDER BY "offset"""",
+    "w7_dir_corr" ->
+      """WITH d AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS day,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS cv,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS pv
+           FROM events GROUP BY 1),
+         l AS (SELECT cv - lag(cv) OVER (ORDER BY day) AS x,
+                 pv - lag(pv) OVER (ORDER BY day) AS y
+               FROM d),
+         c AS (SELECT
+             sum(CASE WHEN (x > 1e-8 AND y > 1e-8)
+                        OR (x < -1e-8 AND y < -1e-8) THEN 1 ELSE 0 END)::DOUBLE AS sames,
+             count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)::DOUBLE AS total
+           FROM l)
+         SELECT round(CASE WHEN sames = total - sames THEN 0.0
+           WHEN sames > total - sames THEN ((sames / total) - 0.5) * 2
+           ELSE ((-(total - sames) / total) - 0.5) * 2 END, 6) AS corr_dir
+         FROM c""",
     "o2_limit_per_key" ->
       s"""SELECT user_id, event_id FROM (
            SELECT user_id, event_id,
@@ -652,6 +921,10 @@ object SparkEntry {
          FROM events
          WHERE ts NOT BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
          GROUP BY event_type ORDER BY event_type""",
+    "m9_update_search" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 2) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "tu_time_units" ->
       """SELECT year(l_shipdate)*10000 + month(l_shipdate)*100 + day(l_shipdate) AS day_int,
          epoch_ms(l_shipdate) + 86399999 AS eod_ms
@@ -713,7 +986,7 @@ object SparkEntry {
              x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
            / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)), 6)
            AS en_stopword_ratio,
-         round(
+         floor((
            least(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) / 64.0, 1.0) * 0.35
            + (CASE WHEN len(regexp_replace(text, '\s', '', 'g'))::DOUBLE /
                 len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))
@@ -722,8 +995,8 @@ object SparkEntry {
                 / len(text) * 4.0, 1.0)) * 0.2
            + least(len(list_filter(string_split_regex(lower(text), '\s+'),
                x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
-               / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) * 5.0, 1.0) * 0.2,
-           6) AS quality
+               / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) * 5.0, 1.0) * 0.2
+           ) * 1e6 + 0.5) / 1e6 AS quality
          FROM documents ORDER BY doc_id""",
     "mm1_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Test-table loaders over the driver-generated parquet dirs
   * (TESTDATA.md). Every query receives `sfDir` and reads through here so
@@ -12,6 +13,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session config every entry point needs before reading the test
+    * parquet:
+    *  - `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    *    reader rejects; `nanosAsLong` reads it as a long we re-wrap below.
+    *  - `lineitem.l_shipdate` is TIMESTAMP_MILLIS without tz metadata;
+    *    with NTZ inference off (and a UTC session) it loads as a plain
+    *    TIMESTAMP so `unix_millis` & friends apply.
+    */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // ts arrives as long nanos (see configure); truncate to Spark's
+      // native µs precision. Downstream comparisons are all >= ms
+      // granularity, matching the oracle's ns-precision reads.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 }

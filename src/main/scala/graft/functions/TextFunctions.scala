@@ -68,7 +68,9 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: rewards mid-length docs, real
     * word lengths, low punctuation density — the length/punct/stopword
-    * heuristics a pretraining filter applies. */
+    * heuristics a pretraining filter applies. Unrounded; callers that
+    * need a cross-engine-stable rounding use [[roundHalfUp6]] (plain
+    * `round` rounds exact .5 ulps differently across engines). */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val nTok = tokenCountWs(text).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
@@ -76,8 +78,14 @@ object TextFunctions {
     val wlenScore = when(wlen.between(2.5, 9.0), 1.0).otherwise(0.3)
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
-    round(lenScore * 0.35 + wlenScore * 0.25 + punctScore * 0.2 + swScore * 0.2, 6)
+    lenScore * 0.35 + wlenScore * 0.25 + punctScore * 0.2 + swScore * 0.2
   }
+
+  /** Deterministic round-half-up at 6 decimals: floor(x*1e6 + 0.5)/1e6.
+    * Unlike `round`, every engine computing the same double gets the
+    * same answer (no HALF_UP vs HALF_EVEN divergence on exact halves). */
+  def roundHalfUp6(c: Column): Column =
+    floor(c * 1e6 + 0.5) / 1e6
 
   /** 64-bit FNV-1a over the UTF-8 bytes of a string — a portable,
     * engine-independent hash (unlike Spark's murmur/xxhash, this is

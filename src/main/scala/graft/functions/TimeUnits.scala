@@ -38,8 +38,15 @@ object TimeUnits {
   /** T → S, floor. */
   def msToSec(ms: Column): Column = floor(ms / 1000L).cast("long")
 
-  /** S → T. */
-  def secToMs(s: Column): Column = s.cast("long") * 1000L
+  /** S → T: *last* ms of the second (+999) — every coarse→fine
+    * conversion in the reference maps to the END of the interval
+    * (sis_time_unit_convert, sis_dynamic.c:356: `in64 * 1000 + 999`),
+    * mirroring M→T (+59999) and D→T (23:59:59.999). */
+  def secToMs(s: Column): Column = s.cast("long") * 1000L + 999L
+
+  /** S → T, start-of-second (for round-trip flooring, not the
+    * reference's conversion). */
+  def secToSodMs(s: Column): Column = s.cast("long") * 1000L
 
   /** W (µs) → T (ms), floor. */
   def usToMs(us: Column): Column = floor(us / 1000L).cast("long")

@@ -20,9 +20,15 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Cosine with pre-computed norms — same arithmetic
+    * (dot / (|a|·|b|)), but lets a pair join compute each side's norm
+    * once instead of per pair. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
     val d = dot(a, b)
-    val den = norm(a) * norm(b)
+    val den = na * nb
     when(den === 0.0, lit(null)).otherwise(d / den)
   }
 

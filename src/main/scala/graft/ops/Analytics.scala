@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** Series analytics — the reference's "ai" module (src/core/ai/sis_ai.h,
@@ -12,33 +12,81 @@ object Analytics {
 
   /** W1 slope at a point: first difference over the partition order
     * (sis_ai_series_drift, src/core/ai/sis_ai.h:35-36). */
-  def drift(value: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+  def drift(value: Column, w: WindowSpec): Column =
     value - lag(value, 1).over(w)
 
   /** W2 acceleration: second difference (sis_ai.h:37-38). */
-  def accel(value: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+  def accel(value: Column, w: WindowSpec): Column =
     value - lit(2) * lag(value, 1).over(w) + lag(value, 2).over(w)
 
   /** A6 min-max normalization to [0,1] within a group
     * (sis_ai_normalization, sis_ai.h:20-33). The reference squeezes to
-    * [0.001, 0.999]; `margin` reproduces that when needed. */
+    * [0.001, 0.999]; `margin` reproduces that when needed.
+    *
+    * Scale note: computed as a groupBy(min, max) + broadcast join back,
+    * NOT a window partitioned by the group columns — a low-cardinality
+    * group column (5 priorities) would otherwise funnel the whole table
+    * through 5 window partitions. The extremes table is tiny (one row
+    * per group) so the join is a broadcast; the big side never shuffles.
+    */
   def minMaxNorm(df: DataFrame, value: String, groupCols: Seq[String],
       out: String, margin: Double = 0.0): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-    val mn = min(col(value)).over(w)
-    val mx = max(col(value)).over(w)
-    val raw = (col(value) - mn) / (mx - mn)
+    val extremes = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    val raw = (col(value) - col("__mn")) / (col("__mx") - col("__mn"))
     val scaled =
       if (margin == 0.0) raw
       else raw * (1 - 2 * margin) + margin
-    df.withColumn(out, when(mx === mn, lit(0.5)).otherwise(scaled))
+    df.join(broadcast(extremes), groupCols)
+      .withColumn(out, when(col("__mx") === col("__mn"), lit(0.5)).otherwise(scaled))
+      .drop("__mn", "__mx")
   }
 
-  /** A5 bounded running mean (sis_ai_calc_avgm, sis_ai.h:47-66): plain
-    * windowed average over the trailing `n` rows. */
-  def runningAvg(value: Column, w: org.apache.spark.sql.expressions.WindowSpec,
-      n: Int): Column =
+  /** A5 plain trailing-window mean (the windowed-average shape). */
+  def runningAvg(value: Column, w: WindowSpec, n: Int): Column =
     avg(value).over(w.rowsBetween(-(n - 1), 0))
+
+  /** A5 faithful damped incremental average (sis_ai_calc_avgm,
+    * src/core/ai/sis_ai.c:358-383): sequential over the series, zero
+    * samples skipped (SIS_IS_ZERO, sis_math.h:8,18 → |v| < 1e-7);
+    * 1st sample seeds; samples 2..9 damp by a fixed 1/10 weight;
+    * 10..99 are an exact running mean; >=100 a fixed 1/100 weight.
+    *
+    * Order-dependent, so it folds over the collected per-subject series
+    * (sorted by `orderKey`) — same single-series-in-memory assumption
+    * the reference makes; per-subject series, so it distributes by
+    * subject. Returns one row per group with the final avgm.
+    */
+  def dampedAvg(df: DataFrame, groupCols: Seq[String], orderKey: Column,
+      value: Column, out: String = "avgm"): DataFrame = {
+    val series = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(orderKey.as("k"), value.as("v"))))
+        .as("__s"))
+    val zero = struct(lit(0).cast("int").as("nums"), lit(0.0).as("avgm"))
+    val folded = aggregate(
+      col("__s"), zero,
+      (acc, x) => {
+        val v = x.getField("v")
+        val nums = acc.getField("nums")
+        val avgm = acc.getField("avgm")
+        val skip = abs(v) < lit(1e-7) // SIS_IS_ZERO
+        val next = when(nums === 0,
+            struct(lit(1).cast("int").as("nums"), v.as("avgm")))
+          .when(nums < 10,
+            struct((nums + 1).cast("int").as("nums"),
+              ((avgm * 9 + v) / 10).as("avgm")))
+          .when(nums < 100,
+            struct((nums + 1).cast("int").as("nums"),
+              ((avgm * nums + v) / (nums + 1)).as("avgm")))
+          .otherwise(
+            struct(nums.cast("int").as("nums"),
+              ((avgm * 99 + v) / 100).as("avgm")))
+        when(skip, acc).otherwise(next)
+      })
+    series.withColumn(out, folded.getField("avgm"))
+      .withColumn("n_used", folded.getField("nums"))
+      .drop("__s")
+  }
 
   /** W6 max-correlation lag search (sis_ai_corrcoef_offset/max,
     * src/core/ai/sis_ai_corr.h:17-21): Pearson correlation of two
@@ -53,20 +101,75 @@ object Analytics {
     val withLags = (0 to maxLag).foldLeft(df) { (d, k) =>
       d.withColumn(s"__y_$k", if (k == 0) col(y) else lag(col(y), k).over(w))
     }
-    val spark = df.sparkSession
-    val rows = (0 to maxLag).map { k =>
-      withLags.agg(lit(k).as("offset"), corr(col(x), col(s"__y_$k")).as("corr_xy"))
-    }
-    rows.reduce(_ unionByName _)
+    // ONE aggregation computes every lag's corr (one scan of the input),
+    // then stack() unpivots the single row into (offset, corr_xy) rows —
+    // vs one full re-scan per lag.
+    val aggd = withLags.agg(
+      corr(col(x), col("__y_0")).as("__c0"),
+      (1 to maxLag).map(k => corr(col(x), col(s"__y_$k")).as(s"__c$k")): _*)
+    val stackArgs = (0 to maxLag).map(k => s"$k, __c$k").mkString(", ")
+    aggd.select(expr(
+      s"stack(${maxLag + 1}, $stackArgs) as (offset, corr_xy)"))
+  }
+
+  /** W7 sign/direction correlation (sis_ai_corr_dir,
+    * src/core/ai/sis_ai_corr.c:71-92): over paired series of *changes*,
+    * `sames` = rows where both move up or both move down (beyond the
+    * 1e-8 dead zone), `diffs` = the rest; result is
+    * ((max-side ratio) - 0.5) * 2 with sames==diffs → 0. Returns an
+    * aggregate Column usable under groupBy.
+    */
+  def dirCorr(x: Column, y: Column): Column = {
+    val minv = 1e-8
+    val same = (x > minv && y > minv) || (x < -minv && y < -minv)
+    val sames = sum(when(same, 1).otherwise(0)).cast("double")
+    val total = count(when(x.isNotNull && y.isNotNull, 1)).cast("double")
+    val diffs = total - sames
+    val ratio = when(sames > diffs, sames / total).otherwise(-diffs / total)
+    when(sames === diffs, 0.0).otherwise((ratio - 0.5) * 2.0)
   }
 
   /** A7 bucketing (s_sis_groups, src/core/sis_group.h:35-111): assign
-    * each row to one of `n` equal-frequency buckets; deterministic via a
-    * total order. */
-  def buckets(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame =
-    df.withColumn(out, ntile(n).over(Window.orderBy(order: _*)))
+    * each row to one of `n` equal-frequency buckets over a total order —
+    * exact `ntile` semantics without the single-partition global window.
+    *
+    * Plan: range-repartition on the order key (each partition holds a
+    * contiguous key range), rank locally per partition, then add
+    * per-partition offsets (a tiny #partitions-row table, broadcast).
+    * The global rank is exact because the order is total; `ntile`'s
+    * bucket arithmetic (first N%n buckets one row larger) is then a
+    * scalar formula. Scales to any size: no stage sees more than one
+    * partition's rows.
+    */
+  def buckets(df: DataFrame, n: Int, order: Seq[Column], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(order: _*)
+    val local = ranged.withColumn("__lrn", row_number().over(localW))
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum("__cnt").over(
+        Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__total")
+    val rank = col("__off") + col("__lrn") // 1-based global rank
+    val base = (col("__total") / n).cast("long")
+    val rem = col("__total") % n
+    val bucket = when(rank <= rem * (base + 1),
+        ((rank - 1) / (base + 1)).cast("long") + 1)
+      .otherwise(rem + ((rank - 1 - rem * (base + 1)) / base).cast("long") + 1)
+    local.join(broadcast(offs), "__pid")
+      .withColumn(out, bucket.cast("int"))
+      .drop("__pid", "__lrn", "__off", "__total")
+  }
 
-  /** A8 top-K ranked set (s_sis_fgroup, sis_group.h:54-133). */
+  /** A8 top-K ranked set (s_sis_fgroup, sis_group.h:54-133): planned as
+    * TakeOrderedAndProject — per-partition heaps, only K rows move. */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
 }

@@ -25,11 +25,17 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutations approximated by
     * (a*h + b) mod p over xxhash64 shingle hashes. Returns the input
-    * plus a `minhash` array column. */
+    * plus a `minhash` array column.
+    *
+    * p is the 31-bit Mersenne prime so a*h + b stays well inside a Long
+    * (a, b, h < 2^31 → product < 2^62): Spark 4's ANSI mode throws on
+    * overflow, and a 61-bit prime would overflow the multiply. Signature
+    * quality only needs the permutation family to be pairwise
+    * independent mod p, which 31 bits provides. */
   def minhash(df: DataFrame, text: String, shingleK: Int, numHashes: Int,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val P = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    val P = 2147483647L // 2^31 - 1, Mersenne prime
     val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
       math.abs(rnd.nextLong()) % P))
     val shingleHash = transform(wordShingles(col(text), shingleK),
@@ -92,5 +98,67 @@ object Dedup {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Exact all-pairs Jaccard >= `minJaccard` via an inverted shingle
+    * index — NOT an O(n²) self-join: shingles are computed once per doc,
+    * exploded, and pairs come from an equi-join on (blockCols, shingle).
+    * Intersection size is a per-pair count; |union| = |A|+|B|-|inter|.
+    * For any minJaccard > 0 the result is identical to the all-pairs
+    * formulation (a pair below it has no shared shingle and jac 0), so
+    * the exact semantics survive while the join stays hash-partitioned
+    * by shingle — the standard set-similarity-join shape that scales
+    * linearly in the posting-list sizes.
+    */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String, k: Int,
+      minJaccard: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val shingled = df
+      .select((blockCols.map(col) :+ col(id) :+
+        wordShingles(col(text), k).as("__g")): _*)
+      .withColumn("__n", size(col("__g")))
+    val posts = shingled.select(
+      (blockCols.map(col) :+ col(id) :+ col("__n") :+
+        explode(col("__g")).as("__gram")): _*)
+    val a = posts.select(
+      (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_a") :+
+        col("__n").as("__na")): _*)
+    val b = posts.select(
+      (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_b") :+
+        col("__n").as("__nb")): _*)
+    a.join(b, blockCols :+ "__gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "__na", "__nb")
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("jac", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** SimHash near-dup candidate pairs within `maxDist` Hamming bits:
+    * pigeonhole banding — split the 64-bit signature into `maxDist+1`
+    * chunks; any pair within maxDist bits agrees exactly on at least one
+    * chunk, so candidates come from an equi-join on (chunk index, chunk
+    * value) and only candidates pay the exact Hamming check. */
+  def simhashPairs(withSim: DataFrame, id: String, sim: String,
+      maxDist: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val bits = 64 / chunks
+    val chunkCols = (0 until chunks).map(c =>
+      shiftrightunsigned(col(sim), c * bits)
+        .bitwiseAND(lit((1L << bits) - 1)))
+    val banded = withSim
+      .select(col(id), col(sim), posexplode(array(chunkCols: _*)))
+      .toDF(id, sim, "chunk", "cval")
+    val a = banded.select(col(id).as("id_a"), col(sim).as("__sa"),
+      col("chunk"), col("cval"))
+    val b = banded.select(col(id).as("id_b"), col(sim).as("__sb"),
+      col("chunk"), col("cval"))
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
   }
 }

@@ -42,6 +42,7 @@ object Query {
       start: Long,
       stop: Long,
       ifprev: Boolean = false,
+      tieBreak: Seq[String] = Nil,
       toLong: Column => Column = identity): DataFrame = {
     val t = toLong(col(time))
     if (start == -1L) {
@@ -58,7 +59,8 @@ object Query {
         val w = Window.partitionBy(subject)
         val matched = df.withColumn("__hit", max(when(cond, 1).otherwise(0)).over(w))
         val hits = matched.filter(col("__hit") === 1 && cond).drop("__hit")
-        val prevW = Window.partitionBy(subject).orderBy(t.desc)
+        val prevW = Window.partitionBy(subject)
+          .orderBy(t.desc +: tieBreak.map(col(_).desc): _*)
         val fallback = matched
           .filter(col("__hit") === 0 && t < start)
           .withColumn("__rn", row_number().over(prevW))

@@ -21,17 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Embedding width, inferred from one row (a `limit(1)` job — constant
+    * cost at any scale). */
+  private[ops] def vecDim(df: DataFrame, vec: String): Int =
+    df.select(size(col(vec)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Exact top-k cosine neighbors for every query vector.
     * Output: (query id, neighbor id, cosine, rank). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("__qv")))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    // norms are computed ONCE per side, not per pair: cosine over a pair
+    // join is dot/(na*nb), identical arithmetic, a third of the work
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      norm(col(vec)).as("__qn")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"))
     val scored = c.crossJoin(q)
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -46,15 +57,15 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       nPlanes: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings are fixed-width; could be inferred per-dataset
+    val dim = vecDim(corpus, vec)
     val planes = randomPlanes(nPlanes, dim, seed)
     val bits = nPlanes / bands
     def withBands(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val sig = hyperplaneSig(col(vec), planes)
+      // signature computed BEFORE the rename, while `vec` still resolves
       val bandCols = (0 until bands).map(b =>
         shiftright(col("__sig"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
-      df.select(col(id).as(idAs), col(vec).as(vecAs))
-        .withColumn("__sig", sig)
+      df.select(col(id).as(idAs), col(vec).as(vecAs),
+          hyperplaneSig(col(vec), planes).as("__sig"))
         .select(col(idAs), col(vecAs), posexplode(array(bandCols: _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
@@ -85,27 +96,31 @@ object Similarity {
     val base = df.select(col(id), col(vec))
     val pairs =
       if (!blocked) {
-        val a = base.select(col(id).as("id_a"), col(vec).as("__va"))
-        val b = base.select(col(id).as("id_b"), col(vec).as("__vb"))
+        val a = base.select(col(id).as("id_a"), col(vec).as("__va"),
+          norm(col(vec)).as("__na"))
+        val b = base.select(col(id).as("id_b"), col(vec).as("__vb"),
+          norm(col(vec)).as("__nb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
-        val planes = randomPlanes(nPlanes, 64, seed)
+        val planes = randomPlanes(nPlanes, vecDim(df, vec), seed)
         val bits = nPlanes / bands
         val sig = hyperplaneSig(col(vec), planes)
         val bandCols = (0 until bands).map(b =>
           shiftright(col("__sig"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
         val banded = base.withColumn("__sig", sig)
-          .select(col(id), col(vec), posexplode(array(bandCols: _*)))
-          .toDF(id, vec, "band", "bucket")
+          .withColumn("__nrm", norm(col(vec)))
+          .select(col(id), col(vec), col("__nrm"), posexplode(array(bandCols: _*)))
+          .toDF(id, vec, "__nrm", "band", "bucket")
         val a = banded.select(col(id).as("id_a"), col(vec).as("__va"),
-          col("band"), col("bucket"))
+          col("__nrm").as("__na"), col("band"), col("bucket"))
         val b = banded.select(col(id).as("id_b"), col(vec).as("__vb"),
-          col("band"), col("bucket"))
+          col("__nrm").as("__nb"), col("band"), col("bucket"))
         a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
           .dropDuplicates("id_a", "id_b")
       }
     pairs
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", cosineWithNorms(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -41,7 +41,7 @@ object Text {
       .withColumn("mean_token_len", round(meanTokenLen(t), 6))
       .withColumn("punct_ratio", round(punctRatio(t), 6))
       .withColumn("en_stopword_ratio", round(stopwordRatio(t, stopwords("en")), 6))
-      .withColumn("quality", qualityScore(t, stopwords("en")))
+      .withColumn("quality", roundHalfUp6(qualityScore(t, stopwords("en"))))
   }
 
   /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr). */

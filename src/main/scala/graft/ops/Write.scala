@@ -54,6 +54,15 @@ object Write {
       .sortWithinPartitions(col(subject), col(time), col("__src"))
       .drop("__src")
 
+  /** M9 update-by-search (`update key {search:{...}, val:{...}}`,
+    * workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields, leave
+    * the rest — a conditional column rewrite, no shuffle at all. */
+  def updateBySearch(df: DataFrame, search: Column,
+      assigns: Map[String, Column]): DataFrame =
+    assigns.foldLeft(df) { case (d, (name, value)) =>
+      d.withColumn(name, when(search, value).otherwise(col(name)))
+    }
+
   /** M5 delete-by-range: anti-filter rewrite. */
   def deleteRange(df: DataFrame, time: Column, start: Long, stop: Long): DataFrame =
     df.filter(!time.between(start, stop))

@@ -1,0 +1,68 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** T3 stream store ingest (workers/snodb/snodb.h:90-188): a live feed
+  * lands in an append-only per-day store while live subscribers get the
+  * same rows fanned out.
+  *
+  * Spark-first shape: Structured Streaming file source → `foreachBatch`
+  * that (1) appends the micro-batch to the partitioned parquet store
+  * sorted within partitions by (subject, time) — the reference's
+  * insertion-sorted series (O1) — and (2) publishes to the in-process
+  * subscriber registry (T1). The checkpoint directory is the WAL
+  * (S5): exactly-once per micro-batch replaces the reference's
+  * fsync-before-ack redo log. Watermarking/ordering improvements over
+  * the reference's assume-ordered feed (sis_db.h:71-76) live in the
+  * store's read path, which orders by (time, ingest seq).
+  */
+object Ingest {
+
+  /** Start a file-source ingest stream.
+    *
+    * @param dayCol  expression deriving the partition day from the
+    *                batch (e.g. date_format(ts, 'yyyy-MM-dd'))
+    */
+  def start(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      storePath: String,
+      checkpointDir: String,
+      subjectCol: String,
+      timeCol: String,
+      dayCol: org.apache.spark.sql.Column,
+      subs: SubRegistry = new SubRegistry,
+      availableNow: Boolean = true): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val withDay = batch.withColumn("__day", dayCol)
+        .withColumn("__ingest_seq", monotonically_increasing_id())
+      val sorted = withDay
+        .repartition(col("__day"))
+        .sortWithinPartitions(col(subjectCol), col(timeCol))
+      sorted.persist()
+      try {
+        sorted.write.mode("append").partitionBy("__day").parquet(storePath)
+        subs.publish(sorted.drop("__ingest_seq"), subjectCol)
+      } finally sorted.unpersist()
+    }
+    val writer = src.writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** The store's ordered read view: day-pruned scan (Catalyst partition
+    * pruning on `__day`) ordered by (time, ingest seq) so equal
+    * timestamps keep arrival order (sisdb_fmap_write.c:374-385). */
+  def read(spark: SparkSession, storePath: String,
+      day: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(storePath)
+    day.fold(df)(d => df.filter(col("__day") === d))
+  }
+}
