@@ -87,16 +87,33 @@ object TextFunctions {
   def roundHalfUp6(c: Column): Column =
     floor(c * 1e6 + 0.5) / 1e6
 
-  /** 64-bit FNV-1a over the UTF-8 bytes of a string — a portable,
+  /** 64-bit FNV-1a over the code points of a string — a portable,
     * engine-independent hash (unlike Spark's murmur/xxhash, this is
-    * trivially reproducible elsewhere, incl. in plain SQL). */
+    * trivially reproducible elsewhere, incl. in plain SQL).
+    *
+    * The h*prime step needs wrap-around (mod 2^64) semantics, which
+    * ANSI mode (Spark 4 default) rejects as overflow — so the fold
+    * carries (lo, hi) 32-bit lanes instead: with p = 2^40 + 0x1b3,
+    * h*p ≡ lo*0x1b3 + (hi*0x1b3 + (lo & 0xffffff)·2^8)·2^32 (mod 2^64)
+    * and every intermediate stays under 2^42. Identical output to the
+    * canonical byte fold for ASCII input.
+    */
   def fnv1a64(s: Column): Column = {
-    // expression form: fold over the byte array
-    aggregate(
-      transform(sequence(lit(1), length(s)),
-        i => ascii(substr(s, i, lit(1)))),
-      lit(-3750763034362895579L), // 0xcbf29ce484222325
-      (acc, b) => (acc.bitwiseXOR(b.cast("long"))) * lit(1099511628211L))
+    val codes = transform(sequence(lit(1), length(s)),
+      i => ascii(substr(s, i, lit(1))))
+    // 0xcbf29ce484222325 split into 32-bit lanes
+    val init = struct(lit(0x84222325L).as("lo"), lit(0xcbf29ce4L).as("hi"))
+    val folded = aggregate(codes, init, (acc, b) => {
+      val xlo = acc.getField("lo").bitwiseXOR(b.cast("long"))
+      val a = xlo * lit(0x1b3L)
+      val hiMul = acc.getField("hi") * lit(0x1b3L)
+      val carry = shiftrightunsigned(a, 32)
+      val shifted = shiftleft(xlo.bitwiseAND(lit(0xffffffL)), 8)
+      struct(
+        a.bitwiseAND(lit(0xffffffffL)).as("lo"),
+        (hiMul + carry + shifted).bitwiseAND(lit(0xffffffffL)).as("hi"))
+    })
+    shiftleft(folded.getField("hi"), 32).bitwiseOR(folded.getField("lo"))
   }
 
   /** Document fingerprint: FNV-1a of the normalized text (lowercase,

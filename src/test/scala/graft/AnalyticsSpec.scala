@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.Analytics
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Damped average vs a scalar simulation, direction correlation,
+  * scale-safe bucketing == ntile, normalize == window formulation. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dampedAvg matches the reference's sequential recurrence") {
+    val rnd = new scala.util.Random(5)
+    val series = Seq.tabulate(250)(i => ("g", i.toLong, rnd.nextDouble() * 100))
+    def sim(vs: Seq[Double]): (Double, Int) = {
+      var nums = 0; var a = 0.0
+      vs.foreach { v =>
+        if (math.abs(v) >= 1e-7) {
+          if (nums == 0) { nums = 1; a = v }
+          else if (nums < 10) { a = (a * 9 + v) / 10; nums += 1 }
+          else if (nums < 100) { a = (a * nums + v) / (nums + 1); nums += 1 }
+          else a = (a * 99 + v) / 100
+        }
+      }
+      (a, nums)
+    }
+    val (expA, expN) = sim(series.map(_._3))
+    val out = Analytics.dampedAvg(series.toDF("g", "k", "v"),
+        Seq("g"), col("k"), col("v"))
+      .collect()(0)
+    assert(math.abs(out.getAs[Double]("avgm") - expA) < 1e-9)
+    assert(out.getAs[Int]("n_used") == expN)
+  }
+
+  test("dampedAvg skips zero samples like SIS_IS_ZERO") {
+    val d = Seq(("g", 1L, 5.0), ("g", 2L, 0.0), ("g", 3L, 7.0))
+      .toDF("g", "k", "v")
+    val out = Analytics.dampedAvg(d, Seq("g"), col("k"), col("v")).collect()(0)
+    assert(out.getAs[Int]("n_used") == 2)
+    assert(math.abs(out.getAs[Double]("avgm") - (5.0 * 9 + 7.0) / 10) < 1e-12)
+  }
+
+  test("dirCorr: all same direction = 1, alternating below half = negative") {
+    val same = Seq((1.0, 2.0), (0.5, 0.1), (-1.0, -2.0), (-0.2, -0.1))
+      .toDF("x", "y")
+    val r1 = same.agg(Analytics.dirCorr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(r1 == 1.0)
+    val opp = Seq((1.0, -2.0), (0.5, -0.1), (-1.0, 2.0), (-0.2, 0.1))
+      .toDF("x", "y")
+    val r2 = opp.agg(Analytics.dirCorr(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(r2 == -3.0) // sames=0, diffs=4: (-1 - 0.5)*2 — reference formula
+  }
+
+  test("buckets (range-partitioned) == global ntile, all bucket sizes") {
+    val rnd = new scala.util.Random(9)
+    val df = Seq.tabulate(103)(i => (i.toLong, rnd.nextDouble())).toDF("id", "v")
+    val fast = Analytics.buckets(df, 10, Seq(col("v").asc, col("id").asc), "b")
+      .select("id", "b")
+    val slow = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("v").asc, col("id").asc)))
+      .select("id", "b")
+    val f = fast.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s = slow.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f == s)
+  }
+
+  test("minMaxNorm (agg+join) == window formulation") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(60)(i => (i.toLong, s"g${i % 3}", rnd.nextDouble()))
+      .toDF("id", "g", "v")
+    val fast = Analytics.minMaxNorm(df, "v", Seq("g"), "n")
+      .select("id", "n").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = Window.partitionBy("g")
+    val slow = df.withColumn("n",
+        (col("v") - min("v").over(w)) / (max("v").over(w) - min("v").over(w)))
+      .select("id", "n").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    fast.foreach { case (id, v) => assert(math.abs(v - slow(id)) < 1e-12) }
+  }
+
+  test("lagCorr finds the planted lag") {
+    // y is x shifted by 2: corr at offset 2 ~ 1
+    val rnd = new scala.util.Random(21)
+    val xs = Seq.fill(60)(rnd.nextDouble())
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (i, x, if (i >= 2) xs(i - 2) else rnd.nextDouble())
+    }
+    val out = Analytics.lagCorr(rows.toDF("d", "y", "x"), "x", "y", "d", 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(2) > 0.99)
+    assert(math.abs(out(0)) < 0.5 && math.abs(out(1)) < 0.5)
+  }
+}

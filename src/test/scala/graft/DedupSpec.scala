@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH recall vs exact Jaccard; simhash Hamming-pair
+  * detection; inverted-index Jaccard equals the all-pairs formulation. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 15 base docs; each gets a near-duplicate with one word changed
+  private val base = (1 to 15).map { i =>
+    val words = (1 to 40).map(j => s"w${i}_$j")
+    (i.toLong, words.mkString(" "))
+  }
+  private val docs = (base ++ base.map { case (i, t) =>
+    (i + 100L, t.replaceFirst("_5 ", "_5x "))
+  }).toDF("doc_id", "text")
+
+  test("exact jaccard pairs (inverted index) == all-pairs formulation") {
+    val viaIndex = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSeq
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    val allPairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.ngramJaccard(col("ta"), col("tb"), 3))
+      .filter(col("jac") >= 0.2)
+      .select("id_a", "id_b", "jac")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSeq
+    assert(viaIndex == allPairs && viaIndex.size == 15)
+  }
+
+  test("minhash LSH recall >= 0.9 on true near-dup pairs") {
+    val sig = Dedup.minhash(docs, "text", shingleK = 3, numHashes = 32)
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (1 to 15).map(i => (i.toLong, i + 100L)).toSet
+    val recall = truth.count(cands.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall, candidates ${cands.size}")
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard") {
+    val sig = Dedup.minhash(docs, "text", shingleK = 3, numHashes = 32)
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)
+    val est = Dedup.minhashJaccard(cands, sig, "doc_id")
+      .filter(col("id_a") === 1L && col("id_b") === 101L)
+      .collect()
+    est.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e > 0.5, s"near-dup pair estimated at $e") // true jac ~0.92
+    }
+  }
+
+  test("simhash: near-dups within a few Hamming bits, banding finds them") {
+    val withSim = Dedup.simhash(docs, "text")
+    val sims = withSim.select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearHam = (1 to 15).map(i => ham(sims(i.toLong), sims(i + 100L)))
+    assert(nearHam.max <= 12, s"near-dup hamming distances: $nearHam")
+    // banded candidate join at maxDist covering the observed distances
+    val pairs = Dedup.simhashPairs(withSim, "doc_id", "simhash", maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (1 to 15).map(i => (i.toLong, i + 100L)).toSet
+    // pigeonhole guarantee only holds for maxDist = chunks-1; with 13
+    // chunks of ~4 bits a <=12-bit pair always shares a chunk
+    assert(truth.subsetOf(pairs), s"missed ${truth -- pairs}")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d, "doc_id", "text")
+      .select("doc_id", "dup_count").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Query
+import org.apache.spark.sql.DataFrame
+
+/** The reference's own range/where contract fixture: 12 rows over 3
+  * days with duplicate timestamps (workers/sisdb/sisdb_fmap_ctrl.c:683-719,
+  * `_time_datas`), exercised through the io-layer semantics
+  * (sisdb_fmap.h:101-137): start=-1 latest, stop=0 equality, stop=-1
+  * open-ended, ifprev as-of fallback, count=±N, offset walk.
+  */
+class QuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (time ms, seq) — same shape as the reference fixture: 3 rows day 1,
+  // 4 rows day 2 (two at the same ms), 5 rows day 3 (3 + 2 dup ms)
+  private val rows = Seq(
+    (1630087372600L, 1), (1630087572600L, 2), (1630087672600L, 3),
+    (1630187272600L, 4), (1630187372600L, 5), (1630187372600L, 6),
+    (1630187572600L, 7),
+    (1630287372600L, 8), (1630287372600L, 9), (1630287372600L, 10),
+    (1630288372600L, 11), (1630288372600L, 12))
+
+  private def df: DataFrame =
+    rows.toDF("t", "newp").withColumn("subject",
+      org.apache.spark.sql.functions.lit("k1"))
+
+  private def newps(d: DataFrame): Seq[Int] =
+    d.select("newp").collect().map(_.getInt(0)).toSeq.sorted
+
+  test("range start=-1: latest record (last-inserted tie-break)") {
+    val out = Query.lastRows(df, "subject", "t", tieBreak = Some("newp"))
+    assert(newps(out) == Seq(12))
+  }
+
+  test("range stop=0: strict equality, multiple rows") {
+    assert(newps(Query.range(df, "subject", "t", 1630187372600L, 0L)) ==
+      Seq(5, 6))
+  }
+
+  test("range stop=-1: start to latest") {
+    assert(newps(Query.range(df, "subject", "t", 1630287372600L, -1L)) ==
+      Seq(8, 9, 10, 11, 12))
+  }
+
+  test("range [start, stop] inclusive both ends") {
+    assert(newps(Query.range(df, "subject", "t",
+      1630187272600L, 1630287372600L)) == Seq(4, 5, 6, 7, 8, 9, 10))
+  }
+
+  test("range equality miss without ifprev: empty") {
+    assert(newps(Query.range(df, "subject", "t", 1630187472600L, 0L)).isEmpty)
+  }
+
+  test("range equality miss with ifprev: last record before start") {
+    // rows strictly before start = newp 1..6 (newp 7 is AFTER start);
+    // equal-time tie (5, 6) resolves to the last inserted, 6
+    val out = Query.range(df, "subject", "t", 1630187472600L, 0L,
+      ifprev = true, tieBreak = Seq("newp"))
+    assert(newps(out) == Seq(6))
+  }
+
+  test("range hit with ifprev: fallback not used") {
+    val out = Query.range(df, "subject", "t", 1630187372600L, 0L,
+      ifprev = true, tieBreak = Seq("newp"))
+    assert(newps(out) == Seq(5, 6))
+  }
+
+  test("where offset=-1: the record before the match") {
+    assert(newps(Query.whereOffset(df, "subject", "t", 1630087572600L, -1,
+      tieBreak = Seq("newp"))) == Seq(1))
+  }
+
+  test("where offset=+1: the record after the match") {
+    assert(newps(Query.whereOffset(df, "subject", "t", 1630087572600L, 1,
+      tieBreak = Seq("newp"))) == Seq(3))
+  }
+
+  test("where offset=0: the match itself") {
+    assert(newps(Query.whereOffset(df, "subject", "t", 1630087572600L, 0,
+      tieBreak = Seq("newp"))) == Seq(2))
+  }
+
+  test("count=-3: last three records in time+seq order") {
+    assert(newps(Query.limitPerSubject(df, "subject", "t", -3,
+      tieBreak = Seq("newp"))) == Seq(10, 11, 12))
+  }
+
+  test("count=+3: first three records") {
+    assert(newps(Query.limitPerSubject(df, "subject", "t", 3,
+      tieBreak = Seq("newp"))) == Seq(1, 2, 3))
+  }
+
+  test("fields projection") {
+    assert(Query.fields(df, Seq("newp")).columns.toSeq == Seq("newp"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN-LSH recall against the brute-force exact baseline on clustered
+  * synthetic vectors. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 clusters × 6 points, dim 16: cluster members are mutual top-5
+  private val dim = 16
+  private val vecs: Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(3)
+    (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 6).map { j =>
+        val v = center.map(_ + rnd.nextGaussian() * 0.08)
+        ((c * 6 + j).toLong, v)
+      }
+    }
+  }
+  private def emb = vecs.toDF("vec_id", "embedding")
+
+  test("brute-force top-k finds cluster members") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 6),
+      "vec_id", "embedding", 5)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    got.foreach { case (q, ns) =>
+      val sameCluster = ns.count { case (_, n) => n / 6 == q / 6 }
+      assert(sameCluster == 5, s"query $q neighbors ${ns.toSeq}")
+    }
+  }
+
+  test("LSH top-k recall >= 0.9 vs brute force") {
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        nPlanes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("cosineDupPairs blocked path finds the same high-cosine pairs") {
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.97, blocked = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.97, blocked = true, nPlanes = 12, bands = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(blocked.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"blocked recall $recall over ${exact.size} pairs")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{Fnv1a64Expr, TextFunctions}
+import graft.ops.Text
+import org.apache.spark.sql.functions._
+
+/** Language-ID accuracy, fingerprint expression equivalence, quality
+  * signal sanity. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies stopword-bearing text per language") {
+    val samples = Text.stopwords.toSeq.flatMap { case (lang, words) =>
+      (1 to 5).map { i =>
+        val filler = (1 to 6).map(j => s"zz$i$j")
+        (lang, (words.take(6) ++ filler).mkString(" "))
+      }
+    }
+    val out = samples.toDF("lang", "text")
+      .withColumn("pred", Text.langId(col("text")))
+      .collect()
+    val acc = out.count(r => r.getString(0) == r.getString(2)).toDouble / out.length
+    assert(acc >= 0.9, s"langId accuracy $acc")
+  }
+
+  test("langId falls back to 'und' on stopword-free text") {
+    val out = Seq("qqq www eee rrr").toDF("text")
+      .select(Text.langId(col("text"))).collect()(0).getString(0)
+    assert(out == "und")
+  }
+
+  test("fingerprint codegen expression == column-expression FNV for ASCII") {
+    val docs = Seq("Hello World", "  spaced   out  ", "MiXeD Case 123",
+      "punct! (and) [more]", "a").toDF("text")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val out = docs.select(
+      Fnv1a64Expr(norm).as("expr"),
+      TextFunctions.fnv1a64(norm).as("cols")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("fingerprint diverges from code-point fold only on non-ASCII") {
+    // the codegen expr folds UTF-8 bytes (canonical FNV); the column
+    // formulation folds code points — documents the known difference
+    val out = Seq("héllo").toDF("text").select(
+      Fnv1a64Expr(col("text")).as("expr"),
+      TextFunctions.fnv1a64(col("text")).as("cols")).collect()(0)
+    assert(out.getLong(0) != out.getLong(1))
+  }
+
+  test("fnv1a64 scalar matches a known vector") {
+    // FNV-1a 64 of "a" = 0xaf63dc4c8601ec8c
+    assert(Fnv1a64Expr.hash("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("quality signals: token counts, ratios, bounded score") {
+    val out = Text.withQualitySignals(
+        Seq("The quick brown fox, it is said, jumps over the lazy dog.")
+          .toDF("text"), "text")
+      .collect()(0)
+    assert(out.getAs[Int]("n_tokens") == 12)
+    val q = out.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    assert(out.getAs[Double]("en_stopword_ratio") > 0.2)
+  }
+}
