@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-k-shingle xxhash64 values of a text column in one
+  * fused pass — semantically `transform(wordShingles(text, k), s =>
+  * xxhash64(s))` (same tokenizer: runs of `\s` = ASCII space/tab/
+  * newline/VT/FF/CR; same `< k tokens → one whole-text shingle` rule;
+  * same distinct-first-occurrence order; same Spark xxhash64 seed 42),
+  * but ~100× cheaper: Spark evaluates higher-order-function lambdas
+  * interpreted per element, so the expression-DSL form dominated the
+  * dedup profile at sf0.1. Interpreted here too (CodegenFallback), but
+  * as one tight byte-level loop per document.
+  */
+case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs string, got $t")
+  }
+
+  private def isWs(b: Byte): Boolean = // java regex \s (ASCII)
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    // tokenize: (start, end) pairs over non-\s runs
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        starts.add(i)
+        while (i < n && !isWs(bytes(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val ntok = starts.size()
+    val buf = new Array[Byte](n + math.max(0, k - 1))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashGram(from: Int, until: Int): Unit = { // tokens [from, until)
+      var len = 0
+      var t = from
+      while (t < until) {
+        if (t > from) { buf(len) = ' '; len += 1 }
+        val s = starts.get(t); val e = ends.get(t)
+        System.arraycopy(bytes, s, buf, len, e - s)
+        len += e - s
+        t += 1
+      }
+      seen.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, seed))
+    }
+    if (ntok < k) hashGram(0, ntok) // incl. 0 tokens → hash of ""
+    else {
+      var g = 0
+      while (g <= ntok - k) { hashGram(g, g + k); g += 1 }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  def apply(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(ShingleHashesExpr(expression(c), k))
+  }
+}

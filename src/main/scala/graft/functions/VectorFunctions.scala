@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Element-wise dot product in double precision. */
+  /** Element-wise dot product in double precision: fused codegen'd
+    * loop ([[DotProductExpr]]) — bit-identical to the
+    * `aggregate(zip_with(...))` formulation (left-to-right sum) but
+    * with no per-row zipped-array allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    DotProductExpr(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

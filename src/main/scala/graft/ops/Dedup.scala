@@ -38,14 +38,12 @@ object Dedup {
     val P = 2147483647L // 2^31 - 1, Mersenne prime
     val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
       math.abs(rnd.nextLong()) % P))
-    val shingleHash = transform(wordShingles(col(text), shingleK),
-      s => pmod(xxhash64(s), lit(P)))
-    val sigs = coefs.map { case (a, b) =>
-      array_min(transform(col("__sh"), h => pmod(h * a + b, lit(P))))
-    }
-    df.withColumn("__sh", shingleHash)
-      .withColumn("minhash", array(sigs: _*))
-      .drop("__sh")
+    // fused pass: shingle hashes (ShingleHashesExpr) → whole signature
+    // (MinHashSigExpr, which takes raw xxhash64 values mod p) — same
+    // arithmetic as pmod(xxhash64(shingle), p) + per-coefficient folds
+    df.withColumn("minhash", graft.functions.MinHashSigExpr(
+      graft.functions.ShingleHashesExpr(col(text), shingleK),
+      coefs.map(_._1), coefs.map(_._2), P))
   }
 
   /** LSH banding: explode the signature into `bands` rows keyed by
@@ -112,9 +110,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, k: Int,
       minJaccard: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    // distinct shingle hashes in one fused pass; the join shuffles
+    // 8-byte hashes, never gram strings (collision odds ~2^-64/pair)
     val shingled = df
       .select((blockCols.map(col) :+ col(id) :+
-        wordShingles(col(text), k).as("__g")): _*)
+        graft.functions.ShingleHashesExpr(col(text), k).as("__g")): _*)
       .withColumn("__n", size(col("__g")))
     val posts = shingled.select(
       (blockCols.map(col) :+ col(id) :+ col("__n") :+

@@ -24,10 +24,17 @@ object Text {
 
   /** Language-ID: per-language evidence = fraction of tokens in that
     * language's function-word list; argmax with 'und' (undetermined)
-    * fallback below `minScore`. */
+    * fallback below `minScore`. One fused tokenize+count pass
+    * ([[graft.functions.StopwordHitsExpr]]) feeds every language's
+    * ratio — tokenizing once, not once per language. */
   def langId(text: Column, minScore: Double = 0.02): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(round(stopwordRatio(text, words), 9).as("score"), lit(lang).as("lang"))
+    val langs = stopwords.toSeq.sortBy(_._1)
+    val hits = graft.functions.StopwordHitsExpr(text, langs.map(_._2))
+    val nTok = hits.getItem(0).cast("double")
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      val ratio = when(nTok === 0, 0.0)
+        .otherwise(hits.getItem(i + 1).cast("double") / nTok)
+      struct(round(ratio, 9).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") < minScore, "und").otherwise(best.getField("lang"))

@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     assert(truth.subsetOf(pairs), s"missed ${truth -- pairs}")
   }
 
+  test("ShingleHashesExpr == transform(wordShingles, xxhash64) exactly") {
+    import graft.functions.{ShingleHashesExpr, TextFunctions}
+    val samples = Seq("one two three four five", "a b", "", "  padded   text  here ",
+      "x\ty\nz w", "dup dup dup dup dup", "single").toDF("text")
+    val out = samples.select(
+      ShingleHashesExpr(col("text"), 3).as("fused"),
+      transform(TextFunctions.wordShingles(col("text"), 3),
+        s => xxhash64(s)).as("dsl")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fused ${r.getSeq[Long](0)} vs dsl ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("exact dedup groups identical normalized text") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
