@@ -4,7 +4,7 @@ import graft.fmt.Render
 import graft.functions.{TextFunctions, TimeUnits, VectorFunctions, Zint}
 import graft.ops._
 import graft.schema.SdbSchema
-import graft.sources.Sources
+import graft.sources.{BinaryRows, Sources}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -548,6 +548,25 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** M2 `bset` binary rows: typed rows → packed little-endian structs
+    * (the reference's wire/storage record) → parsed back → aggregate.
+    * P price fields round-trip through the zint64 codec at dot=2. */
+  private def qBsetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val sdb = SdbSchema.parse(
+      "{li:{fields:{okey:[I,8],ln:[I,4],qty:[F,8],price:[P,8,1,2],flag:[C,1]}}}")
+    val packed = t(s, dir, "lineitem")
+      .select(BinaryRows.pack(struct(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_returnflag").as("flag")), sdb).as("b"))
+    packed.select(BinaryRows.unpack(col("b"), sdb).as("u"))
+      .select("u.*")
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), round(sum("qty"), 2).as("sum_qty"),
+        round(sum("price"), 2).as("sum_price"))
+      .orderBy("flag")
+  }
+
   /** M9 update-by-search: conditional field rewrite. */
   private def qUpdateBySearch(s: SparkSession, dir: String): DataFrame =
     Write.updateBySearch(t(s, dir, "events"),
@@ -637,6 +656,7 @@ object SparkEntry {
     "w7_dir_corr" -> qDirCorr _,
     "o2_limit_per_key" -> qLimitPerKey _,
     "set_ops" -> qSetOps _,
+    "m2_bset_roundtrip" -> qBsetRoundtrip _,
     "m3_upsert" -> qUpsert _,
     "m5_delete_range" -> qDeleteRange _,
     "m9_update_search" -> qUpdateBySearch _,
@@ -921,6 +941,11 @@ object SparkEntry {
          FROM events
          WHERE ts NOT BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
          GROUP BY event_type ORDER BY event_type""",
+    "m2_bset_roundtrip" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(floor(l_extendedprice * 100.0 + 0.5) / 100.0), 2) AS sum_price
+         FROM lineitem GROUP BY 1 ORDER BY flag""",
     "m9_update_search" ->
       """SELECT event_type, count(*) AS n,
          round(sum(CASE WHEN event_type = 'error' THEN 0.0 ELSE value END), 2) AS total

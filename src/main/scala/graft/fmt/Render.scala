@@ -66,4 +66,24 @@ object Render {
     * `dot`. */
   def withSchemaDots(sdb: SdbSchema.Sdb): Map[String, Int] =
     sdb.fields.filter(_.style == 'P').map(f => f.name -> f.dot).toMap
+
+  /** The reference's format selector (`sis_db_get_format_from_node`,
+    * src/core/sis_db.c — codes z/s/b/j/a/c): dispatch to the matching
+    * renderer. `b`/`z` produce the packed binary record (M2; parquet
+    * handles compression at rest, so `z` = `b` here); `s` is the raw
+    * struct (no-op projection). */
+  def format(df: DataFrame, code: Char, sdb: SdbSchema.Sdb,
+      out: String = "payload"): DataFrame = {
+    val fields = sdb.fields.map(_.name)
+    val dots = withSchemaDots(sdb)
+    code match {
+      case 'j' => toJsonRows(df, fields, dots, out)
+      case 'a' => toArrayRows(df, fields, dots, out)
+      case 'c' => toCsvRows(df, fields, dots, out)
+      case 'b' | 'z' => df.withColumn(out,
+        graft.sources.BinaryRows.pack(struct(fields.map(col): _*), sdb))
+      case 's' => df.withColumn(out, struct(fields.map(col): _*))
+      case other => throw new IllegalArgumentException(s"format '$other'")
+    }
+  }
 }

@@ -77,6 +77,37 @@ object Zint {
     (sign << 63) | (attrF << 58) | zint
   }
 
+  /** zint32: 28-bit magnitude, 3-bit scale (7 = invalid), 1 sign bit
+    * (sis_zint.h:8-17, encode :28-63). */
+  final val Max28 = 0x0FFFFFFF
+  def encode32(v: Double, dot: Int): Int = {
+    if (v.isNaN || v > Max28.toDouble || v < -Max28.toDouble)
+      return 7 << 28
+    if (math.abs(v) < 1e-7) return 0
+    val sign = if (v < 0) 1 else 0
+    var in = math.abs(v)
+    var attr = 0
+    val maxdot = math.min(dot, 6)
+    var i = 0
+    var stop = false
+    while (i < maxdot && !stop) {
+      if (in * 10 > Max28.toDouble) { attr = i; stop = true }
+      else { attr = i + 1; in = in * 10 }
+      i += 1
+    }
+    val zint = (in + 0.5).toInt & Max28
+    val attrF = if (zint != 0) attr else 0
+    (sign << 31) | (attrF << 28) | zint
+  }
+
+  def decode32(z: Int): Option[Double] = {
+    val attr = (z >>> 28) & 0x7
+    if (attr == 7) return None
+    val sign = z >>> 31
+    val mag = (z & Max28).toDouble / math.pow(10, attr.toDouble)
+    Some(if (sign == 1) -mag else mag)
+  }
+
   def decode64(z: Long): Option[Double] = {
     val attr = (z >>> 58) & 0x1FL
     if (attr == AttrInvalid) return None

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S8: dBase (DBF) reader — the reference ingests vendor market data
+  * in this format (src/core/sis_dbf.h:13-40: header, 32-byte field
+  * descriptors, fixed-width ASCII records).
+  *
+  * Shape: the header (field layout) is read driver-side from one
+  * file; record parsing distributes via the `binaryFile` source with
+  * one task per file — vendor DBFs are per-day, per-market files, so
+  * file-level parallelism is the natural partitioning (and a single
+  * file is bounded by the format's 32-bit record count).
+  *
+  * Types: C → string, N/F (decimals>0) → double, N (no decimals) →
+  * long, D → yyyymmdd int, L → boolean.
+  */
+object Dbf {
+
+  final case class DbfField(name: String, ftype: Char, len: Int, dec: Int)
+
+  final case class DbfHeader(recordCount: Int, headerSize: Int,
+      recordSize: Int, fields: Seq[DbfField])
+
+  def parseHeader(bytes: Array[Byte]): DbfHeader = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    val recordCount = u8(4) | (u8(5) << 8) | (u8(6) << 16) | (u8(7) << 24)
+    val headerSize = u8(8) | (u8(9) << 8)
+    val recordSize = u8(10) | (u8(11) << 8)
+    val fields = Iterator.from(0)
+      .map(i => 32 + i * 32)
+      .takeWhile(off => off < headerSize - 1 && u8(off) != 0x0D)
+      .map { off =>
+        val nameEnd = (off until off + 11).find(bytes(_) == 0).getOrElse(off + 11)
+        DbfField(
+          new String(bytes, off, nameEnd - off, "ASCII").trim,
+          (bytes(off + 11) & 0xFF).toChar,
+          u8(off + 16), u8(off + 17))
+      }.toSeq
+    DbfHeader(recordCount, headerSize, recordSize, fields)
+  }
+
+  private def sparkType(f: DbfField): DataType = f.ftype match {
+    case 'C' => StringType
+    case 'N' | 'F' => if (f.dec > 0) DoubleType else LongType
+    case 'D' => IntegerType
+    case 'L' => BooleanType
+    case _ => StringType
+  }
+
+  def schemaOf(h: DbfHeader): StructType =
+    StructType(h.fields.map(f => StructField(f.name, sparkType(f))))
+
+  /** Parse every active record of one file's bytes. */
+  def parseRecords(bytes: Array[Byte], h: DbfHeader): Iterator[Row] = {
+    Iterator.range(0, h.recordCount).flatMap { r =>
+      val off = h.headerSize + r * h.recordSize
+      if (off + h.recordSize > bytes.length) None
+      else if (bytes(off) == '*') None // deleted
+      else {
+        var pos = off + 1 // skip deletion flag
+        val vals = h.fields.map { f =>
+          val raw = new String(bytes, pos, f.len, "ASCII").trim
+          pos += f.len
+          f.ftype match {
+            case 'C' => raw
+            case 'N' | 'F' =>
+              if (raw.isEmpty) null
+              else if (f.dec > 0) java.lang.Double.valueOf(raw)
+              else java.lang.Long.valueOf(raw)
+            case 'D' => if (raw.isEmpty) null else Integer.valueOf(raw)
+            case 'L' => raw.equalsIgnoreCase("T") || raw.equalsIgnoreCase("Y")
+            case _ => raw
+          }
+        }
+        Some(Row.fromSeq(vals))
+      }
+    }
+  }
+
+  /** Read DBF file(s) as a DataFrame (glob accepted). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val first = files.limit(1).collect()
+    require(first.nonEmpty, s"no DBF files at $path")
+    val header = parseHeader(first(0).getAs[Array[Byte]]("content"))
+    val schema = schemaOf(header)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    files.select("content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        parseRecords(bytes, parseHeader(bytes))
+      }
+    }(enc)
+  }
+}

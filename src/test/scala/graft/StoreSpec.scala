@@ -1,0 +1,73 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.store.TsStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** TsStore hot∪cold semantics, save/pack lifecycle, partition pruning;
+  * Catalog dictionary round-trip. */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore(path: String) =
+    new TsStore(spark, path, subject = "code", time = "t",
+      soleCols = Nil, dayCol = col("day"))
+
+  test("hot-only read, save, cold read, hot-shadows-cold upsert") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t1"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 10.0, "d1"), ("B", 2L, 20.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    // hot only
+    assert(st.read().count() == 2)
+    st.save()
+    // cold only
+    val cold = st.read()
+    assert(cold.count() == 2 && cold.columns.contains("v"))
+    // same (code, day, t) arrives again → replaces the cold row
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    val merged = st.read().orderBy("code").collect()
+    assert(merged.map(r => (r.getAs[String]("code"), r.getAs[Double]("v"))).toSeq ==
+      Seq(("A", 11.0), ("B", 20.0)))
+    // save again → cold holds the replacement
+    st.save()
+    val after = st.read().orderBy("code").collect()
+    assert(after.map(_.getAs[Double]("v")).toSeq == Seq(11.0, 20.0))
+  }
+
+  test("day-pruned read hits PartitionFilters; pack bounds file count") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t2"
+    val st = mkStore(root)
+    st.set((1 to 100).map(i => (s"K${i % 7}", i.toLong, i * 1.0,
+      if (i % 2 == 0) "d1" else "d2")).toDF("code", "t", "v", "day"))
+    st.save()
+    val pruned = st.read(day = Some("d1"))
+    assert(pruned.count() == 50)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__day"),
+      s"no pruning in:\n$plan")
+    st.pack(targetFiles = 1)
+    assert(st.read(day = Some("d1")).count() == 50) // unchanged answers
+    val files = new java.io.File(s"$root/__day=d1")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"pack left $files files")
+  }
+
+  test("catalog: schema registry and dictionary encode/decode") {
+    val cat = new graft.catalog.Catalog
+    cat.register("{stk_day:{fields:{time:[D,4],close:[P,4,1,2]}}}")
+    assert(cat.tables == Seq("stk_day"))
+    assert(cat.get("stk_day").get.dotOf("close") == 2)
+
+    val df = Seq(("SH600600", 1.0), ("SH600601", 2.0), ("SH600600", 3.0))
+      .toDF("code", "v")
+    val dict = Catalog.dictionary(df, "code")
+    assert(dict.count() == 2)
+    val encoded = Catalog.encode(df, dict, "code")
+    assert(encoded.columns.toSet == Set("v", "id"))
+    val decoded = Catalog.decode(encoded, dict, "code")
+    assert(decoded.select("code").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("SH600600", "SH600600", "SH600601"))
+  }
+}
