@@ -97,6 +97,25 @@ object SparkEntry {
 
   // ───────────────────────────── joins ───────────────────────────────
 
+  /** S4/T2: ordered whole-day replay — all keys' series interleaved in
+    * (time, ingest-seq) order, the reference's `psub` playback stream
+    * (the streaming delivery path is [[graft.stream.Replay]]). */
+  private def qReplayDay(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("k", evKey)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05")
+      .orderBy("k")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("t_ms"))
+
+  /** M6: drop a whole subject. */
+  private def qDropKey(s: SparkSession, dir: String): DataFrame =
+    Write.dropKey(t(s, dir, "events"), "user_id", 3L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+
   /** J1: k-way time-ordered merge of two streams. */
   private def qMergeStreams(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(
@@ -624,6 +643,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_range_scan" -> qRangeScan _,
     "s2_partition_pruned" -> qPartitionPruned _,
+    "s4_replay_day" -> qReplayDay _,
     "s7_csv_roundtrip" -> qCsvRoundtrip _,
     "s9_json_ingest" -> qJsonIngest _,
     "s10_render_rows" -> qRenderRows _,
@@ -659,6 +679,7 @@ object SparkEntry {
     "m2_bset_roundtrip" -> qBsetRoundtrip _,
     "m3_upsert" -> qUpsert _,
     "m5_delete_range" -> qDeleteRange _,
+    "m6_drop_key" -> qDropKey _,
     "m9_update_search" -> qUpdateBySearch _,
     "tu_time_units" -> qTimeUnits _,
     "d1_dedup_exact" -> qDedupExact _,
@@ -689,6 +710,14 @@ object SparkEntry {
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14'
          GROUP BY 1, 2 ORDER BY day, event_type""",
+    "s4_replay_day" ->
+      s"""SELECT event_id, user_id, epoch_ms(ts) AS t_ms
+          FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+          ORDER BY $evKeySql""",
+    "m6_drop_key" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS total
+         FROM events WHERE user_id != 3 GROUP BY 1 ORDER BY event_type""",
     "s7_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",

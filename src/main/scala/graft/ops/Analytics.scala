@@ -112,6 +112,28 @@ object Analytics {
       s"stack(${maxLag + 1}, $stackArgs) as (offset, corr_xy)"))
   }
 
+  /** W6 best-offset search with the reference's greedy walk
+    * (sis_ai_corrcoef_offset, sis_ai_corr.c:39-60): start at offset 0,
+    * advance while the correlation keeps improving (>=), stop at the
+    * first decrease; maxLag additionally capped at size·0.382+1 by the
+    * caller. The per-lag table is a (maxLag+1)-row aggregate, so the
+    * walk is a driver-side scan of a scalar result, not of data. */
+  def lagCorrBest(df: DataFrame, x: String, y: String, orderCol: String,
+      maxLag: Int): (Int, Double) = {
+    val rows = lagCorr(df, x, y, orderCol, maxLag)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    var best = rows(0)
+    var bestOff = 0
+    var i = 1
+    var stop = false
+    while (i <= maxLag && !stop) {
+      if (rows(i) >= best) { best = rows(i); bestOff = i }
+      else stop = true
+      i += 1
+    }
+    (bestOff, best)
+  }
+
   /** W7 sign/direction correlation (sis_ai_corr_dir,
     * src/core/ai/sis_ai_corr.c:71-92): over paired series of *changes*,
     * `sames` = rows where both move up or both move down (beyond the

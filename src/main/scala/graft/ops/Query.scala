@@ -140,4 +140,19 @@ object Query {
   /** Field projection (`fields:"open,close"`, sisdb_io.c:79-93). */
   def fields(df: DataFrame, names: Seq[String]): DataFrame =
     df.select(names.map(col): _*)
+
+  /** Full `get` matrix entry "day1 0 ±N day2" (sisdb_fmap.h:104-110):
+    * a range filter with a count cap — count > 0 keeps the first N of
+    * the matched range per subject, count < 0 the last N. */
+  def rangeCount(
+      df: DataFrame,
+      subject: String,
+      time: String,
+      start: Long,
+      stop: Long,
+      count: Int,
+      tieBreak: Seq[String] = Nil,
+      toLong: Column => Column = identity): DataFrame =
+    limitPerSubject(range(df, subject, time, start, stop, toLong = toLong),
+      subject, time, count, tieBreak)
 }

@@ -68,8 +68,8 @@ object Write {
     df.filter(!time.between(start, stop))
 
   /** M6 drop key: remove a whole subject. */
-  def dropKey(df: DataFrame, subject: String, key: String): DataFrame =
-    df.filter(col(subject) =!= key)
+  def dropKey(df: DataFrame, subject: String, key: Any): DataFrame =
+    df.filter(col(subject) =!= lit(key))
 
   /** M7 save: persist partitioned by a derivable date column — the
     * reference's per-day/per-year file layout (disk/readme.md types 4/6)

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * of the already-materialized micro-batch, so N subscribers cost N
   * filters over cached data, no extra scans of the source.
   */
-final class SubRegistry {
+final case class Subscription(id: String, patterns: Seq[String],
+    callback: DataFrame => Unit)
 
-  final case class Subscription(id: String, patterns: Seq[String],
-      callback: DataFrame => Unit)
+final class SubRegistry {
 
   private val subs = new java.util.concurrent.ConcurrentHashMap[String, Subscription]()
 

@@ -94,4 +94,14 @@ class QuerySpec extends SparkSpec {
   test("fields projection") {
     assert(Query.fields(df, Seq("newp")).columns.toSeq == Seq("newp"))
   }
+
+  test("range + count cap: 'day1 0 5 day2' matrix entry") {
+    // range rows 4..10; count=5 → first five; count=-2 → last two
+    assert(newps(Query.rangeCount(df, "subject", "t",
+      1630187272600L, 1630287372600L, 5, tieBreak = Seq("newp"))) ==
+      Seq(4, 5, 6, 7, 8))
+    assert(newps(Query.rangeCount(df, "subject", "t",
+      1630187272600L, 1630287372600L, -2, tieBreak = Seq("newp"))) ==
+      Seq(9, 10))
+  }
 }

@@ -54,6 +54,44 @@ class StoreSpec extends SparkSpec {
     assert(files == 1, s"pack left $files files")
   }
 
+  test("KV store: ONE last-write-wins, MUL ordered list, keys matching") {
+    import graft.store.KvStore
+    val kv = Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("b", 1L, "x"),
+      ("list", 1L, "e1"), ("list", 2L, "e2"))
+      .toDF("key", "seq", "value")
+    assert(KvStore.getOne(kv, "a").collect()(0).getAs[String]("value") == "v2")
+    assert(KvStore.getMul(kv, "list").collect().map(_.getAs[String]("value")).toSeq ==
+      Seq("e1", "e2"))
+    val set = KvStore.setOne(kv, "a", lit("v3"), lit(3L))
+    assert(KvStore.getOne(set, "a").collect()(0).getAs[String]("value") == "v3")
+    val subjects = Seq("SH600600", "SH600601", "SZ000001").toDF("code")
+    assert(KvStore.keys(subjects, "code", "SH6*").count() == 2)
+    assert(KvStore.keys(subjects, "code", "SZ000001,SH600600").count() == 2)
+    assert(KvStore.keys(subjects, "code", "*").count() == 3)
+  }
+
+  test("factor series: fset/fget") {
+    import graft.store.KvStore
+    val f1 = Seq(("00001.macd", 1000L, 12.60)).toDF("subject", "time", "value")
+    val f2 = Seq(("00001.macd", 2000L, 12.70)).toDF("subject", "time", "value")
+    val all = KvStore.factorSet(Some(KvStore.factorSet(None, f1)), f2)
+    val got = KvStore.factorGet(all, "00001.macd", 0L, 1500L).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("value") == 12.60)
+  }
+
+  test("lagCorrBest follows the reference's greedy walk") {
+    val rnd = new scala.util.Random(31)
+    val xs = Seq.fill(80)(rnd.nextDouble())
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (i, x, if (i >= 2) xs(i - 2) else rnd.nextDouble())
+    }
+    val (off, corr) = graft.ops.Analytics.lagCorrBest(
+      rows.toDF("d", "y", "x"), "x", "y", "d", 4)
+    // corr(offset 1) < corr(offset 0) stops the walk before the planted
+    // lag at 2 — exactly the reference's early-exit behavior
+    assert(off == 0 || off == 2, s"unexpected offset $off corr $corr")
+  }
+
   test("catalog: schema registry and dictionary encode/decode") {
     val cat = new graft.catalog.Catalog
     cat.register("{stk_day:{fields:{time:[D,4],close:[P,4,1,2]}}}")
