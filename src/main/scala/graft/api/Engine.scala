@@ -1,0 +1,203 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.catalog.Catalog
+import graft.fmt.Render
+import graft.ops.{Query, Write}
+import graft.schema.SdbSchema
+import graft.sources.Sources
+import graft.store.TsStore
+import graft.stream.SubRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's command surface end-to-end: `create/set/get/keys/
+  * del/drop/save/pack/sub` against `subject.table` keys
+  * (workers/sisdb/sisdb.h:44-53, command table sisdb.c:14-42), wired
+  * over the engine's primitives — SdbSchema for table declarations,
+  * TsStore per table for storage, Query for the range/where/fields
+  * matrix (sisdb_io.c:23-93), Render for the j/a/c output formats, and
+  * SubRegistry for live pub/sub on writes.
+  *
+  * A reference client's
+  * `get SH600600.stk_day {"range":{"start":20210101,"stop":20211231},
+  * "fields":"time,open,close","format":"a"}` becomes
+  * `engine.get("SH600600.stk_day", params)` with identical semantics.
+  */
+final class Engine(val spark: SparkSession, rootPath: String) {
+
+  val catalog = new Catalog
+  val subs = new SubRegistry
+  private val stores = scala.collection.concurrent.TrieMap[String, TsStore]()
+  private val mapper = new ObjectMapper()
+
+  /** `create`: declare a table from the schema DSL. */
+  def create(dsl: String): SdbSchema.Sdb = {
+    val sdb = catalog.register(dsl)
+    sdb
+  }
+
+  private def storeOf(table: String): TsStore = {
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val timeField = sdb.mainIndex.map(_.name).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no main index"))
+    stores.getOrElseUpdate(table, new TsStore(
+      spark, s"$rootPath/$table", subject = "subject", time = timeField,
+      soleCols = sdb.solelyFields.map(_.name),
+      dayCol = Engine.dayOf(sdb, timeField)))
+  }
+
+  private def splitKey(key: String): (String, String) = {
+    val i = key.lastIndexOf('.')
+    require(i > 0, s"key '$key' is not subject.table")
+    (key.substring(0, i), key.substring(i + 1))
+  }
+
+  /** `set subject.table {json row or [rows]}`: typed parse per the
+    * declared schema → staged into the hot tail → published to
+    * matching subscribers (the reference publishes on every set,
+    * sisdb.c:279). */
+  def set(key: String, json: String): Long = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val node = mapper.readTree(json)
+    val rows: Seq[String] =
+      if (node.isArray && node.size() > 0 && node.get(0).isArray)
+        (0 until node.size()).map(i => node.get(i).toString)
+      else if (node.isArray)
+        (0 until node.size()).map(i => node.get(i).toString)
+      else Seq(node.toString)
+    import spark.implicits._
+    val raw = rows.toDF("__json")
+    val typed =
+      (if (json.trim.startsWith("[[") ||
+        (node.isArray && node.size() > 0 && node.get(0).isArray))
+        Sources.fromArrayRows(raw, "__json", sdb)
+      else Sources.fromJsonRows(raw, "__json", sdb))
+        .drop("__json")
+        .withColumn("subject", lit(subject))
+    storeOf(table).set(typed)
+    subs.publish(typed, "subject")
+    rows.size.toLong
+  }
+
+  /** `get subject.table {range|where, fields, count, format}` —
+    * the full parameter matrix of sisdb_io.c:23-93. Returns the
+    * DataFrame (format=s) or a rendered payload column (j/a/c). */
+  def get(key: String, paramsJson: String = "{}"): DataFrame = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).get
+    val timeField = sdb.mainIndex.map(_.name).get
+    val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
+    val base = storeOf(table).read()
+      .filter(if (subject == "*") lit(true)
+        else if (subject.endsWith("*"))
+          col("subject").startsWith(subject.dropRight(1))
+        else col("subject") === subject)
+
+    val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => Engine.indexAsLong(sdb, timeField, c)
+
+    val afterMatch =
+      if (p.has("range")) {
+        val r = p.get("range")
+        val start = if (r.has("start")) r.get("start").asLong(-1L) else -1L
+        val stop = if (r.has("stop")) r.get("stop").asLong(0L) else 0L
+        val ifprev = r.has("ifprev") && r.get("ifprev").asInt(0) == 1
+        Query.range(base, "subject", timeField, start, stop, ifprev,
+          toLong = toLong)
+      } else if (p.has("where")) {
+        val w = p.get("where")
+        Query.whereOffset(base, "subject", timeField,
+          w.get("start").asLong(0L),
+          if (w.has("offset")) w.get("offset").asInt(0) else 0,
+          toLong = toLong)
+      } else base
+
+    val afterCount =
+      if (p.has("count") && p.get("count").asInt(0) != 0)
+        Query.limitPerSubject(afterMatch, "subject", timeField,
+          p.get("count").asInt(0))
+      else afterMatch
+
+    val fieldNames: Seq[String] =
+      if (p.has("fields") && p.get("fields").asText() != "*")
+        p.get("fields").asText().split(",").map(_.trim).toSeq
+      else sdb.fields.map(_.name)
+    val projected = afterCount.select(
+      (col("subject") +: fieldNames.map(col)): _*)
+
+    val fmt = if (p.has("format")) p.get("format").asText("s").head else 's'
+    fmt match {
+      case 's' => projected
+      case code => Render.format(projected, code,
+        SdbSchema.Sdb(sdb.name, sdb.fields.filter(f => fieldNames.contains(f.name))))
+    }
+  }
+
+  /** `keys pattern.table`: matching subjects. */
+  def keys(pattern: String): DataFrame = {
+    val (subject, table) = splitKey(pattern)
+    graft.store.KvStore.keys(storeOf(table).read(), "subject", subject)
+  }
+
+  /** `del subject.table {range:{start, stop}}`: anti-filter rewrite,
+    * staged as a full replace of that subject's rows. */
+  def del(key: String, paramsJson: String): Unit = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).get
+    val timeField = sdb.mainIndex.map(_.name).get
+    val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
+    val r = p.get("range")
+    val st = storeOf(table)
+    val kept = Write.deleteRange(
+      st.read().filter(col("subject") === subject),
+      Engine.indexAsLong(sdb, timeField, col(timeField)),
+      r.get("start").asLong(0L), r.get("stop").asLong(0L))
+    st.replaceSubject(subject, kept)
+  }
+
+  /** `drop subject.table`. */
+  def drop(key: String): Unit = {
+    val (subject, table) = splitKey(key)
+    storeOf(table).replaceSubject(subject,
+      storeOf(table).read().filter(lit(false)))
+  }
+
+  def save(table: String): Unit = storeOf(table).save()
+  def pack(table: String, files: Int = 4): Unit = storeOf(table).pack(files)
+
+  /** `sub pattern` (T1): live fan-out of future `set`s. */
+  def sub(id: String, patterns: Seq[String])(cb: DataFrame => Unit): Unit =
+    subs.subscribe(id, patterns)(cb)
+  def unsub(id: String): Unit = subs.unsubscribe(id)
+}
+
+object Engine {
+  /** Day partition derivation per the schema's main-index style: date
+    * int and year stay as-is (the reference stores day-scale series
+    * per year, finer series per day, workers/sisdb/sisdb.h:36-42). */
+  private[api] def dayOf(sdb: SdbSchema.Sdb, timeField: String) = {
+    val f = sdb.fields.find(_.name == timeField).get
+    f.style match {
+      case 'D' => col(timeField).cast("string")
+      case 'T' | 'S' | 'W' => date_format(col(timeField), "yyyy-MM-dd")
+      case _ => col(timeField).cast("string")
+    }
+  }
+
+  /** The main index compared as a long per its declared style: date
+    * ints compare as yyyymmdd, timestamps as epoch ms — matching the
+    * reference's numeric range params. */
+  private[api] def indexAsLong(sdb: SdbSchema.Sdb, timeField: String,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = sdb.fields.find(_.name == timeField).get
+    f.style match {
+      case 'D' => (year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("long")
+      case 'T' | 'S' | 'W' => unix_millis(c)
+      case _ => c.cast("long")
+    }
+  }
+}

@@ -128,7 +128,7 @@ object SdbSchema {
 
   /** The reference's conf format allows unquoted keys and bare type
     * letters (`{open:[P,4,1,2]}`); quote them so Jackson accepts it. */
-  private[schema] def quoteBareWords(s: String): String =
+  private[graft] def quoteBareWords(s: String): String =
     """(?<=[\{\[,:])\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?=[:,\]\}])""".r
       .replaceAllIn(s, m => "\"" + m.group(1) + "\"")
 }

@@ -70,27 +70,44 @@ final class TsStore(
     }
   }
 
+  private def writeCold(df: DataFrame): Unit = {
+    val tmp = path.stripSuffix("/") + "__saving"
+    df.withColumn("__seq", lit(0L))
+      .repartition(col("__day"))
+      .sortWithinPartitions(col(subject), col(time))
+      .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
   /** `save`: merge hot into the partitioned cold store, clear hot. */
   def save(): Unit = synchronized {
     hot.foreach { h =>
       val merged = cold match {
         case Some(c) =>
           Write.upsert(c.drop("__seq"), h, subject, soleCols :+ "__day",
-            time, "__seq").withColumn("__seq", lit(0L))
-        case None => h.withColumn("__seq", lit(0L))
+            time, "__seq")
+        case None =>
+          Write.upsert(h.limit(0).drop("__seq"), h, subject,
+            soleCols :+ "__day", time, "__seq")
       }
-      val tmp = path.stripSuffix("/") + "__saving"
-      merged
-        .repartition(col("__day"))
-        .sortWithinPartitions(col(subject), col(time))
-        .write.mode("overwrite").partitionBy("__day").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(path)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      writeCold(merged)
       hot = None
     }
+  }
+
+  /** M5/M6 support: replace one subject's rows wholesale (delete =
+    * replace with the kept subset; drop = replace with nothing).
+    * Flushes through the cold store like `save`. */
+  def replaceSubject(subjectKey: Any, kept: DataFrame): Unit = synchronized {
+    val others = read().filter(col(subject) =!= lit(subjectKey))
+    val merged = others.unionByName(
+      kept.select(others.columns.map(col): _*))
+    writeCold(merged)
+    hot = None
   }
 
   /** `pack`: compaction to a bounded file count per partition. */

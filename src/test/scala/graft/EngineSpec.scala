@@ -1,0 +1,82 @@
+package graft
+
+import graft.api.Engine
+import java.nio.file.Files
+
+/** Drive the command facade exactly like a reference client: create →
+  * set → get (range/where/fields/format) → keys → sub → del → drop →
+  * save → pack. */
+class EngineSpec extends SparkSpec {
+
+  private def mkEngine = new Engine(spark,
+    Files.createTempDirectory("graft_engine").toString)
+
+  private val stkDay =
+    "{stk_day:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}"
+
+  test("set json rows, get with range + fields + array format") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100},
+          {"time":"2021-01-05","open":10.50,"close":10.40,"vol":200},
+          {"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}]""")
+    e.set("SH600601.stk_day",
+      """{"time":"2021-01-04","open":5.00,"close":5.10,"vol":50}""")
+
+    // range in day-int space, projected fields, array format
+    val out = e.get("SH600600.stk_day",
+      """{range:{start:20210101,stop:20210131},fields:"time,close",format:"a"}""")
+    val rows = out.select("payload").collect().map(_.getString(0)).sorted
+    assert(rows.length == 2)
+    assert(rows(0).contains("10.50") && rows(1).contains("10.40"))
+
+    // latest per subject (start=-1) across a wildcard
+    val last = e.get("*.stk_day", """{range:{start:-1}}""")
+    assert(last.count() == 2)
+
+    // where + equality
+    val w = e.get("SH600600.stk_day", """{where:{start:20210105}}""")
+    assert(w.count() == 1)
+    assert(w.collect()(0).getAs[Double]("close") == 10.4)
+  }
+
+  test("same-time set replaces (time-indexed upsert), keys matching") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":3.0,"vol":2}""")
+    val got = e.get("SH600600.stk_day", """{where:{start:20210104}}""")
+    assert(got.count() == 1) // 修改即全部替换 — same time replaces
+    assert(got.collect()(0).getAs[Double]("close") == 3.0)
+
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":3}""")
+    assert(e.keys("SH6*.stk_day").count() == 1)
+    assert(e.keys("*.stk_day").count() == 2)
+  }
+
+  test("sub fan-out on set; del range; drop; save + pack") {
+    val e = mkEngine
+    e.create(stkDay)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("client1", Seq("SH6*"))(df => seen.addAndGet(df.count()))
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1},
+          {"time":"2021-01-05","open":2.0,"close":3.0,"vol":2},
+          {"time":"2021-01-06","open":3.0,"close":4.0,"vol":3}]""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":4}""")
+    assert(seen.get() == 3) // prefix subscriber saw only SH6*
+
+    e.del("SH600600.stk_day", """{range:{start:20210105,stop:20210105}}""")
+    assert(e.get("SH600600.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .count() == 2)
+
+    e.save("stk_day")
+    e.pack("stk_day", files = 1)
+    assert(e.get("SH600600.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .count() == 2)
+
+    e.drop("SZ000001.stk_day")
+    assert(e.keys("*.stk_day").count() == 1)
+  }
+}
