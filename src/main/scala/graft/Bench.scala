@@ -18,6 +18,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    // warm-up outside the timings: session init, parquet footers, first
+    // codegen — otherwise the alphabetically-first query absorbs it all
+    Tables(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
+    Tables(spark, sfDir, "lineitem").limit(1000)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

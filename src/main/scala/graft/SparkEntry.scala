@@ -638,6 +638,31 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** The full client surface in one checked round-trip: events sampled
+    * per user → JSON `set` through [[graft.api.Engine]] (schema-typed
+    * parse, per-table store) → ranged `get` back — the exact command
+    * flow a reference client drives, answered against the oracle
+    * reading the source directly. */
+  private def qEngineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_engine_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), to_json(struct(col("ts").as("t"),
+        col("event_type").as("etype"), col("value").as("value"))).as("j"))
+      .groupBy("user_id")
+      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
+      .collect() // client-side ingest surface: 10 subjects' JSON payloads
+    perUser.foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    val lo = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.get("*.ev", s"""{range:{start:$lo,stop:$hi}}""")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,6 +674,7 @@ object SparkEntry {
     "s10_render_rows" -> qRenderRows _,
     "sc1_schema_zint" -> qSchemaZint _,
     "cv1_convert" -> qConvert _,
+    "e1_engine_roundtrip" -> qEngineRoundtrip _,
     "p1_projection" -> qProjection _,
     "p2_last_per_key" -> qLastPerKey _,
     "p2a_range_eq" -> qRangeEq _,
@@ -738,6 +764,13 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, count(*) AS n, 0::BIGINT AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_price, round(sum(0.0), 2) AS sum_tax
          FROM lineitem GROUP BY 1 ORDER BY flag""",
+    "e1_engine_roundtrip" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10
+           AND epoch_ms(ts) BETWEEN 1704672000000 AND 1705795199999
+         GROUP BY 1 ORDER BY subject""",
     "p2a_range_eq" ->
       """SELECT user_id, event_id, strftime(ts, '%Y%m%d')::BIGINT AS day
          FROM events WHERE strftime(ts, '%Y%m%d')::BIGINT = 20240115

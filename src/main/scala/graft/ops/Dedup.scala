@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: keep the lowest-id representative per normalized text.
-    * One shuffle (map-side combinable min). */
+    * One shuffle (map-side combinable min); normalization is the fused
+    * [[graft.functions.NormalizeTextExpr]] (==
+    * `regexp_replace(lower(trim(text)), "\\s+", " ")`). */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(regexp_replace(lower(trim(col(text))), "\\s+", " ").as("norm_text"))
+    df.groupBy(graft.functions.NormalizeTextExpr(col(text)).as("norm_text"))
       .agg(min(col(id)).as(id), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: `numHashes` permutations approximated by

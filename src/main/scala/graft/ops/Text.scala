@@ -51,9 +51,10 @@ object Text {
       .withColumn("quality", roundHalfUp6(qualityScore(t, stopwords("en"))))
   }
 
-  /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr). */
+  /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr;
+    * normalization fused, == regexp_replace(lower(trim), "\\s+", " ")). */
   def withFingerprint(df: DataFrame, text: String): DataFrame =
     df.withColumn("fingerprint",
       graft.functions.Fnv1a64Expr(
-        regexp_replace(lower(trim(col(text))), "\\s+", " ")))
+        graft.functions.NormalizeTextExpr(col(text))))
 }

@@ -85,6 +85,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("NormalizeTextExpr == regexp_replace(lower(trim(text)), \\s+, ' ')") {
+    import graft.functions.NormalizeTextExpr
+    val samples = Seq("  Hello   World  ", "a\t\tb\nc", "\tleading tab",
+      "MiXeD  CASE", "", "   ", "one", "trail\r\n").toDF("text")
+    val out = samples.select(
+      NormalizeTextExpr(col("text")).as("fused"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("regex"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"'${r.getString(0)}' != '${r.getString(1)}'"))
+  }
+
   test("exact dedup groups identical normalized text") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")

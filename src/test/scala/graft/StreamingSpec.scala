@@ -58,6 +58,53 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.toSeq == replayed.toSeq.sorted, s"out of order: $replayed")
   }
 
+  test("windowed streaming agg with watermark: closed windows equal batch") {
+    val root = Files.createTempDirectory("graft_stream3").toString
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("etype", StringType),
+      StructField("v", DoubleType)))
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val early = Seq(
+      (ts("2024-01-01T01:00:00Z"), "a", 1.0), (ts("2024-01-01T02:00:00Z"), "a", 2.0),
+      (ts("2024-01-01T07:00:00Z"), "b", 3.0), (ts("2024-01-01T08:00:00Z"), "a", 4.0))
+    val stream = spark.readStream.schema(evSchema).parquet(s"$src/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("etype"))
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    val q = stream.writeStream.format("memory").queryName("st2_win")
+      .outputMode("append").start()
+    try {
+      early.toDF("ts", "etype", "v").coalesce(1).write.parquet(s"$src/b1")
+      q.processAllAvailable()
+      // closer events push the watermark past the first two windows...
+      Seq((ts("2024-01-01T13:00:00Z"), "a", 9.0)).toDF("ts", "etype", "v")
+        .coalesce(1).write.parquet(s"$src/b2")
+      q.processAllAvailable()
+      // ...and the NEXT batch (watermark advances between batches) emits
+      Seq((ts("2024-01-01T13:30:00Z"), "a", 9.5)).toDF("ts", "etype", "v")
+        .coalesce(1).write.parquet(s"$src/b3")
+      q.processAllAvailable()
+      val emitted = spark.table("st2_win")
+        .select(col("window.start").cast("long").as("w"), col("etype"),
+          col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batchShadow = early.toDF("ts", "etype", "v")
+        .groupBy(window(col("ts"), "6 hours"), col("etype"))
+        .agg(count(lit(1)).as("n"), sum("v").as("total"))
+        .select(col("window.start").cast("long").as("w"), col("etype"),
+          col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // every window fully before the watermark emitted exactly the
+      // batch answer; the still-open 12:00-18:00 window did not
+      assert(batchShadow.subsetOf(emitted), s"$emitted vs $batchShadow")
+      assert(!emitted.exists(_._4 == 9.0), "open window emitted early")
+    } finally q.stop()
+  }
+
   test("late second batch: restart drains only new files (checkpoint WAL)") {
     val root = Files.createTempDirectory("graft_stream2").toString
     val src = s"$root/src"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
