@@ -32,6 +32,7 @@ object Multimodal {
     def probe(payload: Array[Byte]): Row // → metaSchema row
     def features(payload: Array[Byte], dim: Int): Array[Float]
     def frameOffsets(payload: Array[Byte], everyMs: Long): Seq[Long]
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
   }
 
   object MediaDecoder {
@@ -58,6 +59,15 @@ object Multimodal {
       def frameOffsets(payload: Array[Byte], everyMs: Long): Seq[Long] = {
         val dur = math.abs(h64(payload) >> 8) % 600000L
         0L.to(dur, everyMs)
+      }
+      def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        // fake "decode → scale → re-encode": a deterministic byte
+        // stream of the target size, seeded by the source content
+        var x = h64(payload) ^ (w.toLong << 32) ^ h.toLong
+        Array.fill(math.max(16, w * h / 64)) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          (x >>> 56).toByte
+        }
       }
     }
   }
@@ -95,6 +105,24 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         Row.fromSeq(r.toSeq :+
           (if (payload == null) null else decoder.features(payload, dim).toSeq))
+      }
+    }(enc)
+  }
+
+  /** Resize: payload → payload at the target resolution (real codec
+    * behind [[MediaDecoder]]; batch shape identical to decode). */
+  def resized(df: DataFrame, payloadCol: String, w: Int, h: Int,
+      decoder: MediaDecoder = MediaDecoder.Fake,
+      out: String = "payload_resized"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(out, BinaryType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+
+          (if (payload == null) null else decoder.resize(payload, w, h)))
       }
     }(enc)
   }

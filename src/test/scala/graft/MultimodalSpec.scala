@@ -38,6 +38,17 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("resized produces deterministic target-size payloads") {
+    val out = Multimodal.resized(docs, "payload", 64, 64)
+    assert(out.schema("payload_resized").dataType.typeName == "binary")
+    val sizes = out.select("id", "payload_resized").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(sizes.forall(_._2.length == 64 * 64 / 64))
+    // identical payloads resize identically
+    assert(sizes.find(_._1 == 1L).get._2.toSeq ==
+      sizes.find(_._1 == 3L).get._2.toSeq)
+  }
+
   test("sampleFrames explodes deterministic frame offsets per payload") {
     val frames = Multimodal.sampleFrames(docs, "payload", everyMs = 60000)
     val counts = frames.groupBy("id").count().collect()

@@ -95,6 +95,37 @@ class QuerySpec extends SparkSpec {
     assert(Query.fields(df, Seq("newp")).columns.toSeq == Seq("newp"))
   }
 
+  // date-int series — the reference's second fixture (`_date_datas`,
+  // sisdb_fmap_ctrl.c:688-701: 12 rows over 3 years, dup dates)
+  private val dateRows = Seq(
+    (20191010, 1), (20191110, 2), (20191210, 3),
+    (20200110, 4), (20200210, 5), (20200310, 6), (20200310, 7),
+    (20210315, 8), (20210320, 9), (20210320, 10),
+    (20210410, 11), (20210410, 12))
+
+  private def dateDf: DataFrame =
+    dateRows.toDF("d", "newp").withColumn("subject",
+      org.apache.spark.sql.functions.lit("k1"))
+
+  private def newpsD(df2: DataFrame): Seq[Int] =
+    df2.select("newp").collect().map(_.getInt(0)).toSeq.sorted
+
+  test("date series: equality with dup dates, open range, ifprev") {
+    val toL: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("long")
+    assert(newpsD(Query.range(dateDf, "subject", "d", 20200310L, 0L,
+      toLong = toL)) == Seq(6, 7))
+    assert(newpsD(Query.range(dateDf, "subject", "d", 20210315L, -1L,
+      toLong = toL)) == Seq(8, 9, 10, 11, 12))
+    assert(newpsD(Query.range(dateDf, "subject", "d",
+      20191110L, 20200210L, toLong = toL)) == Seq(2, 3, 4, 5))
+    // miss between 0310 and 0315 → previous date's rows? No: last ROW
+    // before start (the reference falls back to the nearest earlier
+    // record, CMP_FIND_AGO)
+    assert(newpsD(Query.range(dateDf, "subject", "d", 20200315L, 0L,
+      ifprev = true, tieBreak = Seq("newp"), toLong = toL)) == Seq(7))
+  }
+
   test("range + count cap: 'day1 0 5 day2' matrix entry") {
     // range rows 4..10; count=5 → first five; count=-2 → last two
     assert(newps(Query.rangeCount(df, "subject", "t",
