@@ -396,6 +396,18 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN (clusterable-corpus scale path) — rows-only; recall vs the
+    * brute-force baseline asserted in SimilaritySpec. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** MinHash-LSH near-dup candidates with estimated Jaccard — rows-only
     * (murmur/xxhash64 are not reproducible in the oracle engine). */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -421,6 +433,18 @@ object SparkEntry {
     Text.withQualitySignals(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
         col("punct_ratio"), col("en_stopword_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting for pretraining budgets: whitespace tokens and the
+    * BPE-ish pre-tokenizer split (letter runs / digit runs / single
+    * symbols), plus chars — the columns a data pipeline sums into
+    * token-count reports. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tok_ws"),
+        TextFunctions.tokenCountBpeish(col("text")).as("n_tok_bpe"),
+        length(col("text")).as("n_chars_total"))
       .orderBy("doc_id")
 
   /** Language ID (n-gram/function-word heuristic) — rows-only; accuracy
@@ -715,8 +739,10 @@ object SparkEntry {
     "d5_cosine_dup" -> qCosineDup _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
+    "x3_ann_ivf" -> qAnnIvf _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
+    "tx3_token_count" -> qTokenCount _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _)
@@ -1084,6 +1110,12 @@ object SparkEntry {
                x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))::DOUBLE
                / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) * 5.0, 1.0) * 0.2
            ) * 1e6 + 0.5) / 1e6 AS quality
+         FROM documents ORDER BY doc_id""",
+    "tx3_token_count" ->
+      """SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok_ws,
+         len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS n_tok_bpe,
+         len(text) AS n_chars_total
          FROM documents ORDER BY doc_id""",
     "mm1_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha

@@ -15,11 +15,14 @@ object TextFunctions {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** BPE-ish subword-ready tokens: runs of letters, runs of digits, or
-    * single punctuation marks (a common pre-tokenizer split). */
+    * single non-space symbols (a common pre-tokenizer split). Extraction
+    * form (no lookarounds) so any RE2-class engine computes the same
+    * token stream. */
+  val BpePattern = "[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"
   def tokensBpeish(text: Column): Column =
-    filter(
-      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0)
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def tokenCountBpeish(text: Column): Column = size(tokensBpeish(text))
 
   def tokenCountWs(text: Column): Column = size(tokensWs(text))
 

@@ -85,6 +85,96 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means centroids trained on a bounded
+    * sample driver-side (standard IVF practice — training is O(sample),
+    * not O(corpus)), then the corpus partitions into `nlist` cells by
+    * nearest centroid and each query probes only its `nprobe` closest
+    * cells. Candidates come from an equi-join on the cell id — shuffle
+    * proportional to probed cells, the alternative scale path to
+    * [[lshTopK]] when the corpus is clusterable.
+    *
+    * Cell assignment is argmax of (c·v − |c|²/2) over the centroid
+    * literals — `nlist` fused dot products per row, no UDF.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      sampleSize: Int = 4096, iters: Int = 8): DataFrame = {
+    val sample = corpus.select(col(vec)).limit(sampleSize).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val centroids = kmeans(sample, nlist, iters, seed)
+
+    def cellScore(c: Array[Double]) = {
+      val lit2 = array(c.map(lit): _*)
+      graft.functions.DotProductExpr(col(vec).cast("array<double>"), lit2) -
+        lit(c.map(x => x * x).sum / 2)
+    }
+    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cellScore(c).as("s"), lit(i).as("cell"))
+    }
+    val bestCell = greatest(cellStructs: _*).getField("cell")
+
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"), bestCell.as("cell"))
+    // queries probe their nprobe best cells: sort the per-cell scores
+    // descending and explode the first nprobe
+    val scoreArr = array(cellStructs: _*)
+    val probed = sort_array(scoreArr, asc = false)
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+        norm(col(vec)).as("__qn"),
+        slice(transform(probed, s => s.getField("cell")), 1, nprobe).as("__cells"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(col("__cells")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Plain Lloyd k-means over the training sample (driver-side; the
+    * sample is bounded, the corpus never moves). */
+  private[ops] def kmeans(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(points.toSeq).take(math.min(k, points.length))
+      .map(_.clone).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var i = 0
+        while (i < centroids.length) {
+          val dd = d2(p, centroids(i)); if (dd < bd) { bd = dd; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) points(rnd.nextInt(points.length)).clone
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     * threshold). Exact variant: self-join blocked by LSH band so the
     * join is an equi-join; with `blocked = false` falls back to the

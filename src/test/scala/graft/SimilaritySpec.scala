@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF top-k recall >= 0.9 vs brute force on clusterable data") {
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 12, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
   test("cosineDupPairs blocked path finds the same high-cosine pairs") {
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
         threshold = 0.97, blocked = false)
