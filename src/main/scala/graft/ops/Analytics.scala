@@ -88,6 +88,47 @@ object Analytics {
       .drop("__s")
   }
 
+  /** A5 faithful damped ratio average (sis_ai_calc_avgr,
+    * src/core/ai/sis_ai.c:385-422): sequential over (son, mom) pairs —
+    * skips zero mom (and zero son while warming up); tracks a damped
+    * mean of son and a son-weighted damped mean of the ratio son/mom.
+    * Same fold shape as [[dampedAvg]]. Returns one row per group with
+    * avgm (mean numerator) and avgr (weighted ratio). */
+  def dampedRatio(df: DataFrame, groupCols: Seq[String], orderKey: Column,
+      son: Column, mom: Column): DataFrame = {
+    val series = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(orderKey.as("k"), son.as("s"),
+        mom.as("m")))).as("__s"))
+    val zero = struct(lit(0).cast("int").as("nums"),
+      lit(0.0).as("avgm"), lit(0.0).as("avgr"))
+    val folded = aggregate(
+      col("__s"), zero,
+      (acc, x) => {
+        val sv = x.getField("s"); val mv = x.getField("m")
+        val nums = acc.getField("nums")
+        val avgm = acc.getField("avgm"); val avgr = acc.getField("avgr")
+        val skip = abs(mv) < 1e-7 || (abs(sv) < 1e-7 && nums < 10)
+        val newv = sv / mv
+        def step(w: Column, nextNums: Column) = {
+          val newm = avgm * w + sv
+          struct(nextNums.cast("int").as("nums"),
+            (newm / (w + 1)).as("avgm"),
+            ((avgm * w) / newm * avgr + sv / newm * newv).as("avgr"))
+        }
+        val next = when(nums === 0,
+            struct(lit(1).cast("int").as("nums"), sv.as("avgm"), newv.as("avgr")))
+          .when(nums < 10, step(lit(9.0), nums + 1))
+          .when(nums < 100, step(nums.cast("double"), nums + 1))
+          .otherwise(step(lit(99.0), nums))
+        when(skip, acc).otherwise(next)
+      })
+    series
+      .withColumn("avgm", folded.getField("avgm"))
+      .withColumn("avgr", folded.getField("avgr"))
+      .withColumn("n_used", folded.getField("nums"))
+      .drop("__s")
+  }
+
   /** W6 max-correlation lag search (sis_ai_corrcoef_offset/max,
     * src/core/ai/sis_ai_corr.h:17-21): Pearson correlation of two
     * aligned series evaluated at each relative offset 0..maxLag.

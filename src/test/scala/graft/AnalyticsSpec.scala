@@ -40,6 +40,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("avgm") - (5.0 * 9 + 7.0) / 10) < 1e-12)
   }
 
+  test("dampedRatio matches the reference's avgr recurrence") {
+    val rnd = new scala.util.Random(17)
+    val series = Seq.tabulate(150)(i =>
+      ("g", i.toLong, rnd.nextDouble() * 10 + 1, rnd.nextDouble() * 5 + 1))
+    def sim(vs: Seq[(Double, Double)]): (Double, Double, Int) = {
+      var nums = 0; var avgm = 0.0; var avgr = 0.0
+      vs.foreach { case (son, mom) =>
+        if (!(math.abs(mom) < 1e-7 || (math.abs(son) < 1e-7 && nums < 10))) {
+          val newv = son / mom
+          if (nums == 0) { nums = 1; avgm = son; avgr = newv }
+          else if (nums < 10) {
+            val newm = avgm * 9 + son
+            avgr = (avgm * 9) / newm * avgr + son / newm * newv
+            avgm = newm / 10; nums += 1
+          } else if (nums < 100) {
+            val newm = avgm * nums + son
+            avgr = (avgm * nums) / newm * avgr + son / newm * newv
+            nums += 1; avgm = newm / nums
+          } else {
+            val newm = avgm * 99 + son
+            avgr = (avgm * 99) / newm * avgr + son / newm * newv
+            avgm = newm / 100
+          }
+        }
+      }
+      (avgm, avgr, nums)
+    }
+    val (em, er, en) = sim(series.map(t => (t._3, t._4)))
+    val out = Analytics.dampedRatio(series.toDF("g", "k", "s", "m"),
+      Seq("g"), col("k"), col("s"), col("m")).collect()(0)
+    assert(math.abs(out.getAs[Double]("avgm") - em) < 1e-9)
+    assert(math.abs(out.getAs[Double]("avgr") - er) < 1e-9)
+    assert(out.getAs[Int]("n_used") == en)
+  }
+
   test("dirCorr: all same direction = 1, alternating below half = negative") {
     val same = Seq((1.0, 2.0), (0.5, 0.1), (-1.0, -2.0), (-0.2, -0.1))
       .toDF("x", "y")
