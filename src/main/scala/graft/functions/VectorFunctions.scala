@@ -51,7 +51,7 @@ object VectorFunctions {
   def hyperplaneSig(vec: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.size <= 63)
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

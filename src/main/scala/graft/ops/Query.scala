@@ -114,8 +114,8 @@ object Query {
     }
     val others = df.columns.filterNot(_ == subject)
     df.groupBy(subject)
-      .agg(max_by(struct(others.map(col): _*), key).as("__row"))
-      .select(col(subject) +: others.map(c => col(s"__row.$c").as(c)): _*)
+      .agg(max_by(struct(others.toSeq.map(col): _*), key).as("__row"))
+      .select(col(subject) +: others.toSeq.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** `count = ±N`: first (N>0) or last (N<0) N rows per subject in time

@@ -109,7 +109,7 @@ object Similarity {
     val centroids = kmeans(sample, nlist, iters, seed)
 
     def cellScore(c: Array[Double]) = {
-      val lit2 = array(c.map(lit): _*)
+      val lit2 = array(c.toSeq.map(lit): _*)
       graft.functions.DotProductExpr(col(vec).cast("array<double>"), lit2) -
         lit(c.map(x => x * x).sum / 2)
     }
