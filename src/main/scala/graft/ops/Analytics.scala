@@ -42,6 +42,29 @@ object Analytics {
       .drop("__mn", "__mx")
   }
 
+  /** A6 split normalization (sis_ai_normalization_split,
+    * sis_ai.h:30-33): values below `mid` map to [0.001, 0.5), above to
+    * (0.5, 0.999], `mid` itself to 0.5 — a mid-anchored squeeze (e.g.
+    * yesterday's close as the anchor). Same agg + broadcast-join shape
+    * as [[minMaxNorm]]. */
+  def minMaxNormSplit(df: DataFrame, value: String, mid: Column,
+      groupCols: Seq[String], out: String): DataFrame = {
+    val extremes = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    val v = col(value)
+    val lo = 0.001; val hi = 0.999; val half = 0.5
+    val below = lit(lo) + (v - col("__mn")) / (mid - col("__mn")) * (half - lo)
+    val above = lit(half) + (v - mid) / (col("__mx") - mid) * (hi - half)
+    df.join(broadcast(extremes), groupCols)
+      .withColumn(out,
+        when(v === mid, half)
+          .when(v < mid, when(col("__mn") >= mid, lo).otherwise(
+            greatest(lit(lo), below)))
+          .otherwise(when(col("__mx") <= mid, hi).otherwise(
+            least(lit(hi), above))))
+      .drop("__mn", "__mx")
+  }
+
   /** A5 plain trailing-window mean (the windowed-average shape). */
   def runningAvg(value: Column, w: WindowSpec, n: Int): Column =
     avg(value).over(w.rowsBetween(-(n - 1), 0))

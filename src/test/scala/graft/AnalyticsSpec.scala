@@ -112,6 +112,16 @@ class AnalyticsSpec extends SparkSpec {
     fast.foreach { case (id, v) => assert(math.abs(v - slow(id)) < 1e-12) }
   }
 
+  test("minMaxNormSplit anchors mid at 0.5, squeezes each side") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("g", _)).toDF("g", "v")
+    val out = Analytics.minMaxNormSplit(df, "v", lit(3.0), Seq("g"), "n")
+      .select("v", "n").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(3.0) == 0.5)
+    assert(out(1.0) == 0.001 && out(5.0) == 0.999)
+    assert(out(2.0) > 0.001 && out(2.0) < 0.5)
+    assert(out(4.0) > 0.5 && out(4.0) < 0.999)
+  }
+
   test("lagCorr finds the planted lag") {
     // y is x shifted by 2: corr at offset 2 ~ 1
     val rnd = new scala.util.Random(21)
