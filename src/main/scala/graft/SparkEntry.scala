@@ -363,6 +363,16 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
       .orderBy("id_a", "id_b")
 
+  /** Winnowing (rolling-hash) containment candidates — detects shared
+    * passages, not just whole-doc near-dups; rows-only (fingerprints
+    * are engine hashes), guarantee asserted in DedupSpec. */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    // k=16/window=64: only runs of >= 79 shared chars (a sentence-ish
+    // passage) fingerprint together — short template phrases don't
+    Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        minShared = 2, k = 16, window = 64)
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-dup pairs (exact; LSH-blocked variant is
     * `ann_lsh`). */
   private def qCosineDup(s: SparkSession, dir: String): DataFrame =
@@ -737,6 +747,7 @@ object SparkEntry {
     "d3_simhash" -> qSimhash _,
     "d4_ngram_jaccard" -> qNgramJaccard _,
     "d5_cosine_dup" -> qCosineDup _,
+    "d6_winnow_pairs" -> qWinnowPairs _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,

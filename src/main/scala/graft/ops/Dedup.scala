@@ -137,6 +137,31 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Winnowing fingerprints per doc: normalized text → char-k-gram
+    * rolling hashes → window minima ([[graft.functions.WinnowExpr]]).
+    * Detects PARTIAL overlap: any shared run of ≥ window+k-1 chars
+    * shares a fingerprint. */
+  def winnow(df: DataFrame, text: String, k: Int = 5, window: Int = 8,
+      out: String = "fingerprints"): DataFrame =
+    df.withColumn(out, graft.functions.WinnowExpr(
+      graft.functions.NormalizeTextExpr(col(text)), k, window))
+
+  /** Containment candidates from shared winnowing fingerprints: pairs
+    * sharing ≥ `minShared` fingerprints, with the shared count — an
+    * inverted-index equi-join on the fingerprint (same scale shape as
+    * [[ngramJaccardPairs]]). */
+  def winnowPairs(df: DataFrame, id: String, text: String,
+      minShared: Int = 2, k: Int = 5, window: Int = 8): DataFrame = {
+    val fps = winnow(df, text, k, window)
+      .select(col(id), explode(col("fingerprints")).as("__fp"))
+    val a = fps.select(col(id).as("id_a"), col("__fp"))
+    val b = fps.select(col(id).as("id_b"), col("__fp"))
+    a.join(b, "__fp").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash near-dup candidate pairs within `maxDist` Hamming bits:
     * pigeonhole banding — split the 64-bit signature into `maxDist+1`
     * chunks; any pair within maxDist bits agrees exactly on at least one

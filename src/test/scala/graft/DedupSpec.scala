@@ -97,6 +97,25 @@ class DedupSpec extends SparkSpec {
       s"'${r.getString(0)}' != '${r.getString(1)}'"))
   }
 
+  test("winnowing: copied paragraph shares fingerprints, guarantee holds") {
+    import graft.ops.Dedup
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"intro text one two three. $para. closing remarks here."),
+      (2L, s"completely different opening. $para. different ending too."),
+      (3L, "nothing in common with the others at all, none whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shared paragraph not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // identical text → identical fingerprint sets
+    val same = Seq((1L, para), (2L, para)).toDF("doc_id", "text")
+    val fp = Dedup.winnow(same, "text").select("fingerprints")
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fp(0) == fp(1) && fp(0).nonEmpty)
+  }
+
   test("exact dedup groups identical normalized text") {
     val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
