@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_normalize_text"),
       info("graft_normalize_text", "trim+lower+collapse-whitespace"),
       (args: Seq[Expression]) => NormalizeTextExpr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "winnowing fingerprints (text, k, window)"),
+      (args: Seq[Expression]) => WinnowExpr(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
   }
 }

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   *  - exact:   hash-groupBy on normalized text
   *  - minhash: shingles → k minhashes → LSH bands → bucket equi-join
-  *  - simhash: 64-bit weighted-bit signature, bucket by 16-bit chunks
+  *  - simhash: 64-bit weighted-bit signature, bucket by chunks
   *             (Hamming-distance candidates via pigeonhole)
-  *  - ngram:   word-shingle Jaccard verification on candidate pairs
+  *  - ngram:   exact Jaccard via inverted shingle index
+  *  - winnow:  rolling-hash fingerprints catching PARTIAL overlap
   */
 object Dedup {
 

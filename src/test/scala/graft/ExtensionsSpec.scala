@@ -38,6 +38,10 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT graft_simhash64(graft_shingle_hashes('one two three four', 3)) AS v")
       .collect()(0).getLong(0)
     assert(sim != 0L)
+    val wn = spark.sql(
+      "SELECT size(graft_winnow('the quick brown fox jumps over it', 5, 4)) AS n")
+      .collect()(0).getInt(0)
+    assert(wn >= 1)
   }
 
   test("plain sessions do not see the injected functions") {
