@@ -532,6 +532,27 @@ object SparkEntry {
         col("n_used"))
       .orderBy("user_id")
 
+  /** A5 ratio variant (sis_ai_calc_avgr): damped value/volume ratio
+    * per subject — son = value, mom = a derived weight. */
+  private def qDampedRatio(s: SparkSession, dir: String): DataFrame =
+    Analytics.dampedRatio(
+        t(s, dir, "events").withColumn("w", pmod(col("event_id"), lit(7)) + 1),
+        Seq("user_id"), evKey, col("value"), col("w").cast("double"))
+      .select(col("user_id"), round(col("avgm"), 6).as("avgm"),
+        round(col("avgr"), 6).as("avgr"), col("n_used"))
+      .orderBy("user_id")
+
+  /** A6 split variant: mid-anchored normalization (mid = group mean). */
+  private def qNormalizeSplit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mids = o.groupBy("o_orderpriority").agg(avg("o_totalprice").as("__mid"))
+    Analytics.minMaxNormSplit(
+        o.join(broadcast(mids), Seq("o_orderpriority")),
+        "o_totalprice", col("__mid"), Seq("o_orderpriority"), "norm")
+      .select(col("o_orderkey"), round(col("norm"), 6).as("norm"))
+      .orderBy("o_orderkey")
+  }
+
   /** W7 sign/direction correlation of day-over-day moves
     * (sis_ai_corr_dir, sis_ai_corr.c:71-92). */
   private def qDirCorr(s: SparkSession, dir: String): DataFrame = {
@@ -725,7 +746,9 @@ object SparkEntry {
     "a1_rollup_month" -> qRollupMonth _,
     "a4_stats" -> qStats _,
     "a5_damped_avg" -> qDampedAvg _,
+    "a5b_damped_ratio" -> qDampedRatio _,
     "a6_normalize" -> qNormalize _,
+    "a6b_normalize_split" -> qNormalizeSplit _,
     "a7_buckets" -> qBuckets _,
     "a8_topk" -> qTopK _,
     "w1_drift" -> qDrift _,
@@ -940,6 +963,63 @@ object SparkEntry {
             FROM s)
           SELECT user_id, round(r.avgm, 6) AS avgm, r.nums AS n_used
           FROM f ORDER BY user_id""",
+    "a5b_damped_ratio" ->
+      s"""WITH s AS (
+            SELECT user_id,
+              list({'avgr': value, 'avgm': (event_id % 7 + 1)::DOUBLE, 'nums': 0}
+                     ::STRUCT(avgr DOUBLE, avgm DOUBLE, nums INT)
+                   ORDER BY $evKeySql) AS vs
+            FROM events GROUP BY user_id),
+          f AS (
+            SELECT user_id,
+              list_reduce(
+                -- input elements smuggle (son, mom) in (avgr, avgm);
+                -- result fields ordered so in-place evaluation never
+                -- reads an already-updated field
+                list_prepend({'avgr': 0.0, 'avgm': 0.0, 'nums': 0}
+                  ::STRUCT(avgr DOUBLE, avgm DOUBLE, nums INT), vs),
+                (acc, x) -> CASE
+                  WHEN abs(x.avgm) < 1e-7
+                       OR (abs(x.avgr) < 1e-7 AND acc.nums < 10) THEN acc
+                  WHEN acc.nums = 0 THEN
+                    {'avgr': x.avgr / x.avgm, 'avgm': x.avgr, 'nums': 1}
+                  WHEN acc.nums < 10 THEN {
+                    'avgr': (acc.avgm * 9) / (acc.avgm * 9 + x.avgr) * acc.avgr
+                            + x.avgr / (acc.avgm * 9 + x.avgr) * (x.avgr / x.avgm),
+                    'avgm': (acc.avgm * 9 + x.avgr) / 10,
+                    'nums': acc.nums + 1}
+                  WHEN acc.nums < 100 THEN {
+                    'avgr': (acc.avgm * acc.nums) / (acc.avgm * acc.nums + x.avgr) * acc.avgr
+                            + x.avgr / (acc.avgm * acc.nums + x.avgr) * (x.avgr / x.avgm),
+                    'avgm': (acc.avgm * acc.nums + x.avgr) / (acc.nums + 1),
+                    'nums': acc.nums + 1}
+                  ELSE {
+                    'avgr': (acc.avgm * 99) / (acc.avgm * 99 + x.avgr) * acc.avgr
+                            + x.avgr / (acc.avgm * 99 + x.avgr) * (x.avgr / x.avgm),
+                    'avgm': (acc.avgm * 99 + x.avgr) / 100,
+                    'nums': acc.nums}
+                END) AS r
+            FROM s)
+          SELECT user_id, round(r.avgm, 6) AS avgm, round(r.avgr, 6) AS avgr,
+            r.nums AS n_used
+          FROM f ORDER BY user_id""",
+    "a6b_normalize_split" ->
+      """WITH m AS (SELECT o_orderpriority, avg(o_totalprice) AS mid,
+                      min(o_totalprice) AS mn, max(o_totalprice) AS mx
+                    FROM orders GROUP BY 1)
+         SELECT o_orderkey,
+           round(CASE WHEN o_totalprice = mid THEN 0.5
+             WHEN o_totalprice < mid THEN
+               CASE WHEN mn >= mid THEN 0.001
+                 ELSE greatest(0.001,
+                   0.001 + (o_totalprice - mn) / (mid - mn) * (0.5 - 0.001)) END
+             ELSE
+               CASE WHEN mx <= mid THEN 0.999
+                 ELSE least(0.999,
+                   0.5 + (o_totalprice - mid) / (mx - mid) * (0.999 - 0.5)) END
+           END, 6) AS norm
+         FROM orders JOIN m USING (o_orderpriority)
+         ORDER BY o_orderkey""",
     "a6_normalize" ->
       """SELECT o_orderkey, o_orderpriority,
          round(CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS norm
