@@ -55,6 +55,22 @@ class EngineSpec extends SparkSpec {
     assert(e.keys("*.stk_day").count() == 2)
   }
 
+  test("bad inputs fail with clear errors, not corruption") {
+    val e = mkEngine
+    e.create(stkDay)
+    val unknown = intercept[IllegalArgumentException] {
+      e.set("SH600600.nosuch", """{"time":"2021-01-04"}""")
+    }
+    assert(unknown.getMessage.contains("nosuch"))
+    val badKey = intercept[IllegalArgumentException] {
+      e.get("notable", "{}")
+    }
+    assert(badKey.getMessage.contains("subject.table"))
+    // store untouched by the failures
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    assert(e.get("SH600600.stk_day", """{range:{start:-1}}""").count() == 1)
+  }
+
   test("sub fan-out on set; del range; drop; save + pack") {
     val e = mkEngine
     e.create(stkDay)
