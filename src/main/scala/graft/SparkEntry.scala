@@ -560,7 +560,9 @@ object SparkEntry {
     val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(avg(when(col("event_type") === "click", col("value"))).as("cv"),
         avg(when(col("event_type") === "purchase", col("value"))).as("pv"))
-    val w = Window.orderBy("day")
+    // daily aggregate series — bounded by the calendar, deliberate
+    // single-sequence window (Analytics.tinySeqW)
+    val w = Analytics.tinySeqW.orderBy("day")
     val diffs = daily.select(
       (col("cv") - lag("cv", 1).over(w)).as("x"),
       (col("pv") - lag("pv", 1).over(w)).as("y"))

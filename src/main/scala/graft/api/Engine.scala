@@ -45,7 +45,13 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     stores.getOrElseUpdate(table, new TsStore(
       spark, s"$rootPath/$table", subject = "subject", time = timeField,
       soleCols = sdb.solelyFields.map(_.name),
-      dayCol = Engine.dayOf(sdb, timeField)))
+      dayCol = Engine.dayOf(sdb, timeField),
+      schema = Some(org.apache.spark.sql.types.StructType(
+        sdb.structType.fields :+
+          org.apache.spark.sql.types.StructField("subject",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("__day",
+            org.apache.spark.sql.types.StringType)))))
   }
 
   private def splitKey(key: String): (String, String) = {
@@ -111,7 +117,7 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       } else if (p.has("where")) {
         val w = p.get("where")
         Query.whereOffset(base, "subject", timeField,
-          w.get("start").asLong(0L),
+          if (w.has("start")) w.get("start").asLong(0L) else 0L,
           if (w.has("offset")) w.get("offset").asInt(0) else 0,
           toLong = toLong)
       } else base
@@ -129,11 +135,16 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val projected = afterCount.select(
       (col("subject") +: fieldNames.map(col)): _*)
 
-    val fmt = if (p.has("format")) p.get("format").asText("s").head else 's'
+    val fmt =
+      if (p.has("format")) p.get("format").asText("s").headOption.getOrElse('s')
+      else 's'
     fmt match {
       case 's' => projected
+      // render fields in REQUEST order (the reference renders array
+      // payloads in the order the client asked for, not schema order)
       case code => Render.format(projected, code,
-        SdbSchema.Sdb(sdb.name, sdb.fields.filter(f => fieldNames.contains(f.name))))
+        SdbSchema.Sdb(sdb.name,
+          fieldNames.flatMap(n => sdb.fields.find(_.name == n))))
     }
   }
 
@@ -152,18 +163,21 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
     val r = p.get("range")
     val st = storeOf(table)
+    if (st.isEmpty) return // benign no-data case, like the reference
     val kept = Write.deleteRange(
       st.read().filter(col("subject") === subject),
       Engine.indexAsLong(sdb, timeField, col(timeField)),
-      r.get("start").asLong(0L), r.get("stop").asLong(0L))
+      if (r != null && r.has("start")) r.get("start").asLong(0L) else 0L,
+      if (r != null && r.has("stop")) r.get("stop").asLong(0L) else 0L)
     st.replaceSubject(subject, kept)
   }
 
   /** `drop subject.table`. */
   def drop(key: String): Unit = {
     val (subject, table) = splitKey(key)
-    storeOf(table).replaceSubject(subject,
-      storeOf(table).read().filter(lit(false)))
+    val st = storeOf(table)
+    if (st.isEmpty) return // benign no-data case, like the reference
+    st.replaceSubject(subject, st.read().filter(lit(false)))
   }
 
   def save(table: String): Unit = storeOf(table).save()

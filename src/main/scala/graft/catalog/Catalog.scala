@@ -29,12 +29,14 @@ final class Catalog extends Serializable {
 object Catalog {
 
   /** Dense-id dictionary over a name column: deterministic ids by
-    * sorted order (a tiny dim table — broadcast at use sites). */
+    * sorted order. Ranking is [[graft.ops.Analytics.globalRowNumber]]
+    * (range-partitioned two-pass), not a global window — a vocabulary
+    * dictionary can be hundreds of millions of names at 100 TB. */
   def dictionary(df: DataFrame, nameCol: String,
       idCol: String = "id"): DataFrame =
-    df.select(col(nameCol)).distinct()
-      .withColumn(idCol,
-        row_number().over(Window.orderBy(col(nameCol))).cast("int"))
+    graft.ops.Analytics.globalRowNumber(
+      df.select(col(nameCol)).distinct(), Seq(col(nameCol)), idCol)
+      .withColumn(idCol, col(idCol).cast("int"))
 
   /** Replace names with dictionary ids (encode side of the dict
     * stream): broadcast hash join, no shuffle of the big side. */

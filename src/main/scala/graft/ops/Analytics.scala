@@ -161,7 +161,10 @@ object Analytics {
     */
   def lagCorr(df: DataFrame, x: String, y: String, orderCol: String,
       maxLag: Int): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+    // the input is one ALIGNED series (post-aggregation, bounded by the
+    // calendar — days/minutes, not raw rows): the sequential window is
+    // deliberate, see [[tinySeqW]]
+    val w = tinySeqW.orderBy(col(orderCol))
     val withLags = (0 to maxLag).foldLeft(df) { (d, k) =>
       d.withColumn(s"__y_$k", if (k == 0) col(y) else lag(col(y), k).over(w))
     }
@@ -184,15 +187,23 @@ object Analytics {
     * walk is a driver-side scan of a scalar result, not of data. */
   def lagCorrBest(df: DataFrame, x: String, y: String, orderCol: String,
       maxLag: Int): (Int, Double) = {
+    // corr() is null for zero-variance or <2 overlapping points (short
+    // or constant series): treat a null at offset 0 as "no correlation"
+    // and a null mid-walk as a stop, never calling getDouble on it.
     val rows = lagCorr(df, x, y, orderCol, maxLag)
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    var best = rows(0)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    var best = rows.getOrElse(0, None).getOrElse(Double.NaN)
     var bestOff = 0
     var i = 1
-    var stop = false
+    var stop = best.isNaN
     while (i <= maxLag && !stop) {
-      if (rows(i) >= best) { best = rows(i); bestOff = i }
-      else stop = true
+      rows.getOrElse(i, None) match {
+        case Some(c) if c >= best => best = c; bestOff = i
+        case _ => stop = true
+      }
       i += 1
     }
     (bestOff, best)
@@ -237,10 +248,10 @@ object Analytics {
     val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
     val offs = counts
       .withColumn("__off", coalesce(sum("__cnt").over(
-        Window.orderBy("__pid")
+        tinySeqW.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__total", sum("__cnt").over(
-        Window.orderBy(lit(1))
+        tinySeqW.orderBy(lit(1))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select("__pid", "__off", "__total")
     val rank = col("__off") + col("__lrn") // 1-based global rank
@@ -258,4 +269,35 @@ object Analytics {
     * TakeOrderedAndProject — per-partition heaps, only K rows move. */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** A window over a PROVABLY TINY table (one row per shuffle partition,
+    * or a post-aggregation series bounded by the calendar): the single
+    * partition is a deliberate choice, made explicit with a constant
+    * partition key rather than left as an accidental global window. */
+  private[graft] def tinySeqW =
+    Window.partitionBy(lit(0))
+
+  /** Exact 1-based global row number over a total order WITHOUT a
+    * single-partition window: range-repartition on the order key (each
+    * partition holds a contiguous range), rank locally, then add
+    * per-partition offsets (a #partitions-row table, broadcast). Exact
+    * because the order is total across range partitions; scales to any
+    * size — no stage sees more than one partition's rows. */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy("__pid").orderBy(order: _*)
+    val local = ranged.withColumn("__lrn", row_number().over(localW))
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        tinySeqW.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
 }

@@ -101,7 +101,13 @@ object Similarity {
       id: String, vec: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       sampleSize: Int = 4096, iters: Int = 8): DataFrame = {
-    val sample = corpus.select(col(vec)).limit(sampleSize).collect()
+    // seeded random sample, NOT limit(): limit takes a deterministic
+    // prefix (first file/partition), which on a corpus sorted by
+    // source/cluster would train centroids on the head slice only.
+    // orderBy(rand)+limit plans as TakeOrdered (per-partition top-N
+    // heap + merge — no full sort, no full shuffle).
+    val sample = corpus.select(col(vec))
+      .orderBy(rand(seed)).limit(sampleSize).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d

@@ -31,13 +31,19 @@ final class TsStore(
     val subject: String,
     val time: String,
     val soleCols: Seq[String],
-    val dayCol: org.apache.spark.sql.Column) {
+    val dayCol: org.apache.spark.sql.Column,
+    val schema: Option[org.apache.spark.sql.types.StructType] = None) {
 
   private var hot: Option[DataFrame] = None
   private var seq: Long = 0L
 
   private def coldExists: Boolean =
     new java.io.File(path).exists()
+
+  /** True when no row was ever written (no cold files, no hot tail) —
+    * `del`/`drop` on such a store are benign no-ops, matching the
+    * reference's no-data handling. */
+  def isEmpty: Boolean = synchronized { hot.isEmpty && !coldExists }
 
   def cold: Option[DataFrame] =
     if (coldExists) Some(spark.read.parquet(path)) else None
@@ -66,7 +72,16 @@ final class TsStore(
         Write.upsert(h.limit(0).drop("__seq"), h, subject,
           soleCols :+ "__day", time, "__seq")
       case (None, None) =>
-        throw new IllegalStateException(s"empty store at $path")
+        // created-but-never-written: the read view is an empty typed
+        // DataFrame when the catalog schema is known (reference treats
+        // no-data reads as benign), else still an error.
+        schema match {
+          case Some(st) =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+          case None =>
+            throw new IllegalStateException(s"empty store at $path")
+        }
     }
   }
 
