@@ -430,7 +430,8 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash signatures (custom codegen'd expression) — rows-only;
+  /** SimHash signatures over per-token FNV-1a hashes — oracle-checked
+    * (FNV is reproducible in plain SQL, unlike murmur/xxhash);
     * Hamming-pair detection is asserted in ScalaTest. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(s, dir, "documents"), "text")
@@ -457,16 +458,19 @@ object SparkEntry {
         length(col("text")).as("n_chars_total"))
       .orderBy("doc_id")
 
-  /** Language ID (n-gram/function-word heuristic) — rows-only; accuracy
-    * asserted in ScalaTest against the labeled `lang` column. */
+  /** Language ID (function-word evidence argmax) — oracle-checked
+    * (the tokenizer, 9-digit ratio rounding, and (score, lang) argmax
+    * all reproduce in SQL); accuracy additionally asserted in ScalaTest
+    * against the labeled `lang` column. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  /** Document fingerprint (custom codegen'd FNV-1a expression) — checked
-    * against the portable column-expression formulation in ScalaTest;
-    * rows-only here. */
+  /** Document fingerprint (custom codegen'd FNV-1a expression) —
+    * oracle-checked byte-for-byte (FNV-1a folds in HUGEINT SQL), and
+    * cross-checked against the portable column-expression formulation
+    * in ScalaTest. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     Text.withFingerprint(t(s, dir, "documents"), "text")
       .select("doc_id", "fingerprint")
@@ -570,14 +574,17 @@ object SparkEntry {
   }
 
   /** W4 trend-turn detection per subject (custom Aggregator — no Spark
-    * built-in; rows-only here, semantics asserted in TrendSpec). */
+    * built-in). Oracle-checked: the early-exit backward scan has an
+    * exact window-function reformulation (see the w4 oracle SQL), and
+    * [[TextFunctions.roundHalfUp6]] keeps the rounding engine-stable. */
   private def qTrend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").withColumn("k", evKey)
     val tr = Trend.trendUdaf(0.02)
     e.groupBy("user_id")
       .agg(tr(col("k"), col("value")).as("t"))
       .select(col("user_id"), col("t.dir").as("dir"), col("t.start").as("start"),
-        round(col("t.rate"), 6).as("rate"), round(col("t.drift"), 6).as("drift"))
+        TextFunctions.roundHalfUp6(col("t.rate")).as("rate"),
+        TextFunctions.roundHalfUp6(col("t.drift")).as("drift"))
       .orderBy("user_id")
   }
 
@@ -1216,5 +1223,170 @@ object SparkEntry {
     "st1_stream_window" ->
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_ms, event_type,
          count(*) AS n, round(sum(value), 2) AS total
-         FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""",
+    // FNV-1a 64 is reproducible in plain SQL (unlike murmur/xxhash):
+    // fold code points (== UTF-8 bytes for the ASCII corpus) through
+    // h = (h xor b) * prime mod 2^64 in HUGEINT, then map to signed.
+    "tx4_fingerprint" ->
+      """WITH n AS (
+           SELECT doc_id,
+             regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g') AS s
+           FROM documents),
+         f AS (
+           SELECT doc_id, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(s)+1), i -> ascii(s[i])::HUGEINT)),
+             (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT) AS fp
+           FROM n)
+         SELECT doc_id, (CASE WHEN fp >= 9223372036854775808::HUGEINT
+           THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT AS fingerprint
+         FROM f ORDER BY doc_id""",
+    // simhash = per-bit majority over per-token FNV hashes (the token
+    // multiset: lowercase, \s-split, empties dropped).
+    "d3_simhash" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[\t\n\x0B\f\r ]+'),
+               w -> w != '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(toks, w -> list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(w)+1), i -> ascii(w[i])::HUGEINT)),
+             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT)) AS hs
+           FROM t),
+         s AS (
+           SELECT doc_id,
+             list_sum(list_transform(range(64), b ->
+               CASE WHEN 2 * len(list_filter(hs, x -> (x // (1::HUGEINT << b)) % 2 = 1))
+                         > len(hs)
+                    THEN (1::HUGEINT << b) ELSE 0::HUGEINT END)) AS sh
+           FROM h)
+         SELECT doc_id, (CASE WHEN sh >= 9223372036854775808::HUGEINT
+           THEN sh - 18446744073709551616::HUGEINT ELSE sh END)::BIGINT AS simhash
+         FROM s ORDER BY doc_id""",
+    // language ID: per-language stopword-evidence ratio (rounded to 9
+    // digits like the Spark side), argmax by (score, lang) struct order.
+    "tx1_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[\t\n\x0B\f\r ]+'),
+               t -> t != '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS ntok, toks FROM t),
+         s AS (
+           SELECT doc_id,
+             round(CASE WHEN ntok=0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+               ['der','die','und','das','von','zu','mit','den','ein','ist'], t)))::DOUBLE / ntok END, 9) AS s_de,
+             round(CASE WHEN ntok=0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+               ['the','a','of','and','to','in','is','that','it','for'], t)))::DOUBLE / ntok END, 9) AS s_en,
+             round(CASE WHEN ntok=0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+               ['el','la','de','que','y','en','un','los','se','por'], t)))::DOUBLE / ntok END, 9) AS s_es,
+             round(CASE WHEN ntok=0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+               ['le','la','de','et','les','des','en','un','du','que'], t)))::DOUBLE / ntok END, 9) AS s_fr,
+             round(CASE WHEN ntok=0 THEN 0.0 ELSE len(list_filter(toks, t -> list_contains(
+               ['的','了','是','在','我','有','和','就','不','人'], t)))::DOUBLE / ntok END, 9) AS s_zh
+           FROM c),
+         b AS (
+           SELECT doc_id, list_reverse_sort([
+             {'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'},
+             {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+             {'score': s_zh, 'lang': 'zh'}])[1] AS best
+           FROM s)
+         SELECT doc_id,
+           CASE WHEN best.score < 0.02 THEN 'und' ELSE best.lang END AS lang_pred
+         FROM b ORDER BY doc_id""",
+    // W4 trend-turn: the Aggregator's early-exit backward scan has an
+    // exact relational form — maxi is the low end of the contiguous run
+    // of "new running-max from the right" positions ending at the
+    // nearest rate-qualified candidate ((v-last)/last is monotone in v,
+    // so the rate check holds throughout the run); dually for mini.
+    // DuckDB 1.0's list_reduce miscomputes early-exit folds on large
+    // vectors, so windows are not just nicer — they're required.
+    "w4_trend" ->
+      """WITH e AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts)*1000000+event_id) - 1 AS idx,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         l1 AS (
+           SELECT user_id, value, idx, n,
+             max(CASE WHEN idx = n - 1 THEN value END) OVER (PARTITION BY user_id) AS last,
+             max(value) OVER (PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rmax,
+             min(value) OVER (PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rmin
+           FROM e),
+         l2 AS (
+           SELECT *, (idx <= n - 2 AND value > rmax) AS nmx,
+                     (idx <= n - 2 AND value < rmin) AS nmn
+           FROM l1),
+         l3 AS (
+           SELECT *,
+             max(CASE WHEN nmx AND (value - last) / last > 0.02 THEN idx END)
+               OVER (PARTITION BY user_id) AS m0x,
+             max(CASE WHEN nmn AND (last - value) / last > 0.02 THEN idx END)
+               OVER (PARTITION BY user_id) AS m0n
+           FROM l2),
+         l4 AS (
+           SELECT *,
+             max(CASE WHEN idx < m0x AND NOT nmx THEN idx END)
+               OVER (PARTITION BY user_id) AS gapx,
+             max(CASE WHEN idx < m0n AND NOT nmn THEN idx END)
+               OVER (PARTITION BY user_id) AS gapn
+           FROM l3),
+         agg AS (
+           SELECT user_id,
+             any_value(n) AS n, any_value(last) AS last,
+             list(value ORDER BY idx) AS vs,
+             CASE WHEN any_value(m0x) IS NULL THEN -1
+                  ELSE coalesce(any_value(gapx), -1) + 1 END AS maxi,
+             CASE WHEN any_value(m0n) IS NULL THEN -1
+                  ELSE coalesce(any_value(gapn), -1) + 1 END AS mini
+           FROM l4 GROUP BY user_id),
+         sd AS (
+           SELECT user_id, vs, n, last,
+             (n < 3 OR abs(last) < 1e-5) AS degen,
+             CASE WHEN (n < 3 OR abs(last) < 1e-5) THEN 0
+                  WHEN (maxi >= 0 OR mini >= 0) AND maxi > mini THEN maxi
+                  WHEN (maxi >= 0 OR mini >= 0) AND maxi < mini THEN mini
+                  ELSE 0 END AS start,
+             CASE WHEN (n < 3 OR abs(last) < 1e-5) THEN 0
+                  WHEN (maxi >= 0 OR mini >= 0) AND maxi > mini THEN -1
+                  WHEN (maxi >= 0 OR mini >= 0) AND maxi < mini THEN 1
+                  ELSE 0 END AS dir
+           FROM agg),
+         seg AS (
+           SELECT user_id, n, last, degen, start, dir, vs[start + 1:] AS sg,
+             list_min(vs[start + 1:]) AS smn, list_max(vs[start + 1:]) AS smx
+           FROM sd),
+         nrm AS (
+           SELECT user_id, n, last, degen, start, dir, len(sg) AS sn, sg,
+             list_transform(sg, v -> CASE WHEN smx <= smn OR v <= smn THEN 0.001
+               WHEN v >= smx THEN 0.999
+               ELSE 0.001 + 0.998 * (v - smn) / (smx - smn) END) AS o
+           FROM seg),
+         fit AS (
+           SELECT user_id, n, last, degen, start, dir, sg, sn,
+             list_sum(list_transform(range(sn), i -> i::DOUBLE)) AS sx,
+             list_sum(o) AS sy,
+             list_sum(list_transform(range(sn), i -> i::DOUBLE * i)) AS sxx,
+             list_sum(list_transform(range(sn), i -> i * o[i + 1])) AS sxy
+           FROM nrm),
+         res AS (
+           SELECT user_id, dir, start,
+             CASE WHEN degen THEN 0.02
+                  WHEN start = 0 THEN (last - 0.0) / last
+                  ELSE (last - sg[1]) / last END AS rate,
+             CASE WHEN degen THEN 0.0
+                  WHEN sn * sxx - sx * sx = 0 THEN 0.0
+                  ELSE (sn * sxy - sx * sy) / (sn * sxx - sx * sx) END AS drift
+           FROM fit)
+         SELECT user_id, dir, start,
+           floor(rate * 1e6 + 0.5) / 1e6 AS rate,
+           floor(drift * 1e6 + 0.5) / 1e6 AS drift
+         FROM res ORDER BY user_id""")
 }

@@ -87,7 +87,8 @@ object Dedup {
     * few bits. Single-pass custom codegen'd expression
     * ([[graft.functions.SimHash64Expr]]). */
   def simhash(df: DataFrame, text: String, out: String = "simhash"): DataFrame =
-    df.withColumn(out, graft.functions.SimHash64Expr(tokenHashes(col(text))))
+    df.withColumn(out,
+      graft.functions.SimHash64Expr(graft.functions.TokenFnv64Expr(col(text))))
 
   /** Hamming distance between two long signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
