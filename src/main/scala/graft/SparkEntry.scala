@@ -4,7 +4,8 @@ import graft.fmt.Render
 import graft.functions.{TextFunctions, TimeUnits, VectorFunctions, Zint}
 import graft.ops._
 import graft.schema.SdbSchema
-import graft.sources.{BinaryRows, Sources}
+import graft.catalog.Catalog
+import graft.sources.{BinaryRows, Dbf, Sources}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -727,6 +728,136 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** P5: composable filter tree — predicates combined as an explicitly
+    * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
+    * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
+    * Catalyst still pushes the whole tree into the scan. */
+  private def qFilterTree(s: SparkSession, dir: String): DataFrame = {
+    val leafA = col("l_returnflag") === "R" && col("l_quantity") > 30.0
+    val leafB = !(col("l_linestatus") === "F") &&
+      col("l_discount").between(0.05, 0.07)
+    val tree = (leafA || leafB) && !(col("l_tax") > 0.07)
+    t(s, dir, "lineitem").filter(tree)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** W9 ratio partitions: split a ranked set 20/30/50 — exact ntile via
+    * the range-partitioned two-pass (no global window), then a scalar
+    * bucket→tier map. */
+  private def qRatioParts(s: SparkSession, dir: String): DataFrame =
+    Analytics.buckets(t(s, dir, "orders"), 10,
+        Seq(col("o_totalprice"), col("o_orderkey")), "bucket")
+      .withColumn("tier", when(col("bucket") <= 2, "t20")
+        .when(col("bucket") <= 5, "t30").otherwise("t50"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("tier")
+
+  /** A3 block stats: per-storage-block (day) row count / min / max /
+    * sum — the reference keeps these in block heads for search
+    * positioning (the same stats parquet row groups carry; here
+    * surfaced as a queryable summary). */
+  private def qBlockStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_millis(col("ts"))).as("t_lo"),
+        max(unix_millis(col("ts"))).as("t_hi"),
+        round(min("value"), 2).as("v_lo"),
+        round(max("value"), 2).as("v_hi"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("day")
+
+  /** T5 dict-stream ids: the dense dictionary (deterministic ids by
+    * sorted name, built without a global window) that the factor-stream
+    * protocol ships ahead of coded rows; encode = broadcast join. */
+  private def qDictIds(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dict = Catalog.dictionary(e, "event_type", "id")
+    e.join(broadcast(dict), "event_type")
+      .groupBy("event_type", "id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("id")
+  }
+
+  /** M4 time-index append: merge a second batch into a keyed series —
+    * no unique fields, equal times keep both rows (arrival order is
+    * asserted in WriteSpec; the merged multiset is checked here). */
+  private def qAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("t_ms"),
+        col("value"), col("event_id"))
+    val existing = e.filter(col("event_id") % 2 === 0).drop("event_id")
+    val incoming = e.filter(col("event_id") % 2 === 1).drop("event_id")
+    Write.append(existing, incoming, "user_id", "t_ms")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("t_ms").as("t_lo"),
+        max("t_ms").as("t_hi"), round(sum("value"), 2).as("total"))
+      .orderBy("user_id")
+  }
+
+  /** M8 pack: compact a day-partitioned store to one file per day and
+    * prove the logical content is untouched. */
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_pack"
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    Write.save(e, store, Seq("day"))
+    Write.pack(s, store, Seq("day"), targetFiles = 1)
+    s.read.parquet(store)
+      .withColumn("day", col("day").cast("string"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day")
+  }
+
+  /** O1 sorted series maintenance: day-partitioned store written
+    * sorted-within-files; the read-back PROVES physical order via
+    * `_metadata.row_index` (per-file monotone ts), so a merge reader
+    * can stream each file without re-sorting. */
+  private def qSortedRead(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_sorted"
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    e.repartition(col("day"))
+      .sortWithinPartitions(col("day"), col("ts"), col("event_id"))
+      .write.mode("overwrite").partitionBy("day").parquet(store)
+    val r = s.read.parquet(store).select(
+      col("day").cast("string").as("day"),
+      unix_millis(col("ts")).as("t_ms"),
+      col("_metadata.file_path").as("__f"),
+      col("_metadata.row_index").as("__ri"))
+    val w = Window.partitionBy("__f").orderBy("__ri")
+    r.withColumn("__ok",
+        col("t_ms") >= coalesce(lag("t_ms", 1).over(w), col("t_ms")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), bool_and(col("__ok")).as("sorted"),
+        min("t_ms").as("t_lo"), max("t_ms").as("t_hi"))
+      .orderBy("day")
+  }
+
+  /** S8 DBF round-trip: a dimension serialized to dBase fixed-width
+    * records (the vendor feed format) and parsed back distributed. */
+  private def qDbfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_dbf/${dir.replaceAll("[^A-Za-z0-9]", "_")}/nation"
+    val src = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("NKEY"),
+        col("n_name").as("NAME"), col("n_regionkey").cast("long").as("REGION"))
+      .repartition(1) // one bounded vendor file; scale = one file per day/market
+    Dbf.write(src, Seq(
+      Dbf.DbfField("NKEY", 'N', 10, 0),
+      Dbf.DbfField("NAME", 'C', 25, 0),
+      Dbf.DbfField("REGION", 'N', 10, 0)), tmp)
+    Dbf.read(s, tmp + "/*.dbf")
+      .select(col("NKEY").as("nkey"), col("NAME").as("name"),
+        col("REGION").as("region"))
+      .orderBy("nkey")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -788,7 +919,15 @@ object SparkEntry {
     "tx3_token_count" -> qTokenCount _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
-    "st1_stream_window" -> qStreamWindow _)
+    "st1_stream_window" -> qStreamWindow _,
+    "p5_filter_tree" -> qFilterTree _,
+    "w9_ratio_parts" -> qRatioParts _,
+    "a3_block_stats" -> qBlockStats _,
+    "t5_dict_ids" -> qDictIds _,
+    "m4_append" -> qAppend _,
+    "m8_pack" -> qPack _,
+    "o1_sorted_read" -> qSortedRead _,
+    "s8_dbf_roundtrip" -> qDbfRoundtrip _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -1388,5 +1527,54 @@ object SparkEntry {
          SELECT user_id, dir, start,
            floor(rate * 1e6 + 0.5) / 1e6 AS rate,
            floor(drift * 1e6 + 0.5) / 1e6 AS drift
-         FROM res ORDER BY user_id""")
+         FROM res ORDER BY user_id""",
+    "p5_filter_tree" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         WHERE ((l_returnflag = 'R' AND l_quantity > 30.0)
+                OR (NOT (l_linestatus = 'F') AND l_discount BETWEEN 0.05 AND 0.07))
+           AND NOT (l_tax > 0.07)
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "w9_ratio_parts" ->
+      """SELECT CASE WHEN bucket <= 2 THEN 't20'
+                     WHEN bucket <= 5 THEN 't30' ELSE 't50' END AS tier,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total,
+         round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+         FROM (SELECT o_totalprice,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+               FROM orders)
+         GROUP BY tier ORDER BY tier""",
+    "a3_block_stats" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         min(epoch_ms(ts)) AS t_lo, max(epoch_ms(ts)) AS t_hi,
+         round(min(value), 2) AS v_lo, round(max(value), 2) AS v_hi,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY day ORDER BY day""",
+    "t5_dict_ids" ->
+      """WITH d AS (
+           SELECT event_type,
+             row_number() OVER (ORDER BY event_type) AS id
+           FROM (SELECT DISTINCT event_type FROM events))
+         SELECT e.event_type, d.id, count(*) AS n,
+           round(sum(e.value), 2) AS total
+         FROM events e JOIN d USING (event_type)
+         GROUP BY e.event_type, d.id ORDER BY d.id""",
+    "m4_append" ->
+      """SELECT user_id, count(*) AS n, min(epoch_ms(ts)) AS t_lo,
+         max(epoch_ms(ts)) AS t_hi, round(sum(value), 2) AS total
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "m8_pack" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY day ORDER BY day""",
+    "o1_sorted_read" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+         true AS sorted, min(epoch_ms(ts)) AS t_lo, max(epoch_ms(ts)) AS t_hi
+         FROM events GROUP BY day ORDER BY day""",
+    "s8_dbf_roundtrip" ->
+      """SELECT n_nationkey::BIGINT AS nkey, n_name AS name,
+         n_regionkey::BIGINT AS region
+         FROM nation ORDER BY nkey""")
 }

@@ -96,4 +96,76 @@ object Dbf {
       }
     }(enc)
   }
+
+  /** Serialize one partition's rows to DBF bytes (header + fixed-width
+    * ASCII records). DBF is a bounded format (32-bit record count,
+    * 16-bit record size), so per-partition in-memory assembly is the
+    * natural sink shape — one vendor-day file per partition. */
+  def serialize(fields: Seq[DbfField], rows: Iterator[Row]): Array[Byte] = {
+    val recordSize = 1 + fields.map(_.len).sum
+    val headerSize = 32 + fields.size * 32 + 1
+    val recs = rows.map { r =>
+      val sb = new java.lang.StringBuilder(recordSize)
+      sb.append(' ')
+      fields.zipWithIndex.foreach { case (f, i) =>
+        val s =
+          if (r.isNullAt(i)) ""
+          else f.ftype match {
+            case 'N' | 'F' if f.dec > 0 =>
+              String.format(java.util.Locale.ROOT, s"%.${f.dec}f",
+                java.lang.Double.valueOf(r.get(i).toString.toDouble))
+            case _ => r.get(i).toString
+          }
+        val cut = if (s.length > f.len) s.substring(0, f.len) else s
+        if (f.ftype == 'C') { // left-justified text
+          sb.append(cut)
+          (cut.length until f.len).foreach(_ => sb.append(' '))
+        } else { // right-justified numerics
+          (cut.length until f.len).foreach(_ => sb.append(' '))
+          sb.append(cut)
+        }
+      }
+      sb.toString
+    }.toSeq
+    val buf = java.nio.ByteBuffer
+      .allocate(headerSize + recs.size * recordSize + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
+    buf.putInt(recs.size)
+    buf.putShort(headerSize.toShort).putShort(recordSize.toShort)
+    (12 until 32).foreach(_ => buf.put(0.toByte))
+    fields.foreach { f =>
+      val nb = f.name.getBytes("ASCII")
+      require(nb.length <= 11, s"DBF field name too long: ${f.name}")
+      buf.put(nb); (nb.length until 11).foreach(_ => buf.put(0.toByte))
+      buf.put(f.ftype.toByte)
+      (0 until 4).foreach(_ => buf.put(0.toByte))
+      buf.put(f.len.toByte).put(f.dec.toByte)
+      (0 until 14).foreach(_ => buf.put(0.toByte))
+    }
+    buf.put(0x0D.toByte)
+    recs.foreach(r => buf.put(r.getBytes("ASCII")))
+    buf.put(0x1A.toByte)
+    buf.array()
+  }
+
+  /** DBF sink: one `part-N.dbf` per partition, written executor-side
+    * through the Hadoop FS API (no driver collect — each task streams
+    * only its own bounded file). */
+  def write(df: DataFrame, fields: Seq[DbfField], dir: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf).delete(dirPath, true) // overwrite semantics
+    val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (rows.hasNext) {
+        val bytes = serialize(fields, rows)
+        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.dbf")
+        val fs = path.getFileSystem(confSer.value)
+        val out = fs.create(path, true)
+        try out.write(bytes) finally out.close()
+      }
+      Iterator.empty[Int]
+    }.count(): Unit
+  }
 }
