@@ -419,8 +419,9 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** MinHash-LSH near-dup candidates with estimated Jaccard — rows-only
-    * (murmur/xxhash64 are not reproducible in the oracle engine). */
+  /** MinHash-LSH near-dup candidates with estimated Jaccard —
+    * oracle-checked end to end: FNV shingle hashes and the inlined
+    * permutation coefficients reproduce the exact signatures in SQL. */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sig = Dedup.minhash(d, "text", shingleK = 3, numHashes = 32)
@@ -1576,5 +1577,98 @@ object SparkEntry {
     "s8_dbf_roundtrip" ->
       """SELECT n_nationkey::BIGINT AS nkey, n_name AS name,
          n_regionkey::BIGINT AS region
-         FROM nation ORDER BY nkey""")
+         FROM nation ORDER BY nkey""",
+    // the whole minhash-LSH pipeline reproduced in SQL: FNV shingle
+    // hashes → pmod p → (a·h+b) mod p minima (the EXACT coefficients
+    // the Spark side draws, inlined below) → 2-row bands → bucket join
+    // → signature-agreement estimate. The Spark side buckets by
+    // xxhash64 of the band slice; the oracle joins on the slice values
+    // — identical candidate sets short of a 2^-64 hash collision.
+    "d2_minhash_lsh" -> {
+      val coefList = Dedup.minhashCoefs(32)
+        .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
+      s"""WITH g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         fh AS (
+           SELECT doc_id, list_transform(grams, s -> list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(s)+1), ci -> ascii(s[ci])::HUGEINT)),
+             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT)) AS fps
+           FROM g),
+         hm AS (
+           SELECT doc_id, list_transform(fps, fp -> ((((
+             CASE WHEN fp >= 9223372036854775808::HUGEINT
+                  THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT % 2147483647)
+             + 2147483647) % 2147483647)) AS hms
+           FROM fh),
+         sg AS (
+           SELECT doc_id, list_transform([$coefList]::STRUCT(a BIGINT, b BIGINT)[], c ->
+             list_min(list_transform(hms, h -> (c.a * h + c.b) % 2147483647))) AS sig
+           FROM hm),
+         bk AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
+         cd AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         est AS (
+           SELECT id_a, id_b,
+             len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) AS eq
+           FROM cd JOIN sg sa ON sa.doc_id = cd.id_a JOIN sg sb ON sb.doc_id = cd.id_b)
+         SELECT id_a, id_b, round(eq::DOUBLE / 32, 6) AS est_jaccard
+         FROM est WHERE eq > 0 ORDER BY id_a, id_b"""
+    },
+    // winnowing: FNV char-16-gram hashes, window-64 minima. The
+    // rightmost-tie rule picks an INDEX but the emitted value is the
+    // window minimum either way, and pairs join on values — so the
+    // fingerprint SET is just distinct window minima. Minima compare
+    // as SIGNED longs (WinnowExpr uses Java long compare), hence the
+    // signed mapping before list_min.
+    "d6_winnow_pairs" ->
+      """WITH nrm AS (
+           SELECT doc_id,
+             regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g') AS s
+           FROM documents),
+         hu AS (
+           SELECT doc_id, s, length(s) AS n,
+             CASE WHEN length(s) < 16 THEN NULL
+             ELSE list_transform(range(1, length(s) - 16 + 2), i -> list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(i, i + 16), ci -> ascii(s[ci])::HUGEINT)),
+               (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT)) END AS hraw
+           FROM nrm),
+         hs AS (
+           SELECT doc_id, s, n,
+             list_transform(hraw, fp -> (CASE WHEN fp >= 9223372036854775808::HUGEINT
+               THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT) AS h
+           FROM hu),
+         wh AS (
+           SELECT doc_id, n, h, list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, n + 1), ci -> ascii(s[ci])::HUGEINT)),
+               (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS wraw
+           FROM hs),
+         gr AS (
+           SELECT doc_id,
+             CASE WHEN n < 16 THEN [(CASE WHEN wraw >= 9223372036854775808::HUGEINT
+                 THEN wraw - 18446744073709551616::HUGEINT ELSE wraw END)::BIGINT]
+               WHEN len(h) <= 64 THEN [list_min(h)]
+               ELSE list_distinct(list_transform(range(1, len(h) - 64 + 2),
+                      st -> list_min(h[st:st+63]))) END AS fps
+           FROM wh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.fps, b.fps))::BIGINT AS shared
+         FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.fps, b.fps)) >= 2
+         ORDER BY id_a, id_b""")
 }

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup profile at sf0.1. Interpreted here too (CodegenFallback), but
   * as one tight byte-level loop per document.
   */
-case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L)
+case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L,
+    fnv: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(k >= 1)
 
@@ -62,7 +63,13 @@ case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L)
         len += e - s
         t += 1
       }
-      seen.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, seed))
+      seen.add(
+        if (fnv) { // portable FNV-1a (reproducible in plain SQL oracles)
+          var h = Fnv1a64Expr.Offset
+          var bi = 0
+          while (bi < len) { h = (h ^ (buf(bi) & 0xffL)) * Fnv1a64Expr.Prime; bi += 1 }
+          h
+        } else XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, seed))
     }
     if (ntok < k) hashGram(0, ntok) // incl. 0 tokens → hash of ""
     else {
@@ -84,5 +91,11 @@ object ShingleHashesExpr {
   def apply(c: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge._
     column(ShingleHashesExpr(expression(c), k))
+  }
+
+  /** FNV-1a variant: same shingling, engine-portable hash. */
+  def fnv(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    column(ShingleHashesExpr(expression(c), k, fnv = true))
   }
 }

@@ -35,18 +35,27 @@ object Dedup {
     * overflow, and a 61-bit prime would overflow the multiply. Signature
     * quality only needs the permutation family to be pairwise
     * independent mod p, which 31 bits provides. */
+  /** 2^31 - 1, the Mersenne prime the permutation family works mod. */
+  final val MinHashP = 2147483647L
+
+  /** The (a, b) permutation coefficients for `minhash` — public so the
+    * cross-engine oracle can inline the exact same constants. */
+  def minhashCoefs(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (MinHashP - 1) + 1,
+      math.abs(rnd.nextLong()) % MinHashP))
+  }
+
   def minhash(df: DataFrame, text: String, shingleK: Int, numHashes: Int,
       seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val P = 2147483647L // 2^31 - 1, Mersenne prime
-    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
-      math.abs(rnd.nextLong()) % P))
-    // fused pass: shingle hashes (ShingleHashesExpr) → whole signature
-    // (MinHashSigExpr, which takes raw xxhash64 values mod p) — same
-    // arithmetic as pmod(xxhash64(shingle), p) + per-coefficient folds
+    val coefs = minhashCoefs(numHashes, seed)
+    // fused pass: FNV shingle hashes (ShingleHashesExpr.fnv — portable,
+    // so the whole signature reproduces in the SQL oracle) → whole
+    // signature (MinHashSigExpr: pmod(h, p), then per-coefficient
+    // (a·h + b) mod p folds)
     df.withColumn("minhash", graft.functions.MinHashSigExpr(
-      graft.functions.ShingleHashesExpr(col(text), shingleK),
-      coefs.map(_._1), coefs.map(_._2), P))
+      graft.functions.ShingleHashesExpr.fnv(col(text), shingleK),
+      coefs.map(_._1), coefs.map(_._2), MinHashP))
   }
 
   /** LSH banding: explode the signature into `bands` rows keyed by
