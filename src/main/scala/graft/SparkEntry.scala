@@ -1670,5 +1670,42 @@ object SparkEntry {
            len(list_intersect(a.fps, b.fps))::BIGINT AS shared
          FROM gr a JOIN gr b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.fps, b.fps)) >= 2
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    // random-hyperplane LSH reproduced exactly: the plane doubles are
+    // drawn HERE (same JVM, same seed as lshTopK) and inlined as
+    // literals — Double.toString round-trips, so DuckDB parses the
+    // identical doubles and every sign/dot/cosine matches bit-for-bit
+    // (both engines sum dot products in ascending index order).
+    // dim=64 matches the embeddings tables at every SF.
+    "x2_ann_lsh" -> {
+      val planes = graft.functions.VectorFunctions.randomPlanes(16, 64)
+      val sigbits = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sg AS (SELECT vec_id, v, ($sigbits)::BIGINT AS sig FROM e),
+         bd AS (
+           SELECT vec_id, v, b, (sig // (1 << (4*b))) % 16 AS bucket
+           FROM (SELECT vec_id, v, sig, unnest(range(4)) AS b FROM sg)),
+         q AS (SELECT vec_id AS query_id, v AS qv, b, bucket FROM bd WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, v AS cv, b, bucket FROM bd),
+         cand AS (
+           SELECT DISTINCT query_id, neighbor_id
+           FROM q JOIN c ON q.b = c.b AND q.bucket = c.bucket
+           WHERE neighbor_id != query_id),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_inner_product(qe.v, ce.v) /
+               (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v))) AS cosine
+           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         rk AS (
+           SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
 }
