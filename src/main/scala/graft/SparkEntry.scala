@@ -859,6 +859,67 @@ object SparkEntry {
       .orderBy("nkey")
   }
 
+  /** T1/T3/T4 in one checked pass: a REAL Structured Streaming run
+    * (file source → availableNow → foreachBatch) lands the feed in the
+    * finalized day-partitioned store while the in-process registry fans
+    * each micro-batch out to exact / prefix / wildcard subscribers.
+    * Output rows: per-day store aggregates (`day:*`) + per-subscriber
+    * delivered totals (`sub:*`) — both recomputable by the oracle. */
+  private def qStreamFinalize(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_stream_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .withColumn("subject", concat(lit("u"), col("user_id")))
+      .select("subject", "ts", "value")
+    e.write.mode("overwrite").parquet(s"$base/feed")
+    val subs = new graft.stream.SubRegistry
+    val partials =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+    def collector(id: String): DataFrame => Unit = { df =>
+      val r = df.agg(count(lit(1)), sum("value")).collect()(0)
+      if (r.getLong(0) > 0) partials.add((id, r.getLong(0), r.getDouble(1)))
+    }
+    subs.subscribe("sub:exact_u3", Seq("u3"))(collector("sub:exact_u3"))
+    subs.subscribe("sub:prefix_u1", Seq("u1*"))(collector("sub:prefix_u1"))
+    subs.subscribe("sub:all", Seq("*"))(collector("sub:all"))
+    val q = graft.stream.Ingest.start(s, s"$base/feed", e.schema,
+      s"$base/store", s"$base/ckpt", "subject", "ts",
+      date_format(col("ts"), "yyyy-MM-dd"), subs)
+    q.awaitTermination()
+    val stored = graft.stream.Ingest.read(s, s"$base/store")
+      .groupBy(concat(lit("day:"), col("__day")).as("key"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val rows = partials.toArray(Array.empty[(String, Long, Double)])
+      .toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3))
+    val delivered = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("key", StringType),
+          StructField("__n", LongType), StructField("__v", DoubleType))))
+      .groupBy("key")
+      .agg(sum("__n").as("n"), round(sum("__v"), 2).as("total"))
+    stored.unionByName(delivered).orderBy("key")
+  }
+
+  /** T6 frwdb factor store: computed per-(subject, day) factors merged
+    * through `factorSet` batches, read back with a ranged `factorGet`. */
+  private def qFactorStore(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(avg("value"), 6).as("factor"))
+      .select(concat(lit("u"), col("user_id")).as("subject"),
+        unix_millis(to_timestamp(col("day"), "yyyy-MM-dd")).as("time"),
+        col("factor"), col("day"))
+    val first = daily.filter(col("day") < "2024-01-15").drop("day")
+    val rest = daily.filter(col("day") >= "2024-01-15").drop("day")
+    val merged = graft.store.KvStore.factorSet(
+      Some(graft.store.KvStore.factorSet(None, first)), rest)
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    graft.store.KvStore.factorGet(merged, "u7", lo, hi)
+      .select("time", "factor")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -928,7 +989,9 @@ object SparkEntry {
     "m4_append" -> qAppend _,
     "m8_pack" -> qPack _,
     "o1_sorted_read" -> qSortedRead _,
-    "s8_dbf_roundtrip" -> qDbfRoundtrip _)
+    "s8_dbf_roundtrip" -> qDbfRoundtrip _,
+    "t4_stream_finalize" -> qStreamFinalize _,
+    "t6_factor_store" -> qFactorStore _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -1707,5 +1770,30 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
          FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
-    })
+    },
+    "t4_stream_finalize" ->
+      """SELECT * FROM (
+           SELECT 'day:' || strftime(ts, '%Y-%m-%d') AS key, count(*) AS n,
+             round(sum(value), 2) AS total
+           FROM events GROUP BY key
+           UNION ALL
+           SELECT 'sub:all', count(*), round(sum(value), 2)
+           FROM events HAVING count(*) > 0
+           UNION ALL
+           SELECT 'sub:exact_u3', count(*), round(sum(value), 2)
+           FROM events WHERE user_id = 3 HAVING count(*) > 0
+           UNION ALL
+           SELECT 'sub:prefix_u1', count(*), round(sum(value), 2)
+           FROM events WHERE ('u' || user_id) LIKE 'u1%' HAVING count(*) > 0)
+         ORDER BY key""",
+    "t6_factor_store" ->
+      """WITH d AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS factor
+           FROM events GROUP BY 1, 2)
+         SELECT epoch_ms(day::TIMESTAMP) AS time, factor
+         FROM d
+         WHERE user_id = 7
+           AND epoch_ms(day::TIMESTAMP) BETWEEN 1704067200000 AND 1706745600000
+         ORDER BY time""")
 }
