@@ -374,13 +374,26 @@ object SparkEntry {
         minShared = 2, k = 16, window = 64)
       .orderBy("id_a", "id_b")
 
-  /** Embedding-cosine near-dup pairs (exact; LSH-blocked variant is
-    * `ann_lsh`). */
+  /** Embedding-cosine near-dup pairs — the EXACT all-pairs baseline
+    * (inherently O(n²) output in the worst case; kept as the oracle
+    * reference). The scale paths are `d5b` (LSH-blocked, same output
+    * shape, shuffle ∝ candidates) and `x2_ann_lsh`. */
   private def qCosineDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(
         t(s, dir, "embeddings").withColumn("embedding",
           col("embedding").cast("array<double>")),
         "vec_id", "embedding", threshold = 0.3, blocked = false)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
+  /** The 100 TB variant of `d5`: candidates from LSH band buckets
+    * (equi-join, no cross join), exact cosine only on candidates —
+    * oracle-checked via the same inlined-plane reproduction as x2. */
+  private def qCosineDupBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(
+        t(s, dir, "embeddings").withColumn("embedding",
+          col("embedding").cast("array<double>")),
+        "vec_id", "embedding", threshold = 0.3, blocked = true)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -972,6 +985,7 @@ object SparkEntry {
     "d3_simhash" -> qSimhash _,
     "d4_ngram_jaccard" -> qNgramJaccard _,
     "d5_cosine_dup" -> qCosineDup _,
+    "d5b_cosine_dup_blocked" -> qCosineDupBlocked _,
     "d6_winnow_pairs" -> qWinnowPairs _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
@@ -1795,5 +1809,31 @@ object SparkEntry {
          FROM d
          WHERE user_id = 7
            AND epoch_ms(day::TIMESTAMP) BETWEEN 1704067200000 AND 1706745600000
-         ORDER BY time""")
+         ORDER BY time""",
+    // same inlined-plane reproduction as x2, with d5b's (12 planes,
+    // 6 bands → 2-bit buckets) parameters
+    "d5b_cosine_dup_blocked" -> {
+      val planes = graft.functions.VectorFunctions.randomPlanes(12, 64)
+      val sigbits = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sg AS (SELECT vec_id, v, ($sigbits)::BIGINT AS sig FROM e),
+         bd AS (
+           SELECT vec_id, v, b, (sig // (1 << (2*b))) % 4 AS bucket
+           FROM (SELECT vec_id, v, sig, unnest(range(6)) AS b FROM sg)),
+         cd AS (
+           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM bd x JOIN bd y ON x.b = y.b AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id),
+         scored AS (
+           SELECT id_a, id_b,
+             list_inner_product(ae.v, be.v) /
+               (sqrt(list_inner_product(ae.v, ae.v)) * sqrt(list_inner_product(be.v, be.v))) AS cosine
+           FROM cd JOIN e ae ON ae.vec_id = cd.id_a
+                   JOIN e be ON be.vec_id = cd.id_b)
+         SELECT id_a, id_b, round(cosine, 6) AS cosine
+         FROM scored WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
+    })
 }
