@@ -933,6 +933,34 @@ object SparkEntry {
       .select("time", "factor")
   }
 
+  /** O4 search positioning: the reference binary-searches block heads
+    * to land on the right file offset; the Spark equivalent is
+    * partition pruning (day) + parquet row-group min/max skipping
+    * (time) — and the query REQUIRES both in its own physical plan
+    * before returning rows, so a pushdown regression fails loudly. */
+  private def qSearchPosition(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_pos"
+    val e = t(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("t_ms", unix_millis(col("ts")))
+    e.repartition(col("day"))
+      .sortWithinPartitions(col("day"), col("t_ms")) // sorted blocks → tight row-group stats
+      .write.mode("overwrite").partitionBy("day").parquet(store)
+    val lo = java.time.Instant.parse("2024-01-10T06:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-10T18:00:00Z").toEpochMilli
+    val q = s.read.parquet(store)
+      .filter(col("day") === "2024-01-10" && col("t_ms").between(lo, hi))
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"day partition pruning missing from plan:\n$plan")
+    require(plan.contains("GreaterThanOrEqual(t_ms") || plan.contains("gte(t_ms"),
+      s"t_ms stat pushdown missing from plan:\n$plan")
+    q.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1005,7 +1033,8 @@ object SparkEntry {
     "o1_sorted_read" -> qSortedRead _,
     "s8_dbf_roundtrip" -> qDbfRoundtrip _,
     "t4_stream_finalize" -> qStreamFinalize _,
-    "t6_factor_store" -> qFactorStore _)
+    "t6_factor_store" -> qFactorStore _,
+    "o4_search_position" -> qSearchPosition _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -1835,5 +1864,11 @@ object SparkEntry {
                    JOIN e be ON be.vec_id = cd.id_b)
          SELECT id_a, id_b, round(cosine, 6) AS cosine
          FROM scored WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
-    })
+    },
+    "o4_search_position" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'
+           AND epoch_ms(ts) BETWEEN 1704866400000 AND 1704909600000
+         GROUP BY event_type ORDER BY event_type""")
 }
