@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * of regex-`\s` = ASCII [ \t\n\x0B\f\r] collapses to one space), but
   * without the regex engine per row. */
 case class NormalizeTextExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -26,9 +26,16 @@ case class NormalizeTextExpr(child: Expression)
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** The per-row kernel, also called from generated code (the codegen
+    * emits one virtual call per row but the operator STAYS inside the
+    * whole-stage span — unlike CodegenFallback, which would kick the
+    * entire projection out of codegen). */
+  def compute(input: UTF8String): UTF8String = {
     // trim (spaces only) → lower, exactly like the SQL composition
-    val lowered = input.asInstanceOf[UTF8String].trim.toLowerCase
+    val lowered = input.trim.toLowerCase
     val bytes = lowered.getBytes
     val n = bytes.length
     val out = new Array[Byte](n)
@@ -44,6 +51,13 @@ case class NormalizeTextExpr(child: Expression)
     }
     UTF8String.fromBytes(out, 0, o)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("normalizeText", this,
+        classOf[NormalizeTextExpr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
     copy(child = newChild)

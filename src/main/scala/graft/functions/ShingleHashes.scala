@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L,
     fnv: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -35,8 +35,12 @@ case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L,
   private def isWs(b: Byte): Boolean = // java regex \s (ASCII)
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val bytes = input.getBytes
     // tokenize: (start, end) pairs over non-\s runs
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
@@ -82,6 +86,13 @@ case class ShingleHashesExpr(child: Expression, k: Int, seed: Long = 42L,
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shingleHashes", this,
+        classOf[ShingleHashesExpr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)

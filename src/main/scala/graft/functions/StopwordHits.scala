@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `tokensWs(lower(text))` exactly.
   */
 case class StopwordHitsExpr(child: Expression, lists: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -36,8 +36,12 @@ case class StopwordHitsExpr(child: Expression, lists: Seq[Seq[String]])
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val lowered = input.toLowerCase
     val bytes = lowered.getBytes
     val n = bytes.length
     val out = new Array[Int](1 + sets.length)
@@ -58,6 +62,13 @@ case class StopwordHitsExpr(child: Expression, lists: Seq[Seq[String]])
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("stopwordHits", this,
+        classOf[StopwordHitsExpr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct-shingle set [[ShingleHashesExpr]] feeds MinHash.
   */
 case class TokenFnv64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,8 +34,12 @@ case class TokenFnv64Expr(child: Expression)
   private def isWs(b: Byte): Boolean = // java regex \s (ASCII)
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val bytes = input.toLowerCase.getBytes
     val n = bytes.length
     val out = new java.util.ArrayList[java.lang.Long]()
     var i = 0
@@ -55,6 +59,12 @@ case class TokenFnv64Expr(child: Expression)
     while (j < arr.length) { arr(j) = out.get(j); j += 1 }
     new GenericArrayData(arr)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokenFnv", this, classOf[TokenFnv64Expr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): TokenFnv64Expr =
     copy(child = newChild)

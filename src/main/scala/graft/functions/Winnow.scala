@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[NormalizeTextExpr]]) so whitespace/case don't perturb grams.
   */
 case class WinnowExpr(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 2 && window >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -32,8 +32,12 @@ case class WinnowExpr(child: Expression, k: Int, window: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"winnow needs string, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): GenericArrayData = {
+    val bytes = input.getBytes
     val n = bytes.length
     if (n < k) {
       // degenerate doc: single fingerprint of the whole text
@@ -79,6 +83,12 @@ case class WinnowExpr(child: Expression, k: Int, window: Int)
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowExpr].getName)
+      s"${ev.value} = $ref.compute($c);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
     copy(child = newChild)
