@@ -40,15 +40,34 @@ object Text {
     when(best.getField("score") < minScore, "und").otherwise(best.getField("lang"))
   }
 
-  /** Quality + shape signals a pretraining filter wants, one pass. */
+  /** Quality + shape signals a pretraining filter wants — genuinely one
+    * pass now: all counting lives in the fused
+    * [[graft.functions.TextStatsExpr]] kernel; the ratio/score formulas
+    * below are the SAME Column arithmetic as the composed
+    * `TextFunctions` forms (same operation order → bit-identical
+    * doubles → the cross-engine oracle is unchanged). */
   def withQualitySignals(df: DataFrame, text: String): DataFrame = {
-    val t = col(text)
-    df.withColumn("n_tokens", tokenCountWs(t))
-      .withColumn("n_chars_", length(t))
-      .withColumn("mean_token_len", round(meanTokenLen(t), 6))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("en_stopword_ratio", round(stopwordRatio(t, stopwords("en")), 6))
-      .withColumn("quality", roundHalfUp6(qualityScore(t, stopwords("en"))))
+    val d = df.withColumn("__ts",
+      graft.functions.TextStatsExpr(col(text), stopwords("en")))
+    val nTok = col("__ts.nTok")
+    val mean = when(nTok === 0, 0.0)
+      .otherwise(col("__ts.sumTokLen").cast("double") / nTok.cast("double"))
+    val punctR = when(col("__ts.nChars") === 0, 0.0)
+      .otherwise(col("__ts.punct").cast("double") / col("__ts.nChars").cast("double"))
+    val swR = when(col("__ts.nTokLower") === 0, 0.0)
+      .otherwise(col("__ts.hits").cast("double") / col("__ts.nTokLower").cast("double"))
+    val lenScore = least(nTok.cast("double") / 64.0, lit(1.0))
+    val wlenScore = when(mean.between(2.5, 9.0), 1.0).otherwise(0.3)
+    val punctScore = lit(1.0) - least(punctR * 4.0, lit(1.0))
+    val swScore = least(swR * 5.0, lit(1.0))
+    d.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_", col("__ts.nChars"))
+      .withColumn("mean_token_len", round(mean, 6))
+      .withColumn("punct_ratio", round(punctR, 6))
+      .withColumn("en_stopword_ratio", round(swR, 6))
+      .withColumn("quality", roundHalfUp6(
+        lenScore * 0.35 + wlenScore * 0.25 + punctScore * 0.2 + swScore * 0.2))
+      .drop("__ts")
   }
 
   /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr;
