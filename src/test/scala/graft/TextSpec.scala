@@ -63,4 +63,34 @@ class TextSpec extends SparkSpec {
     assert(q >= 0.0 && q <= 1.0)
     assert(out.getAs[Double]("en_stopword_ratio") > 0.2)
   }
+
+  test("TextStatsExpr quality signals == composed TextFunctions formulation") {
+    import graft.functions.TextFunctions._
+    val samples = Seq(
+      "The quick brown fox, jumps; over!! the lazy dog.",
+      "", "   ", "x", "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "!!! ??? ... ;;; :::", "word", "two words",
+      "tabs\tand\nnewlines\rand  runs   of spaces",
+      "punct-heavy (a) [b] {c} <d> \"e\" 'f' g@h i#j k$l",
+      "MiXeD CaSe The Of And to in is that it for",
+      "caf\u00e9 na\u00efve \u4e2d\u6587 \u6587\u6863 unicode \u00fcml\u00e4ut",
+      (1 to 200).map(i => s"tok$i").mkString(" "))
+    val df = samples.toDF("text")
+    val fused = Text.withQualitySignals(df, "text")
+      .select("n_tokens", "mean_token_len", "punct_ratio",
+        "en_stopword_ratio", "quality").collect()
+    val t = col("text")
+    val composed = df
+      .withColumn("n_tokens", tokenCountWs(t))
+      .withColumn("mean_token_len", round(meanTokenLen(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("en_stopword_ratio",
+        round(stopwordRatio(t, Text.stopwords("en")), 6))
+      .withColumn("quality", roundHalfUp6(qualityScore(t, Text.stopwords("en"))))
+      .select("n_tokens", "mean_token_len", "punct_ratio",
+        "en_stopword_ratio", "quality").collect()
+    fused.zip(composed).zipWithIndex.foreach { case ((f, c), i) =>
+      assert(f == c, s"row $i (text='${samples(i).take(40)}'): fused $f != composed $c")
+    }
+  }
 }
