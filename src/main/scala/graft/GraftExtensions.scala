@@ -45,5 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_winnow", "winnowing fingerprints (text, k, window)"),
       (args: Seq[Expression]) => WinnowExpr(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("graft_token_fnv64"),
+      info("graft_token_fnv64", "per-token FNV-1a 64 hashes (portable)"),
+      (args: Seq[Expression]) => TokenFnv64Expr(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_fnv"),
+      info("graft_shingle_fnv", "distinct word-k-shingle FNV-1a hashes (portable)"),
+      (args: Seq[Expression]) => ShingleHashesExpr(args(0),
+        args(1).eval().asInstanceOf[Int], fnv = true)))
   }
 }

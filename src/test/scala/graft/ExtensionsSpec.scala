@@ -42,6 +42,13 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT size(graft_winnow('the quick brown fox jumps over it', 5, 4)) AS n")
       .collect()(0).getInt(0)
     assert(wn >= 1)
+    val tf = spark.sql("SELECT graft_token_fnv64('A a') AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(tf.length == 2 && tf(0) == tf(1)) // lowercased before hashing
+    val sf = spark.sql(
+      "SELECT size(graft_shingle_fnv('one two three four', 3)) AS n")
+      .collect()(0).getInt(0)
+    assert(sf == 2)
   }
 
   test("plain sessions do not see the injected functions") {
