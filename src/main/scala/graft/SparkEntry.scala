@@ -388,12 +388,16 @@ object SparkEntry {
 
   /** The 100 TB variant of `d5`: candidates from LSH band buckets
     * (equi-join, no cross join), exact cosine only on candidates —
-    * oracle-checked via the same inlined-plane reproduction as x2. */
+    * oracle-checked via the same inlined-plane reproduction as x2.
+    * 56 planes / 8 bands = 7-bit buckets: unrelated pairs collide at
+    * ~0.5^7 per band (~6% of n² total candidates), and the bit width
+    * is THE dial that keeps candidates sublinear as n grows. */
   private def qCosineDupBlocked(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(
         t(s, dir, "embeddings").withColumn("embedding",
           col("embedding").cast("array<double>")),
-        "vec_id", "embedding", threshold = 0.3, blocked = true)
+        "vec_id", "embedding", threshold = 0.3, blocked = true,
+        nPlanes = 56, bands = 8)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
@@ -1839,10 +1843,10 @@ object SparkEntry {
          WHERE user_id = 7
            AND epoch_ms(day::TIMESTAMP) BETWEEN 1704067200000 AND 1706745600000
          ORDER BY time""",
-    // same inlined-plane reproduction as x2, with d5b's (12 planes,
-    // 6 bands → 2-bit buckets) parameters
+    // same inlined-plane reproduction as x2, with d5b's (56 planes,
+    // 8 bands → 7-bit buckets) parameters
     "d5b_cosine_dup_blocked" -> {
-      val planes = graft.functions.VectorFunctions.randomPlanes(12, 64)
+      val planes = graft.functions.VectorFunctions.randomPlanes(56, 64)
       val sigbits = planes.zipWithIndex.map { case (p, i) =>
         val lit = p.map(_.toString).mkString("[", ",", "]")
         s"(CASE WHEN list_inner_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -1850,8 +1854,8 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          sg AS (SELECT vec_id, v, ($sigbits)::BIGINT AS sig FROM e),
          bd AS (
-           SELECT vec_id, v, b, (sig // (1 << (2*b))) % 4 AS bucket
-           FROM (SELECT vec_id, v, sig, unnest(range(6)) AS b FROM sg)),
+           SELECT vec_id, v, b, (sig // (1::BIGINT << (7*b))) % 128 AS bucket
+           FROM (SELECT vec_id, v, sig, unnest(range(8)) AS b FROM sg)),
          cd AS (
            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
            FROM bd x JOIN bd y ON x.b = y.b AND x.bucket = y.bucket

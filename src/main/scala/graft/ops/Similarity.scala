@@ -198,21 +198,27 @@ object Similarity {
           norm(col(vec)).as("__nb"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
+        // candidate generation moves IDS ONLY through the band shuffle
+        // and the dedupe — the 64-double vectors re-attach afterwards by
+        // id, so the heavy columns never ride the n×bands exploded rows
         val planes = randomPlanes(nPlanes, vecDim(df, vec), seed)
         val bits = nPlanes / bands
         val sig = hyperplaneSig(col(vec), planes)
         val bandCols = (0 until bands).map(b =>
           shiftright(col("__sig"), b * bits).bitwiseAND(lit((1L << bits) - 1)))
         val banded = base.withColumn("__sig", sig)
-          .withColumn("__nrm", norm(col(vec)))
-          .select(col(id), col(vec), col("__nrm"), posexplode(array(bandCols: _*)))
-          .toDF(id, vec, "__nrm", "band", "bucket")
-        val a = banded.select(col(id).as("id_a"), col(vec).as("__va"),
-          col("__nrm").as("__na"), col("band"), col("bucket"))
-        val b = banded.select(col(id).as("id_b"), col(vec).as("__vb"),
-          col("__nrm").as("__nb"), col("band"), col("bucket"))
-        a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-          .dropDuplicates("id_a", "id_b")
+          .select(col(id), posexplode(array(bandCols: _*)))
+          .toDF(id, "band", "bucket")
+        val a = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+        val b = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
+        val cand = a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val va = base.select(col(id).as("id_a"), col(vec).as("__va"),
+          norm(col(vec)).as("__na"))
+        val vb = base.select(col(id).as("id_b"), col(vec).as("__vb"),
+          norm(col(vec)).as("__nb"))
+        cand.join(va, "id_a").join(vb, "id_b")
       }
     pairs
       .withColumn("cosine", cosineWithNorms(col("__va"), col("__vb"),
