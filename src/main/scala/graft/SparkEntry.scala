@@ -965,6 +965,29 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Skew lever 1: two-stage salted aggregation — identical answers to
+    * the plain groupBy (checked by the oracle), but a hot key's rows
+    * spread over `salt` reducers in stage 1. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), salt = 8,
+        partial = Seq("n" -> count(lit(1)), "total" -> sum("value")),
+        merge = Seq("n" -> sum(col("n")), "total" -> sum(col("total"))))
+      .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
+      .orderBy("event_type")
+
+  /** Skew lever 2: salted equi-join (fact salted n ways, dim replicated
+    * n ways) — same rows as the plain join, hot keys spread. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    Skew.saltedJoin(fact, dim, Seq("okey"), n = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1038,7 +1061,9 @@ object SparkEntry {
     "s8_dbf_roundtrip" -> qDbfRoundtrip _,
     "t4_stream_finalize" -> qStreamFinalize _,
     "t6_factor_store" -> qFactorStore _,
-    "o4_search_position" -> qSearchPosition _)
+    "o4_search_position" -> qSearchPosition _,
+    "sk1_salted_agg" -> qSaltedAgg _,
+    "sk2_salted_join" -> qSaltedJoin _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -1874,5 +1899,13 @@ object SparkEntry {
          FROM events
          WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'
            AND epoch_ms(ts) BETWEEN 1704866400000 AND 1704909600000
-         GROUP BY event_type ORDER BY event_type""")
+         GROUP BY event_type ORDER BY event_type""",
+    "sk1_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "sk2_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }
