@@ -988,6 +988,25 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Multimodal decode/frame-sample plumbing end to end: binary payload
+    * → probe metadata (mapPartitions, one decoder per partition) →
+    * per-frame explode → per-doc frame counts. The Fake decoder is
+    * FNV-seeded, so the oracle recomputes every field exactly. */
+  private def qMultimodalProbe(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val meta = graft.multimodal.Multimodal.withMeta(withPayload, "payload")
+    val frames = graft.multimodal.Multimodal
+      .sampleFrames(meta, "payload", everyMs = 60000L)
+    frames.groupBy(col("doc_id"), col("media_meta.kind").as("kind"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.duration_ms").as("duration_ms"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy("doc_id")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1063,7 +1082,8 @@ object SparkEntry {
     "t6_factor_store" -> qFactorStore _,
     "o4_search_position" -> qSearchPosition _,
     "sk1_salted_agg" -> qSaltedAgg _,
-    "sk2_salted_join" -> qSaltedJoin _)
+    "sk2_salted_join" -> qSaltedJoin _,
+    "mm2_multimodal_probe" -> qMultimodalProbe _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -1907,5 +1927,30 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
          round(sum(l_extendedprice), 2) AS total
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the Fake decoder's probe/frame fields recomputed from the same
+    // FNV-1a seed; >>16 / >>8 become exact floor divisions (numerator
+    // made divisible by subtracting the positive mod first)
+    "mm2_multimodal_probe" ->
+      """WITH f AS (
+           SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             (CASE WHEN fp >= 9223372036854775808::HUGEINT
+               THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT AS h
+           FROM (SELECT doc_id, text, list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(text)+1), i -> ascii(text[i])::HUGEINT)),
+             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT) AS fp
+           FROM documents)),
+         m AS (
+           SELECT doc_id, n_bytes,
+             abs(h) % 1920 + 1 AS width,
+             abs((h - ((h % 65536 + 65536) % 65536)) // 65536) % 1080 + 1 AS height,
+             abs((h - ((h % 256 + 256) % 256)) // 256) % 600000 AS duration_ms
+           FROM f)
+         SELECT doc_id, 'image' AS kind, n_bytes::INT AS n_bytes,
+           width::INT AS width, height::INT AS height,
+           duration_ms::BIGINT AS duration_ms,
+           (duration_ms // 60000 + 1)::BIGINT AS n_frames
+         FROM m ORDER BY doc_id""")
 }
