@@ -36,8 +36,12 @@ object Ingest {
       timeCol: String,
       dayCol: org.apache.spark.sql.Column,
       subs: SubRegistry = new SubRegistry,
-      availableNow: Boolean = true): StreamingQuery = {
-    val src = spark.readStream.schema(schema).parquet(srcDir)
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
     val sink: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
       val withDay = batch.withColumn("__day", dayCol)
         .withColumn("__ingest_seq", monotonically_increasing_id())

@@ -15,6 +15,32 @@ class StreamingSpec extends SparkSpec {
     StructField("subject", StringType), StructField("t", LongType),
     StructField("v", DoubleType)))
 
+  test("multi-micro-batch availableNow ingest: fan-out and store accumulate per batch") {
+    val root = Files.createTempDirectory("graft_stream_mb").toString
+    val src = s"$root/src"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    (1 to 3).foreach { b =>
+      Seq((s"SH60060$b", b * 1000L, b.toDouble), (s"SZ00000$b", b * 1000L + 1, b * 10.0))
+        .toDF("subject", "t", "v").coalesce(1).write.parquet(s"$src/b$b")
+    }
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val subs = new SubRegistry
+    subs.subscribe("all", Seq("*")) { df =>
+      val n = df.count()
+      if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+    }
+    // one file per trigger → 3 micro-batches, each fanned out separately
+    val q = Ingest.start(spark, s"$src/*", schema, store, ckpt,
+      subjectCol = "subject", timeCol = "t",
+      dayCol = lit("2024-01-02"), subs = subs,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    assert(batches.get() == 3, s"expected 3 micro-batches, saw ${batches.get()}")
+    assert(rows.get() == 6)
+    assert(Ingest.read(spark, store).count() == 6)
+  }
+
   test("ingest → store → pub/sub → replay, end to end") {
     val root = Files.createTempDirectory("graft_stream").toString
     val src = s"$root/src"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
