@@ -790,9 +790,10 @@ object SparkEntry {
         round(sum("value"), 2).as("total"))
       .orderBy("day")
 
-  /** T5 dict-stream ids: the dense dictionary (deterministic ids by
-    * sorted name, built without a global window) that the factor-stream
-    * protocol ships ahead of coded rows; encode = broadcast join. */
+  /** T5 dict-stream ids (workers/snodb dict-stream protocol: a dense
+    * name→id dictionary ships ahead of coded rows): deterministic ids
+    * by sorted name, built without a global window; encode = broadcast
+    * join. */
   private def qDictIds(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val dict = Catalog.dictionary(e, "event_type", "id")
@@ -918,8 +919,10 @@ object SparkEntry {
     stored.unionByName(delivered).orderBy("key")
   }
 
-  /** T6 frwdb factor store: computed per-(subject, day) factors merged
-    * through `factorSet` batches, read back with a ranged `factorGet`. */
+  /** T6 frwdb factor store (workers/frwdb/frwdb.h:28-83: per-subject
+    * factor series written in batches, read back by time range):
+    * computed per-(subject, day) factors merged through `factorSet`
+    * batches, read back with a ranged `factorGet`. */
   private def qFactorStore(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -937,8 +940,9 @@ object SparkEntry {
       .select("time", "factor")
   }
 
-  /** O4 search positioning: the reference binary-searches block heads
-    * to land on the right file offset; the Spark equivalent is
+  /** O4 search positioning (sisdb_fmap_read.c: block-head search to
+    * land on the right file offset; disk/readme.md block stats): the
+    * reference binary-searches block heads; the Spark equivalent is
     * partition pruning (day) + parquet row-group min/max skipping
     * (time) — and the query REQUIRES both in its own physical plan
     * before returning rows, so a pushdown regression fails loudly. */
