@@ -424,13 +424,29 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF ANN (clusterable-corpus scale path) — rows-only; recall vs the
-    * brute-force baseline asserted in SimilaritySpec. */
+  /** The x3 oracle needs the driver-trained centroids as SQL literals
+    * (the same freeze-the-constants trick as x2's hyperplanes) — k-means
+    * runs on a seeded bounded sample, so for a fixed data dir the
+    * centroids are deterministic. qAnnIvf stashes them here at run
+    * time; `oracleSql` (evaluated by Verify AFTER the queries run)
+    * inlines them. Empty stash → no x3 entry → rows-only check, the
+    * pre-round-4 behavior. */
+  private[graft] object IvfOracle {
+    @volatile var centroids: Option[Array[Array[Double]]] = None
+  }
+
+  /** IVF ANN (clusterable-corpus scale path) — oracle-checked: the
+    * driver-trained centroids are frozen and re-emitted into the DuckDB
+    * SQL, so cell assignment (argmax of c·v − |c|²/2), nprobe probing
+    * and the exact re-rank all reproduce bit-for-bit. Recall vs the
+    * brute-force baseline additionally asserted in SimilaritySpec. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").withColumn("embedding",
       col("embedding").cast("array<double>"))
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 16)
+    IvfOracle.centroids = Some(cents)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, precomputed = Some(cents))
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
@@ -1956,5 +1972,62 @@ object SparkEntry {
            width::INT AS width, height::INT AS height,
            duration_ms::BIGINT AS duration_ms,
            (duration_ms // 60000 + 1)::BIGINT AS n_frames
-         FROM m ORDER BY doc_id""")
+         FROM m ORDER BY doc_id""") ++ ivfOracleEntry
+
+  /** x3's oracle, built from the centroids qAnnIvf froze this run (see
+    * [[IvfOracle]]). Reproduces the exact IVF plan relationally:
+    *  - cell score = list_inner_product(v, c) − |c|²/2, with |c|²/2
+    *    precomputed in Scala and inlined (so the summation order of the
+    *    half-norm never has to match);
+    *  - corpus cell = argmax score; Spark's `greatest` over
+    *    struct(s, cell) breaks score ties toward the LARGER cell id,
+    *    hence ORDER BY s DESC, cell DESC;
+    *  - queries probe the nprobe=4 best cells (same tie order —
+    *    sort_array(desc) on struct(s, cell));
+    *  - candidates = equi-join on cell, re-ranked by exact cosine. */
+  private def ivfOracleEntry: Map[String, String] =
+    IvfOracle.centroids.map { cents =>
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        val lit = c.map(_.toString).mkString("[", ",", "]")
+        val half = (c.map(x => x * x).sum / 2).toString
+        s"($i, $lit::DOUBLE[], $half)"
+      }.mkString(",\n             ")
+      "x3_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           cent AS (SELECT * FROM (VALUES
+             $centRows) AS t(cell, cv, half)),
+           sc AS (
+             SELECT e.vec_id, cent.cell,
+               list_inner_product(e.v, cent.cv) - cent.half AS s
+             FROM e CROSS JOIN cent),
+           asg AS (
+             SELECT vec_id AS neighbor_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cell DESC) AS rn
+               FROM sc) WHERE rn = 1),
+           q AS (
+             SELECT vec_id AS query_id, cell FROM (
+               SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cell DESC) AS rn
+               FROM sc WHERE vec_id < 10) WHERE rn <= 4),
+           cand AS (
+             SELECT q.query_id, a.neighbor_id
+             FROM q JOIN asg a ON q.cell = a.cell
+             WHERE a.neighbor_id != q.query_id),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               list_inner_product(qe.v, ce.v) /
+                 (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v))) AS cosine
+             FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                       JOIN e ce ON ce.vec_id = cand.neighbor_id),
+           rk AS (
+             SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM scored)
+           SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
+           FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
+    }.toMap
 }

@@ -96,23 +96,38 @@ object Similarity {
     * Cell assignment is argmax of (c·v − |c|²/2) over the centroid
     * literals — `nlist` fused dot products per row, no UDF.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame,
-      id: String, vec: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-      sampleSize: Int = 4096, iters: Int = 8): DataFrame = {
-    // seeded random sample, NOT limit(): limit takes a deterministic
-    // prefix (first file/partition), which on a corpus sorted by
-    // source/cluster would train centroids on the head slice only.
-    // orderBy(rand)+limit plans as TakeOrdered (per-partition top-N
-    // heap + merge — no full sort, no full shuffle).
+  /** Driver-side IVF training: seeded bounded sample → Lloyd k-means.
+    * Public so callers can freeze the trained centroids (e.g. to inline
+    * them as literals in an external oracle) and pass them back to
+    * [[ivfTopK]] — the centroids are deterministic for a fixed
+    * (data, partitioning, seed).
+    *
+    * Seeded random sample, NOT limit(): limit takes a deterministic
+    * prefix (first file/partition), which on a corpus sorted by
+    * source/cluster would train centroids on the head slice only.
+    * orderBy(rand)+limit plans as TakeOrdered (per-partition top-N
+    * heap + merge — no full sort, no full shuffle). */
+  def trainCentroids(
+      corpus: DataFrame, vec: String,
+      nlist: Int = 16, seed: Long = 42L,
+      sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
     val sample = corpus.select(col(vec))
       .orderBy(rand(seed)).limit(sampleSize).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
-    val centroids = kmeans(sample, nlist, iters, seed)
+    kmeans(sample, nlist, iters, seed)
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      sampleSize: Int = 4096, iters: Int = 8,
+      precomputed: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = precomputed.getOrElse(
+      trainCentroids(corpus, vec, nlist, seed, sampleSize, iters))
 
     def cellScore(c: Array[Double]) = {
       val lit2 = array(c.toSeq.map(lit): _*)
