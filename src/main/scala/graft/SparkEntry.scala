@@ -935,6 +935,45 @@ object SparkEntry {
     stored.unionByName(delivered).orderBy("key")
   }
 
+  /** S5 WAL / crash recovery, oracle-checked: run 1 ingests with a
+    * fault injected after batch 1's store files LAND but before its
+    * checkpoint commit (the torn state a real kill leaves — reference:
+    * fsync-before-ack redo log replayed on startup, sisdb_server.c:
+    * 448-453, workers/sisdb/sisdb.c:603-639). Run 2 restarts from the
+    * same checkpoint: the offset log replays batch 1, the idempotent
+    * `__batch`-partition overwrite heals its torn files instead of
+    * duplicating them, and batch 2 completes. The final store must
+    * equal the single-run answer exactly — a duplicated or lost batch
+    * shifts every count and fails the hash. */
+  private def qWalResume(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_stream_wal/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .filter(col("event_id") % 10 === 0)
+      .withColumn("subject", concat(lit("u"), col("user_id")))
+      .select("subject", "ts", "value")
+    e.repartition(3).write.mode("overwrite").parquet(s"$base/feed")
+    def run(crashAt: Option[Long]) = graft.stream.Ingest.start(
+      s, s"$base/feed", e.schema, s"$base/store", s"$base/ckpt",
+      "subject", "ts", date_format(col("ts"), "yyyy-MM-dd"),
+      new graft.stream.SubRegistry, availableNow = true,
+      maxFilesPerTrigger = Some(1), crashAfterBatch = crashAt)
+    val q1 = run(Some(1L))
+    val crashed =
+      try { q1.awaitTermination(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+    require(crashed, "fault injection did not fire — recovery unproven")
+    // the crash must have left batch 1's files in the store (else the
+    // replay below would prove nothing)
+    require(s.read.parquet(s"$base/store").filter(col("__batch") === 1)
+      .limit(1).count() > 0, "no torn batch-1 files — recovery unproven")
+    run(None).awaitTermination()
+    graft.stream.Ingest.read(s, s"$base/store")
+      .groupBy(col("__day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day")
+  }
+
   /** T6 frwdb factor store (workers/frwdb/frwdb.h:28-83: per-subject
     * factor series written in batches, read back by time range):
     * computed per-(subject, day) factors merged through `factorSet`
@@ -1099,6 +1138,7 @@ object SparkEntry {
     "o1_sorted_read" -> qSortedRead _,
     "s8_dbf_roundtrip" -> qDbfRoundtrip _,
     "t4_stream_finalize" -> qStreamFinalize _,
+    "t7_wal_resume" -> qWalResume _,
     "t6_factor_store" -> qFactorStore _,
     "o4_search_position" -> qSearchPosition _,
     "sk1_salted_agg" -> qSaltedAgg _,
@@ -1898,6 +1938,12 @@ object SparkEntry {
            SELECT 'sub:prefix_u1', count(*), round(sum(value), 2)
            FROM events WHERE ('u' || user_id) LIKE 'u1%' HAVING count(*) > 0)
          ORDER BY key""",
+    // crash + resume must converge to exactly the single-pass answer
+    "t7_wal_resume" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM events WHERE event_id % 10 = 0
+         GROUP BY day ORDER BY day""",
     "t6_factor_store" ->
       """WITH d AS (
            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,

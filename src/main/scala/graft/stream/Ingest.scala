@@ -23,8 +23,23 @@ object Ingest {
 
   /** Start a file-source ingest stream.
     *
+    * Exactly-once store contents under crash: each micro-batch writes
+    * under its own `__batch=<id>` partition with DYNAMIC overwrite, so
+    * when a kill lands between the parquet write and the checkpoint
+    * commit, the restarted stream replays the batch (same offsets from
+    * the offset log — the redo log) and the rewrite REPLACES the torn
+    * files instead of appending duplicates. This is the reference's
+    * WAL replay guarantee (sisdb_server.c:448-453, workers/sisdb/
+    * sisdb.c:603-639: redo applied exactly once on startup); a plain
+    * `append` sink would only be at-least-once. The per-batch dirs are
+    * what compaction (M8, ops/Write.pack) folds back into few files.
+    *
     * @param dayCol  expression deriving the partition day from the
     *                batch (e.g. date_format(ts, 'yyyy-MM-dd'))
+    * @param crashAfterBatch fault injection for recovery testing: throw
+    *                after this batch's store write lands but BEFORE its
+    *                checkpoint commit — the exact torn state a real
+    *                kill leaves behind.
     */
   def start(
       spark: SparkSession,
@@ -37,7 +52,8 @@ object Ingest {
       dayCol: org.apache.spark.sql.Column,
       subs: SubRegistry = new SubRegistry,
       availableNow: Boolean = true,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      crashAfterBatch: Option[Long] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -46,12 +62,18 @@ object Ingest {
       val withDay = batch.withColumn("__day", dayCol)
         .withColumn("__ingest_seq", monotonically_increasing_id())
       val sorted = withDay
+        .withColumn("__batch", lit(batchId))
         .repartition(col("__day"))
         .sortWithinPartitions(col(subjectCol), col(timeCol))
       sorted.persist()
       try {
-        sorted.write.mode("append").partitionBy("__day").parquet(storePath)
-        subs.publish(sorted.drop("__ingest_seq"), subjectCol)
+        sorted.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch", "__day").parquet(storePath)
+        if (crashAfterBatch.contains(batchId))
+          throw new IllegalStateException(
+            s"injected crash after store write of batch $batchId")
+        subs.publish(sorted.drop("__ingest_seq", "__batch"), subjectCol)
       } finally sorted.unpersist()
     }
     val writer = src.writeStream

@@ -151,4 +151,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq.sorted
     assert(subjects == Seq("A", "B"), s"got $subjects")
   }
+
+  test("crash between store write and checkpoint commit: replay heals, no duplicates") {
+    val root = Files.createTempDirectory("graft_stream_wal").toString
+    val src = s"$root/src"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    (1 to 3).foreach { b =>
+      Seq((s"S$b", b.toLong, b.toDouble), (s"T$b", b.toLong, b * 10.0))
+        .toDF("subject", "t", "v").coalesce(1).write.parquet(s"$src/b$b")
+    }
+    // run 1: batch 0 commits; batch 1's files land, then the "kill"
+    val q1 = Ingest.start(spark, s"$src/*", schema, store, ckpt,
+      "subject", "t", lit("d1"), maxFilesPerTrigger = Some(1),
+      crashAfterBatch = Some(1L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // torn state: batch 1 present in the store but not committed
+    assert(spark.read.parquet(store).filter(col("__batch") === 1).count() > 0,
+      "crash did not leave batch-1 files — nothing to heal")
+    // run 2: replay batch 1 (idempotent overwrite), then batch 2
+    val q2 = Ingest.start(spark, s"$src/*", schema, store, ckpt,
+      "subject", "t", lit("d1"), maxFilesPerTrigger = Some(1))
+    q2.awaitTermination(120000)
+    val got = Ingest.read(spark, store).select("subject")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(got == Seq("S1", "S2", "S3", "T1", "T2", "T3"),
+      s"crash+resume diverged from the single-run answer: $got")
+  }
 }
