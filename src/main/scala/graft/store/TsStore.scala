@@ -3,6 +3,7 @@ package graft.store
 import graft.ops.Write
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's memory-first, disk-persistent table store
   * (workers/sisdb: in-memory hot series + per-day SDB files, daily
@@ -11,15 +12,25 @@ import org.apache.spark.sql.functions._
   *  - **cold**: parquet partitioned by a derived day column — pruned
   *    reads are Catalyst `PartitionFilters` (the engine's main scale
   *    lever, disk/readme.md types 4/6)
-  *  - **hot**: the un-flushed tail held as an in-memory DataFrame
-  *    (reference: the resident series, sisdb_fmap.h:57-61)
+  *  - **hot**: the un-flushed tail held as eagerly-materialized
+  *    (persisted) micro-batches (reference: the resident series,
+  *    sisdb_fmap.h:57-61). The tail is BOUNDED: when the staged rows
+  *    exceed `maxHotRows` or the staged batch count exceeds
+  *    `maxHotBatches`, the store flushes itself — the Spark analogue of
+  *    the reference's idle eviction / read-counter decay
+  *    (sisdb_fmap.h:57-61: 36 h unread series are dropped from memory;
+  *    here memory pressure, not wall-clock, is the budget that a
+  *    1000-executor deployment actually cares about). The batch cap
+  *    also bounds the union-plan depth, which would otherwise grow
+  *    linearly in the number of `set` calls.
   *  - **read** = cold ∪ hot with last-write-wins dedupe by
   *    (subject, solely…, time) on the ingest sequence — the union the
   *    reference gets implicitly because memory shadows disk
   *    (SURVEY.md §7.5.5)
-  *  - **save** flushes hot into the day partitions and clears it
-  *    (cmd `save`, sisdb.c:563-584); **pack** rewrites partitions to
-  *    bounded file counts (cmd `pack`, sisdb.c:586-602)
+  *  - **save** flushes hot into ONLY the day partitions the tail
+  *    touches (cmd `save`, sisdb.c:563-584 — the reference likewise
+  *    rewrites dirty day files, not the whole store); **pack** rewrites
+  *    partitions to bounded file counts (cmd `pack`, sisdb.c:586-602)
   *
   * Writes are serialized by the caller exactly like the reference's
   * single dispatcher thread (sisdb_server.c:474-476) — the store keeps
@@ -32,10 +43,22 @@ final class TsStore(
     val time: String,
     val soleCols: Seq[String],
     val dayCol: org.apache.spark.sql.Column,
-    val schema: Option[org.apache.spark.sql.types.StructType] = None) {
+    val schema: Option[org.apache.spark.sql.types.StructType] = None,
+    val maxHotRows: Long = 4L << 20,
+    val maxHotBatches: Int = 64) {
 
-  private var hot: Option[DataFrame] = None
+  private var hotFrames: Vector[DataFrame] = Vector.empty
+  private var hotRows: Long = 0L
   private var seq: Long = 0L
+
+  private def hotUnion: Option[DataFrame] =
+    hotFrames.reduceOption(_ unionByName _)
+
+  private def clearHot(): Unit = {
+    hotFrames.foreach(_.unpersist())
+    hotFrames = Vector.empty
+    hotRows = 0L
+  }
 
   private def coldExists: Boolean =
     new java.io.File(path).exists()
@@ -43,19 +66,29 @@ final class TsStore(
   /** True when no row was ever written (no cold files, no hot tail) —
     * `del`/`drop` on such a store are benign no-ops, matching the
     * reference's no-data handling. */
-  def isEmpty: Boolean = synchronized { hot.isEmpty && !coldExists }
+  def isEmpty: Boolean = synchronized { hotFrames.isEmpty && !coldExists }
+
+  /** Staged-but-unflushed row count — the quantity [[maxHotRows]]
+    * bounds. */
+  def hotSize: Long = synchronized(hotRows)
 
   def cold: Option[DataFrame] =
     if (coldExists) Some(spark.read.parquet(path)) else None
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
-    * at read/save time via the ingest sequence). */
+    * at read/save time via the ingest sequence). The batch is persisted
+    * and counted eagerly — reads must not recompute an arbitrary input
+    * query, and the count feeds the flush threshold. Crossing either
+    * bound triggers an automatic [[save]] (flush-on-threshold). */
   def set(rows: DataFrame): Unit = synchronized {
     seq += 1
     val stamped = rows
       .withColumn("__day", dayCol)
       .withColumn("__seq", lit(seq))
-    hot = Some(hot.fold(stamped)(_ unionByName stamped))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hotRows += stamped.count()
+    hotFrames :+= stamped
+    if (hotRows >= maxHotRows || hotFrames.size >= maxHotBatches) save()
   }
 
   /** The read view: cold ∪ hot, solely-upsert resolved last-seq-wins.
@@ -63,7 +96,7 @@ final class TsStore(
     * the cold side. */
   def read(day: Option[String] = None): DataFrame = synchronized {
     val coldPart = cold.map(c => day.fold(c)(d => c.filter(col("__day") === d)))
-    val hotPart = hot.map(h => day.fold(h)(d => h.filter(col("__day") === d)))
+    val hotPart = hotUnion.map(h => day.fold(h)(d => h.filter(col("__day") === d)))
     (coldPart, hotPart) match {
       case (Some(c), Some(h)) =>
         Write.upsert(c.drop("__seq"), h, subject, soleCols :+ "__day", time, "__seq")
@@ -85,32 +118,57 @@ final class TsStore(
     }
   }
 
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Full-store rewrite through a temp dir + rename (Spark refuses to
+    * overwrite a path its own plan reads). Used by the wholesale
+    * operations; `save` takes the dirty-day incremental path. */
   private def writeCold(df: DataFrame): Unit = {
     val tmp = path.stripSuffix("/") + "__saving"
     df.withColumn("__seq", lit(0L))
       .repartition(col("__day"))
       .sortWithinPartitions(col(subject), col(time))
       .write.mode("overwrite").partitionBy("__day").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
 
-  /** `save`: merge hot into the partitioned cold store, clear hot. */
+  /** `save`: merge hot into the cold store and clear the tail —
+    * incrementally. Only the day partitions the hot tail touches are
+    * re-merged and swapped in (tmp write + per-day dir rename); a day
+    * the tail never wrote is never read or rewritten. This is what
+    * keeps `save` O(dirty days), not O(store) — at 100 TB the store
+    * holds years of days and the tail touches one or two. */
   def save(): Unit = synchronized {
-    hot.foreach { h =>
+    hotUnion.foreach { h =>
+      val dirtyDays = h.select(col("__day").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
       val merged = cold match {
         case Some(c) =>
-          Write.upsert(c.drop("__seq"), h, subject, soleCols :+ "__day",
-            time, "__seq")
+          Write.upsert(
+            c.filter(col("__day").isin(dirtyDays: _*)).drop("__seq"),
+            h, subject, soleCols :+ "__day", time, "__seq")
         case None =>
           Write.upsert(h.limit(0).drop("__seq"), h, subject,
             soleCols :+ "__day", time, "__seq")
       }
-      writeCold(merged)
-      hot = None
+      val tmp = path.stripSuffix("/") + "__saving"
+      merged.withColumn("__seq", lit(0L))
+        .repartition(col("__day"))
+        .sortWithinPartitions(col(subject), col(time))
+        .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+      val f = fs
+      f.mkdirs(new org.apache.hadoop.fs.Path(path))
+      dirtyDays.foreach { d =>
+        val dest = new org.apache.hadoop.fs.Path(s"$path/__day=$d")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/__day=$d")
+        f.delete(dest, true)
+        f.rename(src, dest)
+      }
+      f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      clearHot()
     }
   }
 
@@ -122,7 +180,7 @@ final class TsStore(
     val merged = others.unionByName(
       kept.select(others.columns.map(col): _*))
     writeCold(merged)
-    hot = None
+    clearHot()
   }
 
   /** `pack`: compaction to a bounded file count per partition. */

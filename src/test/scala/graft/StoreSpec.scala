@@ -54,6 +54,52 @@ class StoreSpec extends SparkSpec {
     assert(files == 1, s"pack left $files files")
   }
 
+  test("bounded hot tail: batch cap auto-flushes; reads stay deduped-by-seq") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_evict"
+    // tiny caps so the policy fires within a handful of sets
+    val st = new TsStore(spark, root, subject = "code", time = "t",
+      soleCols = Nil, dayCol = col("day"), maxHotBatches = 3)
+    // interleaved sets re-writing the SAME (code, day, t) key: each
+    // crossing of the batch cap flushes, and last-seq must win across
+    // hot/cold boundaries regardless of where the flush landed
+    (1 to 7).foreach { i =>
+      st.set(Seq(("A", 1L, i * 1.0, "d1"), (s"B$i", i.toLong, i * 10.0, "d1"))
+        .toDF("code", "t", "v", "day"))
+    }
+    // caps: 7 sets with maxHotBatches=3 → at least two auto-saves
+    assert(st.hotSize <= 4, s"hot tail unbounded: ${st.hotSize} rows staged")
+    val a = st.read().filter(col("code") === "A").collect()
+    assert(a.length == 1 && a(0).getAs[Double]("v") == 7.0,
+      s"last-write-wins broken across flush boundary: ${a.toSeq}")
+    assert(st.read().count() == 8) // A + B1..B7
+    // row cap fires too
+    val st2 = new TsStore(spark, root + "2", subject = "code", time = "t",
+      soleCols = Nil, dayCol = col("day"), maxHotRows = 5)
+    st2.set((1 to 6).map(i => (s"K$i", i.toLong, 1.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    assert(st2.hotSize == 0, "row cap did not flush")
+    assert(st2.read().count() == 6)
+  }
+
+  test("incremental save touches only dirty days") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_dirty"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 1L, 2.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    val d2Before = new java.io.File(s"$root/__day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    // second save only stages d1 rows → the d2 partition's files must
+    // be byte-identical (never read, never rewritten)
+    st.set(Seq(("A", 2L, 3.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()
+    val d2After = new java.io.File(s"$root/__day=d2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    assert(d2After == d2Before, "clean day partition was rewritten by save")
+    assert(st.read().count() == 3)
+    assert(st.read(day = Some("d2")).count() == 1)
+  }
+
   test("KV store: ONE last-write-wins, MUL ordered list, keys matching") {
     import graft.store.KvStore
     val kv = Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("b", 1L, "x"),
