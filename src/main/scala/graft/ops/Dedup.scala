@@ -27,8 +27,10 @@ object Dedup {
       .agg(min(col(id)).as(id), count(lit(1)).as("dup_count"))
 
   /** MinHash signatures: `numHashes` permutations approximated by
-    * (a*h + b) mod p over xxhash64 shingle hashes. Returns the input
-    * plus a `minhash` array column.
+    * (a*h + b) mod p over FNV-1a shingle hashes
+    * ([[graft.functions.ShingleHashesExpr.fnv]] — FNV, not xxhash64,
+    * is what keeps the whole signature reproducible in the cross-engine
+    * oracle). Returns the input plus a `minhash` array column.
     *
     * p is the 31-bit Mersenne prime so a*h + b stays well inside a Long
     * (a, b, h < 2^31 → product < 2^62): Spark 4's ANSI mode throws on
@@ -67,6 +69,11 @@ object Dedup {
   def lshCandidates(withSig: DataFrame, id: String, bands: Int,
       sigLen: Int): DataFrame = {
     val rowsPerBand = sigLen / bands
+    // xxhash64 is fine HERE (unlike the signature path above): the
+    // band-bucket key only has to collide equal slices — it never needs
+    // cross-engine reproduction, because the oracle re-derives candidates
+    // from the signatures themselves, not from the bucket ids. Don't
+    // "harmonize" it to FNV and don't use it in an oracle-visible value.
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b),
         concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))))

@@ -24,7 +24,12 @@ object Replay {
     df.orderBy(order: _*)
   }
 
-  /** Driver-side protocol pump (client surface). Returns rows emitted. */
+  /** Driver-side protocol pump — a CLIENT convenience, deliberately
+    * single-threaded (one consumer, one ordered stream, like a client
+    * socket). It is NOT the fan-out server shape: for serving many
+    * subscribers use [[replayDayTo]], where per-subscriber filtering
+    * runs distributed instead of squeezing every row through this one
+    * driver iterator. Returns rows emitted. */
   def replayDay(spark: SparkSession, storePath: String, day: String,
       timeCol: String, seqCol: Option[String] = None)(
       onStart: => Unit = (), onRow: Row => Unit, onStop: => Unit = ()): Long = {
@@ -34,5 +39,39 @@ object Replay {
     while (it.hasNext) { onRow(it.next()); n += 1 }
     onStop
     n
+  }
+
+  /** Server-shape fan-out replay (workers/snodb/snodb_reader.c:676-905:
+    * dedicated per-subscriber reader threads re-filter the stored day
+    * and re-deliver at their own pace): the day is replayed as
+    * `slices` consecutive time-slices, each published through the
+    * registry as a DISTRIBUTED frame. Per-subscriber filtering is a
+    * Spark filter over the slice (the reference's re-filter step), so
+    * subscriber count never multiplies driver egress; the slice is the
+    * pacing unit (the reference paces by send-queue backpressure).
+    * Slices partition [min, max] of the day's time column, so
+    * every row is delivered exactly once, in slice order.
+    * Returns rows replayed. */
+  def replayDayTo(spark: SparkSession, storePath: String, day: String,
+      timeCol: String, subjectCol: String, subs: SubRegistry,
+      slices: Int = 24, seqCol: Option[String] = None): Long = {
+    require(slices > 0, "slices must be positive")
+    val df = spark.read.parquet(storePath).filter(col("__day") === day)
+    val stats = df.agg(min(col(timeCol)).cast("long"),
+      max(col(timeCol)).cast("long"), count(lit(1))).collect()(0)
+    if (stats.isNullAt(0) || stats.getLong(2) == 0L) return 0L
+    val (lo, hi, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val width = math.max(1L, (hi - lo) / slices + 1)
+    (0 until slices).foreach { i =>
+      val (slo, shi) = (lo + i * width, lo + (i + 1) * width - 1)
+      if (slo <= hi) {
+        val order = col(timeCol).asc +: seqCol.map(col(_).asc).toSeq
+        val slice = df
+          .filter(col(timeCol).cast("long").between(slo, shi))
+          .orderBy(order: _*)
+        subs.publish(slice, subjectCol)
+      }
+    }
+    total
   }
 }

@@ -82,6 +82,20 @@ class StreamingSpec extends SparkSpec {
       onRow = r => replayed += r.getAs[Long]("t"), onStart = (), onStop = ())
     assert(n == 5)
     assert(replayed.toSeq == replayed.toSeq.sorted, s"out of order: $replayed")
+    // server-shape fan-out: per-subscriber refilter runs in Spark, rows
+    // arrive sliced in time order, each exactly once
+    val sh = scala.collection.mutable.ArrayBuffer[Long]()
+    val everything = new java.util.concurrent.atomic.AtomicLong(0)
+    val replaySubs = new SubRegistry
+    replaySubs.subscribe("sh6", Seq("SH6*"))(df =>
+      sh ++= df.select("t").collect().map(_.getLong(0)))
+    replaySubs.subscribe("all", Seq("*"))(df => everything.addAndGet(df.count()))
+    val total = Replay.replayDayTo(spark, store, "2024-01-01", "t",
+      "subject", replaySubs, slices = 3, seqCol = Some("__ingest_seq"))
+    assert(total == 5)
+    assert(everything.get() == 5, s"wildcard subscriber saw ${everything.get()}")
+    assert(sh.toSeq == sh.toSeq.sorted && sh.size == 3,
+      s"prefix subscriber misdelivered: $sh")
   }
 
   test("windowed streaming agg with watermark: closed windows equal batch") {
