@@ -898,7 +898,15 @@ object SparkEntry {
     * finalized day-partitioned store while the in-process registry fans
     * each micro-batch out to exact / prefix / wildcard subscribers.
     * Output rows: per-day store aggregates (`day:*`) + per-subscriber
-    * delivered totals (`sub:*`) — both recomputable by the oracle. */
+    * delivered rows (`sub:*`) — both recomputable by the oracle.
+    *
+    * The `sub:*` COUNTS come from the live callbacks (summing per-batch
+    * integer counts is exact, so they really prove per-batch delivery);
+    * the `sub:*` TOTALS are recomputed single-pass over the finalized
+    * store with each subscriber's own predicate. Summing per-micro-batch
+    * double partials would add in a different order than the oracle's
+    * one-pass sum, and a total landing exactly on a .005 boundary after
+    * round(,2) could flake — likelihood grows with batch count. */
   private def qStreamFinalize(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_stream_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
@@ -908,11 +916,15 @@ object SparkEntry {
     e.write.mode("overwrite").parquet(s"$base/feed")
     val subs = new graft.stream.SubRegistry
     val partials =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     def collector(id: String): DataFrame => Unit = { df =>
-      val r = df.agg(count(lit(1)), sum("value")).collect()(0)
-      if (r.getLong(0) > 0) partials.add((id, r.getLong(0), r.getDouble(1)))
+      val n = df.count()
+      if (n > 0) partials.add((id, n))
     }
+    val subConds = Seq[(String, Column)](
+      "sub:exact_u3" -> (col("subject") === "u3"),
+      "sub:prefix_u1" -> col("subject").startsWith("u1"),
+      "sub:all" -> lit(true))
     subs.subscribe("sub:exact_u3", Seq("u3"))(collector("sub:exact_u3"))
     subs.subscribe("sub:prefix_u1", Seq("u1*"))(collector("sub:prefix_u1"))
     subs.subscribe("sub:all", Seq("*"))(collector("sub:all"))
@@ -920,18 +932,28 @@ object SparkEntry {
       s"$base/store", s"$base/ckpt", "subject", "ts",
       date_format(col("ts"), "yyyy-MM-dd"), subs)
     q.awaitTermination()
-    val stored = graft.stream.Ingest.read(s, s"$base/store")
+    val store = graft.stream.Ingest.read(s, s"$base/store")
+    val stored = store
       .groupBy(concat(lit("day:"), col("__day")).as("key"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    // one aggregate pass over the store for every subscriber's total
+    val totalsRow = store.agg(
+      round(sum(when(subConds(0)._2, col("value"))), 2),
+      round(sum(when(subConds(1)._2, col("value"))), 2),
+      round(sum(when(subConds(2)._2, col("value"))), 2)).collect()(0)
+    val totals = subConds.map(_._1).zipWithIndex.map { case (k, i) =>
+      k -> (if (totalsRow.isNullAt(i)) 0.0 else totalsRow.getDouble(i))
+    }.toMap
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-    val rows = partials.toArray(Array.empty[(String, Long, Double)])
-      .toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3))
+    val counts = partials.toArray(Array.empty[(String, Long)])
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = counts.toSeq.map { case (k, n) =>
+      org.apache.spark.sql.Row(k, n, totals(k))
+    }
     val delivered = s.createDataFrame(
-        s.sparkContext.parallelize(rows, 1),
-        StructType(Seq(StructField("key", StringType),
-          StructField("__n", LongType), StructField("__v", DoubleType))))
-      .groupBy("key")
-      .agg(sum("__n").as("n"), round(sum("__v"), 2).as("total"))
+      s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("key", StringType),
+        StructField("n", LongType), StructField("total", DoubleType))))
     stored.unionByName(delivered).orderBy("key")
   }
 

@@ -15,6 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    // The FNV-based oracles (tx4, d3, d2, d6, mm2) fold code points via
+    // ascii(s[i]) in DuckDB while the Spark kernels fold UTF-8 BYTES;
+    // the two agree only for pure-ASCII text. Assert that precondition
+    // loudly here instead of letting a non-ASCII document silently
+    // desync every hash oracle.
+    locally {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      val nonAscii = Tables(spark, sfDir, "documents")
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      require(nonAscii == 0,
+        s"$nonAscii documents contain non-ASCII text — the FNV hash " +
+          "oracles (byte-fold vs ascii()-fold) are invalid on this data")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -102,8 +102,20 @@ object Dbf {
     * 16-bit record size), so per-partition in-memory assembly is the
     * natural sink shape — one vendor-day file per partition. */
   def serialize(fields: Seq[DbfField], rows: Iterator[Row]): Array[Byte] = {
+    // format hard limits up front — the header encodes these as int16 /
+    // uint8, so larger values would WRAP silently, not fail
+    fields.foreach { f =>
+      require(f.len > 0 && f.len <= 255,
+        s"DBF field ${f.name}: len ${f.len} outside the format's 8-bit limit")
+      require(f.dec >= 0 && f.dec <= 255,
+        s"DBF field ${f.name}: dec ${f.dec} outside the format's 8-bit limit")
+    }
     val recordSize = 1 + fields.map(_.len).sum
+    require(recordSize <= 32767,
+      s"DBF record size $recordSize exceeds the format's 16-bit limit")
     val headerSize = 32 + fields.size * 32 + 1
+    require(headerSize <= 32767,
+      s"DBF header size $headerSize (too many fields) exceeds 16 bits")
     val recs = rows.map { r =>
       val sb = new java.lang.StringBuilder(recordSize)
       sb.append(' ')
@@ -116,6 +128,12 @@ object Dbf {
                 java.lang.Double.valueOf(r.get(i).toString.toDouble))
             case _ => r.get(i).toString
           }
+        // an over-wide NUMERIC must fail, not keep its leftmost digits
+        // (silent magnitude corruption); over-wide text truncates like
+        // every dBase writer does
+        if (s.length > f.len && f.ftype != 'C')
+          throw new IllegalArgumentException(
+            s"DBF field ${f.name}: value '$s' wider than ${f.len} chars")
         val cut = if (s.length > f.len) s.substring(0, f.len) else s
         if (f.ftype == 'C') { // left-justified text
           sb.append(cut)
@@ -160,10 +178,22 @@ object Dbf {
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (rows.hasNext) {
         val bytes = serialize(fields, rows)
-        val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.dbf")
-        val fs = path.getFileSystem(confSer.value)
-        val out = fs.create(path, true)
+        val fin = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.dbf")
+        // task-attempt temp + rename-on-success: a speculative sibling
+        // or a task killed mid-write can never leave a truncated final
+        // file — whoever renames last wins with a complete file
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(
+          dir, f".part-$pid%05d-attempt-$attempt.dbf.tmp")
+        val fs = fin.getFileSystem(confSer.value)
+        val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
+        fs.delete(fin, false)
+        if (!fs.rename(tmp, fin)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"could not commit $fin")
+        }
       }
       Iterator.empty[Int]
     }.count(): Unit

@@ -97,4 +97,22 @@ class BinaryDbfSpec extends SparkSpec {
       && rows(0).getLong(2) == 1000L)
     assert(rows(1).getString(0) == "SZ0001" && rows(1).getDouble(1) == 67.89)
   }
+
+  test("DBF writer rejects silent corruption: over-wide numerics and format limits") {
+    import org.apache.spark.sql.Row
+    // numeric wider than the field must throw, not keep leftmost digits
+    val wide = intercept[IllegalArgumentException] {
+      Dbf.serialize(Seq(Dbf.DbfField("V", 'N', 4, 0)),
+        Iterator(Row(123456L)))
+    }
+    assert(wide.getMessage.contains("wider than"))
+    // text still truncates (dBase convention)
+    val ok = Dbf.serialize(Seq(Dbf.DbfField("S", 'C', 3, 0)),
+      Iterator(Row("abcdef")))
+    assert(new String(ok, ok.length - 4, 3, "ASCII") == "abc")
+    // 8-bit field length limit enforced up front
+    intercept[IllegalArgumentException] {
+      Dbf.serialize(Seq(Dbf.DbfField("V", 'C', 300, 0)), Iterator.empty)
+    }
+  }
 }
