@@ -762,6 +762,36 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** U1 SQL front door: the SAME engine-ingested store as e1, but
+    * queried through plain `spark.sql` against the catalog-registered
+    * table (`graft.ev`) — no Scala API in the read path. The day
+    * predicate must prune partitions in the SQL plan (`require`d, like
+    * o4), proving SQL clients get the engine's scale lever, not just
+    * its data. */
+  private def qSqlTable(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_sql_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("user_id"), to_json(struct(col("ts").as("t"),
+        col("event_type").as("etype"), col("value").as("value"))).as("j"))
+      .groupBy("user_id")
+      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
+      .collect()
+    perUser.foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    val name = eng.exposeSql("ev")
+    val q = s.sql(
+      s"""SELECT subject, count(*) AS n, round(sum(value), 2) AS total
+         FROM $name
+         WHERE __day BETWEEN '2024-01-08' AND '2024-01-20'
+         GROUP BY subject ORDER BY subject""")
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters: [") && plan.contains("__day"),
+      s"SQL day predicate did not prune partitions:\n$plan")
+    q
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -1100,6 +1130,7 @@ object SparkEntry {
     "sc1_schema_zint" -> qSchemaZint _,
     "cv1_convert" -> qConvert _,
     "e1_engine_roundtrip" -> qEngineRoundtrip _,
+    "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
     "p2_last_per_key" -> qLastPerKey _,
     "p2a_range_eq" -> qRangeEq _,
@@ -1216,6 +1247,13 @@ object SparkEntry {
          FROM events
          WHERE user_id < 10
            AND epoch_ms(ts) BETWEEN 1704672000000 AND 1705795199999
+         GROUP BY 1 ORDER BY subject""",
+    "u1_sql_table" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10
+           AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-20'
          GROUP BY 1 ORDER BY subject""",
     "p2a_range_eq" ->
       """SELECT user_id, event_id, strftime(ts, '%Y%m%d')::BIGINT AS day

@@ -183,6 +183,24 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   def save(table: String): Unit = storeOf(table).save()
   def pack(table: String, files: Int = 4): Unit = storeOf(table).pack(files)
 
+  /** U1 SQL front door: flush a table's hot tail and register its
+    * partitioned store in the session catalog as external parquet
+    * `<db>.<table>`, so plain `spark.sql` clients query the engine
+    * without the Scala API — Spark's catalog is the analogue of the
+    * reference's command front door (workers/sisdb/sisdb.c:14-42).
+    * `__day` stays a partition column, so SQL day predicates prune
+    * exactly like the Scala read path. Returns the qualified name. */
+  def exposeSql(table: String, db: String = "graft"): String = {
+    val st = storeOf(table)
+    st.save()
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    spark.catalog.createTable(s"$db.$table", "parquet",
+      Map("path" -> st.path))
+    spark.catalog.recoverPartitions(s"$db.$table")
+    s"$db.$table"
+  }
+
   /** `sub pattern` (T1): live fan-out of future `set`s. */
   def sub(id: String, patterns: Seq[String])(cb: DataFrame => Unit): Unit =
     subs.subscribe(id, patterns)(cb)
