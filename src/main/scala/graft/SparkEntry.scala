@@ -531,6 +531,41 @@ object SparkEntry {
         col("n"), col("total"))
       .orderBy("win_ms", "event_type")
 
+  /** A1's streaming face, oracle-checked: a REAL
+    * flatMapGroupsWithState run (state = the open bar per subject in
+    * the streaming state store) over the event feed; the output is
+    * every bar finalized by a boundary-cross — i.e. all bars except
+    * each subject's still-open last one, which is exactly what the
+    * oracle excludes. Deterministic because open/close are ordered by
+    * the unique (t, event_id) key, not arrival order. */
+  private def qLiveBars(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_livebars/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events").select(
+      concat(lit("u"), col("user_id")).as("subject"),
+      evKey.as("k"), unix_millis(col("ts")).as("t"), col("value").as("v"))
+    e.write.mode("overwrite").parquet(s"$base/feed")
+    val src = s.readStream.schema(e.schema).parquet(s"$base/feed")
+    // foreachBatch, not the memory sink: it supports checkpoint
+    // recovery, and the collected rows are bounded (subjects × bars)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[graft.stream.LiveRollup.Bar]()
+    val q = graft.stream.LiveRollup.finalizedBars(src, 6L * 3600 * 1000)
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.stream.LiveRollup.Bar], _: Long) =>
+        ds.collect().foreach(buf.add)
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.createDataset(buf.toArray(Array.empty[graft.stream.LiveRollup.Bar]).toSeq)(
+        org.apache.spark.sql.Encoders.product[graft.stream.LiveRollup.Bar])
+      .select(col("subject"), col("bar_start"), col("open"), col("high"),
+        col("low"), col("close"), col("n"))
+      .orderBy("subject", "bar_start")
+  }
+
   // ───────── range sentinels (the reference's `get` bread & butter) ──
 
   private def withDay(e: DataFrame): DataFrame =
@@ -1182,6 +1217,7 @@ object SparkEntry {
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _,
+    "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
     "a3_block_stats" -> qBlockStats _,
@@ -1639,6 +1675,24 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_ms, event_type,
          count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""",
+    // live stateful rollup: every 6h bar EXCEPT each subject's last
+    // (still-open) one; open/close ordered by the unique (t, event_id)
+    // key, so both engines pick identical rows
+    "st2_live_bars" ->
+      s"""WITH e AS (
+           SELECT 'u' || user_id AS subject, $evKeySql AS k,
+             epoch_ms(ts) AS t, value AS v
+           FROM events),
+         b AS (
+           SELECT subject, (t // 21600000) * 21600000 AS bar_start,
+             arg_min(v, k) AS open, max(v) AS high, min(v) AS low,
+             arg_max(v, k) AS close, count(*) AS n
+           FROM e GROUP BY 1, 2),
+         lastb AS (SELECT subject, max(bar_start) AS mb FROM b GROUP BY 1)
+         SELECT b.subject AS subject, b.bar_start, b.open, b.high, b.low,
+           b.close, b.n
+         FROM b JOIN lastb ON b.subject = lastb.subject AND b.bar_start < lastb.mb
+         ORDER BY b.subject, b.bar_start""",
     // FNV-1a 64 is reproducible in plain SQL (unlike murmur/xxhash):
     // fold code points (== UTF-8 bytes for the ASCII corpus) through
     // h = (h xor b) * prime mod 2^64 in HUGEINT, then map to signed.

@@ -126,12 +126,14 @@ object Dbf {
             case 'N' | 'F' if f.dec > 0 =>
               String.format(java.util.Locale.ROOT, s"%.${f.dec}f",
                 java.lang.Double.valueOf(r.get(i).toString.toDouble))
+            case 'L' => // dBase logical is a single T/F byte
+              if (r.get(i).toString.toBoolean) "T" else "F"
             case _ => r.get(i).toString
           }
         // an over-wide NUMERIC must fail, not keep its leftmost digits
         // (silent magnitude corruption); over-wide text truncates like
         // every dBase writer does
-        if (s.length > f.len && f.ftype != 'C')
+        if (s.length > f.len && (f.ftype == 'N' || f.ftype == 'F'))
           throw new IllegalArgumentException(
             s"DBF field ${f.name}: value '$s' wider than ${f.len} chars")
         val cut = if (s.length > f.len) s.substring(0, f.len) else s

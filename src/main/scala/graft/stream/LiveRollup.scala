@@ -1,0 +1,88 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live incremental time-scale rollup — the streaming face of A1.
+  *
+  * The reference keeps ONE open bar per subject in memory, folds every
+  * arriving tick into it, and finalizes the bar when a tick crosses the
+  * bar boundary (workers/sisdb rollup path; the in-memory current-bar
+  * state the `save` lifecycle flushes). The Spark-native shape for
+  * exactly that state machine is `flatMapGroupsWithState`: key =
+  * subject, state = the open bar, output = finalized bars only
+  * (Append mode). State lives in the streaming state store, so it
+  * survives micro-batch boundaries AND restarts from the checkpoint —
+  * a bar whose ticks span batches or runs still comes out as one bar.
+  *
+  * Ordering: ticks are sorted by the caller-supplied unique key `k`
+  * within each micro-batch (the iterator itself is unordered). Across
+  * batches the feed is assumed ordered, exactly like the reference
+  * (sis_db.h:71-76 — the feed contract); a cross-batch straggler for
+  * an already-open bar folds into that bar (open/close keep their
+  * k-order semantics), and one for an already-FINALIZED bar folds into
+  * the open bar's counts only via high/low/n — it can no longer reopen
+  * the emitted bar. The watermark-windowed aggregation (st1) is the
+  * unordered-tolerant alternative surface.
+  */
+object LiveRollup {
+
+  final case class Tick(subject: String, k: Long, t: Long, v: Double)
+  final case class OpenBar(barStart: Long, openK: Long, open: Double,
+      high: Double, low: Double, closeK: Long, close: Double, n: Long)
+  final case class Bar(subject: String, bar_start: Long, open: Double,
+      high: Double, low: Double, close: Double, n: Long)
+
+  /** One group's fold: sort the batch's ticks by k, roll them into the
+    * open bar, emit every bar a boundary-cross finalizes. */
+  private[stream] def fold(barMs: Long)(subject: String,
+      rows: Iterator[Tick], state: GroupState[OpenBar]): Iterator[Bar] = {
+    val sorted = rows.toIndexedSeq.sortBy(_.k)
+    var st = state.getOption
+    val out = scala.collection.mutable.ArrayBuffer.empty[Bar]
+    sorted.foreach { tk =>
+      val bs = tk.t - java.lang.Math.floorMod(tk.t, barMs)
+      st match {
+        case None =>
+          st = Some(OpenBar(bs, tk.k, tk.v, tk.v, tk.v, tk.k, tk.v, 1L))
+        case Some(s) if bs > s.barStart =>
+          out += Bar(subject, s.barStart, s.open, s.high, s.low, s.close, s.n)
+          st = Some(OpenBar(bs, tk.k, tk.v, tk.v, tk.v, tk.k, tk.v, 1L))
+        case Some(s) if bs == s.barStart =>
+          st = Some(OpenBar(s.barStart,
+            if (tk.k < s.openK) tk.k else s.openK,
+            if (tk.k < s.openK) tk.v else s.open,
+            math.max(s.high, tk.v), math.min(s.low, tk.v),
+            if (tk.k >= s.closeK) tk.k else s.closeK,
+            if (tk.k >= s.closeK) tk.v else s.close,
+            s.n + 1))
+        case Some(s) =>
+          // cross-batch straggler for an already-finalized bar: it can't
+          // reopen the emitted bar — fold into the open bar's extremes
+          // and count only (open/close keep their k-order meaning)
+          st = Some(s.copy(high = math.max(s.high, tk.v),
+            low = math.min(s.low, tk.v), n = s.n + 1))
+      }
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
+
+  /** Finalized-bar view over a (streaming or batch) frame with columns
+    * (subject, k, t, v): k a unique ordering key, t epoch millis.
+    * In batch mode the same code runs with no prior state — the batch
+    * shadow for tests/oracles. The still-open last bar per subject is
+    * never emitted (it finalizes when a later bar's tick arrives). */
+  def finalizedBars(events: DataFrame, barMs: Long): Dataset[Bar] = {
+    implicit val tickEnc: Encoder[Tick] = Encoders.product[Tick]
+    implicit val stateEnc: Encoder[OpenBar] = Encoders.product[OpenBar]
+    implicit val barEnc: Encoder[Bar] = Encoders.product[Bar]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    events.selectExpr("subject", "cast(k as long) k", "cast(t as long) t",
+        "cast(v as double) v")
+      .as[Tick]
+      .groupByKey(_.subject)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        fold(barMs))
+  }
+}

@@ -166,6 +166,41 @@ class StreamingSpec extends SparkSpec {
     assert(subjects == Seq("A", "B"), s"got $subjects")
   }
 
+  test("live rollup: open-bar state survives across runs from the checkpoint") {
+    import graft.stream.LiveRollup
+    val root = Files.createTempDirectory("graft_livebar").toString
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def feed() = spark.readStream
+      .schema(StructType(Seq(StructField("subject", StringType),
+        StructField("k", LongType), StructField("t", LongType),
+        StructField("v", DoubleType))))
+      .parquet(s"$src/*")
+    def run(name: String): Seq[LiveRollup.Bar] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[LiveRollup.Bar]()
+      val q = LiveRollup.finalizedBars(feed(), barMs = 1000L)
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[LiveRollup.Bar], _: Long) =>
+          ds.collect().foreach(buf.add)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      buf.toArray(Array.empty[LiveRollup.Bar]).toSeq.sortBy(_.bar_start)
+    }
+    // run 1: bar0 complete (two ticks), bar1 opened by its first tick
+    Seq(("A", 100L, 100L, 1.0), ("A", 900L, 900L, 5.0), ("A", 1100L, 1100L, 3.0))
+      .toDF("subject", "k", "t", "v").coalesce(1).write.parquet(s"$src/b1")
+    assert(run("lr1") == Seq(LiveRollup.Bar("A", 0L, 1.0, 5.0, 1.0, 5.0, 2L)))
+    // run 2, same checkpoint: bar1's CLOSE comes from run 1's state —
+    // a second tick extends it, then bar2's tick finalizes it
+    Seq(("A", 1900L, 1900L, 7.0), ("A", 2100L, 2100L, 4.0))
+      .toDF("subject", "k", "t", "v").coalesce(1).write.parquet(s"$src/b2")
+    assert(run("lr2") == Seq(LiveRollup.Bar("A", 1000L, 3.0, 7.0, 3.0, 7.0, 2L)),
+      "open-bar state did not carry across the restart")
+  }
+
   test("crash between store write and checkpoint commit: replay heals, no duplicates") {
     val root = Files.createTempDirectory("graft_stream_wal").toString
     val src = s"$root/src"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
