@@ -777,8 +777,10 @@ object SparkEntry {
     * parse, per-table store) → ranged `get` back — the exact command
     * flow a reference client drives, answered against the oracle
     * reading the source directly. */
-  private def qEngineRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = s"/tmp/graft_engine_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Shared e1/u1 ingest: 10 users' events pushed through the client
+    * `set` surface (schema-typed JSON arrays) into a fresh engine. */
+  private def engineWithEvents(s: SparkSession, dir: String,
+      root: String): graft.api.Engine = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val eng = new graft.api.Engine(s, root)
     eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
@@ -789,6 +791,12 @@ object SparkEntry {
       .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
       .collect() // client-side ingest surface: 10 subjects' JSON payloads
     perUser.foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    eng
+  }
+
+  private def qEngineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_engine_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     val lo = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli
     val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
     eng.get("*.ev", s"""{range:{start:$lo,stop:$hi}}""")
@@ -804,17 +812,8 @@ object SparkEntry {
     * o4), proving SQL clients get the engine's scale lever, not just
     * its data. */
   private def qSqlTable(s: SparkSession, dir: String): DataFrame = {
-    val root = s"/tmp/graft_sql_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val eng = new graft.api.Engine(s, root)
-    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
-    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
-      .select(col("user_id"), to_json(struct(col("ts").as("t"),
-        col("event_type").as("etype"), col("value").as("value"))).as("j"))
-      .groupBy("user_id")
-      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
-      .collect()
-    perUser.foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_sql_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     val name = eng.exposeSql("ev")
     val q = s.sql(
       s"""SELECT subject, count(*) AS n, round(sum(value), 2) AS total
@@ -822,7 +821,11 @@ object SparkEntry {
          WHERE __day BETWEEN '2024-01-08' AND '2024-01-20'
          GROUP BY subject ORDER BY subject""")
     val plan = q.queryExecution.executedPlan.toString
-    require(plan.contains("PartitionFilters: [") && plan.contains("__day"),
+    // non-EMPTY PartitionFilters naming __day — "PartitionFilters: []"
+    // with a post-scan filter must fail (same extraction as o4)
+    val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim
+    require(plan.contains("PartitionFilters: [") && !pf.isEmpty &&
+      pf.contains("__day"),
       s"SQL day predicate did not prune partitions:\n$plan")
     q
   }

@@ -70,7 +70,10 @@ object Dbf {
               else if (f.dec > 0) java.lang.Double.valueOf(raw)
               else java.lang.Long.valueOf(raw)
             case 'D' => if (raw.isEmpty) null else Integer.valueOf(raw)
-            case 'L' => raw.equalsIgnoreCase("T") || raw.equalsIgnoreCase("Y")
+            case 'L' => // blank/'?' is dBase's uninitialized logical → null
+              if (raw.isEmpty || raw == "?") null
+              else java.lang.Boolean.valueOf(
+                raw.equalsIgnoreCase("T") || raw.equalsIgnoreCase("Y"))
             case _ => raw
           }
         }
@@ -121,7 +124,7 @@ object Dbf {
       sb.append(' ')
       fields.zipWithIndex.foreach { case (f, i) =>
         val s =
-          if (r.isNullAt(i)) ""
+          if (r.isNullAt(i)) (if (f.ftype == 'L') "?" else "")
           else f.ftype match {
             case 'N' | 'F' if f.dec > 0 =>
               String.format(java.util.Locale.ROOT, s"%.${f.dec}f",

@@ -161,11 +161,19 @@ final class TsStore(
         .write.mode("overwrite").partitionBy("__day").parquet(tmp)
       val f = fs
       f.mkdirs(new org.apache.hadoop.fs.Path(path))
-      dirtyDays.foreach { d =>
-        val dest = new org.apache.hadoop.fs.Path(s"$path/__day=$d")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/__day=$d")
+      // swap in the day dirs the write ACTUALLY produced (their names
+      // carry parquet's partition-value escaping — never hand-build
+      // them from the raw day strings), and fail loudly on a rename
+      // that didn't happen rather than dropping the merged output
+      val dayDirs = f.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+      require(dayDirs.length == dirtyDays.length,
+        s"save produced ${dayDirs.length} day dirs for ${dirtyDays.length} dirty days")
+      dayDirs.foreach { s =>
+        val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
         f.delete(dest, true)
-        f.rename(src, dest)
+        if (!f.rename(s.getPath, dest))
+          throw new java.io.IOException(s"could not commit day partition $dest")
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()

@@ -32,7 +32,9 @@ object Ingest {
     * WAL replay guarantee (sisdb_server.c:448-453, workers/sisdb/
     * sisdb.c:603-639: redo applied exactly once on startup); a plain
     * `append` sink would only be at-least-once. The per-batch dirs are
-    * what compaction (M8, ops/Write.pack) folds back into few files.
+    * what [[compact]] folds back into few files (NOT ops/Write.pack —
+    * that would flatten the layout to `__day=*` and conflict with the
+    * next batch's two-level write).
     *
     * @param dayCol  expression deriving the partition day from the
     *                batch (e.g. date_format(ts, 'yyyy-MM-dd'))
@@ -90,5 +92,32 @@ object Ingest {
       day: Option[String] = None): DataFrame = {
     val df = spark.read.parquet(storePath)
     day.fold(df)(d => df.filter(col("__day") === d))
+  }
+
+  /** Compaction for the ingest store (the reference's weekly `pack`,
+    * sisdb.c:586-602): folds the accumulated `__batch=*` dirs into a
+    * single `__batch=0` generation with `targetFiles` files per day,
+    * PRESERVING the two-level layout so subsequent micro-batches (and
+    * crash replays of still-uncommitted batches) keep composing.
+    * Like the reference's pack, run this in a maintenance window with
+    * ingest quiesced — compacting rows of a batch the checkpoint has
+    * not committed would let its replay re-add them. */
+  def compact(spark: SparkSession, storePath: String,
+      subjectCol: String, timeCol: String,
+      targetFiles: Int = 4): Unit = {
+    val tmp = storePath.stripSuffix("/") + "__packing"
+    spark.read.parquet(storePath)
+      .withColumn("__batch", lit(0L))
+      .repartition(targetFiles, col("__day"))
+      // keep the per-file (subject, time) order the batch writes
+      // established — O1's sorted-series property survives compaction
+      .sortWithinPartitions(col("__day"), col(subjectCol), col(timeCol))
+      .write.mode("overwrite").partitionBy("__batch", "__day").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    fs.delete(p, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(s"could not commit compaction at $p")
   }
 }

@@ -19,11 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within each micro-batch (the iterator itself is unordered). Across
   * batches the feed is assumed ordered, exactly like the reference
   * (sis_db.h:71-76 — the feed contract); a cross-batch straggler for
-  * an already-open bar folds into that bar (open/close keep their
-  * k-order semantics), and one for an already-FINALIZED bar folds into
-  * the open bar's counts only via high/low/n — it can no longer reopen
-  * the emitted bar. The watermark-windowed aggregation (st1) is the
-  * unordered-tolerant alternative surface.
+  * the still-open bar folds into it (open/close keep their k-order
+  * semantics), while one for an already-FINALIZED bar is dropped — it
+  * can neither reopen the emitted bar nor be allowed to corrupt the
+  * open bar's extremes with out-of-window values. The
+  * watermark-windowed aggregation (st1) is the unordered-tolerant
+  * alternative surface.
   */
 object LiveRollup {
 
@@ -56,12 +57,13 @@ object LiveRollup {
             if (tk.k >= s.closeK) tk.k else s.closeK,
             if (tk.k >= s.closeK) tk.v else s.close,
             s.n + 1))
-        case Some(s) =>
+        case Some(_) =>
           // cross-batch straggler for an already-finalized bar: it can't
-          // reopen the emitted bar — fold into the open bar's extremes
-          // and count only (open/close keep their k-order meaning)
-          st = Some(s.copy(high = math.max(s.high, tk.v),
-            low = math.min(s.low, tk.v), n = s.n + 1))
+          // reopen the emitted bar, and folding its value into the OPEN
+          // bar would report extremes from outside that bar's window —
+          // drop it, keeping every emitted bar faithful to its window
+          // (the feed contract is ordered anyway, sis_db.h:71-76)
+          ()
       }
     }
     st.foreach(state.update)

@@ -56,7 +56,11 @@ object Replay {
       timeCol: String, subjectCol: String, subs: SubRegistry,
       slices: Int = 24, seqCol: Option[String] = None): Long = {
     require(slices > 0, "slices must be positive")
-    val df = spark.read.parquet(storePath).filter(col("__day") === day)
+    // a row without a time index is not replayable as a series (the
+    // reference's main index is mandatory) — exclude it from delivery
+    // AND from the returned count, so the exactly-once accounting holds
+    val df = spark.read.parquet(storePath)
+      .filter(col("__day") === day && col(timeCol).isNotNull)
     val stats = df.agg(min(col(timeCol)).cast("long"),
       max(col(timeCol)).cast("long"), count(lit(1))).collect()(0)
     if (stats.isNullAt(0) || stats.getLong(2) == 0L) return 0L

@@ -114,5 +114,11 @@ class BinaryDbfSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dbf.serialize(Seq(Dbf.DbfField("V", 'C', 300, 0)), Iterator.empty)
     }
+    // logical null round-trips as '?' (dBase uninitialized), not false
+    val lf = Seq(Dbf.DbfField("B", 'L', 1, 0))
+    val bytes = Dbf.serialize(lf, Iterator(Row(null), Row(true), Row(false)))
+    val h = Dbf.parseHeader(bytes)
+    val got = Dbf.parseRecords(bytes, h).map(_.get(0)).toSeq
+    assert(got == Seq(null, true, false), s"L round-trip gave $got")
   }
 }

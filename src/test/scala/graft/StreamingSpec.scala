@@ -39,6 +39,21 @@ class StreamingSpec extends SparkSpec {
     assert(batches.get() == 3, s"expected 3 micro-batches, saw ${batches.get()}")
     assert(rows.get() == 6)
     assert(Ingest.read(spark, store).count() == 6)
+    // compaction folds the 3 __batch generations into one, preserving
+    // the two-level layout so further ingest still composes
+    Ingest.compact(spark, store, "subject", "t", targetFiles = 1)
+    assert(Ingest.read(spark, store).count() == 6)
+    assert(new java.io.File(store).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("__batch=")) == 1,
+      "compaction left multiple batch generations")
+    Seq(("SH600609", 9000L, 9.0)).toDF("subject", "t", "v")
+      .coalesce(1).write.parquet(s"$src/b9")
+    val q2 = Ingest.start(spark, s"$src/*", schema, store, ckpt,
+      subjectCol = "subject", timeCol = "t",
+      dayCol = lit("2024-01-02"), subs = subs)
+    q2.awaitTermination(120000)
+    assert(Ingest.read(spark, store).count() == 7,
+      "post-compaction ingest broke the store layout")
   }
 
   test("ingest → store → pub/sub → replay, end to end") {
