@@ -24,9 +24,13 @@ object Verify {
       import org.apache.spark.sql.functions.{col, length, octet_length}
       val nonAscii = Tables(spark, sfDir, "documents")
         .filter(octet_length(col("text")) =!= length(col("text"))).count()
-      require(nonAscii == 0,
-        s"$nonAscii documents contain non-ASCII text — the FNV hash " +
-          "oracles (byte-fold vs ascii()-fold) are invalid on this data")
+      // LOUD warning, not a hard failure: a hard stop here would zero
+      // every query's correctness row when only the FNV-hash oracles
+      // (tx4, d3, d2, d6, mm2 — byte-fold vs ascii()-fold) can be
+      // invalidated by non-ASCII text; those fail individually instead.
+      if (nonAscii > 0)
+        System.err.println(s"[verify] WARNING: $nonAscii documents contain " +
+          "non-ASCII text — FNV hash oracles are NOT valid on this data")
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
