@@ -189,16 +189,32 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     * without the Scala API — Spark's catalog is the analogue of the
     * reference's command front door (workers/sisdb/sisdb.c:14-42).
     * `__day` stays a partition column, so SQL day predicates prune
-    * exactly like the Scala read path. Returns the qualified name. */
+    * exactly like the Scala read path. Returns the qualified name.
+    *
+    * The registration is kept LIVE, not a one-shot snapshot: every
+    * later cold rewrite (`save`, `del`/`drop`, `pack` — including the
+    * hot tail's auto-flush) re-syncs the catalog partitions and drops
+    * Spark's cached file index, so SQL clients see exactly what the
+    * Scala read path sees. (Hot rows staged since the last save are
+    * visible only to the Scala path by design — `save` is the
+    * publish point, like the reference's disk flush.) */
   def exposeSql(table: String, db: String = "graft"): String = {
     val st = storeOf(table)
     st.save()
+    val qn = s"$db.$table"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
-    spark.catalog.createTable(s"$db.$table", "parquet",
-      Map("path" -> st.path))
-    spark.catalog.recoverPartitions(s"$db.$table")
-    s"$db.$table"
+    spark.sql(s"DROP TABLE IF EXISTS $qn")
+    spark.catalog.createTable(qn, "parquet", Map("path" -> st.path))
+    spark.catalog.recoverPartitions(qn)
+    // from now on every cold rewrite re-syncs the SQL view: SYNC
+    // PARTITIONS both adds days a save created and drops days a
+    // del/drop removed; refreshTable invalidates the cached file
+    // index that save's per-day dir renames would otherwise go stale
+    st.onColdChange = () => {
+      spark.sql(s"MSCK REPAIR TABLE $qn SYNC PARTITIONS")
+      spark.catalog.refreshTable(qn)
+    }
+    qn
   }
 
   /** `sub pattern` (T1): live fan-out of future `set`s. */

@@ -194,10 +194,19 @@ object Dbf {
         val fs = fin.getFileSystem(confSer.value)
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
-        fs.delete(fin, false)
+        // rename WITHOUT pre-deleting the destination: a zombie attempt
+        // that deleted the winner's committed file and then died would
+        // leave no output at all. Rename onto an existing file fails —
+        // and a failed rename whose destination already holds a
+        // complete (non-empty) file IS success: a sibling attempt of
+        // this same task committed identical bytes first.
         if (!fs.rename(tmp, fin)) {
           fs.delete(tmp, false)
-          throw new java.io.IOException(s"could not commit $fin")
+          val committedBySibling =
+            try fs.getFileStatus(fin).getLen > 0
+            catch { case _: java.io.FileNotFoundException => false }
+          if (!committedBySibling)
+            throw new java.io.IOException(s"could not commit $fin")
         }
       }
       Iterator.empty[Int]

@@ -51,6 +51,11 @@ final class TsStore(
   private var hotRows: Long = 0L
   private var seq: Long = 0L
 
+  /** Invoked after any operation that rewrites cold files (save /
+    * replaceSubject / pack) — lets an owner holding external views of
+    * the store (e.g. a registered SQL catalog table) refresh them. */
+  @volatile private[graft] var onColdChange: () => Unit = () => ()
+
   private def hotUnion: Option[DataFrame] =
     hotFrames.reduceOption(_ unionByName _)
 
@@ -86,7 +91,23 @@ final class TsStore(
       .withColumn("__day", dayCol)
       .withColumn("__seq", lit(seq))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    hotRows += stamped.count()
+    // one pass counts the batch AND rejects null days: `save`'s
+    // dirty-day matching is `isin(days)`, which (SQL null semantics)
+    // can never select a NULL partition — a null-day row staged here
+    // would clobber the cold __HIVE_DEFAULT_PARTITION__ dir without
+    // merging it. The time/day column is the store's primary index;
+    // a null there is a malformed row, refuse it at the door.
+    val Array(total, nonNullDays) = stamped
+      .select(count(lit(1)), count(col("__day")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    if (total != nonNullDays) {
+      stamped.unpersist()
+      seq -= 1
+      throw new IllegalArgumentException(
+        s"set: ${total - nonNullDays} row(s) have a null day/time index " +
+          s"(store $path partitions by day; the main index must be non-null)")
+    }
+    hotRows += total
     hotFrames :+= stamped
     if (hotRows >= maxHotRows || hotFrames.size >= maxHotBatches) save()
   }
@@ -177,6 +198,7 @@ final class TsStore(
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()
+      onColdChange()
     }
   }
 
@@ -189,9 +211,12 @@ final class TsStore(
       kept.select(others.columns.map(col): _*))
     writeCold(merged)
     clearHot()
+    onColdChange()
   }
 
   /** `pack`: compaction to a bounded file count per partition. */
-  def pack(targetFiles: Int): Unit =
+  def pack(targetFiles: Int): Unit = {
     Write.pack(spark, path, Seq("__day"), targetFiles)
+    onColdChange()
+  }
 }

@@ -2,6 +2,7 @@ package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** Live incremental time-scale rollup — the streaming face of A1.
   *
@@ -35,8 +36,11 @@ object LiveRollup {
       high: Double, low: Double, close: Double, n: Long)
 
   /** One group's fold: sort the batch's ticks by k, roll them into the
-    * open bar, emit every bar a boundary-cross finalizes. */
-  private[stream] def fold(barMs: Long)(subject: String,
+    * open bar, emit every bar a boundary-cross finalizes. `dropped`
+    * counts stragglers the fold refuses (see below) so a feed that
+    * violates the ordering contract is observable, not silent. */
+  private[stream] def fold(barMs: Long,
+      dropped: Option[LongAccumulator] = None)(subject: String,
       rows: Iterator[Tick], state: GroupState[OpenBar]): Iterator[Bar] = {
     val sorted = rows.toIndexedSeq.sortBy(_.k)
     var st = state.getOption
@@ -62,8 +66,11 @@ object LiveRollup {
           // reopen the emitted bar, and folding its value into the OPEN
           // bar would report extremes from outside that bar's window —
           // drop it, keeping every emitted bar faithful to its window
-          // (the feed contract is ordered anyway, sis_db.h:71-76)
-          ()
+          // (the feed contract is ordered anyway, sis_db.h:71-76).
+          // COUNT the drop: a feed that violates the contract makes the
+          // live rollup diverge from the batch recompute (A1/st1), and
+          // that divergence must be observable, not silent.
+          dropped.foreach(_.add(1L))
       }
     }
     st.foreach(state.update)
@@ -75,16 +82,20 @@ object LiveRollup {
     * In batch mode the same code runs with no prior state — the batch
     * shadow for tests/oracles. The still-open last bar per subject is
     * never emitted (it finalizes when a later bar's tick arrives). */
-  def finalizedBars(events: DataFrame, barMs: Long): Dataset[Bar] = {
+  def finalizedBars(events: DataFrame, barMs: Long,
+      droppedStragglers: Option[LongAccumulator] = None): Dataset[Bar] = {
     implicit val tickEnc: Encoder[Tick] = Encoders.product[Tick]
     implicit val stateEnc: Encoder[OpenBar] = Encoders.product[OpenBar]
     implicit val barEnc: Encoder[Bar] = Encoders.product[Bar]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val dropped = droppedStragglers.orElse(Some(
+      events.sparkSession.sparkContext.longAccumulator(
+        "liveRollup.droppedStragglers")))
     events.selectExpr("subject", "cast(k as long) k", "cast(t as long) t",
         "cast(v as double) v")
       .as[Tick]
       .groupByKey(_.subject)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        fold(barMs))
+        fold(barMs, dropped))
   }
 }

@@ -95,4 +95,31 @@ class EngineSpec extends SparkSpec {
     e.drop("SZ000001.stk_day")
     assert(e.keys("*.stk_day").count() == 1)
   }
+
+  test("exposeSql registration stays live across save, del and pack") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    val qn = e.exposeSql("stk_day", db = "graft_live")
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 1)
+
+    // a later set + save creates a brand-new day partition: the SQL
+    // view must pick it up without re-running exposeSql
+    e.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":2.0,"close":3.0,"vol":2}""")
+    e.save("stk_day")
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 2,
+      "SQL view went stale after save created a new partition")
+
+    // del rewrites the cold store (possibly removing whole days): the
+    // SQL view must track the removal too
+    e.del("SH600600.stk_day", """{range:{start:20210104,stop:20210104}}""")
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 1,
+      "SQL view went stale after del removed a partition")
+
+    // pack rewrites files in place — SQL must not serve the stale index
+    e.pack("stk_day", files = 1)
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 1)
+  }
 }

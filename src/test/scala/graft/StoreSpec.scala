@@ -81,6 +81,24 @@ class StoreSpec extends SparkSpec {
     assert(st2.read().count() == 6)
   }
 
+  test("set rejects null-day rows instead of clobbering the null partition") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_nullday"
+    val st = mkStore(root)
+    // a null day would stage rows `save`'s isin(dirtyDays) can never
+    // match (SQL null semantics) — the store must refuse them up front
+    val ex = intercept[IllegalArgumentException] {
+      st.set(Seq(("A", 1L, 1.0, null), ("B", 2L, 2.0, "d1"))
+        .toDF("code", "t", "v", "day"))
+    }
+    assert(ex.getMessage.contains("null day"))
+    // the failed set left nothing behind: store is still empty and a
+    // valid set + save round-trips normally
+    assert(st.isEmpty && st.hotSize == 0)
+    st.set(Seq(("C", 3L, 3.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()
+    assert(st.read().count() == 1)
+  }
+
   test("incremental save touches only dirty days") {
     val root = Files.createTempDirectory("graft_store").toString + "/t_dirty"
     val st = mkStore(root)
