@@ -30,6 +30,21 @@ object SparkEntry {
   private val evKey: Column = unix_millis(col("ts")) * 1000000L + col("event_id")
   private val evKeySql = "epoch_ms(ts)*1000000+event_id"
 
+  /** DuckDB SQL: unsigned FNV-1a-64 fold over string expression `c`
+    * (ASCII corpus ⇒ code points == UTF-8 bytes) as HUGEINT in
+    * [0, 2^64) — the same fold tx4/mm2 use, factored for reuse. */
+  private def fnvU(c: String): String =
+    s"""list_reduce(
+       list_prepend(14695981039346656037::HUGEINT,
+         list_transform(range(1, length($c)+1), i -> ascii(($c)[i])::HUGEINT)),
+       (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT)"""
+
+  /** Unsigned 2^64-space HUGEINT → Java signed long (two's complement). */
+  private def toSigned(u: String): String =
+    s"""(CASE WHEN $u >= 9223372036854775808::HUGEINT
+         THEN $u - 18446744073709551616::HUGEINT ELSE $u END)::BIGINT"""
+
   /** Flagship query on sf=0.001: daily OHLCV rollup of the events
     * stream — the reference's bread-and-butter tick→day aggregation. */
   def entry(spark: SparkSession): DataFrame =
@@ -1156,6 +1171,72 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split (90/5/5): FNV-bucket the doc id
+    * into percentage bands. Pure per-row hash math — no RNG, no
+    * shuffle; assignments are stable as the corpus grows. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    Pipeline.hashSplit(t(s, dir, "documents"),
+        col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Stratified mixture sampling: per-language keep-rates (en 0.9,
+    * zh 0.4, default 0.6) applied as id-hash thresholds — the
+    * pretraining mixture-weighting stage, deterministic and
+    * broadcast-joined (rates table is tiny, corpus never shuffles). */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Pipeline.stratifiedSample(t(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        rates = Map("en" -> 0.9, "zh" -> 0.4), default = 0.6)
+      .select(col("doc_id"), col("lang"), col("__bucket").as("bucket"))
+      .orderBy("doc_id")
+
+  /** Deterministic global corpus shuffle (training order): total order
+    * by id-hash, materialized 1-based position via the two-pass
+    * range-partition + broadcast-offsets rank — no single-partition
+    * sort stage anywhere in the plan. */
+  private def qGlobalShuffle(s: SparkSession, dir: String): DataFrame =
+    Pipeline.globalShuffle(t(s, dir, "documents")
+        .select(col("doc_id")), col("doc_id"), salt = "epoch0")
+      .select(col("doc_id"), col("__shuf").as("shuffle_key"), col("pos"))
+      .orderBy("pos")
+
+  /** Concat-and-chunk sequence packing into 512-token context windows:
+    * the corpus as one virtual token stream (exclusive global running
+    * sum of whitespace-token counts, computed with the same two-pass
+    * offset trick), one row per (document, window) overlap. */
+  private def qPackChunks(s: SparkSession, dir: String): DataFrame =
+    Pipeline.packChunks(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), TextFunctions.tokenCountWs(col("text")), ctx = 512)
+      .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+        col("chunk_id"), col("n_in_chunk"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Sliding-window chunking: 200-char windows every 150 chars
+    * (50-char overlap) — per-row explode, no shuffle. */
+  private def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Pipeline.chunkSliding(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text"), size = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Multimodal feature extraction: payload → fixed-dim embedding via
+    * the partition-local decoder (one instance per partition, rows
+    * streamed). The Fake decoder's LCG-over-FNV features reproduce
+    * exactly in the oracle, so the whole mapPartitions path is
+    * hash-checked, not just row-counted. */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    graft.multimodal.Multimodal.withFeatures(withPayload, "payload", dim = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3"))
+      .orderBy("doc_id")
+  }
+
   // ───────────────────────── the inventory ───────────────────────────
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1235,7 +1316,13 @@ object SparkEntry {
     "o4_search_position" -> qSearchPosition _,
     "sk1_salted_agg" -> qSaltedAgg _,
     "sk2_salted_join" -> qSaltedJoin _,
-    "mm2_multimodal_probe" -> qMultimodalProbe _)
+    "mm2_multimodal_probe" -> qMultimodalProbe _,
+    "mm3_multimodal_features" -> qMultimodalFeatures _,
+    "smp1_hash_split" -> qHashSplit _,
+    "smp2_stratified_sample" -> qStratifiedSample _,
+    "shf1_global_shuffle" -> qGlobalShuffle _,
+    "pk1_pack_chunks" -> qPackChunks _,
+    "ch1_chunk_overlap" -> qChunkOverlap _)
 
   // ─────────────────────────── oracles ───────────────────────────────
 
@@ -2135,7 +2222,80 @@ object SparkEntry {
            width::INT AS width, height::INT AS height,
            duration_ms::BIGINT AS duration_ms,
            (duration_ms // 60000 + 1)::BIGINT AS n_frames
-         FROM m ORDER BY doc_id""") ++ ivfOracleEntry
+         FROM m ORDER BY doc_id""",
+    // id-hash split: FNV of 'split:<id>' → signed long → pmod 100 band
+    "smp1_hash_split" ->
+      s"""WITH f AS (SELECT doc_id, 'split:' || doc_id::VARCHAR AS s FROM documents),
+         h AS (SELECT doc_id, ${toSigned(fnvU("s"))} AS h FROM f),
+         b AS (SELECT doc_id, ((h % 100) + 100) % 100 AS bucket FROM h)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "smp2_stratified_sample" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+             'sample:' || doc_id::VARCHAR AS s FROM documents),
+         h AS (SELECT doc_id, lang, ${toSigned(fnvU("s"))} AS h FROM f),
+         b AS (SELECT doc_id, lang, ((h % 10000) + 10000) % 10000 AS bucket FROM h)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 9000
+                                  WHEN 'zh' THEN 4000 ELSE 6000 END
+         ORDER BY doc_id""",
+    "shf1_global_shuffle" ->
+      s"""WITH f AS (SELECT doc_id, 'epoch0:' || doc_id::VARCHAR AS s FROM documents),
+         h AS (SELECT doc_id, ${toSigned(fnvU("s"))} AS shuffle_key FROM f)
+         SELECT doc_id, shuffle_key,
+           row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+         FROM h ORDER BY pos""",
+    // concat-and-chunk packing: exclusive global token cumsum in
+    // doc_id order, then every 512-token window a document overlaps
+    "pk1_pack_chunks" ->
+      raw"""WITH d AS (SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0))::BIGINT AS n_tok
+           FROM documents),
+         o AS (SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+           FROM d),
+         e AS (SELECT doc_id, n_tok, tok_offset,
+             unnest(generate_series(tok_offset // 512,
+               (tok_offset + n_tok - 1) // 512)) AS chunk_id
+           FROM o WHERE n_tok > 0)
+         SELECT doc_id, n_tok, tok_offset, chunk_id,
+           least(tok_offset + n_tok, (chunk_id + 1) * 512)
+             - greatest(tok_offset, chunk_id * 512) AS n_in_chunk
+         FROM e ORDER BY doc_id, chunk_id""",
+    // sliding 200-char windows every 150 chars; last window starts at
+    // the first position that reaches the end of the text
+    "ch1_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         e AS (SELECT doc_id, text,
+             unnest(generate_series(0, CASE WHEN n <= 200 THEN 0
+               ELSE (n - 200 + 149) // 150 END)) AS chunk_idx
+           FROM d)
+         SELECT doc_id, chunk_idx,
+           substr(text, (chunk_idx * 150 + 1)::INT, 200) AS chunk_text,
+           length(substr(text, (chunk_idx * 150 + 1)::INT, 200)) AS chunk_len
+         FROM e ORDER BY doc_id, chunk_idx""",
+    // the Fake decoder's feature LCG replayed in 2^64 space: four
+    // steps of h = h*A + C, each feature = (h >>> 40)/2^24 - 0.5
+    // (exact in float32, hence exact as DOUBLE on both sides)
+    "mm3_multimodal_features" ->
+      s"""WITH f AS (SELECT doc_id, ${fnvU("text")} AS h0 FROM documents),
+         l1 AS (SELECT doc_id, (h0 * 6364136223846793005::HUGEINT
+           + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT AS h1 FROM f),
+         l2 AS (SELECT *, (h1 * 6364136223846793005::HUGEINT
+           + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT AS h2 FROM l1),
+         l3 AS (SELECT *, (h2 * 6364136223846793005::HUGEINT
+           + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT AS h3 FROM l2),
+         l4 AS (SELECT *, (h3 * 6364136223846793005::HUGEINT
+           + 1442695040888963407::HUGEINT) % 18446744073709551616::HUGEINT AS h4 FROM l3)
+         SELECT doc_id,
+           ((h1 // 1099511627776)::BIGINT - 8388608)::DOUBLE / 16777216.0 AS f0,
+           ((h2 // 1099511627776)::BIGINT - 8388608)::DOUBLE / 16777216.0 AS f1,
+           ((h3 // 1099511627776)::BIGINT - 8388608)::DOUBLE / 16777216.0 AS f2,
+           ((h4 // 1099511627776)::BIGINT - 8388608)::DOUBLE / 16777216.0 AS f3
+         FROM l4 ORDER BY doc_id""") ++ ivfOracleEntry
 
   /** x3's oracle, built from the centroids qAnnIvf froze this run (see
     * [[IvfOracle]]). Reproduces the exact IVF plan relationally:

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.functions.Fnv1a64Expr
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: deterministic splits/sampling,
+  * corpus shuffling, and sequence packing/chunking for context windows.
+  *
+  * Everything here is reproducible-by-construction: selection and
+  * ordering decisions are pure functions of a record's id through
+  * FNV-1a (never an RNG), so a 100 TB run re-executed after a failure —
+  * or audited months later in another engine — selects byte-identical
+  * rows. That mirrors how the reference keys every behavior off the
+  * record's own key/time rather than ambient state (sis_db.h key
+  * model), and it is what makes these stages oracle-checkable at all.
+  *
+  * Scale shape per operator:
+  *  - split/sample: stateless per-row hash math at scan speed — no
+  *    shuffle, no RNG state, fully pushdown-friendly.
+  *  - shuffle/pack: one range shuffle on the hash/order key plus a
+  *    #partitions-row broadcast of per-partition offsets
+  *    ([[Analytics.globalRowNumber]]'s two-pass trick) — no stage ever
+  *    materializes a global window.
+  *  - chunking: per-row explode, executor-side only.
+  */
+object Pipeline {
+
+  /** Hash a record id into [0, mod) deterministically. The id is
+    * hashed as its decimal-string form so any engine (and the DuckDB
+    * oracle) reproduces the bucket without sharing a binary layout. */
+  def hashBucket(id: Column, salt: String, mod: Int): Column =
+    pmod(Fnv1a64Expr(concat(lit(salt + ":"), id.cast("string"))), lit(mod.toLong))
+
+  /** Deterministic train/val/test split: bucket the id-hash into
+    * percentage bands. `splits` are (name, weight) pairs whose weights
+    * sum to `mod` (default percent). A row's assignment never changes
+    * as the corpus grows — adding documents never reshuffles existing
+    * ones across splits, which is what keeps eval sets stable across
+    * pipeline runs (an RNG-based split has neither property). */
+  def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)],
+      salt: String = "split", out: String = "split"): DataFrame = {
+    val mod = splits.map(_._2).sum
+    val bucket = hashBucket(id, salt, mod)
+    val assigned = splits.dropRight(1)
+      .foldLeft((when(lit(false), lit("")), 0)) { case ((expr, cum), (name, w)) =>
+        (expr.when(bucket < cum + w, name), cum + w)
+      }._1.otherwise(splits.last._1)
+    df.withColumn("bucket", bucket).withColumn(out, assigned)
+  }
+
+  /** Stratified sampling with per-stratum keep-rates (mixture
+    * weighting for pretraining: up/down-sample sources or languages).
+    * `rates` maps stratum → keep fraction; strata absent from the map
+    * keep `default`. Selection is the id-hash against the stratum's
+    * threshold — deterministic, per-row, no shuffle: the rates table
+    * broadcasts and the filter runs at scan speed. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      rates: Map[String, Double], default: Double,
+      salt: String = "sample", mod: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq.toDF("__stratum", "__rate")
+      .withColumn("__thresh", round($"__rate" * mod).cast("long"))
+      .select("__stratum", "__thresh")
+    val defaultThresh = math.round(default * mod)
+    df.withColumn("__bucket", hashBucket(id, salt, mod))
+      .join(broadcast(thresholds), stratum === col("__stratum"), "left")
+      .filter(col("__bucket") < coalesce(col("__thresh"), lit(defaultThresh)))
+      .drop("__stratum", "__thresh")
+  }
+
+  /** Deterministic global shuffle: order the corpus by the id-hash
+    * (plus id as collision tiebreak) and materialize each row's 1-based
+    * position. This is the "shuffle the training data" stage — the
+    * order is a pure function of (salt, id), so epoch N's order is
+    * reproducible and changing the salt gives an independent order.
+    * Position comes from [[Analytics.globalRowNumber]]: range-partition
+    * on the hash, rank locally, add broadcast offsets — total order
+    * with no single-partition stage. */
+  def globalShuffle(df: DataFrame, id: Column, salt: String,
+      out: String = "pos"): DataFrame = {
+    val keyed = df.withColumn("__shuf",
+      Fnv1a64Expr(concat(lit(salt + ":"), id.cast("string"))))
+    Analytics.globalRowNumber(keyed, Seq(col("__shuf"), id), out)
+  }
+
+  /** Concat-and-chunk sequence packing: lay the corpus out as one
+    * virtual token stream in `order`-key order, then cut it into fixed
+    * `ctx`-token context windows. Emits one row per (document, window)
+    * overlap — a document straddling a boundary contributes a row per
+    * window it touches. This is the packing shape LLM pretraining
+    * uses (concatenate documents, split at ctx boundaries): zero
+    * padding waste, and — unlike greedy bin-packing — expressible as
+    * pure window math over a global exclusive running sum of token
+    * counts, which the two-pass offset trick computes scalably.
+    *
+    * Output columns: the order key, `n_tok`, `tok_offset` (exclusive
+    * global cumsum), `chunk_id`, `n_in_chunk` (tokens this document
+    * contributes to this window). */
+  def packChunks(df: DataFrame, order: Column, nTok: Column,
+      ctx: Int): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withTok = df.withColumn("n_tok", nTok.cast("long"))
+    val ranged = withTok.repartitionByRange(parts, order)
+      .withColumn("__pid", spark_partition_id())
+    // pass 1: per-partition exclusive running sums; pass 2: broadcast
+    // per-partition totals → global exclusive offset (same shape as
+    // globalRowNumber, summing tokens instead of counting rows)
+    val localW = Window.partitionBy("__pid").orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__lcum",
+      coalesce(sum(col("n_tok")).over(localW), lit(0L)))
+    val totals = local.groupBy("__pid").agg(sum("n_tok").as("__ptok"))
+    val offs = totals.withColumn("__off", coalesce(
+        sum("__ptok").over(Analytics.tinySeqW.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val placed = local.join(broadcast(offs), "__pid")
+      .withColumn("tok_offset", col("__off") + col("__lcum"))
+      .drop("__pid", "__lcum", "__off")
+      .filter(col("n_tok") > 0)
+    val first = (col("tok_offset") / ctx).cast("long")
+    val last = ((col("tok_offset") + col("n_tok") - 1) / ctx).cast("long")
+    placed
+      .withColumn("chunk_id", explode(sequence(first, last)))
+      .withColumn("n_in_chunk",
+        least(col("tok_offset") + col("n_tok"), (col("chunk_id") + 1) * ctx)
+          - greatest(col("tok_offset"), col("chunk_id") * ctx))
+  }
+
+  /** Sliding-window document chunking: fixed `size`-char windows every
+    * `stride` chars (overlap = size − stride keeps boundary context in
+    * two chunks). Start positions are 0, stride, 2·stride, …; the last
+    * window starts at the first position whose window reaches the end
+    * of the text, so no content is dropped and no start runs past the
+    * end. Pure per-row explode — no shuffle, executor-side only. */
+  def chunkSliding(df: DataFrame, text: Column, size: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val n = length(text)
+    // number of extra windows beyond the first: ceil((n-size)/stride)
+    val lastIdx = when(n <= size, 0L)
+      .otherwise(((n - size + stride - 1) / stride).cast("long"))
+    df.withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
+      .withColumn("chunk_text",
+        substring(text, (col("chunk_idx") * stride + 1).cast("int"), lit(size)))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.ops.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline stages: determinism, stability under corpus
+  * growth, and the packing/chunking invariants. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong, s"doc number $i with a few tokens " * (i % 7 + 1)))
+      .toDF("id", "text")
+
+  test("hashSplit covers every row exactly once, roughly by weight") {
+    val split = Pipeline.hashSplit(corpus(2000), $"id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val counts = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1600 && counts("train") < 1950)
+    assert(counts("val") > 30 && counts("test") > 30)
+  }
+
+  test("hashSplit is stable as the corpus grows") {
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val small = Pipeline.hashSplit(corpus(500), $"id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val big = Pipeline.hashSplit(corpus(2000), $"id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // every originally-assigned row keeps its split after 4x growth
+    assert(small.forall { case (id, s) => big(id) == s })
+  }
+
+  test("stratifiedSample keeps roughly the per-stratum rate") {
+    val df = corpus(3000).withColumn("lang",
+      when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("de"))
+    val kept = Pipeline.stratifiedSample(df, $"lang", $"id",
+      rates = Map("en" -> 0.9, "zh" -> 0.1), default = 0.5)
+    val counts = kept.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("en") > 800 && counts("en") <= 1000)
+    assert(counts("zh") < 200)
+    assert(counts("de") > 350 && counts("de") < 650)
+    // deterministic: a second run selects the identical id set
+    val again = Pipeline.stratifiedSample(df, $"lang", $"id",
+      rates = Map("en" -> 0.9, "zh" -> 0.1), default = 0.5)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("globalShuffle: pos is a 1..n permutation, order follows the hash") {
+    val shuf = Pipeline.globalShuffle(corpus(1000), $"id", salt = "e0")
+    val rows = shuf.select($"__shuf", $"pos").as[(Long, Long)]
+      .collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == (1L to 1000L))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // a different salt yields a genuinely different order
+    val other = Pipeline.globalShuffle(corpus(1000), $"id", salt = "e1")
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val base = shuf.select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(base.count { case (id, p) => other(id) == p } < 50)
+  }
+
+  test("packChunks: windows are exactly ctx tokens and partition the stream") {
+    val ctx = 64
+    val packed = Pipeline.packChunks(
+      corpus(300), $"id", graft.functions.TextFunctions.tokenCountWs($"text"), ctx)
+      .select($"id", $"n_tok", $"tok_offset", $"chunk_id", $"n_in_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val totalTok = packed.groupBy(_._1).map(_._2.head._2).sum
+    // every document's tokens are fully assigned across its windows
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._5).sum == rows.head._2)
+    }
+    // every window except the last carries exactly ctx tokens
+    val perChunk = packed.groupBy(_._4).view.mapValues(_.map(_._5).sum)
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, n) =>
+      if (c < lastChunk) assert(n == ctx, s"chunk $c carried $n")
+      else assert(n <= ctx)
+    }
+    assert(perChunk.values.sum == totalTok)
+  }
+
+  test("chunkSliding covers the text with the declared overlap") {
+    val df = Seq((1L, "a" * 500), (2L, "b" * 200), (3L, "c" * 10), (4L, "d" * 201))
+      .toDF("id", "text")
+    val chunks = Pipeline.chunkSliding(df, $"text", size = 200, stride = 150)
+      .select($"id", $"chunk_idx", $"chunk_text").as[(Long, Long, String)]
+      .collect().groupBy(_._1)
+    // 500 chars -> starts 0,150,300 (300+200=500 reaches the end)
+    assert(chunks(1L).length == 3)
+    assert(chunks(1L).map(_._3.length).toSet == Set(200))
+    // exactly size chars -> single window
+    assert(chunks(2L).length == 1 && chunks(2L).head._3.length == 200)
+    // shorter than size -> single short window
+    assert(chunks(3L).length == 1 && chunks(3L).head._3.length == 10)
+    // one char past size -> second (short, trailing) window appears
+    assert(chunks(4L).length == 2)
+    // reconstruction: stitching chunk[i][overlap..] onto chunk0 rebuilds the text
+    val text1 = chunks(1L).sortBy(_._2).map(_._3)
+    val rebuilt = text1.head + text1.tail.map(_.substring(50)).mkString
+    assert(rebuilt == "a" * 500)
+  }
+}
