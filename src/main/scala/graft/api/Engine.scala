@@ -29,6 +29,11 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   val catalog = new Catalog
   val subs = new SubRegistry
   private val stores = scala.collection.concurrent.TrieMap[String, TsStore]()
+  // every SQL-exposed qualified name per table — exposeSql may run more
+  // than once (e.g. into different databases) and ALL registrations
+  // must stay live, so the store's single callback fans out over this
+  // list rather than being replaced per call
+  private val sqlNames = scala.collection.concurrent.TrieMap[String, Vector[String]]()
   private val mapper = new ObjectMapper()
 
   /** `create`: declare a table from the schema DSL. */
@@ -197,7 +202,15 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     * Spark's cached file index, so SQL clients see exactly what the
     * Scala read path sees. (Hot rows staged since the last save are
     * visible only to the Scala path by design — `save` is the
-    * publish point, like the reference's disk flush.) */
+    * publish point, like the reference's disk flush.)
+    *
+    * The sync cost is proportional to the CHANGE, preserving `save`'s
+    * O(dirty days) property: a save adds exactly its dirty-day
+    * partitions (`ALTER TABLE … ADD IF NOT EXISTS PARTITION`), a pack
+    * only drops cached file listings, and only a wholesale rewrite
+    * (`del`/`drop`) — which may remove partitions — pays the full
+    * `MSCK … SYNC PARTITIONS` re-list. Calling exposeSql again (same
+    * or another db) keeps every earlier registration live. */
   def exposeSql(table: String, db: String = "graft"): String = {
     val st = storeOf(table)
     st.save()
@@ -206,14 +219,26 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     spark.sql(s"DROP TABLE IF EXISTS $qn")
     spark.catalog.createTable(qn, "parquet", Map("path" -> st.path))
     spark.catalog.recoverPartitions(qn)
-    // from now on every cold rewrite re-syncs the SQL view: SYNC
-    // PARTITIONS both adds days a save created and drops days a
-    // del/drop removed; refreshTable invalidates the cached file
-    // index that save's per-day dir renames would otherwise go stale
-    st.onColdChange = () => {
-      spark.sql(s"MSCK REPAIR TABLE $qn SYNC PARTITIONS")
-      spark.catalog.refreshTable(qn)
-    }
+    sqlNames.updateWith(table)(prev =>
+      Some(prev.getOrElse(Vector.empty).filterNot(_ == qn) :+ qn))
+    st.onColdChange = change => sqlNames.getOrElse(table, Vector.empty)
+      .foreach { name =>
+        change match {
+          case TsStore.DaysUpserted(days) =>
+            // save never removes a day — targeted ADDs, no full re-list
+            days.foreach { d =>
+              val v = d.replace("'", "''")
+              spark.sql(
+                s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (__day='$v')")
+            }
+          case TsStore.Rewritten =>
+            spark.sql(s"MSCK REPAIR TABLE $name SYNC PARTITIONS")
+          case TsStore.Compacted => // day set unchanged; refresh below
+        }
+        // drop the cached file index in every case — in-place day dir
+        // renames and compactions would otherwise serve stale listings
+        spark.catalog.refreshTable(name)
+      }
     qn
   }
 

@@ -40,14 +40,27 @@ object Pipeline {
     * ones across splits, which is what keeps eval sets stable across
     * pipeline runs (an RNG-based split has neither property). */
   def hashSplit(df: DataFrame, id: Column, splits: Seq[(String, Int)],
-      salt: String = "split", out: String = "split"): DataFrame = {
+      salt: String = "split", out: String = "split",
+      bucketOut: String = "bucket"): DataFrame = {
+    requireFresh(df, Seq(bucketOut, out))
     val mod = splits.map(_._2).sum
     val bucket = hashBucket(id, salt, mod)
     val assigned = splits.dropRight(1)
       .foldLeft((when(lit(false), lit("")), 0)) { case ((expr, cum), (name, w)) =>
         (expr.when(bucket < cum + w, name), cum + w)
       }._1.otherwise(splits.last._1)
-    df.withColumn("bucket", bucket).withColumn(out, assigned)
+    df.withColumn(bucketOut, bucket).withColumn(out, assigned)
+  }
+
+  /** Output/internal columns must not shadow same-named input columns —
+    * a silent collision would corrupt the join/filter semantics (an
+    * input `__stratum` would make stratifiedSample's broadcast-join
+    * condition ambiguous). Fail loudly instead. */
+  private def requireFresh(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename them " +
+        "or pass different output column names")
   }
 
   /** Stratified sampling with per-stratum keep-rates (mixture
@@ -59,6 +72,7 @@ object Pipeline {
   def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
       rates: Map[String, Double], default: Double,
       salt: String = "sample", mod: Int = 10000): DataFrame = {
+    requireFresh(df, Seq("__bucket", "__stratum", "__thresh", "__rate"))
     val spark = df.sparkSession
     import spark.implicits._
     val thresholds = rates.toSeq.toDF("__stratum", "__rate")
@@ -81,6 +95,7 @@ object Pipeline {
     * with no single-partition stage. */
   def globalShuffle(df: DataFrame, id: Column, salt: String,
       out: String = "pos"): DataFrame = {
+    requireFresh(df, Seq("__shuf", out))
     val keyed = df.withColumn("__shuf",
       Fnv1a64Expr(concat(lit(salt + ":"), id.cast("string"))))
     Analytics.globalRowNumber(keyed, Seq(col("__shuf"), id), out)
@@ -98,18 +113,28 @@ object Pipeline {
     *
     * Output columns: the order key, `n_tok`, `tok_offset` (exclusive
     * global cumsum), `chunk_id`, `n_in_chunk` (tokens this document
-    * contributes to this window). */
+    * contributes to this window).
+    *
+    * `order +: tiebreak` together must be a total order: equal keys
+    * could tie within the range partition and the local window would
+    * order them nondeterministically, making tok_offset assignment
+    * run-dependent — the same reason [[globalShuffle]] tiebreaks on
+    * (hash, id). Pass the record id as `tiebreak` whenever `order`
+    * alone may repeat; with a unique `order` the default is fine. */
   def packChunks(df: DataFrame, order: Column, nTok: Column,
-      ctx: Int): DataFrame = {
+      ctx: Int, tiebreak: Seq[Column] = Nil): DataFrame = {
+    requireFresh(df, Seq("n_tok", "tok_offset", "chunk_id", "n_in_chunk",
+      "__pid", "__lcum", "__ptok", "__off"))
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val orderKeys = order +: tiebreak
     val withTok = df.withColumn("n_tok", nTok.cast("long"))
-    val ranged = withTok.repartitionByRange(parts, order)
+    val ranged = withTok.repartitionByRange(parts, orderKeys: _*)
       .withColumn("__pid", spark_partition_id())
     // pass 1: per-partition exclusive running sums; pass 2: broadcast
     // per-partition totals → global exclusive offset (same shape as
     // globalRowNumber, summing tokens instead of counting rows)
-    val localW = Window.partitionBy("__pid").orderBy(order)
+    val localW = Window.partitionBy("__pid").orderBy(orderKeys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__lcum",
       coalesce(sum(col("n_tok")).over(localW), lit(0L)))
@@ -122,13 +147,17 @@ object Pipeline {
       .withColumn("tok_offset", col("__off") + col("__lcum"))
       .drop("__pid", "__lcum", "__off")
       .filter(col("n_tok") > 0)
-    val first = (col("tok_offset") / ctx).cast("long")
-    val last = ((col("tok_offset") + col("n_tok") - 1) / ctx).cast("long")
+    // chunk indices via integral long division (`div`), never double
+    // `/`: a double round-trip is exact only to 2^53 cumulative tokens,
+    // and the whole point of the two-pass offset is arbitrary corpus
+    // size. Offsets are non-negative so truncating div == floor.
+    val first = expr(s"tok_offset div ${ctx}L")
+    val last = expr(s"(tok_offset + n_tok - 1) div ${ctx}L")
     placed
       .withColumn("chunk_id", explode(sequence(first, last)))
       .withColumn("n_in_chunk",
-        least(col("tok_offset") + col("n_tok"), (col("chunk_id") + 1) * ctx)
-          - greatest(col("tok_offset"), col("chunk_id") * ctx))
+        least(col("tok_offset") + col("n_tok"), (col("chunk_id") + 1) * lit(ctx.toLong))
+          - greatest(col("tok_offset"), col("chunk_id") * lit(ctx.toLong)))
   }
 
   /** Sliding-window document chunking: fixed `size`-char windows every

@@ -53,8 +53,12 @@ final class TsStore(
 
   /** Invoked after any operation that rewrites cold files (save /
     * replaceSubject / pack) — lets an owner holding external views of
-    * the store (e.g. a registered SQL catalog table) refresh them. */
-  @volatile private[graft] var onColdChange: () => Unit = () => ()
+    * the store (e.g. a registered SQL catalog table) refresh them.
+    * The [[TsStore.ColdChange]] says *what* changed so the owner can
+    * sync proportionally to the change (O(dirty days) for a save)
+    * instead of re-listing every partition of a store holding years
+    * of days on each hot-tail auto-flush. */
+  @volatile private[graft] var onColdChange: TsStore.ColdChange => Unit = _ => ()
 
   private def hotUnion: Option[DataFrame] =
     hotFrames.reduceOption(_ unionByName _)
@@ -198,7 +202,7 @@ final class TsStore(
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()
-      onColdChange()
+      onColdChange(TsStore.DaysUpserted(dirtyDays))
     }
   }
 
@@ -211,12 +215,27 @@ final class TsStore(
       kept.select(others.columns.map(col): _*))
     writeCold(merged)
     clearHot()
-    onColdChange()
+    onColdChange(TsStore.Rewritten)
   }
 
   /** `pack`: compaction to a bounded file count per partition. */
   def pack(targetFiles: Int): Unit = {
     Write.pack(spark, path, Seq("__day"), targetFiles)
-    onColdChange()
+    onColdChange(TsStore.Compacted)
   }
+}
+
+object TsStore {
+  /** What a cold rewrite did — the contract behind [[TsStore.onColdChange]]. */
+  sealed trait ColdChange
+  /** `save`: exactly these day partitions were created or rewritten in
+    * place; no partition was removed. A catalog owner needs only
+    * `ADD IF NOT EXISTS PARTITION` per day + a file-index refresh. */
+  final case class DaysUpserted(days: Seq[String]) extends ColdChange
+  /** Wholesale rewrite (`del`/`drop`/replaceSubject): partitions may
+    * have appeared or vanished — a full partition re-list is required. */
+  case object Rewritten extends ColdChange
+  /** `pack`: files rewritten inside existing partitions; the day set is
+    * unchanged, only cached file listings are stale. */
+  case object Compacted extends ColdChange
 }

@@ -122,4 +122,25 @@ class EngineSpec extends SparkSpec {
     e.pack("stk_day", files = 1)
     assert(spark.sql(s"SELECT * FROM $qn").count() == 1)
   }
+
+  test("exposeSql into two databases keeps BOTH registrations live") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    val first = e.exposeSql("stk_day", db = "graft_live_a")
+    val second = e.exposeSql("stk_day", db = "graft_live_b")
+    assert(spark.sql(s"SELECT * FROM $first").count() == 1)
+    assert(spark.sql(s"SELECT * FROM $second").count() == 1)
+
+    // a save after the SECOND registration must also reach the FIRST —
+    // re-exposing used to overwrite the store's single callback slot,
+    // silently freezing the earlier view at its registration snapshot
+    e.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":2.0,"close":3.0,"vol":2}""")
+    e.save("stk_day")
+    assert(spark.sql(s"SELECT * FROM $first").count() == 2,
+      "earlier SQL registration went stale after a later exposeSql")
+    assert(spark.sql(s"SELECT * FROM $second").count() == 2)
+  }
 }

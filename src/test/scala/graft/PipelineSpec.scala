@@ -83,6 +83,40 @@ class PipelineSpec extends SparkSpec {
     assert(perChunk.values.sum == totalTok)
   }
 
+  test("pipeline stages refuse input columns their outputs would shadow") {
+    intercept[IllegalArgumentException] {
+      Pipeline.hashSplit(corpus(10).withColumn("bucket", lit(1)),
+        $"id", Seq("a" -> 50, "b" -> 50))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.stratifiedSample(corpus(10).withColumn("__stratum", lit("x")),
+        $"text", $"id", rates = Map("x" -> 0.5), default = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.packChunks(corpus(10).withColumn("tok_offset", lit(0L)),
+        $"id", lit(1L), ctx = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.globalShuffle(corpus(10).withColumn("pos", lit(0L)), $"id", "e0")
+    }
+  }
+
+  test("packChunks tiebreak gives duplicate order keys a total order") {
+    val df = corpus(200).withColumn("grp", $"id" % 10)
+    val packed = Pipeline.packChunks(df, $"grp",
+        graft.functions.TextFunctions.tokenCountWs($"text"), ctx = 64,
+        tiebreak = Seq($"id"))
+      .select($"id", $"grp", $"n_tok", $"tok_offset")
+      .as[(Long, Long, Long, Long)].collect().distinct
+    // tok_offset must be the exclusive running sum of n_tok in exact
+    // (grp, id) order — only true when the window honors the tiebreak
+    var cum = 0L
+    packed.sortBy(r => (r._2, r._1)).foreach { case (_, _, nTok, off) =>
+      assert(off == cum, s"offset $off != running sum $cum")
+      cum += nTok
+    }
+  }
+
   test("chunkSliding covers the text with the declared overlap") {
     val df = Seq((1L, "a" * 500), (2L, "b" * 200), (3L, "c" * 10), (4L, "d" * 201))
       .toDF("id", "text")
