@@ -480,6 +480,29 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** The dedup endgame (d7): minhash-LSH near-dup pairs at est-Jaccard
+    * ≥ 0.5 → connected components → one canonical survivor per cluster.
+    * Near-duplication is transitive in practice, so curation dedupes by
+    * COMPONENT, not by pair; cluster_id = component min doc_id makes the
+    * canonical choice deterministic and SQL-reproducible (the oracle
+    * re-derives the same pairs, then closes them with a recursive CTE).
+    * Scale shape: pair generation is the d2 banded equi-join; clustering
+    * is O(|V|+|E|) hash joins per round, O(log diameter) rounds. */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = Dedup.minhash(d, "text", shingleK = 3, numHashes = 32)
+    val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)
+    val pairs = Dedup.minhashJaccard(cands, sig, "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    val cc = Dedup.connectedComponents(
+      d.select("doc_id"), "doc_id", pairs.select("id_a", "id_b"))
+    val w = Window.partitionBy("cluster_id")
+    cc.withColumn("csize", count(lit(1)).over(w))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "csize", "keep")
+      .orderBy("doc_id")
+  }
+
   /** SimHash signatures over per-token FNV-1a hashes — oracle-checked
     * (FNV is reproducible in plain SQL, unlike murmur/xxhash);
     * Hamming-pair detection is asserted in ScalaTest. */
@@ -1287,6 +1310,7 @@ object SparkEntry {
     "tu_time_units" -> qTimeUnits _,
     "d1_dedup_exact" -> qDedupExact _,
     "d2_minhash_lsh" -> qMinhashLsh _,
+    "d7_dup_clusters" -> qDupClusters _,
     "d3_simhash" -> qSimhash _,
     "d4_ngram_jaccard" -> qNgramJaccard _,
     "d5_cosine_dup" -> qCosineDup _,
@@ -2044,6 +2068,63 @@ object SparkEntry {
            FROM cd JOIN sg sa ON sa.doc_id = cd.id_a JOIN sg sb ON sb.doc_id = cd.id_b)
          SELECT id_a, id_b, round(eq::DOUBLE / 32, 6) AS est_jaccard
          FROM est WHERE eq > 0 ORDER BY id_a, id_b"""
+    },
+    // d7: the d2 signature pipeline again (est-Jaccard >= 0.5, i.e.
+    // >= 16 of 32 hashes agree), then transitive closure by recursive
+    // CTE — min reachable doc_id == the component label Spark's
+    // min-label propagation converges to.
+    "d7_dup_clusters" -> {
+      val coefList = Dedup.minhashCoefs(32)
+        .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
+      s"""WITH RECURSIVE g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         fh AS (
+           SELECT doc_id, list_transform(grams, s -> list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(s)+1), ci -> ascii(s[ci])::HUGEINT)),
+             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT)) AS fps
+           FROM g),
+         hm AS (
+           SELECT doc_id, list_transform(fps, fp -> ((((
+             CASE WHEN fp >= 9223372036854775808::HUGEINT
+                  THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT % 2147483647)
+             + 2147483647) % 2147483647)) AS hms
+           FROM fh),
+         sg AS (
+           SELECT doc_id, list_transform([$coefList]::STRUCT(a BIGINT, b BIGINT)[], c ->
+             list_min(list_transform(hms, h -> (c.a * h + c.b) % 2147483647))) AS sig
+           FROM hm),
+         bk AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
+         cd AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         pr AS (
+           SELECT id_a, id_b FROM cd JOIN sg sa ON sa.doc_id = cd.id_a
+           JOIN sg sb ON sb.doc_id = cd.id_b
+           WHERE len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) >= 16),
+         ed AS (
+           SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT doc_id AS root, doc_id AS node FROM documents
+           UNION
+           SELECT reach.root, ed.v FROM reach JOIN ed ON ed.u = reach.node),
+         cl AS (
+           SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root),
+         sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id)
+         SELECT cl.doc_id, cl.cluster_id, sz.csize,
+           cl.doc_id = cl.cluster_id AS keep
+         FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id"""
     },
     // winnowing: FNV char-16-gram hashes, window-64 minima. The
     // rightmost-tie rule picks an INDEX but the emitted value is the

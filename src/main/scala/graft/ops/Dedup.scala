@@ -180,6 +180,68 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Connected components over an undirected candidate-pair graph —
+    * the dedup ENDGAME. Pair detection ([[lshCandidates]],
+    * [[ngramJaccardPairs]], [[winnowPairs]], [[simhashPairs]]) emits
+    * edges; near-duplication is transitive in practice (A≈B≈C usually
+    * means one underlying document), so curation keeps ONE canonical
+    * survivor per component, not one per pair. Returns `(id,
+    * cluster_id)` where `cluster_id` is the component's minimum id —
+    * deterministic, so the canonical choice is reproducible and
+    * oracle-checkable.
+    *
+    * Algorithm: min-label propagation with pointer-jumping. Each round
+    *  1. relax — `label(v) ← min(label(v), min over neighbors u of
+    *     label(u))`: one hash equi-join edges⋈labels + a map-side-
+    *     combinable min aggregation;
+    *  2. compress — `label(v) ← label(label(v))`: a self-join on the
+    *     label mapping, which short-circuits chains so convergence is
+    *     O(log diameter) rounds rather than O(diameter) (the hashing
+    *     trick behind the large-star/small-star CC algorithms).
+    * Every step is shuffle-partitioned by key — O(|V|+|E|) per round,
+    * no driver-side graph state; each round materializes its label
+    * table (persist + the convergence count) so lineage stays bounded
+    * across iterations. Dup graphs are overwhelmingly tiny cliques, so
+    * rounds ≈ 2-3 in practice; `maxIter` is a loud safety net. */
+  def connectedComponents(vertices: DataFrame, id: String,
+      edges: DataFrame, src: String = "id_a", dst: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(src).as("__u"), col(dst).as("__v"))
+      .union(edges.select(col(dst).as("__u"), col(src).as("__v")))
+      .distinct().persist()
+    var labels = vertices.select(col(id).as("__id"), col(id).as("__lbl"))
+      .persist()
+    // unpersist must see the EXACT frame that was persisted — a
+    // derived select has a different plan and would silently no-op
+    var pinned = labels
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und.join(labels, und("__v") === labels("__id"))
+        .groupBy(col("__u")).agg(min("__lbl").as("__nbl"))
+      val relaxed = labels.join(nbrMin, labels("__id") === nbrMin("__u"), "left")
+        .select(col("__id"), col("__lbl").as("__old"),
+          least(col("__lbl"), coalesce(col("__nbl"), col("__lbl"))).as("__rlx"))
+      // compress: labels always point at some vertex's current label,
+      // so the self-join resolves one extra hop per round
+      val lmap = relaxed.select(col("__id").as("__k"), col("__rlx").as("__m"))
+      val next = relaxed.join(lmap, relaxed("__rlx") === lmap("__k"), "left")
+        .select(col("__id"), col("__old"),
+          coalesce(col("__m"), col("__rlx")).as("__lbl"))
+        .persist()
+      changed = next.filter(col("__lbl") =!= col("__old")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select("__id", "__lbl")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "the graph has a structure (or scale) this config did not expect")
+    und.unpersist()
+    labels.select(col("__id").as(id), col("__lbl").as("cluster_id"))
+  }
+
   /** SimHash near-dup candidate pairs within `maxDist` Hamming bits:
     * pigeonhole banding — split the 64-bit signature into `maxDist+1`
     * chunks; any pair within maxDist bits agrees exactly on at least one

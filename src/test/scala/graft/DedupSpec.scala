@@ -124,4 +124,21 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("connectedComponents labels every vertex with its component min") {
+    // chain 1-2-3, pair 10-11, singleton 20, and a 16-node path
+    // (worst-case diameter — exercises the pointer-jumping rounds)
+    val path = (100L until 115L).map(i => (i, i + 1))
+    val edges = (Seq((2L, 1L), (2L, 3L), (10L, 11L)) ++ path)
+      .toDF("id_a", "id_b")
+    val verts = (Seq(1L, 2L, 3L, 10L, 11L, 20L) ++ (100L to 115L))
+      .toDF("doc_id")
+    val got = Dedup.connectedComponents(verts, "doc_id", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got(20L) == 20L)
+    assert((100L to 115L).forall(got(_) == 100L))
+    assert(got.size == verts.count())
+  }
 }
