@@ -540,6 +540,71 @@ object SparkEntry {
       .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Repetition signals (tx5): dup-word fraction + top word-2/3-gram
+    * character coverage — the Gopher-style "mostly the same thing over
+    * and over" filters. Per-row stats ride the scan; the n-gram tops
+    * are explode → partial-combined count → max, shuffling only
+    * (doc_id, gram) rows. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** PII scrubbing (tx6): email / IPv4 / phone redaction with typed
+    * placeholders — the pre-training privacy pass. Pure per-row
+    * `regexp_replace` chains at scan speed (codegen'd, no shuffle, no
+    * UDF). The corpus carries no PII, so the query first plants
+    * deterministic synthetic PII by doc_id — identically in the oracle
+    * SQL — making the redaction itself hash-checked, not vacuous.
+    * Patterns stay in the Java∩RE2 common subset so both engines
+    * compile them identically. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val planted = d.withColumn("__t", concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit(" server at 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 up")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" call +1-555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string"), lit(" today")))
+        .otherwise(lit(""))))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phonePat = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+    val e1 = regexp_replace(col("__t"), emailPat, "<EMAIL>")
+    val e2 = regexp_replace(e1, ipPat, "<IP>")
+    val e3 = regexp_replace(e2, phonePat, "<PHONE>")
+    planted.select(col("doc_id"), e3.as("scrubbed"),
+        (col("__t") =!= e1).as("had_email"),
+        (e1 =!= e2).as("had_ip"),
+        (e2 =!= e3).as("had_phone"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination (x4): flag corpus documents sharing ≥3
+    * distinct word-3-gram shingles with a benchmark set (here: the
+    * deterministic doc_id % 97 == 3 slice standing in for an external
+    * eval set). The benchmark side is SMALL by nature, so it
+    * broadcasts — the 100 TB corpus never shuffles for the match; the
+    * only shuffle is the per-doc count aggregation, partial-combined. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.functions.ShingleHashesExpr(col("text"), 3).as("__g"))
+    val bench = sh.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("bench_id"), explode(col("__g")).as("__gram"))
+    val corpus = sh.select(col("doc_id"), explode(col("__g")).as("__gram"))
+    corpus.join(broadcast(bench), "__gram")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("__gram").as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (custom codegen'd FNV-1a expression) —
     * oracle-checked byte-for-byte (FNV-1a folds in HUGEINT SQL), and
     * cross-checked against the portable column-expression formulation
@@ -1321,6 +1386,9 @@ object SparkEntry {
     "x3_ann_ivf" -> qAnnIvf _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
+    "tx5_repetition" -> qRepetition _,
+    "tx6_pii_scrub" -> qPiiScrub _,
+    "x4_contamination" -> qContamination _,
     "tx3_token_count" -> qTokenCount _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
@@ -1752,6 +1820,92 @@ object SparkEntry {
                FROM s)
          SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    // tx5: word-level repetition. The n-gram "top" maximizes
+    // occurrences × gram length (tie-free numeric max); fractions use
+    // the floor(x*1e6+0.5) rounding both engines agree on.
+    "tx5_repetition" ->
+      """WITH L AS (
+           SELECT doc_id, len(text) AS n_chars,
+             list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+               x -> len(x) > 0) AS w
+           FROM documents),
+         bs AS (
+           SELECT doc_id, n_chars, len(w) AS n_words,
+             len(list_distinct(w)) AS n_dwords
+           FROM L),
+         g2 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> w[i] || ' ' || w[i+1])) AS g
+           FROM L WHERE len(w) >= 2),
+         c2 AS (
+           SELECT doc_id, max(c * len(g)) AS top2
+           FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+         g3 AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM L WHERE len(w) >= 3),
+         c3 AS (
+           SELECT doc_id, max(c * len(g)) AS top3
+           FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+         SELECT bs.doc_id, bs.n_words,
+           floor((CASE WHEN n_words = 0 THEN 0
+             ELSE (n_words - n_dwords)::DOUBLE / n_words END) * 1e6 + 0.5) / 1e6
+             AS dup_word_frac,
+           floor(coalesce(top2, 0)::DOUBLE / n_chars * 1e6 + 0.5) / 1e6
+             AS top_bigram_char_frac,
+           floor(coalesce(top3, 0)::DOUBLE / n_chars * 1e6 + 0.5) / 1e6
+             AS top_trigram_char_frac
+         FROM bs LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+         ORDER BY bs.doc_id""",
+    // tx6: the same deterministic PII planting, then the same
+    // regex chain (Java∩RE2 subset; DuckDB needs the explicit 'g').
+    "tx6_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE doc_id % 4
+               WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN 1 THEN ' server at 10.' || (doc_id % 256) || '.0.1 up'
+               WHEN 2 THEN ' call +1-555-' || (1000 + doc_id % 9000) || ' today'
+               ELSE '' END AS t
+           FROM documents),
+         e1 AS (SELECT doc_id, t,
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS s1 FROM p),
+         e2 AS (SELECT doc_id, t, s1,
+           regexp_replace(s1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS s2
+           FROM e1),
+         e3 AS (SELECT doc_id, t, s1, s2,
+           regexp_replace(s2, '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g') AS s3
+           FROM e2)
+         SELECT doc_id, s3 AS scrubbed, t != s1 AS had_email,
+           s1 != s2 AS had_ip, s2 != s3 AS had_phone
+         FROM e3 ORDER BY doc_id""",
+    // x4: word-3-gram decontamination; the oracle joins gram STRINGS
+    // where Spark joins their 8-byte hashes — identical result short
+    // of a 2^-64 collision (the same equivalence d4 relies on).
+    "x4_contamination" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+               WHERE doc_id % 97 = 3),
+         c AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         m AS (SELECT c.doc_id, b.bench_id, c.gram
+               FROM c JOIN b USING (gram) WHERE c.doc_id != b.bench_id)
+         SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+           count(DISTINCT gram) AS n_shared_grams
+         FROM m GROUP BY doc_id
+         HAVING count(DISTINCT gram) >= 3 ORDER BY doc_id""",
     "tx2_text_quality" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,

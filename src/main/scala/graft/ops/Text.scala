@@ -70,6 +70,52 @@ object Text {
       .drop("__ts")
   }
 
+  /** Gopher-style repetition signals — the "is this document mostly
+    * the same thing over and over" filters a pretraining pipeline runs
+    * alongside quality scoring (Rae et al. 2021 §A1.1 use duplicate
+    * line/paragraph and top n-gram character fractions; this corpus has
+    * no line structure, so the word-level trio carries the signal):
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that repeat an
+    *    earlier word — vocabulary concentration;
+    *  - `top_bigram_char_frac` / `top_trigram_char_frac`: characters
+    *    covered by occurrences of the single most-repeated word 2-/3-
+    *    gram, over total characters. "Most-repeated" maximizes
+    *    occurrences × gram length, which is tie-free by construction
+    *    (a pure numeric max), keeping the result deterministic and
+    *    cross-engine reproducible.
+    *
+    * Scale shape: per-row word stats ride the scan (no shuffle); the
+    * n-gram tops are explode → count → max — two hash aggregations per
+    * n with map-side partial combine, shuffling only (id, gram-hash)-
+    * sized rows. Nothing here is quadratic in document count. */
+  def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
+    val words = filter(split(col(text), "\\s+"), w => length(w) > 0)
+    def grams(w: Column, n: Int): Column =
+      when(size(w) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+    val base = df.select(col(id), length(col(text)).as("n_chars"),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_dwords"),
+      words.as("__w"))
+    def topN(n: Int, out: String): DataFrame = base
+      .select(col(id), explode(grams(col("__w"), n)).as("__g"))
+      .groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(max(col("__c") * length(col("__g"))).as(out))
+    base.drop("__w")
+      .join(topN(2, "__top2"), Seq(id), "left")
+      .join(topN(3, "__top3"), Seq(id), "left")
+      .select(col(id), col("n_words"),
+        roundHalfUp6(when(col("n_words") === 0, 0.0)
+          .otherwise((col("n_words") - col("n_dwords")).cast("double") /
+            col("n_words").cast("double"))).as("dup_word_frac"),
+        roundHalfUp6(coalesce(col("__top2"), lit(0L)).cast("double") /
+          col("n_chars").cast("double")).as("top_bigram_char_frac"),
+        roundHalfUp6(coalesce(col("__top3"), lit(0L)).cast("double") /
+          col("n_chars").cast("double")).as("top_trigram_char_frac"))
+  }
+
   /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr;
     * normalization fused, == regexp_replace(lower(trim), "\\s+", " ")). */
   def withFingerprint(df: DataFrame, text: String): DataFrame =

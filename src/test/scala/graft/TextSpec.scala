@@ -93,4 +93,33 @@ class TextSpec extends SparkSpec {
       assert(f == c, s"row $i (text='${samples(i).take(40)}'): fused $f != composed $c")
     }
   }
+
+  test("repetitionSignals: hand-computed fractions on crafted docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // one word repeated 4x
+      (2L, "all words here are unique"),      // no repetition
+      (3L, "ab cd ab cd ab cd xy"),           // dominant "ab cd" bigram
+      (4L, "single"),                         // no bigrams/trigrams
+      (5L, "  leading   and trailing   "))    // whitespace robustness
+      .toDF("doc_id", "text")
+    val got = Text.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    // doc 1: 4 words 1 distinct → dup 3/4; top bigram "spam spam" (9
+    // chars) occurs 3x → 27/19 > 1 is fine (occurrences overlap); top
+    // trigram 14 chars x 2 = 28/19
+    assert(got(0)._1 == 1L && got(0)._2 == 4)
+    assert(got(0)._3 == 0.75)
+    assert(got(0)._4 == math.floor(27.0 / 19 * 1e6 + 0.5) / 1e6)
+    assert(got(0)._5 == math.floor(28.0 / 19 * 1e6 + 0.5) / 1e6)
+    // doc 2: all distinct
+    assert(got(1)._3 == 0.0)
+    // doc 3: "ab cd" occurs 3x (5 chars) = 15; "cd ab" 2x = 10
+    assert(got(2)._4 == math.floor(15.0 / 20 * 1e6 + 0.5) / 1e6)
+    // doc 4: no n-grams → zero fractions
+    assert(got(3)._2 == 1 && got(3)._4 == 0.0 && got(3)._5 == 0.0)
+    // doc 5: tokenizer drops empties → 3 words, all distinct
+    assert(got(4)._2 == 3 && got(4)._3 == 0.0)
+  }
 }
