@@ -634,6 +634,22 @@ object SparkEntry {
         col("n"), col("total"))
       .orderBy("win_ms", "event_type")
 
+  /** Session-window aggregation (st3): Spark's native `session_window`
+    * — events gap-merged per user with a 2 h inactivity timeout, the
+    * sessionization shape behind DAU/engagement pipelines. Same
+    * operator works identically under `readStream` + watermark (the
+    * streaming state-store path st2 exercises); batch mode keeps it
+    * oracle-checkable. The oracle reproduces Spark's merge rule (new
+    * session when the gap is ≥ the timeout; session end = last event
+    * + timeout) as gaps-and-islands SQL. */
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("sess_start_ms"),
+        unix_millis(col("w.end")).as("sess_end_ms"), col("n"), col("total"))
+      .orderBy("user_id", "sess_start_ms")
+
   /** A1's streaming face, oracle-checked: a REAL
     * flatMapGroupsWithState run (state = the open bar per subject in
     * the streaming state store) over the event feed; the output is
@@ -1393,6 +1409,7 @@ object SparkEntry {
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _,
+    "st3_session_window" -> qSessionWindow _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -1943,6 +1960,27 @@ object SparkEntry {
       """SELECT (epoch_ms(ts) // 21600000) * 21600000 AS win_ms, event_type,
          count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY win_ms, event_type""",
+    // st3: Spark's session_window merge rule as gaps-and-islands — a
+    // new session starts when the gap from the previous event is >= the
+    // 2 h timeout; the session's end is its last event + timeout.
+    "st3_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 7200000
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         si AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id, min(epoch_ms(ts)) AS sess_start_ms,
+           max(epoch_ms(ts)) + 7200000 AS sess_end_ms,
+           count(*) AS n, round(sum(value), 2) AS total
+         FROM si GROUP BY user_id, sid
+         ORDER BY user_id, sess_start_ms""",
     // live stateful rollup: every 6h bar EXCEPT each subject's last
     // (still-open) one; open/close ordered by the unique (t, event_id)
     // key, so both engines pick identical rows
