@@ -175,6 +175,36 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** J4 interval (range) join: per-user 6 h activity windows (opening
+    * at the user's first event of the day) joined to the day's full
+    * event stream — every (window, event) containment pair, then
+    * aggregated per window. A bare `pt >= lo AND pt < hi` join predicate
+    * plans as BroadcastNestedLoopJoin / cartesian (O(|W|·|E|), fatal at
+    * scale); [[graft.ops.RangeJoin.binned]] rewrites it to a shuffled
+    * equi-join on the bin id — REQUIREd on the executed plan here, so a
+    * planner regression fails the correctness gate. Reference behavior:
+    * the day-quantized block range reads of SIS_DISK_TYPE_SDB_DATE
+    * (src/core/disk/readme.md; per-day block search
+    * workers/sisdb/sisdb_fmap_read.c:52-345), generalized to a join. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val day = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-10")
+    val windows = day.groupBy(col("user_id").as("w_user"))
+      .agg(min(unix_millis(col("ts"))).as("lo_ms"))
+      .withColumn("hi_ms", col("lo_ms") + lit(6L * 3600 * 1000))
+    val pts = day.select(col("event_id").as("p_event"),
+      unix_millis(col("ts")).as("t_ms"), col("value"))
+    val joined = RangeJoin.binned(windows, col("lo_ms"), col("hi_ms"),
+      pts, col("t_ms"), binWidth = 3600L * 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join did not plan as a binned equi-join:\n$plan")
+    joined.groupBy(col("w_user").as("user_id"))
+      .agg(count(lit(1)).as("n_in_window"), round(sum("value"), 2).as("total"))
+      .orderBy("user_id")
+  }
+
   // ───────────────────────── aggregations ────────────────────────────
 
   /** A-family: grouped pricing summary (TPC-H Q1 shape). */
@@ -1365,6 +1395,7 @@ object SparkEntry {
     "j1_merge_streams" -> qMergeStreams _,
     "j2_asof_join" -> qAsOf _,
     "j3_join_revenue" -> qJoinRevenue _,
+    "j4_range_join" -> qRangeJoin _,
     "a0_pricing_summary" -> qPricingSummary _,
     "a1_rollup_ohlc" -> qRollupOhlc _,
     "a1_rollup_month" -> qRollupMonth _,
@@ -1554,6 +1585,18 @@ object SparkEntry {
              AND epoch_ms(c.ts)*1000000+c.event_id <= epoch_ms(p.ts)*1000000+p.event_id)
             AS click_key
           FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "j4_range_join" ->
+      """WITH day AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS t_ms, value
+           FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'),
+         win AS (
+           SELECT user_id AS w_user, min(t_ms) AS lo_ms,
+                  min(t_ms) + 21600000 AS hi_ms
+           FROM day GROUP BY user_id)
+         SELECT w.w_user AS user_id, count(*) AS n_in_window,
+                round(sum(d.value), 2) AS total
+         FROM win w JOIN day d ON d.t_ms >= w.lo_ms AND d.t_ms < w.hi_ms
+         GROUP BY 1 ORDER BY user_id""",
     "j3_join_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_items

@@ -31,9 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Join `left` intervals `[lo, hi)` (ms or any long scale) with
-    * `right` points. Returns all columns of both sides, one row per
-    * (interval, point) match. Column sets must be disjoint. */
+  /** Join `left` intervals `[lo, hi)` (any long scale) with `right`
+    * points. Returns all columns of both sides, one row per
+    * (interval, point) match. Column sets must be disjoint.
+    *
+    * `TimestampType` endpoints/points are converted to epoch
+    * MILLISECONDS (a bare `cast("long")` would truncate to whole
+    * seconds); plain numeric columns are compared as longs unchanged.
+    * Mixing a timestamp side with a raw-long side is the caller's
+    * responsibility — both sides must be on the same scale.
+    *
+    * Empty and inverted intervals (`hi <= lo`) match nothing under
+    * `[lo, hi)` semantics and are dropped BEFORE the bin explode — an
+    * inverted interval would otherwise make `sequence(start, stop)`
+    * generate a DESCENDING bin list (Spark defaults the step to -1
+    * when start > stop), turning one corrupt epoch-ms row into
+    * billions of exploded bins. */
   def binned(left: DataFrame, lo: Column, hi: Column,
       right: DataFrame, point: Column, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
@@ -50,15 +63,27 @@ object RangeJoin {
     // truncates toward zero on negative epochs instead of flooring.
     def binOf(name: String): String =
       s"($name - pmod($name, ${binWidth}L)) div ${binWidth}L"
-    val l = left.withColumn("__lo", lo.cast("long")).withColumn("__hi", hi.cast("long"))
+    val l = asLong(asLong(left, lo, "__lo"), hi, "__hi")
+      .where(col("__hi") > col("__lo"))
       .withColumn("__himl", col("__hi") - 1)
       .withColumn("__bin",
         explode(sequence(expr(binOf("__lo")), expr(binOf("__himl")))))
       .drop("__himl")
-    val r = right.withColumn("__pt", point.cast("long"))
+    val r = asLong(right, point, "__pt")
       .withColumn("__bin", expr(binOf("__pt")))
     l.join(r, l("__bin") === r("__bin") &&
         col("__pt") >= col("__lo") && col("__pt") < col("__hi"))
       .drop("__bin", "__lo", "__hi", "__pt")
+  }
+
+  /** Attach `c` as long column `name`: epoch-ms for timestamps
+    * (sub-second precision preserved), plain long cast otherwise. */
+  private def asLong(df: DataFrame, c: Column, name: String): DataFrame = {
+    val tagged = df.withColumn(name, c)
+    tagged.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        tagged.withColumn(name, unix_millis(col(name)))
+      case _ => tagged.withColumn(name, col(name).cast("long"))
+    }
   }
 }
