@@ -954,6 +954,22 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** E2 multi-key addressing: one command addresses several subjects —
+    * `get SH600600,SH600601.stk_day …` (workers/sisdb/sisdb.h:44-49;
+    * matcher sis_match_key, src/core/sis_utils.h:58-73). The comma
+    * list compiles to a single `In(subject, …)` data filter, not N
+    * scans of the store. */
+  private def qEngineMultikey(s: SparkSession, dir: String): DataFrame = {
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_engine_mk/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val lo = java.time.Instant.parse("2024-01-08T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.get("u1,u3,u5.ev", s"""{range:{start:$lo,stop:$hi}}""")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   /** U1 SQL front door: the SAME engine-ingested store as e1, but
     * queried through plain `spark.sql` against the catalog-registered
     * table (`graft.ev`) — no Scala API in the read path. The day
@@ -1383,6 +1399,7 @@ object SparkEntry {
     "sc1_schema_zint" -> qSchemaZint _,
     "cv1_convert" -> qConvert _,
     "e1_engine_roundtrip" -> qEngineRoundtrip _,
+    "e2_engine_multikey" -> qEngineMultikey _,
     "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
     "p2_last_per_key" -> qLastPerKey _,
@@ -1512,6 +1529,13 @@ object SparkEntry {
          round(sum(value), 2) AS total
          FROM events
          WHERE user_id < 10
+           AND epoch_ms(ts) BETWEEN 1704672000000 AND 1705795199999
+         GROUP BY 1 ORDER BY subject""",
+    "e2_engine_multikey" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id IN (1, 3, 5)
            AND epoch_ms(ts) BETWEEN 1704672000000 AND 1705795199999
          GROUP BY 1 ORDER BY subject""",
     "u1_sql_table" ->

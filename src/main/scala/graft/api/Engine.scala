@@ -102,11 +102,10 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val sdb = catalog.get(table).get
     val timeField = sdb.mainIndex.map(_.name).get
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
+    // full sis_match_key vocabulary incl. comma lists
+    // (`get SH600600,SH600601.stk_day …`, sisdb.h:44-49)
     val base = storeOf(table).read()
-      .filter(if (subject == "*") lit(true)
-        else if (subject.endsWith("*"))
-          col("subject").startsWith(subject.dropRight(1))
-        else col("subject") === subject)
+      .filter(graft.store.KvStore.matchCond("subject", subject))
 
     val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       c => Engine.indexAsLong(sdb, timeField, c)

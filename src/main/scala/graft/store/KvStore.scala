@@ -45,14 +45,27 @@ object KvStore {
     factors.filter(col("subject") === subject &&
       col("time").between(fromMs, toMs)).orderBy("time")
 
-  /** `keys` command: list keys matching the reference's pattern rules
-    * (`*`, `prefix*`, exact, comma lists — sis_utils.h:58-73). */
-  def keys(df: DataFrame, subject: String, pattern: String): DataFrame = {
-    val conds = pattern.split(",").map(_.trim).map {
-      case "*" => lit(true)
+  /** `sis_match_key` condition (src/core/sis_utils.h:58-73) plus the
+    * command surface's comma lists (`SH600600,SH600601.stk_day`,
+    * workers/sisdb/sisdb.h:44-49): `*` matches all, a trailing `*` is
+    * a prefix match, otherwise exact; a comma list ORs its elements.
+    * An all-exact list compiles to ONE `isin` so the pushed data
+    * filter is a single `In(subject, [...])`, not an Or chain. */
+  def matchCond(subject: String, pattern: String): org.apache.spark.sql.Column = {
+    val parts = pattern.split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty key pattern '$pattern'")
+    if (parts.contains("*")) lit(true)
+    else if (parts.forall(!_.endsWith("*")))
+      col(subject).isin(parts.toIndexedSeq: _*)
+    else parts.map {
       case p if p.endsWith("*") => col(subject).startsWith(p.dropRight(1))
       case p => col(subject) === p
-    }
-    df.select(subject).filter(conds.reduce(_ || _)).distinct().orderBy(subject)
+    }.reduce(_ || _)
   }
+
+  /** `keys` command: list keys matching the reference's pattern rules
+    * (`*`, `prefix*`, exact, comma lists — sis_utils.h:58-73). */
+  def keys(df: DataFrame, subject: String, pattern: String): DataFrame =
+    df.select(subject).filter(matchCond(subject, pattern))
+      .distinct().orderBy(subject)
 }

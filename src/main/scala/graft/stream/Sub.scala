@@ -28,15 +28,11 @@ final class SubRegistry {
   def unsubscribe(id: String): Unit = subs.remove(id)
 
   /** sis_match_key semantics (src/core/sis_utils.h:58-73): `*` matches
-    * all; a trailing `*` is a prefix match; otherwise exact. */
-  private def matchCond(subjectCol: String, patterns: Seq[String]) = {
-    val conds = patterns.map {
-      case "*" => lit(true)
-      case p if p.endsWith("*") => col(subjectCol).startsWith(p.dropRight(1))
-      case p => col(subjectCol) === p
-    }
-    conds.reduce(_ || _)
-  }
+    * all; a trailing `*` is a prefix match; otherwise exact; each
+    * pattern element may itself be a comma list (`sub A,B.tb`,
+    * sisdb.h:44-49) — one shared matcher with the store/engine. */
+  private def matchCond(subjectCol: String, patterns: Seq[String]) =
+    patterns.map(graft.store.KvStore.matchCond(subjectCol, _)).reduce(_ || _)
 
   /** Fan a published batch out to every matching subscriber. */
   def publish(batch: DataFrame, subjectCol: String): Unit =

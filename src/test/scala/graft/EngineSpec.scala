@@ -55,6 +55,33 @@ class EngineSpec extends SparkSpec {
     assert(e.keys("*.stk_day").count() == 2)
   }
 
+  test("comma-list key addressing: get, keys, sub (sisdb.h:44-49)") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SH600601.stk_day", """{"time":"2021-01-04","open":3.0,"close":4.0,"vol":2}""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":3}""")
+
+    // exact comma list — compiles to one In(subject, …), one scan
+    val two = e.get("SH600600,SH600601.stk_day", """{range:{start:-1}}""")
+    assert(two.select("subject").collect().map(_.getString(0)).sorted
+      .sameElements(Array("SH600600", "SH600601")))
+    // mixed prefix + exact elements
+    assert(e.get("SH6*,SZ000001.stk_day", """{range:{start:-1}}""").count() == 3)
+    assert(e.keys("SH600601,SZ0*.stk_day").collect().map(_.getString(0)).sorted
+      .sameElements(Array("SH600601", "SZ000001")))
+    // a `*` element swallows the list
+    assert(e.keys("SH600600,*.stk_day").count() == 3)
+
+    // comma list inside a single sub pattern
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("mk", Seq("SH600601,SZ000001"))(df => seen.addAndGet(df.count()))
+    e.set("SH600600.stk_day", """{"time":"2021-01-05","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SH600601.stk_day", """{"time":"2021-01-05","open":3.0,"close":4.0,"vol":2}""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-05","open":9.0,"close":9.2,"vol":3}""")
+    assert(seen.get() == 2) // SH600600 not subscribed
+  }
+
   test("bad inputs fail with clear errors, not corruption") {
     val e = mkEngine
     e.create(stkDay)
