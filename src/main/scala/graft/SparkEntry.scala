@@ -1250,6 +1250,27 @@ object SparkEntry {
       .select("time", "factor")
   }
 
+  /** KV1 — the reference's unstructured key styles (SIS_SDB_STYLE_ONE /
+    * MUL, src/core/disk/sis_disk.io.h:206-210) and the degenerate
+    * built-in `string {index, value}` table (src/core/disk/readme.md):
+    * ONE = single value per key, last write wins — modeled as the
+    * compacted view after a manual override write for `u1`; MUL =
+    * ordered list per key — `u2`'s full sequence. Both styles over one
+    * generic `(key, seq, value)` KV DataFrame per SURVEY §1.4. */
+  private def qKvStyles(s: SparkSession, dir: String): DataFrame = {
+    val kv = t(s, dir, "events").select(
+      concat(lit("u"), col("user_id")).as("key"),
+      evKey.as("seq"),
+      concat(col("event_type"), lit("#"), col("event_id")).as("value"))
+    val one = graft.store.KvStore.setOne(kv, "u1",
+      lit("manual#override"), lit(Long.MaxValue))
+    val mul = graft.store.KvStore.getMul(kv, "u2")
+    one.select(lit("one").as("op"), col("key"), col("seq"), col("value"))
+      .unionByName(mul.select(lit("mul").as("op"), col("key"), col("seq"),
+        col("value")))
+      .orderBy("op", "key", "seq")
+  }
+
   /** O4 search positioning (sisdb_fmap_read.c: block-head search to
     * land on the right file offset; disk/readme.md block stats): the
     * reference binary-searches block heads; the Spark equivalent is
@@ -1470,6 +1491,7 @@ object SparkEntry {
     "t4_stream_finalize" -> qStreamFinalize _,
     "t7_wal_resume" -> qWalResume _,
     "t6_factor_store" -> qFactorStore _,
+    "kv1_one_mul_styles" -> qKvStyles _,
     "o4_search_position" -> qSearchPosition _,
     "sk1_salted_agg" -> qSaltedAgg _,
     "sk2_salted_join" -> qSaltedJoin _,
@@ -2498,6 +2520,21 @@ object SparkEntry {
          WHERE user_id = 7
            AND epoch_ms(day::TIMESTAMP) BETWEEN 1704067200000 AND 1706745600000
          ORDER BY time""",
+    "kv1_one_mul_styles" ->
+      """WITH kv AS (
+           SELECT 'u' || user_id AS key,
+             epoch_ms(ts)*1000000 + event_id AS seq,
+             event_type || '#' || event_id AS value
+           FROM events)
+         SELECT 'one' AS op, key, seq, value FROM (
+           SELECT key, seq, value,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           FROM (SELECT * FROM kv UNION ALL
+                 SELECT 'u1', 9223372036854775807, 'manual#override'))
+         WHERE rn = 1
+         UNION ALL
+         SELECT 'mul' AS op, key, seq, value FROM kv WHERE key = 'u2'
+         ORDER BY op, key, seq""",
     // same inlined-plane reproduction as x2, with d5b's (56 planes,
     // 8 bands → 7-bit buckets) parameters
     "d5b_cosine_dup_blocked" -> {
