@@ -40,7 +40,12 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout tail the driver captures can truncate mid-JSON on a
+    // large inventory — persist the full sorted vector as a file too
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"), line + "\n")
     spark.stop()
   }
 }
