@@ -205,7 +205,8 @@ object Dedup {
     * rounds ≈ 2-3 in practice; `maxIter` is a loud safety net. */
   def connectedComponents(vertices: DataFrame, id: String,
       edges: DataFrame, src: String = "id_a", dst: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
     val und = edges.select(col(src).as("__u"), col(dst).as("__v"))
       .union(edges.select(col(dst).as("__u"), col(src).as("__v")))
       .distinct().persist()
@@ -234,6 +235,7 @@ object Dedup {
       pinned = next
       labels = next.select("__id", "__lbl")
       iter += 1
+      onRound(iter, changed)
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
