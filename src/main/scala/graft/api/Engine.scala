@@ -90,7 +90,7 @@ final class Engine(val spark: SparkSession, rootPath: String) {
         .drop("__json")
         .withColumn("subject", lit(subject))
     storeOf(table).set(typed)
-    subs.publish(typed, "subject")
+    subs.publish(typed, "subject", table)
     rows.size.toLong
   }
 

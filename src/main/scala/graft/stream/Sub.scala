@@ -34,11 +34,36 @@ final class SubRegistry {
   private def matchCond(subjectCol: String, patterns: Seq[String]) =
     patterns.map(graft.store.KvStore.matchCond(subjectCol, _)).reduce(_ || _)
 
-  /** Fan a published batch out to every matching subscriber. */
-  def publish(batch: DataFrame, subjectCol: String): Unit =
+  /** Scalar sis_match_key over a comma list — the table side of a
+    * `subjects.tables` pattern is matched per publish, not per row. */
+  private def scalarMatch(pattern: String, v: String): Boolean =
+    pattern.split(",").map(_.trim).filter(_.nonEmpty).exists {
+      case "*" => true
+      case p if p.endsWith("*") => v.startsWith(p.dropRight(1))
+      case p => v == p
+    }
+
+  /** A pattern is `subjects` (any table) or `subjects.tables` — the
+    * reference's full sub key shape (`sub SH600600,SH600601
+    * .stk_snapshot,stk_trancat`, workers/sisdb/sisdb.h:44-49). */
+  private def splitPattern(p: String): (String, String) = {
+    val i = p.lastIndexOf('.')
+    if (i > 0) (p.substring(0, i), p.substring(i + 1)) else (p, "*")
+  }
+
+  /** Fan a published batch out to every matching subscriber. `table`
+    * is the publishing table's name; subscribers with table-qualified
+    * patterns only see tables they asked for. A publisher without
+    * table context (`""`) matches every pattern's table side. */
+  def publish(batch: DataFrame, subjectCol: String, table: String = ""): Unit =
     subs.values().forEach { s =>
-      val matched = batch.filter(matchCond(subjectCol, s.patterns))
-      s.callback(matched)
+      val applicable = s.patterns.map(splitPattern).collect {
+        case (subj, tabs) if table.isEmpty || scalarMatch(tabs, table) => subj
+      }
+      if (applicable.nonEmpty) {
+        val matched = batch.filter(matchCond(subjectCol, applicable))
+        s.callback(matched)
+      }
     }
 
   def size: Int = subs.size()

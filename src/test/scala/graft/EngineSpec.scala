@@ -82,6 +82,27 @@ class EngineSpec extends SparkSpec {
     assert(seen.get() == 2) // SH600600 not subscribed
   }
 
+  test("table-qualified sub patterns: subjects.tables (sisdb.h:44-49)") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.create(
+      "{stk_week:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    val dayOnly = new java.util.concurrent.atomic.AtomicLong(0)
+    val weekAny = new java.util.concurrent.atomic.AtomicLong(0)
+    val both = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("dayOnly", Seq("SH600600.stk_day"))(df => dayOnly.addAndGet(df.count()))
+    e.sub("weekAny", Seq("*.stk_week"))(df => weekAny.addAndGet(df.count()))
+    e.sub("both", Seq("SH600600.stk_day,stk_week"))(df => both.addAndGet(df.count()))
+
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SH600600.stk_week", """{"time":"2021-01-08","open":1.0,"close":2.0,"vol":5}""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":3}""")
+
+    assert(dayOnly.get() == 1) // its table and subject only
+    assert(weekAny.get() == 1) // any subject, week table only
+    assert(both.get() == 2)    // SH600600 across the table comma list
+  }
+
   test("bad inputs fail with clear errors, not corruption") {
     val e = mkEngine
     e.create(stkDay)
