@@ -1372,6 +1372,18 @@ object SparkEntry {
       .select(col("doc_id"), col("__shuf").as("shuffle_key"), col("pos"))
       .orderBy("pos")
 
+  /** SMP3 mixture balancing: every language deterministically
+    * down-sampled to the smallest language's share — rates derived
+    * from the data (the flatten-the-mixture stage), selection a pure
+    * function of doc_id. (lang, not source, because the corpus is
+    * language-skewed ~3.4:1 — the source mix is uniform and would
+    * make the check vacuous.) */
+  private def qSourceMix(s: SparkSession, dir: String): DataFrame =
+    Pipeline.balanceGroups(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"))
+      .orderBy("doc_id")
+
   /** Concat-and-chunk sequence packing into 512-token context windows:
     * the corpus as one virtual token stream (exclusive global running
     * sum of whitespace-token counts, computed with the same two-pass
@@ -1499,6 +1511,7 @@ object SparkEntry {
     "mm3_multimodal_features" -> qMultimodalFeatures _,
     "smp1_hash_split" -> qHashSplit _,
     "smp2_stratified_sample" -> qStratifiedSample _,
+    "smp3_source_mix" -> qSourceMix _,
     "shf1_global_shuffle" -> qGlobalShuffle _,
     "pk1_pack_chunks" -> qPackChunks _,
     "ch1_chunk_overlap" -> qChunkOverlap _)
@@ -2609,6 +2622,18 @@ object SparkEntry {
            CASE WHEN bucket < 90 THEN 'train'
                 WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+    "smp3_source_mix" ->
+      s"""WITH c AS (SELECT lang AS g, count(*) AS cnt FROM documents GROUP BY 1),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         f AS (SELECT doc_id, lang,
+           'balance:' || doc_id::VARCHAR AS s FROM documents),
+         h AS (SELECT doc_id, lang, ${toSigned(fnvU("s"))} AS h FROM f),
+         b AS (SELECT doc_id, lang,
+           ((h % 1000000) + 1000000) % 1000000 AS bucket FROM h)
+         SELECT b.doc_id, b.lang FROM b
+         JOIN c ON b.lang = c.g CROSS JOIN m
+         WHERE bucket * cnt < mn * 1000000
+         ORDER BY doc_id""",
     "smp2_stratified_sample" ->
       s"""WITH f AS (SELECT doc_id, lang,
              'sample:' || doc_id::VARCHAR AS s FROM documents),

@@ -85,6 +85,29 @@ object Pipeline {
       .drop("__stratum", "__thresh")
   }
 
+  /** Balance groups to the smallest group's size — the
+    * mixture-flattening stage of a pretraining pipeline (cap every
+    * source/language at the same share) with keep-rates DERIVED from
+    * the data rather than passed in ([[stratifiedSample]] is the
+    * explicit-rates variant). The keep rule is pure integer math:
+    * keep iff `bucket(id) * |group| < min|group| * mod` — exactly a
+    * `min|g| / |g|` keep rate with no double rounding ambiguity
+    * cross-engine (`bucket < mod` and group counts ≤ ~9e12 keep the
+    * product inside a long). The per-group counts are one tiny
+    * aggregate broadcast back; the filter itself runs at scan speed,
+    * so the only data-sized cost is the counting pass. */
+  def balanceGroups(df: DataFrame, group: Column, id: Column,
+      salt: String = "balance", mod: Int = 1000000): DataFrame = {
+    requireFresh(df, Seq("__bucket", "__grp", "__cnt", "__min"))
+    val counts = df.groupBy(group.as("__grp")).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min("__cnt").as("__min"))
+    df.withColumn("__bucket", hashBucket(id, salt, mod))
+      .join(broadcast(counts), group === col("__grp"))
+      .crossJoin(broadcast(minCnt)) // bounded: exactly one row
+      .filter(col("__bucket") * col("__cnt") < col("__min") * lit(mod.toLong))
+      .drop("__bucket", "__grp", "__cnt", "__min")
+  }
+
   /** Deterministic global shuffle: order the corpus by the id-hash
     * (plus id as collision tiebreak) and materialize each row's 1-based
     * position. This is the "shuffle the training data" stage — the

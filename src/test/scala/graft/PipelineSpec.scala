@@ -32,6 +32,27 @@ class PipelineSpec extends SparkSpec {
     assert(small.forall { case (id, s) => big(id) == s })
   }
 
+  test("balanceGroups flattens skewed groups to ~the smallest share") {
+    // 3 sources with 10:3:1 skew
+    val df = corpus(2600).withColumn("src",
+      when($"id" <= 2000, "big").when($"id" <= 2400, "mid").otherwise("small"))
+    val kept = Pipeline.balanceGroups(df, $"src", $"id")
+    val counts = kept.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("small") == 200) // rate 1.0: the floor group keeps everything
+    // hash sampling is approximate: each flattened group within ±40%
+    assert(counts("big") > 120 && counts("big") < 280, counts.toString)
+    assert(counts("mid") > 120 && counts("mid") < 280, counts.toString)
+    // deterministic: same selection on re-run
+    val again = Pipeline.balanceGroups(df, $"src", $"id")
+      .select("id").as[Long].collect().sorted
+    assert(again.sameElements(kept.select("id").as[Long].collect().sorted))
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Pipeline.balanceGroups(df.withColumn("__cnt", lit(1)), $"src", $"id")
+    }
+  }
+
   test("stratifiedSample keeps roughly the per-stratum rate") {
     val df = corpus(3000).withColumn("lang",
       when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("de"))
