@@ -635,6 +635,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** D8 corpus-boilerplate spans (C4/RefinedWeb-style span dedup,
+    * adapted to word grams): a 3-gram occurring in ≥ 10 distinct
+    * documents is boilerplate (≥ 4 here — the synthetic corpus tops
+    * out at df 7); score each document by the fraction of
+    * its distinct grams that are boilerplate. Every stage shuffles only
+    * (doc_id, 8-byte gram hash) — document frequency is one combinable
+    * count per gram, the doc score one count per doc; text never moves
+    * after the scan-stage shingle expression. */
+  private def qBoilerplateSpans(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.ShingleHashesExpr(col("text"), 3)).as("__gram"))
+      .distinct()
+    val boiler = grams.groupBy("__gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 4).select("__gram")
+    val n = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nb = grams.join(boiler, "__gram")
+      .groupBy(col("doc_id").as("__id")).agg(count(lit(1)).as("__nb"))
+    n.join(nb, n("doc_id") === col("__id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("__nb"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("__nb"), lit(0L)) / col("n_grams"), 6)
+          .as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint (custom codegen'd FNV-1a expression) —
     * oracle-checked byte-for-byte (FNV-1a folds in HUGEINT SQL), and
     * cross-checked against the portable column-expression formulation
@@ -1486,6 +1511,7 @@ object SparkEntry {
     "tx5_repetition" -> qRepetition _,
     "tx6_pii_scrub" -> qPiiScrub _,
     "x4_contamination" -> qContamination _,
+    "d8_boilerplate_spans" -> qBoilerplateSpans _,
     "tx3_token_count" -> qTokenCount _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
@@ -2025,6 +2051,26 @@ object SparkEntry {
            count(DISTINCT gram) AS n_shared_grams
          FROM m GROUP BY doc_id
          HAVING count(DISTINCT gram) >= 3 ORDER BY doc_id""",
+    "d8_boilerplate_spans" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         dfq AS (SELECT gram, count(*) AS df FROM e GROUP BY 1),
+         boiler AS (SELECT gram FROM dfq WHERE df >= 4),
+         n AS (SELECT doc_id, count(*) AS n_grams FROM e GROUP BY 1),
+         nb AS (SELECT e.doc_id, count(*) AS n_boiler
+                FROM e JOIN boiler USING (gram) GROUP BY 1)
+         SELECT n.doc_id AS doc_id, n_grams, coalesce(n_boiler, 0) AS n_boiler,
+           round(coalesce(n_boiler, 0)::DOUBLE / n_grams, 6) AS boiler_ratio
+         FROM n LEFT JOIN nb ON n.doc_id = nb.doc_id
+         ORDER BY n.doc_id""",
     "tx2_text_quality" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
