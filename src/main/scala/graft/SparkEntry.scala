@@ -705,6 +705,44 @@ object SparkEntry {
         unix_millis(col("w.end")).as("sess_end_ms"), col("n"), col("total"))
       .orderBy("user_id", "sess_start_ms")
 
+  /** ST4 streaming exact dedup: a REAL `readStream` run where every
+    * event arrives TWICE in separate micro-batches
+    * (maxFilesPerTrigger=1 over two identical files) and
+    * `dropDuplicatesWithinWatermark` collapses them — the scalable
+    * streaming-dedup shape (state holds only ids inside the watermark
+    * horizon, so state size is bounded by arrival rate × delay, not
+    * corpus size). The day aggregate equals the duplicate-free batch
+    * answer: if dedup fails, every count doubles and the hash
+    * mismatches. */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamdedup/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd")
+        .between("2024-01-05", "2024-01-07"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    e.coalesce(1).write.mode("overwrite").parquet(s"$base/feed")
+    e.coalesce(1).write.mode("append").parquet(s"$base/feed")
+    val src = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+    val deduped = src.withWatermark("ts", "48 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("day")
+  }
+
   /** A1's streaming face, oracle-checked: a REAL
     * flatMapGroupsWithState run (state = the open bar per subject in
     * the streaming state store) over the event feed; the output is
@@ -1517,6 +1555,7 @@ object SparkEntry {
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _,
     "st3_session_window" -> qSessionWindow _,
+    "st4_stream_dedup" -> qStreamDedup _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2129,6 +2168,14 @@ object SparkEntry {
            count(*) AS n, round(sum(value), 2) AS total
          FROM si GROUP BY user_id, sid
          ORDER BY user_id, sess_start_ms""",
+    // the stream carried every event TWICE; a correct dedup returns
+    // exactly the duplicate-free batch answer
+    "st4_stream_dedup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+           count(DISTINCT event_id) AS n_ids, round(sum(value), 2) AS total
+         FROM events
+         WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'
+         GROUP BY 1 ORDER BY day""",
     // live stateful rollup: every 6h bar EXCEPT each subject's last
     // (still-open) one; open/close ordered by the unique (t, event_id)
     // key, so both engines pick identical rows
