@@ -635,6 +635,47 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TX7 perplexity-proxy quality scoring (the CCNet/Gopher LM-filter
+    * stage, with the corpus itself as the LM): train a unigram model
+    * over the whole corpus — token → count, one combinable aggregation
+    * — and score every document by its mean negative log-probability.
+    * The vocabulary rides a broadcast (Zipf: token TYPES are tiny next
+    * to token instances, even at 100 TB), so the exploded token stream
+    * never shuffles; the per-doc score is one partial-aggregated
+    * groupBy(doc_id). */
+  private def qUnigramNll(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__tf"))
+    val total = vocab.agg(sum("__tf").as("__total"))
+    toks.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total)) // bounded: exactly one row
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__total")) - log(col("__tf"))), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** TOK1 — the first BPE merge step of tokenizer training: count
+    * adjacent character pairs inside every whitespace token across the
+    * corpus and rank the merge candidates. One explode to (pair) —
+    * the only shuffle is the combinable pair count — then an a8-style
+    * TakeOrdered top-20 with a total (count desc, pair asc) order. A
+    * driver loop over this query IS BPE training; one step keeps it a
+    * single declarative plan. */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 1)
+    val pairs = toks.select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+  }
+
   /** D8 corpus-boilerplate spans (C4/RefinedWeb-style span dedup,
     * adapted to word grams): a 3-gram occurring in ≥ 10 distinct
     * documents is boilerplate (≥ 4 here — the synthetic corpus tops
@@ -1550,6 +1591,8 @@ object SparkEntry {
     "tx6_pii_scrub" -> qPiiScrub _,
     "x4_contamination" -> qContamination _,
     "d8_boilerplate_spans" -> qBoilerplateSpans _,
+    "tx7_unigram_nll" -> qUnigramNll _,
+    "tok1_bpe_pairs" -> qBpePairs _,
     "tx3_token_count" -> qTokenCount _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
@@ -2110,6 +2153,30 @@ object SparkEntry {
            round(coalesce(n_boiler, 0)::DOUBLE / n_grams, 6) AS boiler_ratio
          FROM n LEFT JOIN nb ON n.doc_id = nb.doc_id
          ORDER BY n.doc_id""",
+    // top-20 merge candidates under a TOTAL (n desc, pair asc) order,
+    // so LIMIT picks identical rows in both engines
+    "tok1_bpe_pairs" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(
+             string_split_regex(text, '\s+'), x -> len(x) > 1)) AS tok
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(tok)),
+             i -> substr(tok, i, 2))) AS pair
+           FROM tk)
+         SELECT pair, count(*) AS n FROM p
+         GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
+    "tx7_unigram_nll" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+           FROM documents),
+         v AS (SELECT tok, count(*) AS tf FROM tk GROUP BY 1),
+         tot AS (SELECT sum(tf) AS total FROM v)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(total::DOUBLE) - ln(tf::DOUBLE)), 6) AS avg_nll
+         FROM tk JOIN v USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "tx2_text_quality" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tokens,
