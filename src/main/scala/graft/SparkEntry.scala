@@ -784,6 +784,45 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** W10 rolling z-score per series (20-row trailing window): the
+    * outlier-scoring stage of sensor/market data cleaning — one
+    * shuffle per subject, window math inside the stage. Ordered by the
+    * unique ingest key so both engines window identical row sets; the
+    * single-row and zero-variance windows null out identically via
+    * stddev_samp/NULLIF semantics. */
+  private def qRollingZ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < 5)
+      .withColumn("k", evKey)
+    val w = Window.partitionBy("user_id").orderBy("k").rowsBetween(-19, 0)
+    val sd = stddev_samp(col("value")).over(w)
+    e.select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_win"),
+        round((col("value") - avg("value").over(w)) /
+          when(sd =!= 0.0, sd), 4).as("z"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** O5 grid resampling: last-value-carried-forward onto a regular
+    * hourly grid — the reference's ifprev carry-back (CMP_FIND_AGO)
+    * generalized to resample-to-grid, built on [[graft.ops.AsOf]]'s
+    * union + running-last shape (one shuffle on the key, no
+    * inequality join). Grid keys sit between ingest keys
+    * (`g_ms*1e6 + 999999`), so a grid point admits every event at or
+    * before that millisecond, deterministically. */
+  private def qResampleGrid(s: SparkSession, dir: String): DataFrame = {
+    val dayLo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val e = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-10")
+      .select(col("user_id"), evKey.as("k"), col("value"))
+    val grid = e.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(
+        lit(dayLo), lit(dayLo + 23L * 3600000), lit(3600000L))).as("g_ms"))
+      .withColumn("gk", col("g_ms") * 1000000L + 999999L)
+    AsOf.join(grid, e, Seq("user_id"), "gk", "k", Seq("value"))
+      .select(col("user_id"), col("g_ms"), col("value"))
+      .orderBy("user_id", "g_ms")
+  }
+
   /** A1's streaming face, oracle-checked: a REAL
     * flatMapGroupsWithState run (state = the open bar per subject in
     * the streaming state store) over the event feed; the output is
@@ -1602,6 +1641,8 @@ object SparkEntry {
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
+    "w10_rolling_z" -> qRollingZ _,
+    "o5_resample_grid" -> qResampleGrid _,
     "a3_block_stats" -> qBlockStats _,
     "t5_dict_ids" -> qDictIds _,
     "m4_append" -> qAppend _,
@@ -2235,6 +2276,29 @@ object SparkEntry {
            count(*) AS n, round(sum(value), 2) AS total
          FROM si GROUP BY user_id, sid
          ORDER BY user_id, sess_start_ms""",
+    "w10_rolling_z" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts)*1000000+event_id AS k, value
+           FROM events WHERE user_id < 5)
+         SELECT user_id, event_id, count(*) OVER w AS n_win,
+           round((value - avg(value) OVER w) /
+             NULLIF(stddev_samp(value) OVER w, 0), 4) AS z
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY k
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "o5_resample_grid" ->
+      """WITH d AS (
+           SELECT user_id, epoch_ms(ts)*1000000+event_id AS k, value
+           FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'),
+         u AS (SELECT DISTINCT user_id FROM d),
+         g AS (SELECT user_id, unnest(generate_series(1704844800000,
+                 1704844800000 + 23*3600000, 3600000)) AS g_ms FROM u)
+         SELECT g.user_id, g.g_ms,
+           (SELECT arg_max(value, k) FROM d
+             WHERE d.user_id = g.user_id
+               AND d.k <= g.g_ms*1000000+999999) AS value
+         FROM g ORDER BY user_id, g_ms""",
     // the stream carried every event TWICE; a correct dedup returns
     // exactly the duplicate-free batch answer
     "st4_stream_dedup" ->
