@@ -446,6 +446,26 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
 
+  /** D9 semantic dedup end-to-end: embedding-cosine near-dup pairs
+    * (d5b's LSH-blocked scale path, ids-only shuffle) → connected
+    * components (d7's operator) → keep-one-representative decisions
+    * per semantic cluster — the full SemDeDup-style pipeline as one
+    * declarative composition. Representative = cluster-min vec_id
+    * (deterministic; the oracle re-derives it via recursive CTE). */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, blocked = true, nPlanes = 56, bands = 8)
+    val cc = Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+      pairs.select("id_a", "id_b"))
+    val w = Window.partitionBy("cluster_id")
+    cc.withColumn("csize", count(lit(1)).over(w))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+      .select("vec_id", "cluster_id", "csize", "keep")
+      .orderBy("vec_id")
+  }
+
   /** Brute-force exact top-k cosine ANN baseline. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").withColumn("embedding",
@@ -1621,6 +1641,7 @@ object SparkEntry {
     "d5_cosine_dup" -> qCosineDup _,
     "d5b_cosine_dup_blocked" -> qCosineDupBlocked _,
     "d6_winnow_pairs" -> qWinnowPairs _,
+    "d9_semantic_dedup" -> qSemanticDedup _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
@@ -2797,6 +2818,46 @@ object SparkEntry {
                    JOIN e be ON be.vec_id = cd.id_b)
          SELECT id_a, id_b, round(cosine, 6) AS cosine
          FROM scored WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
+    },
+    // d5b's inlined-plane candidate SQL + d7's recursive-CTE closure:
+    // the oracle re-runs the whole SemDeDup pipeline relationally
+    "d9_semantic_dedup" -> {
+      val planes = graft.functions.VectorFunctions.randomPlanes(56, 64)
+      val sigbits = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(v, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sg AS (SELECT vec_id, v, ($sigbits)::BIGINT AS sig FROM e),
+         bd AS (
+           SELECT vec_id, v, b, (sig // (1::BIGINT << (7*b))) % 128 AS bucket
+           FROM (SELECT vec_id, v, sig, unnest(range(8)) AS b FROM sg)),
+         cd AS (
+           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           FROM bd x JOIN bd y ON x.b = y.b AND x.bucket = y.bucket
+                      AND x.vec_id < y.vec_id),
+         pr AS (
+           SELECT id_a, id_b FROM (
+             SELECT id_a, id_b,
+               list_inner_product(ae.v, be.v) /
+                 (sqrt(list_inner_product(ae.v, ae.v)) *
+                  sqrt(list_inner_product(be.v, be.v))) AS cosine
+             FROM cd JOIN e ae ON ae.vec_id = cd.id_a
+                     JOIN e be ON be.vec_id = cd.id_b)
+           WHERE cosine >= 0.3),
+         ed AS (
+           SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT vec_id AS root, vec_id AS node FROM embeddings
+           UNION
+           SELECT reach.root, ed.v FROM reach JOIN ed ON ed.u = reach.node),
+         cl AS (
+           SELECT root AS vec_id, min(node) AS cluster_id FROM reach GROUP BY root),
+         sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id)
+         SELECT cl.vec_id, cl.cluster_id, sz.csize,
+           cl.vec_id = cl.cluster_id AS keep
+         FROM cl JOIN sz USING (cluster_id) ORDER BY cl.vec_id"""
     },
     "o4_search_position" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total

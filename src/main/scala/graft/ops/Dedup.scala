@@ -200,21 +200,28 @@ object Dedup {
     *     trick behind the large-star/small-star CC algorithms).
     * Every step is shuffle-partitioned by key — O(|V|+|E|) per round,
     * no driver-side graph state; each round materializes its label
-    * table (persist + the convergence count) so lineage stays bounded
-    * across iterations. Dup graphs are overwhelmingly tiny cliques, so
-    * rounds ≈ 2-3 in practice; `maxIter` is a loud safety net. */
+    * table (localCheckpoint + the convergence count) so BOTH the
+    * execution lineage and the logical plan stay flat across
+    * iterations — see the in-loop comment for why persist is not
+    * enough. Dup graphs are overwhelmingly tiny cliques, so rounds
+    * ≈ 2-3 in practice; `maxIter` is a loud safety net. */
   def connectedComponents(vertices: DataFrame, id: String,
       edges: DataFrame, src: String = "id_a", dst: String = "id_b",
       maxIter: Int = 25,
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    // localCheckpoint (not persist): materializes the edge set AND
+    // truncates its logical plan. With persist, every round's cached
+    // plan nests the full upstream candidate-generation pipeline; when
+    // that pipeline carries big literals (d9's 56×64-double LSH
+    // planes), AQE's per-update explainString turns into minutes of
+    // driver CPU. Checkpointed blocks free on GC (ContextCleaner);
+    // a cluster deployment that must survive executor loss would use
+    // reliable checkpoint() instead — same plan-truncation effect.
     val und = edges.select(col(src).as("__u"), col(dst).as("__v"))
       .union(edges.select(col(dst).as("__u"), col(src).as("__v")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = vertices.select(col(id).as("__id"), col(id).as("__lbl"))
-      .persist()
-    // unpersist must see the EXACT frame that was persisted — a
-    // derived select has a different plan and would silently no-op
-    var pinned = labels
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -226,13 +233,17 @@ object Dedup {
       // compress: labels always point at some vertex's current label,
       // so the self-join resolves one extra hop per round
       val lmap = relaxed.select(col("__id").as("__k"), col("__rlx").as("__m"))
+      // localCheckpoint each round (not persist): `relaxed` appears
+      // TWICE in this plan (data + compress self-join), so a cached
+      // plan would nest the previous round's plan twice — plan-string
+      // rendering (AQE logs every adaptive update) then grows
+      // 2^rounds. A checkpointed round is a flat LogicalRDD: O(1)
+      // plan per round, previous rounds' blocks free on GC.
       val next = relaxed.join(lmap, relaxed("__rlx") === lmap("__k"), "left")
         .select(col("__id"), col("__old"),
           coalesce(col("__m"), col("__rlx")).as("__lbl"))
-        .persist()
+        .localCheckpoint()
       changed = next.filter(col("__lbl") =!= col("__old")).count()
-      pinned.unpersist()
-      pinned = next
       labels = next.select("__id", "__lbl")
       iter += 1
       onRound(iter, changed)
@@ -240,7 +251,6 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "the graph has a structure (or scale) this config did not expect")
-    und.unpersist()
     labels.select(col("__id").as(id), col("__lbl").as("cluster_id"))
   }
 
