@@ -205,6 +205,51 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** J5 interval × interval overlap join: per-user activity windows
+    * against a fixed maintenance-window grid, via
+    * [[graft.ops.RangeJoin.overlap]]'s bin rewrite (pair emitted only
+    * from the overlap-start bin — exactly once, no dedup). */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val dayLo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val uw = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-10")
+      .groupBy(col("user_id").as("w_user"))
+      .agg(min(unix_millis(col("ts"))).as("u_lo"))
+      .withColumn("u_hi", col("u_lo") + lit(6L * 3600 * 1000))
+    val maint = s.range(8).select(col("id").as("m_id"),
+        (lit(dayLo) + col("id") * lit(3L * 3600 * 1000)).as("m_lo"))
+      .withColumn("m_hi", col("m_lo") + lit(2L * 3600 * 1000))
+    RangeJoin.overlap(uw, col("u_lo"), col("u_hi"),
+        maint, col("m_lo"), col("m_hi"), binWidth = 3600L * 1000)
+      .groupBy(col("w_user").as("user_id"))
+      .agg(count(lit(1)).as("n_maint"), min("m_id").as("first_maint"))
+      .orderBy("user_id")
+  }
+
+  /** A9 one-pass table profiler: min/max/null-count/distinct-count per
+    * column in a SINGLE scan + aggregate (the multi-countDistinct
+    * expand), unpivoted to one row per column — the data-profiling
+    * stage of pipeline onboarding. Numeric and string extremes ride
+    * separate typed columns so no engine-dependent double→string
+    * rendering enters the hash. */
+  private def qProfileStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+        min("l_quantity").as("min_q"), max("l_quantity").as("max_q"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_q"),
+        countDistinct("l_quantity").as("ndv_q"),
+        min("l_extendedprice").as("min_p"), max("l_extendedprice").as("max_p"),
+        sum(when(col("l_extendedprice").isNull, 1).otherwise(0)).as("null_p"),
+        countDistinct("l_extendedprice").as("ndv_p"),
+        min("l_returnflag").as("min_r"), max("l_returnflag").as("max_r"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_r"),
+        countDistinct("l_returnflag").as("ndv_r"))
+      .selectExpr("""stack(3,
+        'l_quantity', min_q, max_q, cast(null as string), cast(null as string), null_q, ndv_q,
+        'l_extendedprice', min_p, max_p, cast(null as string), cast(null as string), null_p, ndv_p,
+        'l_returnflag', cast(null as double), cast(null as double), min_r, max_r, null_r, ndv_r)
+        AS (col_name, min_num, max_num, min_str, max_str, n_null, n_distinct)""")
+      .orderBy("col_name")
+
   // ───────────────────────── aggregations ────────────────────────────
 
   /** A-family: grouped pricing summary (TPC-H Q1 shape). */
@@ -1609,6 +1654,8 @@ object SparkEntry {
     "j2_asof_join" -> qAsOf _,
     "j3_join_revenue" -> qJoinRevenue _,
     "j4_range_join" -> qRangeJoin _,
+    "j5_interval_overlap" -> qIntervalOverlap _,
+    "a9_profile_stats" -> qProfileStats _,
     "a0_pricing_summary" -> qPricingSummary _,
     "a1_rollup_ohlc" -> qRollupOhlc _,
     "a1_rollup_month" -> qRollupMonth _,
@@ -1826,6 +1873,39 @@ object SparkEntry {
                 round(sum(d.value), 2) AS total
          FROM win w JOIN day d ON d.t_ms >= w.lo_ms AND d.t_ms < w.hi_ms
          GROUP BY 1 ORDER BY user_id""",
+    "j5_interval_overlap" ->
+      """WITH uw AS (
+           SELECT user_id, min(epoch_ms(ts)) AS u_lo,
+                  min(epoch_ms(ts)) + 21600000 AS u_hi
+           FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-10'
+           GROUP BY user_id),
+         m AS (SELECT k AS m_id, 1704844800000 + k*10800000 AS m_lo,
+                      1704844800000 + k*10800000 + 7200000 AS m_hi
+               FROM (SELECT unnest(range(8)) AS k))
+         SELECT uw.user_id, count(*) AS n_maint, min(m_id) AS first_maint
+         FROM uw JOIN m ON uw.u_lo < m.m_hi AND m.m_lo < uw.u_hi
+         GROUP BY 1 ORDER BY user_id""",
+    "a9_profile_stats" ->
+      """WITH a AS (
+           SELECT min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_q,
+             count(DISTINCT l_quantity) AS ndv_q,
+             min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p,
+             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_p,
+             count(DISTINCT l_extendedprice) AS ndv_p,
+             min(l_returnflag) AS min_r, max(l_returnflag) AS max_r,
+             sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_r,
+             count(DISTINCT l_returnflag) AS ndv_r
+           FROM lineitem)
+         SELECT 'l_quantity' AS col_name, min_q AS min_num, max_q AS max_num,
+           NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+           null_q AS n_null, ndv_q AS n_distinct FROM a
+         UNION ALL
+         SELECT 'l_extendedprice', min_p, max_p, NULL, NULL, null_p, ndv_p FROM a
+         UNION ALL
+         SELECT 'l_returnflag', NULL::DOUBLE, NULL::DOUBLE, min_r, max_r,
+           null_r, ndv_r FROM a
+         ORDER BY col_name""",
     "j3_join_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_items

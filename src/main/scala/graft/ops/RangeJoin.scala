@@ -76,6 +76,42 @@ object RangeJoin {
       .drop("__bin", "__lo", "__hi", "__pt")
   }
 
+  /** Interval × interval OVERLAP join: `[loL, hiL)` overlaps
+    * `[loR, hiR)` iff `loL < hiR && loR < hiL`. Same bin-bucketing
+    * rewrite as [[binned]], with the exactly-once rule generalized:
+    * two overlapping intervals share every bin their intersection
+    * touches, so a pair is emitted only from the bin containing the
+    * overlap's START (`greatest(loL, loR)`) — a bin both sides
+    * necessarily explode to. No post-join dedup. Empty/inverted
+    * intervals on either side are dropped before the explode. */
+  def overlap(left: DataFrame, loL: Column, hiL: Column,
+      right: DataFrame, loR: Column, hiR: Column, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left/right share column(s) ${clash.mkString(", ")} — alias them apart")
+    val reserved = Seq("__bin", "__rbin", "__llo", "__lhi", "__rlo", "__rhi", "__himl")
+      .filter((left.columns ++ right.columns).contains)
+    require(reserved.isEmpty,
+      s"input already has internal column(s) ${reserved.mkString(", ")}")
+    def binOf(name: String): String =
+      s"($name - pmod($name, ${binWidth}L)) div ${binWidth}L"
+    def explodeBins(df: DataFrame, lo: Column, hi: Column,
+        loName: String, hiName: String, binName: String): DataFrame =
+      asLong(asLong(df, lo, loName), hi, hiName)
+        .where(col(hiName) > col(loName))
+        .withColumn("__himl", col(hiName) - 1)
+        .withColumn(binName,
+          explode(sequence(expr(binOf(loName)), expr(binOf("__himl")))))
+        .drop("__himl")
+    val l = explodeBins(left, loL, hiL, "__llo", "__lhi", "__bin")
+    val r = explodeBins(right, loR, hiR, "__rlo", "__rhi", "__rbin")
+    l.join(r, col("__bin") === col("__rbin") &&
+        col("__llo") < col("__rhi") && col("__rlo") < col("__lhi") &&
+        col("__bin") === expr(binOf("greatest(__llo, __rlo)")))
+      .drop("__bin", "__rbin", "__llo", "__lhi", "__rlo", "__rhi")
+  }
+
   /** Attach `c` as long column `name`: epoch-ms for timestamps
     * (sub-second precision preserved), plain long cast otherwise. */
   private def asLong(df: DataFrame, c: Column, name: String): DataFrame = {

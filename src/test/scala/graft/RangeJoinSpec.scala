@@ -85,6 +85,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set(10L)) // .7 s point is outside [.4, .6) — only at ms precision
   }
 
+  test("overlap join matches brute force exactly once across bin widths") {
+    val other = Seq( // (oid, olo, ohi) — overlaps, touches, contains, empty
+      (200L, -27L, -24L), (201L, -10L, 0L), (202L, 0L, 1L), (203L, 4L, 12L),
+      (204L, 10L, 10L), (205L, 30L, 20L), (206L, -100L, 100L), (207L, 35L, 40L))
+      .toDF("oid", "olo", "ohi")
+    val expectedOv: Set[(Long, Long)] = {
+      val iv = intervals.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ov = other.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (for {
+        (iid, lo, hi) <- iv; if lo < hi
+        (oid, olo, ohi) <- ov; if olo < ohi
+        if lo < ohi && olo < hi
+      } yield (iid, oid)).toSet
+    }
+    for (w <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = RangeJoin.overlap(intervals, col("lo"), col("hi"),
+          other, col("olo"), col("ohi"), w)
+        .select("iid", "oid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.distinct.length,
+        s"binWidth=$w produced duplicate overlap pairs")
+      assert(got.toSet == expectedOv, s"binWidth=$w mismatch vs brute force")
+    }
+  }
+
   test("plan is an equi-join on the bin key, not BNLJ/cartesian") {
     val plan = RangeJoin.binned(intervals, col("lo"), col("hi"),
       points, col("pt"), 10L).queryExecution.executedPlan.toString
