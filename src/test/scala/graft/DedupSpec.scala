@@ -141,4 +141,24 @@ class DedupSpec extends SparkSpec {
     assert((100L to 115L).forall(got(_) == 100L))
     assert(got.size == verts.count())
   }
+
+  test("connectedComponents equals driver union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = (0 until n).groupBy(find).values
+        .flatMap(g => g.map(v => v.toLong -> g.map(_.toLong).min)).toMap
+      val got = Dedup.connectedComponents(
+          (0 until n).map(_.toLong).toDF("id"), "id", edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial n=$n edges=${edges.size}")
+    }
+  }
 }

@@ -109,6 +109,39 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("binned and overlap match brute force on random inputs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      def span() = { // random interval around 0, sometimes inverted/empty
+        val lo = rnd.nextInt(2001) - 1000L
+        (lo, lo + rnd.nextInt(401) - 50L)
+      }
+      val iv = Seq.tabulate(25) { i => val (lo, hi) = span(); (i.toLong, lo, hi) }
+      val ov = Seq.tabulate(25) { i => val (lo, hi) = span(); (100L + i, lo, hi) }
+      val pts = Seq.tabulate(50)(i => (200L + i, rnd.nextInt(2401) - 1200L))
+      val w = 1L + rnd.nextInt(300)
+
+      val expBin = for {
+        (a, lo, hi) <- iv; (p, t) <- pts; if t >= lo && t < hi
+      } yield (a, p)
+      val gotBin = RangeJoin.binned(iv.toDF("iid", "lo", "hi"), col("lo"), col("hi"),
+          pts.toDF("pid", "pt"), col("pt"), w)
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotBin.length == expBin.length && gotBin.toSet == expBin.toSet,
+        s"binned trial $trial w=$w")
+
+      val expOv = for {
+        (a, lo, hi) <- iv; if lo < hi
+        (b, olo, ohi) <- ov; if olo < ohi && lo < ohi && olo < hi
+      } yield (a, b)
+      val gotOv = RangeJoin.overlap(iv.toDF("iid", "lo", "hi"), col("lo"), col("hi"),
+          ov.toDF("oid", "olo", "ohi"), col("olo"), col("ohi"), w)
+        .select("iid", "oid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(gotOv.length == expOv.length && gotOv.toSet == expOv.toSet,
+        s"overlap trial $trial w=$w")
+    }
+  }
+
   test("plan is an equi-join on the bin key, not BNLJ/cartesian") {
     val plan = RangeJoin.binned(intervals, col("lo"), col("hi"),
       points, col("pt"), 10L).queryExecution.executedPlan.toString
