@@ -1592,6 +1592,15 @@ object SparkEntry {
         col("lang"), col("doc_id"))
       .orderBy("doc_id")
 
+  /** SMP4 sqrt-temperature mixture sampling over the language-skewed
+    * corpus: big languages flattened TOWARD (not onto) the smallest
+    * language's share — keep rate `sqrt(min/|g|)`. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Pipeline.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"))
+      .orderBy("doc_id")
+
   /** Concat-and-chunk sequence packing into 512-token context windows:
     * the corpus as one virtual token stream (exclusive global running
     * sum of whitespace-token counts, computed with the same two-pass
@@ -1729,6 +1738,7 @@ object SparkEntry {
     "smp1_hash_split" -> qHashSplit _,
     "smp2_stratified_sample" -> qStratifiedSample _,
     "smp3_source_mix" -> qSourceMix _,
+    "smp4_temperature_mix" -> qTemperatureMix _,
     "shf1_global_shuffle" -> qGlobalShuffle _,
     "pk1_pack_chunks" -> qPackChunks _,
     "ch1_chunk_overlap" -> qChunkOverlap _)
@@ -2998,6 +3008,20 @@ object SparkEntry {
          SELECT b.doc_id, b.lang FROM b
          JOIN c ON b.lang = c.g CROSS JOIN m
          WHERE bucket * cnt < mn * 1000000
+         ORDER BY doc_id""",
+    "smp4_temperature_mix" ->
+      s"""WITH c AS (SELECT lang AS g, count(*) AS cnt FROM documents GROUP BY 1),
+         m AS (SELECT min(cnt) AS mn FROM c),
+         t AS (SELECT g, floor(sqrt(mn::DOUBLE / cnt::DOUBLE) * 1000000)::BIGINT
+                 AS thr FROM c CROSS JOIN m),
+         f AS (SELECT doc_id, lang,
+           'temper:' || doc_id::VARCHAR AS s FROM documents),
+         h AS (SELECT doc_id, lang, ${toSigned(fnvU("s"))} AS h FROM f),
+         b AS (SELECT doc_id, lang,
+           ((h % 1000000) + 1000000) % 1000000 AS bucket FROM h)
+         SELECT b.doc_id, b.lang FROM b
+         JOIN t ON b.lang = t.g
+         WHERE bucket < thr
          ORDER BY doc_id""",
     "smp2_stratified_sample" ->
       s"""WITH f AS (SELECT doc_id, lang,

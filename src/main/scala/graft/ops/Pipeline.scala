@@ -108,6 +108,31 @@ object Pipeline {
       .drop("__bucket", "__grp", "__cnt", "__min")
   }
 
+  /** Temperature-flattened sampling (α = 0.5, the sqrt-temperature
+    * multilingual-pretraining standard): keep rate
+    * `min(1, sqrt(min|g| / |g|))` — between [[balanceGroups]]'s full
+    * flattening (`min/|g|`) and keeping everything; big groups are
+    * down-sampled toward, not onto, the smallest group's share. The
+    * rate math is deliberately a SINGLE division + sqrt of exact
+    * integer counts (no cross-group floating sum whose order could
+    * differ between engines), so the oracle reproduces thresholds
+    * bit-identically; thresholds floor to integers before the bucket
+    * compare. Same scan-speed filter shape as balanceGroups. */
+  def temperatureSample(df: DataFrame, group: Column, id: Column,
+      salt: String = "temper", mod: Int = 1000000): DataFrame = {
+    requireFresh(df, Seq("__bucket", "__grp", "__cnt", "__min", "__thr"))
+    val counts = df.groupBy(group.as("__grp")).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min("__cnt").as("__min"))
+    val thresholds = counts.crossJoin(broadcast(minCnt)) // bounded: one row
+      .withColumn("__thr", floor(sqrt(col("__min").cast("double") /
+        col("__cnt").cast("double")) * lit(mod.toLong)).cast("long"))
+      .select("__grp", "__thr")
+    df.withColumn("__bucket", hashBucket(id, salt, mod))
+      .join(broadcast(thresholds), group === col("__grp"))
+      .filter(col("__bucket") < col("__thr"))
+      .drop("__bucket", "__grp", "__thr")
+  }
+
   /** Deterministic global shuffle: order the corpus by the id-hash
     * (plus id as collision tiebreak) and materialize each row's 1-based
     * position. This is the "shuffle the training data" stage — the

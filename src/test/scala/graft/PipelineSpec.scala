@@ -53,6 +53,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample flattens toward (not onto) the smallest share") {
+    val df = corpus(2600).withColumn("src",
+      when($"id" <= 2000, "big").when($"id" <= 2400, "mid").otherwise("small"))
+    val kept = Pipeline.temperatureSample(df, $"src", $"id")
+    val counts = kept.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("small") == 200) // rate 1.0 for the floor group
+    // big: rate sqrt(200/2000)=0.316 → ~632 expected; mid: sqrt(0.5)=0.707 → ~283
+    assert(counts("big") > 450 && counts("big") < 820, counts.toString)
+    assert(counts("mid") > 200 && counts("mid") < 360, counts.toString)
+    // strictly between full balancing and keeping everything
+    val balanced = Pipeline.balanceGroups(df, $"src", $"id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("big") > balanced("big") && counts("big") < 2000)
+  }
+
   test("stratifiedSample keeps roughly the per-stratum rate") {
     val df = corpus(3000).withColumn("lang",
       when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").otherwise("de"))
