@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE rebuilds the full plan string on every adaptive update (for
+      // the UI plan description) even with the UI off; literal-heavy
+      // plans (inlined LSH planes/minhash coefs) make that real driver
+      // CPU. Cap it — 100k leaves the in-query plan-assert strings (o4,
+      // u1, j4: a few KB) untouched while bounding the MB-scale renders.
+      .config("spark.sql.maxPlanStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
