@@ -811,6 +811,44 @@ object SparkEntry {
         unix_millis(col("w.end")).as("sess_end_ms"), col("n"), col("total"))
       .orderBy("user_id", "sess_start_ms")
 
+  /** ST5 — st3's session operator under a REAL `readStream` with a
+    * watermark: the same `session_window(ts, 2h)` aggregation runs in
+    * append mode over a multi-batch availableNow stream, so sessions
+    * are emitted only when the event-time watermark (1 day) passes
+    * their end — the oracle reproduces exactly that cut (gaps-and-
+    * islands sessions with `end <= max(ts) - 1d`). Deterministic
+    * because the final watermark is the global max event time minus
+    * the delay regardless of batch order, and append mode emits each
+    * finalized session exactly once across batches. */
+  private def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamsess/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd")
+        .between("2024-01-05", "2024-01-07"))
+      .select(col("user_id"), col("ts"), col("value"))
+    e.coalesce(2).write.mode("overwrite").parquet(s"$base/feed")
+    val src = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+    val sessions = src.withWatermark("ts", "24 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("sess_start_ms"),
+        unix_millis(col("w.end")).as("sess_end_ms"), col("n"), col("total"))
+    val q = sessions.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .orderBy("user_id", "sess_start_ms")
+  }
+
   /** ST4 streaming exact dedup: a REAL `readStream` run where every
     * event arrives TWICE in separate micro-batches
     * (maxFilesPerTrigger=1 over two identical files) and
@@ -1715,6 +1753,7 @@ object SparkEntry {
     "st1_stream_window" -> qStreamWindow _,
     "st3_session_window" -> qSessionWindow _,
     "st4_stream_dedup" -> qStreamDedup _,
+    "st5_stream_sessions" -> qStreamSessions _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2410,6 +2449,33 @@ object SparkEntry {
              WHERE d.user_id = g.user_id
                AND d.k <= g.g_ms*1000000+999999) AS value
          FROM g ORDER BY user_id, g_ms""",
+    // only sessions finalized by the final watermark (global max ts -
+    // 24 h) are emitted in append mode — the oracle applies that cut
+    "st5_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts, value FROM events
+           WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07'),
+         wm AS (SELECT max(epoch_ms(ts)) - 86400000 AS cut FROM e),
+         o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 7200000
+                  THEN 1 ELSE 0 END AS brk
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         si AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         sess AS (
+           SELECT user_id, min(epoch_ms(ts)) AS sess_start_ms,
+             max(epoch_ms(ts)) + 7200000 AS sess_end_ms,
+             count(*) AS n, round(sum(value), 2) AS total
+           FROM si GROUP BY user_id, sid)
+         SELECT user_id, sess_start_ms, sess_end_ms, n, total
+         FROM sess CROSS JOIN wm WHERE sess_end_ms <= cut
+         ORDER BY user_id, sess_start_ms""",
     // the stream carried every event TWICE; a correct dedup returns
     // exactly the duplicate-free batch answer
     "st4_stream_dedup" ->
