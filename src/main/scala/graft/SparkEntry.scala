@@ -598,6 +598,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** D10 best-of-cluster representatives: real dedup pipelines keep
+    * the highest-QUALITY document per dup cluster, not an arbitrary
+    * one — d7's minhash-LSH clusters joined to a quality score
+    * (whitespace token count, the tx3 metric) with a deterministic
+    * (quality desc, doc_id asc) argmax per cluster. */
+  private def qQualityReps(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = Dedup.minhash(d, "text", shingleK = 3, numHashes = 32)
+    val pairs = Dedup.minhashJaccard(
+        Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32),
+        sig, "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    val cc = Dedup.connectedComponents(
+      d.select("doc_id"), "doc_id", pairs.select("id_a", "id_b"))
+    val quality = d.select(col("doc_id").as("__qid"),
+      TextFunctions.tokenCountWs(col("text")).cast("long").as("q"))
+    val joined = cc.join(quality, cc("doc_id") === col("__qid")).drop("__qid")
+    val rankW = Window.partitionBy("cluster_id")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    joined.withColumn("__rn", row_number().over(rankW))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc"),
+        col("q").as("best_q"), col("csize"))
+      .orderBy("cluster_id")
+  }
+
   /** SimHash signatures over per-token FNV-1a hashes — oracle-checked
     * (FNV is reproducible in plain SQL, unlike murmur/xxhash);
     * Hamming-pair detection is asserted in ScalaTest. */
@@ -1736,6 +1763,7 @@ object SparkEntry {
     "d5b_cosine_dup_blocked" -> qCosineDupBlocked _,
     "d6_winnow_pairs" -> qWinnowPairs _,
     "d9_semantic_dedup" -> qSemanticDedup _,
+    "d10_quality_reps" -> qQualityReps _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
@@ -1783,6 +1811,60 @@ object SparkEntry {
     "ch1_chunk_overlap" -> qChunkOverlap _)
 
   // ─────────────────────────── oracles ───────────────────────────────
+
+  /** Shared DuckDB prefix for the minhash-LSH dup-cluster oracles
+    * (d7, d10): shingles → FNV → minhash sig → banded candidates →
+    * est-Jaccard pairs → recursive-CTE closure → `cl(doc_id,
+    * cluster_id)`. */
+  private lazy val minhashCcCte: String = {
+      val coefList = Dedup.minhashCoefs(32)
+        .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
+      s"""WITH RECURSIVE g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         fh AS (
+           SELECT doc_id, list_transform(grams, s -> list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(range(1, length(s)+1), ci -> ascii(s[ci])::HUGEINT)),
+             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                       % 18446744073709551616::HUGEINT)) AS fps
+           FROM g),
+         hm AS (
+           SELECT doc_id, list_transform(fps, fp -> ((((
+             CASE WHEN fp >= 9223372036854775808::HUGEINT
+                  THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT % 2147483647)
+             + 2147483647) % 2147483647)) AS hms
+           FROM fh),
+         sg AS (
+           SELECT doc_id, list_transform([$coefList]::STRUCT(a BIGINT, b BIGINT)[], c ->
+             list_min(list_transform(hms, h -> (c.a * h + c.b) % 2147483647))) AS sig
+           FROM hm),
+         bk AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
+         cd AS (
+           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         pr AS (
+           SELECT id_a, id_b FROM cd JOIN sg sa ON sa.doc_id = cd.id_a
+           JOIN sg sb ON sb.doc_id = cd.id_b
+           WHERE len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) >= 16),
+         ed AS (
+           SELECT id_a AS u, id_b AS v FROM pr
+           UNION SELECT id_b, id_a FROM pr),
+         reach AS (
+           SELECT doc_id AS root, doc_id AS node FROM documents
+           UNION
+           SELECT reach.root, ed.v FROM reach JOIN ed ON ed.u = reach.node),
+         cl AS (
+           SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_range_scan" ->
@@ -2768,59 +2850,27 @@ object SparkEntry {
     // >= 16 of 32 hashes agree), then transitive closure by recursive
     // CTE — min reachable doc_id == the component label Spark's
     // min-label propagation converges to.
-    "d7_dup_clusters" -> {
-      val coefList = Dedup.minhashCoefs(32)
-        .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
-      s"""WITH RECURSIVE g AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-               ELSE list_transform(range(1, len(w) - 1),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
-           FROM (SELECT doc_id,
-                   list_filter(string_split_regex(text, '[\\t\\n\\x0B\\f\\r ]+'),
-                     x -> len(x) > 0) AS w
-                 FROM documents)),
-         fh AS (
-           SELECT doc_id, list_transform(grams, s -> list_reduce(
-             list_prepend(14695981039346656037::HUGEINT,
-               list_transform(range(1, length(s)+1), ci -> ascii(s[ci])::HUGEINT)),
-             (a, b) -> (xor(a::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
-                       % 18446744073709551616::HUGEINT)) AS fps
-           FROM g),
-         hm AS (
-           SELECT doc_id, list_transform(fps, fp -> ((((
-             CASE WHEN fp >= 9223372036854775808::HUGEINT
-                  THEN fp - 18446744073709551616::HUGEINT ELSE fp END)::BIGINT % 2147483647)
-             + 2147483647) % 2147483647)) AS hms
-           FROM fh),
-         sg AS (
-           SELECT doc_id, list_transform([$coefList]::STRUCT(a BIGINT, b BIGINT)[], c ->
-             list_min(list_transform(hms, h -> (c.a * h + c.b) % 2147483647))) AS sig
-           FROM hm),
-         bk AS (
-           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
-           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
-         cd AS (
-           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-           FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-         pr AS (
-           SELECT id_a, id_b FROM cd JOIN sg sa ON sa.doc_id = cd.id_a
-           JOIN sg sb ON sb.doc_id = cd.id_b
-           WHERE len(list_filter(range(32), i -> sa.sig[i+1] = sb.sig[i+1])) >= 16),
-         ed AS (
-           SELECT id_a AS u, id_b AS v FROM pr
-           UNION SELECT id_b, id_a FROM pr),
-         reach AS (
-           SELECT doc_id AS root, doc_id AS node FROM documents
-           UNION
-           SELECT reach.root, ed.v FROM reach JOIN ed ON ed.u = reach.node),
-         cl AS (
-           SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root),
+    "d7_dup_clusters" ->
+      s"""$minhashCcCte,
          sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id)
          SELECT cl.doc_id, cl.cluster_id, sz.csize,
            cl.doc_id = cl.cluster_id AS keep
-         FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id"""
-    },
+         FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""",
+    // d7's cluster CTE + per-doc quality, (q desc, doc_id asc) argmax
+    "d10_quality_reps" ->
+      s"""$minhashCcCte,
+         q AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0))::BIGINT AS q FROM documents),
+         j AS (SELECT cl.cluster_id, cl.doc_id, q.q
+               FROM cl JOIN q USING (doc_id)),
+         r AS (SELECT cluster_id, doc_id, q,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY q DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS csize
+               FROM j)
+         SELECT cluster_id, doc_id AS best_doc, q AS best_q, csize
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
     // winnowing: FNV char-16-gram hashes, window-64 minima. The
     // rightmost-tie rule picks an INDEX but the emitted value is the
     // window minimum either way, and pairs join on values — so the
