@@ -161,4 +161,16 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"trial $trial n=$n edges=${edges.size}")
     }
   }
+
+  test("connectedComponents output plan stays flat (localCheckpoint rounds)") {
+    val verts = (0L until 50L).toDF("id")
+    val edges = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b") // a 50-chain
+    val cc = Dedup.connectedComponents(verts, "id", edges)
+    val plan = cc.queryExecution.optimizedPlan.toString
+    // a persist-based implementation nests every round's plan (twice per
+    // round) here; the checkpointed one is a single flat RDD scan
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan.take(500))
+    assert(plan.length < 20000, s"CC plan string blew up: ${plan.length} chars")
+    assert(cc.select("cluster_id").distinct().count() == 1) // one component
+  }
 }

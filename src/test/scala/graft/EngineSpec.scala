@@ -73,6 +73,15 @@ class EngineSpec extends SparkSpec {
     // a `*` element swallows the list
     assert(e.keys("SH600600,*.stk_day").count() == 3)
 
+    // count < 0 through the command surface: last N per subject
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-05","open":2.0,"close":2.5,"vol":2},
+          {"time":"2021-01-06","open":3.0,"close":3.5,"vol":3}]""")
+    val lastTwo = e.get("SH600600.stk_day", """{count:-2}""")
+    assert(lastTwo.count() == 2)
+    assert(lastTwo.select("close").collect().map(_.getDouble(0)).sorted
+      .sameElements(Array(2.5, 3.5)))
+
     // comma list inside a single sub pattern
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     e.sub("mk", Seq("SH600601,SZ000001"))(df => seen.addAndGet(df.count()))
