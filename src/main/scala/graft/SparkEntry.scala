@@ -625,6 +625,40 @@ object SparkEntry {
       .orderBy("cluster_id")
   }
 
+  /** D11 incremental dedup: incoming documents (doc_id % 10 == 0)
+    * checked against the EXISTING corpus fingerprint index — the
+    * production flow ([[Dedup.lshCandidatesAgainst]]: asymmetric
+    * banding, the index never self-joins). Per incoming doc: dup
+    * verdict, match count, best index match under a deterministic
+    * (est desc, index_id asc) rank. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhash(t(s, dir, "documents"), "text",
+        shingleK = 3, numHashes = 32)
+      .select(col("doc_id"), col("minhash"))
+    val incoming = sigs.filter(col("doc_id") % 10 === 0)
+    val index = sigs.filter(col("doc_id") % 10 =!= 0)
+    val pairs = Dedup.lshCandidatesAgainst(index, incoming, "doc_id",
+        bands = 16, sigLen = 32)
+      .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    val scored = Dedup.minhashJaccard(pairs, sigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.5)
+    val perDoc = Window.partitionBy("id_a")
+    val best = scored
+      .withColumn("__rn", row_number().over(
+        perDoc.orderBy(col("est_jaccard").desc, col("id_b").asc)))
+      .withColumn("n_matches", count(lit(1)).over(perDoc))
+      .withColumn("best_score", round(max("est_jaccard").over(perDoc), 6))
+      .filter(col("__rn") === 1)
+      .select(col("id_a").as("__did"), col("n_matches"),
+        col("id_b").as("best_match"), col("best_score"))
+    incoming.select(col("doc_id"))
+      .join(best, col("doc_id") === col("__did"), "left")
+      .select(col("doc_id"), col("__did").isNotNull.as("is_dup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match"), col("best_score"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash signatures over per-token FNV-1a hashes — oracle-checked
     * (FNV is reproducible in plain SQL, unlike murmur/xxhash);
     * Hamming-pair detection is asserted in ScalaTest. */
@@ -1764,6 +1798,7 @@ object SparkEntry {
     "d6_winnow_pairs" -> qWinnowPairs _,
     "d9_semantic_dedup" -> qSemanticDedup _,
     "d10_quality_reps" -> qQualityReps _,
+    "d11_incremental_dedup" -> qIncrementalDedup _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
@@ -2856,6 +2891,43 @@ object SparkEntry {
          SELECT cl.doc_id, cl.cluster_id, sz.csize,
            cl.doc_id = cl.cluster_id AS keep
          FROM cl JOIN sz USING (cluster_id) ORDER BY cl.doc_id""",
+    // the shared prefix up to the signatures (sg), then asymmetric
+    // incoming×index band candidates and the per-incoming-doc verdict;
+    // candidates re-derived from the 2-row band slices exactly like d2
+    "d11_incremental_dedup" -> {
+      val sigPrefix = minhashCcCte.substring(0,
+        minhashCcCte.indexOf(",\n         bk AS ("))
+      s"""$sigPrefix,
+         bki AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg
+                 WHERE doc_id % 10 = 0)),
+         bkx AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg
+                 WHERE doc_id % 10 != 0)),
+         cd AS (
+           SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS index_id
+           FROM bki i JOIN bkx x ON i.b = x.b AND i.key = x.key),
+         sc AS (
+           SELECT cd.doc_id, cd.index_id,
+             len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 AS est
+           FROM cd JOIN sg sa ON sa.doc_id = cd.doc_id
+                   JOIN sg sb ON sb.doc_id = cd.index_id),
+         r AS (
+           SELECT doc_id, index_id, est,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY est DESC, index_id ASC) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS nm,
+             max(est) OVER (PARTITION BY doc_id) AS me
+           FROM sc WHERE est >= 0.5)
+         SELECT i.doc_id, (b.doc_id IS NOT NULL) AS is_dup,
+           coalesce(b.nm, 0) AS n_matches, b.index_id AS best_match,
+           round(b.me, 6) AS best_score
+         FROM (SELECT doc_id FROM sg WHERE doc_id % 10 = 0) i
+         LEFT JOIN (SELECT * FROM r WHERE rn = 1) b USING (doc_id)
+         ORDER BY i.doc_id"""
+    },
     // d7's cluster CTE + per-doc quality, (q desc, doc_id asc) argmax
     "d10_quality_reps" ->
       s"""$minhashCcCte,

@@ -87,6 +87,28 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Asymmetric LSH candidates: NEW documents against an EXISTING
+    * signature index — the incremental-dedup shape of a production
+    * pipeline (check incoming docs against the corpus fingerprints;
+    * never re-cluster the corpus). Only new×index band buckets join —
+    * the index side never self-joins, so a batch costs
+    * O(|new|·bands) exploded rows plus the matched buckets, not
+    * O(|index|²). Returns distinct (new_id, index_id) pairs. */
+  def lshCandidatesAgainst(indexSigs: DataFrame, newSigs: DataFrame,
+      id: String, bands: Int, sigLen: Int): DataFrame = {
+    val rowsPerBand = sigLen / bands
+    def buckets(df: DataFrame, as: String) = {
+      val bandCols = (0 until bands).map(b =>
+        xxhash64(lit(b),
+          concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))))
+      df.select(col(id), posexplode(array(bandCols: _*)))
+        .toDF(as, "band", "bucket")
+    }
+    buckets(newSigs, "new_id")
+      .join(buckets(indexSigs, "index_id"), Seq("band", "bucket"))
+      .select("new_id", "index_id").distinct()
+  }
+
   /** Estimated Jaccard from minhash signatures for candidate pairs. */
   def minhashJaccard(pairs: DataFrame, withSig: DataFrame, id: String): DataFrame = {
     val sigA = withSig.select(col(id).as("id_a"), col("minhash").as("__sig_a"))
