@@ -96,9 +96,37 @@ final class Engine(val spark: SparkSession, rootPath: String) {
 
   /** `get subject.table {range|where, fields, count, format}` —
     * the full parameter matrix of sisdb_io.c:23-93. Returns the
-    * DataFrame (format=s) or a rendered payload column (j/a/c). */
+    * DataFrame (format=s) or a rendered payload column (j/a/c).
+    *
+    * The table side may be a comma list (`get SH600600.stk_snapshot,
+    * stk_trancat`, sisdb.h:44-49): the reply is then the union of each
+    * table's RENDERED payload rows tagged with a `table` column —
+    * table schemas differ, so a multi-table get requires a rendered
+    * format (defaults to `j` when unspecified) and rejects `s`. */
   def get(key: String, paramsJson: String = "{}"): DataFrame = {
-    val (subject, table) = splitKey(key)
+    val (subject, tablePart) = splitKey(key)
+    val tables = tablePart.split(",").map(_.trim).filter(_.nonEmpty)
+    require(tables.nonEmpty, s"key '$key' names no table")
+    if (tables.length == 1) getOne(subject, tables.head, paramsJson)
+    else {
+      val p0 = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
+      val fmt = if (p0.has("format")) p0.get("format").asText("j") else "j"
+      require(fmt != "s",
+        "multi-table get returns rendered payloads — use format j/a/c")
+      val withFmt =
+        if (p0.has("format")) paramsJson
+        else {
+          val n = p0.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          n.put("format", "j"); n.toString
+        }
+      tables.map(t => getOne(subject, t, withFmt)
+          .select(col("subject"), lit(t).as("table"), col("payload")))
+        .reduce(_ unionByName _)
+    }
+  }
+
+  private def getOne(subject: String, table: String,
+      paramsJson: String): DataFrame = {
     val sdb = catalog.get(table).get
     val timeField = sdb.mainIndex.map(_.name).get
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))

@@ -91,6 +91,25 @@ class EngineSpec extends SparkSpec {
     assert(seen.get() == 2) // SH600600 not subscribed
   }
 
+  test("multi-table get returns tagged rendered payloads") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.create(
+      "{stk_week:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SH600600.stk_week", """{"time":"2021-01-08","open":1.0,"close":2.2,"vol":5}""")
+    val out = e.get("SH600600.stk_day,stk_week", """{range:{start:-1}}""")
+    val rows = out.select("table", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 2)
+    assert(rows("stk_day").contains("2.0") && rows("stk_week").contains("2.2"))
+    // DataFrame format is ill-defined across schemas — loud error
+    val err = intercept[IllegalArgumentException] {
+      e.get("SH600600.stk_day,stk_week", """{format:"s"}""")
+    }
+    assert(err.getMessage.contains("rendered"))
+  }
+
   test("table-qualified sub patterns: subjects.tables (sisdb.h:44-49)") {
     val e = mkEngine
     e.create(stkDay)
