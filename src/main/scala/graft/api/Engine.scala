@@ -113,6 +113,7 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       val fmt = if (p0.has("format")) p0.get("format").asText("j") else "j"
       require(fmt != "s",
         "multi-table get returns rendered payloads — use format j/a/c")
+      require(p0.isObject, s"get params must be a JSON object, got: $paramsJson")
       val withFmt =
         if (p0.has("format")) paramsJson
         else {
