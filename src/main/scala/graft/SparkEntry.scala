@@ -1851,7 +1851,13 @@ object SparkEntry {
     * (d7, d10): shingles → FNV → minhash sig → banded candidates →
     * est-Jaccard pairs → recursive-CTE closure → `cl(doc_id,
     * cluster_id)`. */
-  private lazy val minhashCcCte: String = {
+  /** Shared DuckDB prefix (shingles → FNV → minhash signatures, CTEs
+    * `g` through `sg`) for every minhash oracle. d7/d10 extend it with
+    * banding + recursive closure ([[minhashCcCte]]); d11 appends its
+    * own asymmetric new×index banding. Built by CONCATENATION — never
+    * by slicing a formatted string, which silently breaks on any
+    * whitespace change. */
+  private lazy val minhashSigCte: String = {
       val coefList = Dedup.minhashCoefs(32)
         .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
       s"""WITH RECURSIVE g AS (
@@ -1879,7 +1885,11 @@ object SparkEntry {
          sg AS (
            SELECT doc_id, list_transform([$coefList]::STRUCT(a BIGINT, b BIGINT)[], c ->
              list_min(list_transform(hms, h -> (c.a * h + c.b) % 2147483647))) AS sig
-           FROM hm),
+           FROM hm)"""
+  }
+
+  private lazy val minhashCcCte: String =
+    minhashSigCte + s""",
          bk AS (
            SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
            FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
@@ -1899,7 +1909,6 @@ object SparkEntry {
            SELECT reach.root, ed.v FROM reach JOIN ed ON ed.u = reach.node),
          cl AS (
            SELECT root AS doc_id, min(node) AS cluster_id FROM reach GROUP BY root)"""
-  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_range_scan" ->
@@ -2895,9 +2904,7 @@ object SparkEntry {
     // incoming×index band candidates and the per-incoming-doc verdict;
     // candidates re-derived from the 2-row band slices exactly like d2
     "d11_incremental_dedup" -> {
-      val sigPrefix = minhashCcCte.substring(0,
-        minhashCcCte.indexOf(",\n         bk AS ("))
-      s"""$sigPrefix,
+      s"""$minhashSigCte,
          bki AS (
            SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
            FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg

@@ -29,11 +29,12 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   val catalog = new Catalog
   val subs = new SubRegistry
   private val stores = scala.collection.concurrent.TrieMap[String, TsStore]()
-  // every SQL-exposed qualified name per table — exposeSql may run more
-  // than once (e.g. into different databases) and ALL registrations
-  // must stay live, so the store's single callback fans out over this
-  // list rather than being replaced per call
-  private val sqlNames = scala.collection.concurrent.TrieMap[String, Vector[String]]()
+  // every SQL-exposed (view, backing table) pair per table — exposeSql
+  // may run more than once (e.g. into different databases) and ALL
+  // registrations must stay live, so the store's single callback fans
+  // out over this list rather than being replaced per call
+  private val sqlNames =
+    scala.collection.concurrent.TrieMap[String, Vector[(String, String)]]()
   private val mapper = new ObjectMapper()
 
   /** `create`: declare a table from the schema DSL. */
@@ -71,6 +72,13 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     * sisdb.c:279). */
   def set(key: String, json: String): Long = {
     val (subject, table) = splitKey(key)
+    setRow(subject, table, json)
+  }
+
+  /** `set` body with the subject/table already split — the entry point
+    * for surfaces whose keys are NOT `subject.table` (the unstructured
+    * ONE/MUL styles route bare keys here). */
+  private def setRow(subject: String, table: String, json: String): Long = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val node = mapper.readTree(json)
@@ -110,8 +118,13 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     if (tables.length == 1) getOne(subject, tables.head, paramsJson)
     else {
       val p0 = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
-      val fmt = if (p0.has("format")) p0.get("format").asText("j") else "j"
-      require(fmt != "s",
+      // normalize to the first char BEFORE validating — getOne
+      // dispatches on headOption, so "sx" must fail here, not surface
+      // later as a confusing missing-`payload` AnalysisException
+      val fmt = (if (p0.has("format")) p0.get("format").asText("j") else "j")
+        .headOption.getOrElse('j')
+      require("sjac".contains(fmt), s"unknown get format '$fmt' (use s/j/a/c)")
+      require(fmt != 's',
         "multi-table get returns rendered payloads — use format j/a/c")
       require(p0.isObject, s"get params must be a JSON object, got: $paramsJson")
       val withFmt =
@@ -128,8 +141,10 @@ final class Engine(val spark: SparkSession, rootPath: String) {
 
   private def getOne(subject: String, table: String,
       paramsJson: String): DataFrame = {
-    val sdb = catalog.get(table).get
-    val timeField = sdb.mainIndex.map(_.name).get
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val timeField = sdb.mainIndex.map(_.name).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no main index"))
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
     // full sis_match_key vocabulary incl. comma lists
     // (`get SH600600,SH600601.stk_day …`, sisdb.h:44-49)
@@ -175,9 +190,11 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       case 's' => projected
       // render fields in REQUEST order (the reference renders array
       // payloads in the order the client asked for, not schema order)
-      case code => Render.format(projected, code,
+      case code if "jac".contains(code) => Render.format(projected, code,
         SdbSchema.Sdb(sdb.name,
           fieldNames.flatMap(n => sdb.fields.find(_.name == n))))
+      case other => throw new IllegalArgumentException(
+        s"unknown get format '$other' (use s/j/a/c)")
     }
   }
 
@@ -187,34 +204,180 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     graft.store.KvStore.keys(storeOf(table).read(), "subject", subject)
   }
 
-  /** `del subject.table {range:{start, stop}}`: anti-filter rewrite,
-    * staged as a full replace of that subject's rows. */
+  /** `del subject.table {range:{start, stop}}` (M5): targeted
+    * anti-filter delete. Only the day partitions the range can touch
+    * are rewritten — O(days in range), the reference's per-block erase
+    * (sisdb_fmap_write.c:135-196) — never a store rewrite (round 7's
+    * one flagged scale-killer). The subject side takes the full
+    * sis_match_key vocabulary (comma lists, prefix `*`). */
   def del(key: String, paramsJson: String): Unit = {
     val (subject, table) = splitKey(key)
-    val sdb = catalog.get(table).get
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
     val timeField = sdb.mainIndex.map(_.name).get
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
     val r = p.get("range")
+    val start = if (r != null && r.has("start")) r.get("start").asLong(0L) else 0L
+    val stop = if (r != null && r.has("stop")) r.get("stop").asLong(0L) else 0L
     val st = storeOf(table)
     if (st.isEmpty) return // benign no-data case, like the reference
-    val kept = Write.deleteRange(
-      st.read().filter(col("subject") === subject),
-      Engine.indexAsLong(sdb, timeField, col(timeField)),
-      if (r != null && r.has("start")) r.get("start").asLong(0L) else 0L,
-      if (r != null && r.has("stop")) r.get("stop").asLong(0L) else 0L)
-    st.replaceSubject(subject, kept)
+    val cond = graft.store.KvStore.matchCond("subject", subject) &&
+      Engine.indexAsLong(sdb, timeField, col(timeField)).between(start, stop)
+    st.deleteWhere(cond, Engine.dayInRange(sdb, timeField, start, stop))
   }
 
-  /** `drop subject.table`. */
+  /** `drop subject.table` (M6): O(1) tombstone — no data rewrite; dead
+    * rows are erased physically at `pack` (the reference's moved-block
+    * design, sisdb_io.c:297-306). The subject side may be a comma list
+    * of exact keys. */
   def drop(key: String): Unit = {
     val (subject, table) = splitKey(key)
     val st = storeOf(table)
     if (st.isEmpty) return // benign no-data case, like the reference
-    st.replaceSubject(subject, st.read().filter(lit(false)))
+    subject.split(",").map(_.trim).filter(_.nonEmpty)
+      .foreach(st.dropSubject)
   }
 
   def save(table: String): Unit = storeOf(table).save()
   def pack(table: String, files: Int = 4): Unit = storeOf(table).pack(files)
+
+  /** M9 `update subject.table {search:{...}, val:{...}}`
+    * (workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields.
+    * `search` is an AND object (`{f: v}`), an OR array of AND objects,
+    * or per-field `{min:…, max:…}` ranges; `val` assigns constants to
+    * declared fields. Write cost is O(matched rows): matches are
+    * re-staged through the solely-upsert path with a fresh ingest
+    * sequence — never a store rewrite. Returns rows updated. */
+  def update(key: String, paramsJson: String): Long = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
+    require(p.isObject && p.has("search") && p.has("val"),
+      s"update params must be {search:{...}, val:{...}}, got: $paramsJson")
+    val st = storeOf(table)
+    if (st.isEmpty) return 0L
+    val cond = graft.store.KvStore.matchCond("subject", subject) &&
+      Engine.searchCond(p.get("search"))
+    import scala.jdk.CollectionConverters._
+    val assigns = p.get("val").properties().asScala.toSeq.map { e =>
+      val f = sdb.fields.find(_.name == e.getKey).getOrElse(
+        throw new IllegalArgumentException(
+          s"update val names unknown field '${e.getKey}'"))
+      f.name -> Engine.jsonLit(e.getValue).cast(f.sparkType)
+    }
+    val matched = st.read().filter(cond)
+    val updated = assigns.foldLeft(matched) { case (d, (n, v)) =>
+      d.withColumn(n, v)
+    }
+    // sever lineage from the store's own files before staging the
+    // rewrite back into it — set() persists its batch, but the plan
+    // must not lazily re-read files a later save swaps out
+    val snap = updated.localCheckpoint(true)
+    val n = st.set(snap.drop("__day"))
+    subs.publish(snap, "subject", table)
+    n
+  }
+
+  /** Factor auto-create (`fset 00001.macd 12.60` — the reference's
+    * degenerate `factor {time:T, value:F8}` table auto-created on
+    * first write, src/core/disk/readme.md): first write declares the
+    * table, every later write is a plain `set`. The JSON form takes
+    * `{time: iso, value: v}` rows or arrays of them. */
+  def fset(key: String, json: String): Long = {
+    val (_, table) = splitKey(key)
+    if (catalog.get(table).isEmpty)
+      create(s"{$table:{fields:{time:[T,8],value:[F,8]}}}")
+    set(key, json)
+  }
+
+  /** Scalar `fset key t v` convenience (epoch ms). */
+  def fset(key: String, timeMs: Long, value: Double): Long =
+    fset(key,
+      s"""{"time":"${java.time.Instant.ofEpochMilli(timeMs)}","value":$value}""")
+
+  /** `fget key {range:{start, stop}}` (epoch ms): the factor series. */
+  def fget(key: String, startMs: Long, stopMs: Long): DataFrame =
+    get(key, s"""{range:{start:$startMs,stop:$stopMs}}""")
+
+  // ── unstructured key styles (SIS_SDB_STYLE_ONE / MUL,
+  // src/core/disk/sis_disk.io.h:206-210; the degenerate `string
+  // {index, value}` table, disk/readme.md) — engine-addressable over
+  // the same TsStore machinery as every schema'd table. Keys are BARE
+  // strings (no `.table` suffix, dots allowed); values are strings.
+  // These are config-scale side tables: all rows share one day
+  // partition by design (the reference's string table is one file).
+  private val kvSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private def kvTable(table: String): TsStore = {
+    if (catalog.get(table).isEmpty)
+      create(s"{$table:{fields:{t:[T,8],value:[C,256]}}}")
+    storeOf(table)
+  }
+
+  private def kvJson(tMs: Long, value: String): String = {
+    val v = mapper.createObjectNode()
+    v.put("t", java.time.Instant.ofEpochMilli(tMs).toString)
+    v.put("value", value)
+    v.toString
+  }
+
+  /** ONE style `set key value`: single value per key, last write wins —
+    * every write lands on the same (key, t=0) slot and the store's
+    * solely-upsert keeps the latest ingest sequence. */
+  def kset(key: String, value: String): Long = {
+    kvTable("__one")
+    setRow(key, "__one", kvJson(0L, value))
+  }
+
+  /** ONE style `get key` → (key, value); the key side takes the full
+    * sis_match_key pattern vocabulary (comma lists, prefix `*`). */
+  def kget(keyPattern: String): DataFrame = {
+    kvTable("__one")
+    getOne(keyPattern, "__one", "{}")
+      .select(col("subject").as("key"), col("value"))
+  }
+
+  /** MUL style: append to the key's ordered list. */
+  def kpush(key: String, value: String): Long = {
+    val st = kvTable("__mul")
+    if (kvSeq.get() < 0L) {
+      // resume the list position past anything already stored
+      val base =
+        if (st.isEmpty) 0L
+        else st.read().agg(max(unix_millis(col("t")))).head().getLong(0)
+      kvSeq.compareAndSet(-1L, base)
+    }
+    setRow(key, "__mul", kvJson(kvSeq.incrementAndGet(), value))
+  }
+
+  /** MUL style `get key`: the ordered list → (key, seq, value). */
+  def krange(keyPattern: String): DataFrame = {
+    kvTable("__mul")
+    getOne(keyPattern, "__mul", "{}")
+      .select(col("subject").as("key"), unix_millis(col("t")).as("seq"),
+        col("value"))
+      .orderBy("key", "seq")
+  }
+
+  /** T2 `psub` replay through the command surface (workers/sisdb/
+    * sisdb.c:491-546): flush the table, then pump one stored day
+    * through the live SubRegistry in time order. Per-subscriber
+    * filtering stays a distributed Spark filter (Replay.replayFrameTo);
+    * published frames carry this table's name, so table-qualified sub
+    * patterns match exactly as they do for live `set`s. Returns rows
+    * replayed. */
+  def replay(table: String, day: String, slices: Int = 24): Long = {
+    val st = storeOf(table)
+    st.save()
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val timeField = sdb.mainIndex.map(_.name).get
+    graft.stream.Replay.replayFrameTo(
+      st.read(day = Some(day)), timeField, "subject", subs, slices,
+      table = table,
+      sliceExpr = Some(Engine.indexAsLong(sdb, timeField, col(timeField))))
+  }
 
   /** U1 SQL front door: flush a table's hot tail and register its
     * partitioned store in the session catalog as external parquet
@@ -243,31 +406,80 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val st = storeOf(table)
     st.save()
     val qn = s"$db.$table"
+    val backing = s"$db.${table}__files"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    spark.sql(s"DROP TABLE IF EXISTS $qn")
-    spark.catalog.createTable(qn, "parquet", Map("path" -> st.path))
-    spark.catalog.recoverPartitions(qn)
+    dropRegistration(qn)
+    dropRegistration(backing)
+    spark.catalog.createTable(backing, "parquet", Map("path" -> st.path))
+    spark.catalog.recoverPartitions(backing)
+    createSqlView(st, table, qn, backing)
     sqlNames.updateWith(table)(prev =>
-      Some(prev.getOrElse(Vector.empty).filterNot(_ == qn) :+ qn))
+      Some(prev.getOrElse(Vector.empty).filterNot(_._1 == qn) :+ (qn, backing)))
     st.onColdChange = change => sqlNames.getOrElse(table, Vector.empty)
-      .foreach { name =>
+      .foreach { case (view, back) =>
         change match {
           case TsStore.DaysUpserted(days) =>
             // save never removes a day — targeted ADDs, no full re-list
-            days.foreach { d =>
-              val v = d.replace("'", "''")
-              spark.sql(
-                s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION (__day='$v')")
-            }
+            days.foreach(d => spark.sql(
+              s"ALTER TABLE $back ADD IF NOT EXISTS PARTITION " +
+                s"(__day='${d.replace("'", "''")}')"))
+          case TsStore.DaysReplaced(replaced, removed) =>
+            // del: targeted per-day sync, proportional to the CHANGE —
+            // replaced days were rewritten in place, removed days lost
+            // their last row; neither needs a full re-list
+            replaced.foreach(d => spark.sql(
+              s"ALTER TABLE $back ADD IF NOT EXISTS PARTITION " +
+                s"(__day='${d.replace("'", "''")}')"))
+            removed.foreach(d => spark.sql(
+              s"ALTER TABLE $back DROP IF EXISTS PARTITION " +
+                s"(__day='${d.replace("'", "''")}')"))
+          case TsStore.Tombstoned =>
+            // drop: no file changed — only the view's tombstone WHERE
+            createSqlView(st, table, view, back)
           case TsStore.Rewritten =>
-            spark.sql(s"MSCK REPAIR TABLE $name SYNC PARTITIONS")
+            // pack materialized tombstones: day set may have shrunk and
+            // the tombstone predicate is now empty — re-list + re-view
+            spark.sql(s"MSCK REPAIR TABLE $back SYNC PARTITIONS")
+            createSqlView(st, table, view, back)
           case TsStore.Compacted => // day set unchanged; refresh below
         }
         // drop the cached file index in every case — in-place day dir
         // renames and compactions would otherwise serve stale listings
-        spark.catalog.refreshTable(name)
+        spark.catalog.refreshTable(back)
       }
     qn
+  }
+
+  /** Drop a prior registration under `name`, whichever kind it was —
+    * `DROP TABLE` on a view (and vice versa) throws. */
+  private def dropRegistration(name: String): Unit =
+    if (spark.catalog.tableExists(name)) {
+      if (spark.catalog.getTable(name).tableType == "VIEW")
+        spark.sql(s"DROP VIEW $name")
+      else spark.sql(s"DROP TABLE $name")
+    }
+
+  /** The queryable name is a VIEW over the raw file-backed table: the
+    * projection hides the internal `__seq` column and the WHERE carries
+    * the store's live tombstones, so SQL clients never see dropped
+    * subjects (`drop` is an O(1) metadata write — the files still hold
+    * the rows until `pack`). Day predicates still reach the scan
+    * through the view — u1 `require`s PartitionFilters in its own
+    * executed plan. */
+  private def createSqlView(st: TsStore, table: String, viewQn: String,
+      backing: String): Unit = {
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val cols = (sdb.fields.map(_.name) :+ "subject" :+ "__day")
+      .map(n => s"`$n`").mkString(", ")
+    val where = st.tombstoneList match {
+      case Seq() => ""
+      case ts => " WHERE " + ts.map { case (s, g) =>
+        s"NOT (subject = '${s.replace("'", "''")}' AND __seq <= ${g}L)"
+      }.mkString(" AND ")
+    }
+    spark.sql(
+      s"CREATE OR REPLACE VIEW $viewQn AS SELECT $cols FROM $backing$where")
   }
 
   /** `sub pattern` (T1): live fan-out of future `set`s. */
@@ -287,6 +499,64 @@ object Engine {
       case 'T' | 'S' | 'W' => date_format(col(timeField), "yyyy-MM-dd")
       case _ => col(timeField).cast("string")
     }
+  }
+
+  /** Whether a day-partition VALUE can contain rows whose main index
+    * falls in [start, stop] — the pruning predicate `del` hands the
+    * store, so only intersecting partitions are rewritten. Mirrors
+    * [[indexAsLong]] per style. An unparseable day value returns true:
+    * rewritten-but-unchanged is correct, skipped-but-affected is not. */
+  private[api] def dayInRange(sdb: SdbSchema.Sdb, timeField: String,
+      start: Long, stop: Long): String => Boolean = {
+    val f = sdb.fields.find(_.name == timeField).get
+    def num(s: String): Option[Long] =
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
+    f.style match {
+      case 'D' => day => // DateType casts to "yyyy-MM-dd"; range is yyyymmdd
+        num(day.replace("-", "")).forall(d => d >= start && d <= stop)
+      case 'T' | 'S' | 'W' => day => // "yyyy-MM-dd" (UTC); range is epoch ms
+        (try {
+          val d0 = java.time.LocalDate.parse(day)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          Some(d0)
+        } catch { case _: java.time.format.DateTimeParseException => None })
+          .forall(d0 => d0 + 86399999L >= start && d0 <= stop)
+      case _ => day => // day IS the index value as a string
+        num(day).forall(d => d >= start && d <= stop)
+    }
+  }
+
+  /** The reference's update search tree (sisdb.h:50-53): `{f: v, ...}`
+    * is an AND of field matches; `[{...}, {...}]` an OR of AND groups;
+    * a field value that is itself `{min:…, max:…}` is a range match
+    * (either bound optional). */
+  private[api] def searchCond(node: JsonNode): org.apache.spark.sql.Column =
+    if (node.isArray) {
+      require(node.size() > 0, "update search: empty OR list")
+      (0 until node.size()).map(i => searchCond(node.get(i))).reduce(_ || _)
+    } else {
+      require(node.isObject && node.size() > 0,
+        s"update search must be a non-empty object or array of them, got: $node")
+      import scala.jdk.CollectionConverters._
+      node.properties().asScala.map { e =>
+        val c = org.apache.spark.sql.functions.col(e.getKey)
+        val v = e.getValue
+        if (v.isObject) {
+          val lo = if (v.has("min")) Some(jsonLit(v.get("min"))) else None
+          val hi = if (v.has("max")) Some(jsonLit(v.get("max"))) else None
+          require(lo.nonEmpty || hi.nonEmpty,
+            s"update search range for '${e.getKey}' needs min and/or max")
+          (lo.map(c >= _) ++ hi.map(c <= _)).reduce(_ && _)
+        } else c === jsonLit(v)
+      }.reduce(_ && _)
+    }
+
+  private[api] def jsonLit(v: JsonNode): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (v.isIntegralNumber) lit(v.asLong())
+    else if (v.isNumber) lit(v.asDouble())
+    else if (v.isBoolean) lit(v.asBoolean())
+    else lit(v.asText())
   }
 
   /** The main index compared as a long per its declared style: date

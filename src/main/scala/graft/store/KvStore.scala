@@ -50,7 +50,15 @@ object KvStore {
     * workers/sisdb/sisdb.h:44-49): `*` matches all, a trailing `*` is
     * a prefix match, otherwise exact; a comma list ORs its elements.
     * An all-exact list compiles to ONE `isin` so the pushed data
-    * filter is a single `In(subject, [...])`, not an Or chain. */
+    * filter is a single `In(subject, [...])`, not an Or chain.
+    *
+    * DELIBERATE divergence from the cited reference matcher
+    * (sis_str_subcmp, sis_utils.c:579): that one is case-INsensitive
+    * and treats every element as an implicit prefix, so `u1` would
+    * match `u10` — surprising for exact-key commands and wrong for
+    * the multikey queries oracled here (e2). Prefix matching is
+    * opt-in via a trailing `*`; keys compare case-sensitively like
+    * every other Spark string. */
   def matchCond(subject: String, pattern: String): org.apache.spark.sql.Column = {
     val parts = pattern.split(",").map(_.trim).filter(_.nonEmpty)
     require(parts.nonEmpty, s"empty key pattern '$pattern'")

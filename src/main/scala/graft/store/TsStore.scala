@@ -50,10 +50,20 @@ final class TsStore(
   private var hotFrames: Vector[DataFrame] = Vector.empty
   private var hotRows: Long = 0L
   private var seq: Long = 0L
+  // M6 tombstones: subject → drop-sequence. A `drop` is an O(1)
+  // metadata write (the reference marks blocks moved and erases them at
+  // save/pack, sisdb_io.c:297-306, sisdb_fmap_write.c:135-146); every
+  // cold row of that subject stamped at-or-before the drop sequence is
+  // dead to reads until `pack` erases it physically. Cold rewrites
+  // stamp `__seq` with the CURRENT ingest sequence, so rows written
+  // after the drop (a re-created subject) always outrank the tombstone.
+  private var tombstones: Map[String, Long] = Map.empty
+  loadMeta()
 
-  /** Invoked after any operation that rewrites cold files (save /
-    * replaceSubject / pack) — lets an owner holding external views of
-    * the store (e.g. a registered SQL catalog table) refresh them.
+  /** Invoked after any operation that changes what cold reads see
+    * (save / deleteWhere / dropSubject / pack) — lets an owner holding
+    * external views of the store (e.g. a registered SQL catalog table)
+    * refresh them.
     * The [[TsStore.ColdChange]] says *what* changed so the owner can
     * sync proportionally to the change (O(dirty days) for a save)
     * instead of re-listing every partition of a store holding years
@@ -69,8 +79,63 @@ final class TsStore(
     hotRows = 0L
   }
 
-  private def coldExists: Boolean =
-    new java.io.File(path).exists()
+  // "exists" = holds at least one day partition — a delete that empties
+  // the store leaves the root dir (and parquet's _SUCCESS) behind, and
+  // a bare `spark.read.parquet` on a file-less dir cannot infer schema
+  private def coldExists: Boolean = {
+    val files = new java.io.File(path).listFiles()
+    files != null && files.exists(_.getName.startsWith("__day="))
+  }
+
+  // ── persisted store metadata (sidecar JSON next to the parquet root):
+  // the ingest-sequence watermark and the live tombstones. Persisted on
+  // every save/drop so a restarted store (a) keeps issuing sequences
+  // above every recorded drop and (b) keeps dropped subjects dead.
+  private def metaFile =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__meta.json")
+
+  private def loadMeta(): Unit = {
+    val f = fs
+    if (f.exists(metaFile)) {
+      val in = f.open(metaFile)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      seq = math.max(seq, node.path("seq").asLong(0L))
+      import scala.jdk.CollectionConverters._
+      tombstones = node.path("tombstones").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
+    }
+  }
+
+  private def persistMeta(): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("seq", seq)
+    val t = root.putObject("tombstones")
+    tombstones.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    val out = fs.create(metaFile, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** Rows KILLED by an active tombstone (cold side only — hot batches
+    * are anti-filtered at drop time). */
+  private def tombDead: Option[org.apache.spark.sql.Column] =
+    tombstones.map { case (s, g) =>
+      col(subject) === lit(s) && col("__seq") <= lit(g)
+    }.reduceOption(_ || _)
+
+  private def tombFiltered(df: DataFrame): DataFrame =
+    tombDead.fold(df)(dead => df.filter(!dead))
+
+  /** The live tombstones, for owners that mirror the store elsewhere
+    * (the engine's SQL view rebuilds its WHERE from this). */
+  private[graft] def tombstoneList: Seq[(String, Long)] =
+    synchronized(tombstones.toSeq.sortBy(_._1))
 
   /** True when no row was ever written (no cold files, no hot tail) —
     * `del`/`drop` on such a store are benign no-ops, matching the
@@ -89,7 +154,7 @@ final class TsStore(
     * and counted eagerly — reads must not recompute an arbitrary input
     * query, and the count feeds the flush threshold. Crossing either
     * bound triggers an automatic [[save]] (flush-on-threshold). */
-  def set(rows: DataFrame): Unit = synchronized {
+  def set(rows: DataFrame): Long = synchronized {
     seq += 1
     val stamped = rows
       .withColumn("__day", dayCol)
@@ -114,13 +179,15 @@ final class TsStore(
     hotRows += total
     hotFrames :+= stamped
     if (hotRows >= maxHotRows || hotFrames.size >= maxHotBatches) save()
+    total
   }
 
   /** The read view: cold ∪ hot, solely-upsert resolved last-seq-wins.
     * Day-filter BEFORE calling heavy ops so partition pruning fires on
     * the cold side. */
   def read(day: Option[String] = None): DataFrame = synchronized {
-    val coldPart = cold.map(c => day.fold(c)(d => c.filter(col("__day") === d)))
+    val coldPart = cold.map(tombFiltered)
+      .map(c => day.fold(c)(d => c.filter(col("__day") === d)))
     val hotPart = hotUnion.map(h => day.fold(h)(d => h.filter(col("__day") === d)))
     (coldPart, hotPart) match {
       case (Some(c), Some(h)) =>
@@ -146,18 +213,21 @@ final class TsStore(
   private def fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
-  /** Full-store rewrite through a temp dir + rename (Spark refuses to
-    * overwrite a path its own plan reads). Used by the wholesale
-    * operations; `save` takes the dirty-day incremental path. */
-  private def writeCold(df: DataFrame): Unit = {
-    val tmp = path.stripSuffix("/") + "__saving"
-    df.withColumn("__seq", lit(0L))
-      .repartition(col("__day"))
-      .sortWithinPartitions(col(subject), col(time))
-      .write.mode("overwrite").partitionBy("__day").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  /** Day-partition dirs under a root, as (escaped dir name → partition
+    * value). Parquet %-escapes special chars in partition dir names;
+    * day values here are dates/day-ints so the decode is a formality,
+    * but comparing by DIR NAME (same escaping both sides) is what the
+    * swap logic relies on. */
+  private def dayDirs(root: org.apache.hadoop.fs.Path)
+      : Seq[(String, String)] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+      .map { s =>
+        val name = s.getPath.getName
+        name -> java.net.URLDecoder.decode(name.stripPrefix("__day="), "UTF-8")
+      }.toSeq.sortBy(_._1)
   }
 
   /** `save`: merge hot into the cold store and clear the tail —
@@ -173,14 +243,18 @@ final class TsStore(
       val merged = cold match {
         case Some(c) =>
           Write.upsert(
-            c.filter(col("__day").isin(dirtyDays: _*)).drop("__seq"),
+            tombFiltered(c).filter(col("__day").isin(dirtyDays: _*))
+              .drop("__seq"),
             h, subject, soleCols :+ "__day", time, "__seq")
         case None =>
           Write.upsert(h.limit(0).drop("__seq"), h, subject,
             soleCols :+ "__day", time, "__seq")
       }
       val tmp = path.stripSuffix("/") + "__saving"
-      merged.withColumn("__seq", lit(0L))
+      // cold rows are stamped with the CURRENT ingest sequence: any
+      // tombstone recorded before this save (strictly lower sequence)
+      // cannot kill rows a later `set` legitimately re-created
+      merged.withColumn("__seq", lit(seq))
         .repartition(col("__day"))
         .sortWithinPartitions(col(subject), col(time))
         .write.mode("overwrite").partitionBy("__day").parquet(tmp)
@@ -202,26 +276,103 @@ final class TsStore(
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()
+      persistMeta()
       onColdChange(TsStore.DaysUpserted(dirtyDays))
     }
   }
 
-  /** M5/M6 support: replace one subject's rows wholesale (delete =
-    * replace with the kept subset; drop = replace with nothing).
-    * Flushes through the cold store like `save`. */
-  def replaceSubject(subjectKey: Any, kept: DataFrame): Unit = synchronized {
-    val others = read().filter(col(subject) =!= lit(subjectKey))
-    val merged = others.unionByName(
-      kept.select(others.columns.map(col): _*))
-    writeCold(merged)
-    clearHot()
-    onColdChange(TsStore.Rewritten)
+  /** M5 `del`: delete rows matching `cond`, rewriting ONLY the day
+    * partitions `affectsDay` selects — O(days in range) exactly as
+    * [[save]] is O(dirty days), never a whole-store rewrite (round 7's
+    * one scale-killer; the reference likewise erases only the blocks a
+    * delete lands in, sisdb_fmap_write.c:135-196). Hot batches are
+    * anti-filtered in place (no forced flush); a day partition left
+    * row-less by the delete is removed. A NULL predicate result keeps
+    * the row (only a definite match deletes). */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+      affectsDay: String => Boolean): Unit = synchronized {
+    val defMatch = coalesce(cond, lit(false))
+    // hotRows now overcounts the filtered tail — the flush bound fires
+    // earlier than strictly needed, which is the safe direction
+    hotFrames = hotFrames.map(_.filter(!defMatch))
+    if (coldExists) {
+      val f = fs
+      val byName = dayDirs(new org.apache.hadoop.fs.Path(path))
+      val affected = byName.filter { case (_, v) => affectsDay(v) }
+      if (affected.nonEmpty) {
+        val affectedDays = affected.map(_._2)
+        val kept = tombFiltered(cold.get)
+          .filter(col("__day").isin(affectedDays: _*))
+          .filter(!defMatch)
+          .withColumn("__seq", lit(seq))
+        val tmp = path.stripSuffix("/") + "__deleting"
+        kept.repartition(col("__day"))
+          .sortWithinPartitions(col(subject), col(time))
+          .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+        val produced = dayDirs(new org.apache.hadoop.fs.Path(tmp)).toMap
+        affected.foreach { case (name, _) =>
+          val dest = new org.apache.hadoop.fs.Path(path, name)
+          if (produced.contains(name)) {
+            // replaced: same per-day delete+rename commit as save
+            f.delete(dest, true)
+            if (!f.rename(new org.apache.hadoop.fs.Path(tmp, name), dest))
+              throw new java.io.IOException(
+                s"could not commit day partition $dest")
+          } else f.delete(dest, true) // no surviving rows — day removed
+        }
+        f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val removed = affected.collect {
+          case (name, v) if !produced.contains(name) => v
+        }
+        onColdChange(TsStore.DaysReplaced(
+          affected.collect { case (name, v) if produced.contains(name) => v },
+          removed))
+      }
+    }
   }
 
-  /** `pack`: compaction to a bounded file count per partition. */
-  def pack(targetFiles: Int): Unit = {
-    Write.pack(spark, path, Seq("__day"), targetFiles)
-    onColdChange(TsStore.Compacted)
+  /** M6 `drop`: tombstone the subject — an O(1) metadata write, no data
+    * rewrite. Hot rows are filtered out immediately; cold rows stay on
+    * disk but are dead to every read until [[pack]] erases them
+    * physically (the reference's moved-block design, sisdb_io.c:297-306:
+    * blocks marked moved, erased at save/pack). A later `set` of the
+    * same subject re-creates it cleanly: its rows carry ingest
+    * sequences above the tombstone's. */
+  def dropSubject(key: String): Unit = synchronized {
+    hotFrames = hotFrames.map(_.filter(col(subject) =!= lit(key)))
+    seq += 1
+    if (coldExists) {
+      tombstones += key -> seq
+      persistMeta()
+      onColdChange(TsStore.Tombstoned)
+    }
+  }
+
+  /** `pack`: compaction to a bounded file count per partition — and the
+    * point where tombstoned rows are physically erased (the reference's
+    * weekly pack drops moved blocks the same way, sisdb.c:586-602,
+    * sisdb_fmap_write.c:135-146). O(store) by design. */
+  def pack(targetFiles: Int): Unit = synchronized {
+    if (tombstones.isEmpty) {
+      Write.pack(spark, path, Seq("__day"), targetFiles)
+      onColdChange(TsStore.Compacted)
+    } else cold.foreach { c =>
+      val tmp = path.stripSuffix("/") + "__packed"
+      tombFiltered(c).withColumn("__seq", lit(seq))
+        .repartition(targetFiles, col("__day"))
+        .sortWithinPartitions(col(subject), col(time))
+        .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+      val f = fs
+      val p = new org.apache.hadoop.fs.Path(path)
+      f.delete(p, true)
+      if (!f.rename(new org.apache.hadoop.fs.Path(tmp), p))
+        throw new java.io.IOException(s"could not commit packed store $p")
+      tombstones = Map.empty
+      persistMeta()
+      // materializing tombstones may have removed whole days → full
+      // partition re-list for any mirrored catalogs
+      onColdChange(TsStore.Rewritten)
+    }
   }
 }
 
@@ -232,7 +383,17 @@ object TsStore {
     * place; no partition was removed. A catalog owner needs only
     * `ADD IF NOT EXISTS PARTITION` per day + a file-index refresh. */
   final case class DaysUpserted(days: Seq[String]) extends ColdChange
-  /** Wholesale rewrite (`del`/`drop`/replaceSubject): partitions may
+  /** `del`: exactly these day partitions were rewritten in place
+    * (`replaced`) or removed because no rows survived (`removed`) — a
+    * catalog owner needs targeted ADD/DROP PARTITION per day, never a
+    * full re-list. */
+  final case class DaysReplaced(replaced: Seq[String], removed: Seq[String])
+      extends ColdChange
+  /** `drop`: no file changed — a tombstone was recorded. Owners holding
+    * a FILE-level mirror (the engine's SQL view) must refresh their
+    * tombstone predicate from [[TsStore.tombstoneList]]. */
+  case object Tombstoned extends ColdChange
+  /** Wholesale rewrite (pack materializing tombstones): partitions may
     * have appeared or vanished — a full partition re-list is required. */
   case object Rewritten extends ColdChange
   /** `pack`: files rewritten inside existing partitions; the day set is

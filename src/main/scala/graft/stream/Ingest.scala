@@ -42,6 +42,10 @@ object Ingest {
     *                after this batch's store write lands but BEFORE its
     *                checkpoint commit — the exact torn state a real
     *                kill leaves behind.
+    * @param table   the logical table name tagged onto every publish so
+    *                table-qualified sub patterns (`subjects.tables`)
+    *                match this stream; `""` = untagged (matches any
+    *                pattern's table side).
     */
   def start(
       spark: SparkSession,
@@ -55,7 +59,8 @@ object Ingest {
       subs: SubRegistry = new SubRegistry,
       availableNow: Boolean = true,
       maxFilesPerTrigger: Option[Int] = None,
-      crashAfterBatch: Option[Long] = None): StreamingQuery = {
+      crashAfterBatch: Option[Long] = None,
+      table: String = ""): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
@@ -75,7 +80,7 @@ object Ingest {
         if (crashAfterBatch.contains(batchId))
           throw new IllegalStateException(
             s"injected crash after store write of batch $batchId")
-        subs.publish(sorted.drop("__ingest_seq", "__batch"), subjectCol)
+        subs.publish(sorted.drop("__ingest_seq", "__batch"), subjectCol, table)
       } finally sorted.unpersist()
     }
     val writer = src.writeStream

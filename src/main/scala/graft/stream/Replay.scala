@@ -54,15 +54,32 @@ object Replay {
     * Returns rows replayed. */
   def replayDayTo(spark: SparkSession, storePath: String, day: String,
       timeCol: String, subjectCol: String, subs: SubRegistry,
-      slices: Int = 24, seqCol: Option[String] = None): Long = {
+      slices: Int = 24, seqCol: Option[String] = None,
+      table: String = ""): Long =
+    replayFrameTo(
+      spark.read.parquet(storePath).filter(col("__day") === day),
+      timeCol, subjectCol, subs, slices, seqCol, table)
+
+  /** The fan-out core over an already day-scoped frame — the engine
+    * path hands in its store's READ view here (tombstone-filtered,
+    * hot∪cold), so a replay never resurrects dropped subjects. `table`
+    * tags every publish so table-qualified sub patterns
+    * (`subjects.tables`) match replayed rows exactly like live sets. */
+  def replayFrameTo(dayFrame: DataFrame, timeCol: String,
+      subjectCol: String, subs: SubRegistry, slices: Int = 24,
+      seqCol: Option[String] = None, table: String = "",
+      sliceExpr: Option[org.apache.spark.sql.Column] = None): Long = {
     require(slices > 0, "slices must be positive")
+    // slicing needs the index as a long; a DateType index has no direct
+    // long cast (ANSI), so callers with typed schemas pass their own
+    // mapping (the engine hands in its style-aware indexAsLong)
+    val sl = sliceExpr.getOrElse(col(timeCol).cast("long"))
     // a row without a time index is not replayable as a series (the
     // reference's main index is mandatory) — exclude it from delivery
     // AND from the returned count, so the exactly-once accounting holds
-    val df = spark.read.parquet(storePath)
-      .filter(col("__day") === day && col(timeCol).isNotNull)
-    val stats = df.agg(min(col(timeCol)).cast("long"),
-      max(col(timeCol)).cast("long"), count(lit(1))).collect()(0)
+    val df = dayFrame.filter(col(timeCol).isNotNull)
+    val stats = df.agg(min(sl).cast("long"),
+      max(sl).cast("long"), count(lit(1))).collect()(0)
     if (stats.isNullAt(0) || stats.getLong(2) == 0L) return 0L
     val (lo, hi, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     val width = math.max(1L, (hi - lo) / slices + 1)
@@ -71,9 +88,9 @@ object Replay {
       if (slo <= hi) {
         val order = col(timeCol).asc +: seqCol.map(col(_).asc).toSeq
         val slice = df
-          .filter(col(timeCol).cast("long").between(slo, shi))
+          .filter(sl.between(slo, shi))
           .orderBy(order: _*)
-        subs.publish(slice, subjectCol)
+        subs.publish(slice, subjectCol, table)
       }
     }
     total

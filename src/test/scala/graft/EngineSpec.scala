@@ -172,6 +172,113 @@ class EngineSpec extends SparkSpec {
     assert(e.keys("*.stk_day").count() == 1)
   }
 
+  test("update command: AND/OR/range search, val assignment (sisdb.h:50-53)") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1},
+          {"time":"2021-01-05","open":2.0,"close":3.0,"vol":2},
+          {"time":"2021-01-06","open":3.0,"close":4.0,"vol":3}]""")
+    // AND object search: one row matched, val rewrites two fields
+    val n = e.update("SH600600.stk_day",
+      """{search:{vol:2}, val:{close:9.9, vol:20}}""")
+    assert(n == 1)
+    val row = e.get("SH600600.stk_day", """{where:{start:20210105}}""").collect()(0)
+    assert(row.getAs[Double]("close") == 9.9 && row.getAs[Long]("vol") == 20L)
+
+    // range search {min,max} + OR array; update survives save
+    assert(e.update("SH600600.stk_day",
+      """{search:[{vol:{min:3,max:5}},{vol:1}], val:{open:0.0}}""") == 2)
+    e.save("stk_day")
+    val opens = e.get("SH600600.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .orderBy("time").collect().map(_.getAs[Double]("open")).toSeq
+    assert(opens == Seq(0.0, 2.0, 0.0))
+
+    // malformed params rejected loudly
+    assert(intercept[IllegalArgumentException] {
+      e.update("SH600600.stk_day", """{val:{open:1.0}}""")
+    }.getMessage.contains("search"))
+    assert(intercept[IllegalArgumentException] {
+      e.update("SH600600.stk_day", """{search:{vol:1}, val:{nosuch:1.0}}""")
+    }.getMessage.contains("nosuch"))
+  }
+
+  test("factor auto-create: fset/fget (disk/readme.md degenerate table)") {
+    val e = mkEngine
+    // no create() — first fset declares the {time:T, value:F8} table
+    e.fset("00001.macd", 1000L, 12.60)
+    e.fset("00001.macd", 2000L, 12.70)
+    e.fset("00002.macd", 1000L, -1.5)
+    val got = e.fget("00001.macd", 0L, 1500L).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("value") == 12.60)
+    assert(e.fget("*.macd", 0L, 3000L).count() == 3)
+    // same factor name under a different subject stays separate; a
+    // second factor table auto-creates independently
+    e.fset("00001.boll", 1000L, 7.0)
+    assert(e.fget("00001.boll", 0L, 3000L).collect()(0)
+      .getAs[Double]("value") == 7.0)
+  }
+
+  test("unstructured ONE/MUL styles: kset/kget/kpush/krange") {
+    val e = mkEngine
+    e.kset("cfg.host", "first")
+    e.kset("cfg.host", "second") // ONE: last write wins
+    e.kset("cfg.port", "8080")
+    assert(e.kget("cfg.host").collect()(0).getAs[String]("value") == "second")
+    assert(e.kget("cfg.*").count() == 2) // pattern vocabulary applies
+    e.kpush("log", "a"); e.kpush("log", "b"); e.kpush("log", "c")
+    assert(e.krange("log").collect().map(_.getAs[String]("value")).toSeq ==
+      Seq("a", "b", "c"))
+    // keys are bare strings — the KV surface must not require a
+    // subject.table shape and dots inside keys are data, not splits
+    assert(e.kget("cfg.host").collect()(0).getAs[String]("key") == "cfg.host")
+  }
+
+  test("replay command: stored day through subs, table-qualified patterns") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.create(
+      "{stk_week:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1},
+          {"time":"2021-01-04","open":1.0,"close":2.5,"vol":2},
+          {"time":"2021-01-05","open":2.0,"close":3.0,"vol":3}]""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":4}""")
+    val sh = new java.util.concurrent.atomic.AtomicLong(0)
+    val wk = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("sh", Seq("SH6*.stk_day"))(df => sh.addAndGet(df.count()))
+    e.sub("wk", Seq("*.stk_week"))(df => wk.addAndGet(df.count()))
+    // day 2021-01-04: SH600600 has ONE live row there (same-time upsert
+    // collapsed vol 1→2) + SZ's row; the week-table subscriber sees none
+    val replayed = e.replay("stk_day", "2021-01-04", slices = 2)
+    assert(replayed == 2, s"replayed $replayed")
+    assert(sh.get() == 1, "subject+table pattern missed/overcounted replay")
+    assert(wk.get() == 0, "table-qualified pattern leaked a replay of another table")
+  }
+
+  test("drop is a tombstone: no rewrite, SQL view tracks it, pack erases") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":2}""")
+    val qn = e.exposeSql("stk_day", db = "graft_tomb")
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 2)
+    e.drop("SZ000001.stk_day")
+    // Scala path and SQL path agree immediately, with no file rewrite
+    assert(e.keys("*.stk_day").count() == 1)
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 1,
+      "SQL view still serves dropped subject")
+    // re-create after drop
+    e.set("SZ000001.stk_day", """{"time":"2021-01-05","open":8.0,"close":8.1,"vol":3}""")
+    e.save("stk_day")
+    assert(spark.sql(s"SELECT subject FROM $qn").count() == 2)
+    // pack materializes; view stays correct with the tombstone gone
+    e.pack("stk_day", files = 1)
+    assert(spark.sql(s"SELECT * FROM $qn").count() == 2)
+    assert(e.get("SZ000001.stk_day", """{range:{start:-1}}""").collect()(0)
+      .getAs[Long]("vol") == 3L)
+  }
+
   test("exposeSql registration stays live across save, del and pack") {
     val e = mkEngine
     e.create(stkDay)

@@ -118,6 +118,97 @@ class StoreSpec extends SparkSpec {
     assert(st.read(day = Some("d2")).count() == 1)
   }
 
+  test("deleteWhere rewrites ONLY the day partitions the range touches") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_del"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("A", 2L, 2.0, "d2"), ("A", 3L, 3.0, "d3"),
+      ("B", 2L, 9.0, "d2")).toDF("code", "t", "v", "day"))
+    st.save()
+    val untouched = Seq("d1", "d3").map { d =>
+      d -> new java.io.File(s"$root/__day=$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq
+    }
+    // delete A's row in d2 only — d1/d3 files must be byte-identical
+    st.deleteWhere(col("code") === "A" && col("t") === 2L, _ == "d2")
+    untouched.foreach { case (d, before) =>
+      val after = new java.io.File(s"$root/__day=$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq
+      assert(after == before, s"unaffected day $d was rewritten by delete")
+    }
+    val left = st.read().orderBy("code", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(left == Seq(("A", 1L), ("A", 3L), ("B", 2L)))
+
+    // deleting the last row of a day removes its partition entirely
+    st.deleteWhere(col("code") === "B", _ == "d2")
+    assert(!new java.io.File(s"$root/__day=d2").exists(),
+      "emptied day partition was left behind")
+    assert(st.read().count() == 2)
+  }
+
+  test("deleteWhere filters the hot tail without flushing it") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_delhot"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    st.deleteWhere(col("code") === "A", _ => true)
+    assert(st.read().collect().map(_.getString(0)).toSeq == Seq("B"))
+    assert(!new java.io.File(root).exists() ||
+      new java.io.File(root).listFiles() == null ||
+      !new java.io.File(root).listFiles().exists(_.getName.startsWith("__day=")),
+      "hot-only delete flushed cold files")
+    st.save()
+    assert(st.read().count() == 1)
+  }
+
+  test("dropSubject: O(1) tombstone, no file rewrite; pack erases; restart persists") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_tomb"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("A", 2L, 2.0, "d2"), ("B", 1L, 9.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    val before = Seq("d1", "d2").map(d =>
+      new java.io.File(s"$root/__day=$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq)
+    st.dropSubject("A")
+    val after = Seq("d1", "d2").map(d =>
+      new java.io.File(s"$root/__day=$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSeq)
+    assert(after == before, "drop rewrote data files — must be metadata-only")
+    assert(st.read().collect().map(_.getString(0)).toSeq == Seq("B"))
+
+    // a RESTARTED store (fresh instance, same path) still sees the drop
+    val st2 = mkStore(root)
+    assert(st2.read().collect().map(_.getString(0)).toSeq == Seq("B"),
+      "tombstone did not survive restart")
+
+    // re-creating the subject after the drop works (new rows outrank
+    // the tombstone) and survives a save
+    st2.set(Seq(("A", 5L, 5.0, "d1")).toDF("code", "t", "v", "day"))
+    assert(st2.read().orderBy("code").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 5L), ("B", 1L)))
+    st2.save()
+    assert(st2.read().orderBy("code").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 5L), ("B", 1L)), "resurrected subject lost at save")
+
+    // pack materializes the tombstone: dead rows physically gone,
+    // tombstone cleared, data unchanged
+    st2.pack(targetFiles = 1)
+    assert(st2.tombstoneList.isEmpty, "pack did not clear tombstones")
+    assert(st2.read().orderBy("code").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("A", 5L), ("B", 1L)))
+    val rawAfterPack = spark.read.parquet(root)
+    assert(rawAfterPack.filter(col("code") === "A").count() == 1,
+      "pack left tombstoned rows in the files")
+  }
+
   test("KV store: ONE last-write-wins, MUL ordered list, keys matching") {
     import graft.store.KvStore
     val kv = Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("b", 1L, "x"),
