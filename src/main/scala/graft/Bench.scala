@@ -52,6 +52,27 @@ object Bench {
     // large inventory — persist the full sorted vector as a file too
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), line + "\n")
+    // …and a SECOND, steady-state pass: the one-shot vector keeps
+    // producing false regressions from first-run planning/catalog
+    // state (t5/t6 in round 7, o2/st1 in round 3 — each re-adjudicated
+    // by hand); a committed steady vector lets the per-round diff
+    // separate plan changes from planning noise mechanically.
+    // Skippable for quick local loops via SPARK_GRAFT_STEADY=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0") {
+      val steady = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val sqs = steady.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val stotal = steady.map(_._2).filter(_ >= 0).sum
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_STEADY.json"),
+        s"""{"metric":"steady_total","value":$stotal,"unit":"sec","queries":$sqs,"sf":"$sfDir"}""" + "\n")
+    }
     spark.stop()
   }
 }

@@ -1277,6 +1277,116 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** E3 — M9 through the COMMAND surface (`update key {search, val}`,
+    * workers/sisdb/sisdb.h:50-53): the e1 engine ingest, then u3's
+    * error rows zeroed via the engine's update. Matched rows are
+    * re-staged with a fresh ingest sequence (O(matched rows) write,
+    * never a store rewrite) and shadow their originals through the
+    * solely-upsert read path. */
+  private def qEngineUpdate(s: SparkSession, dir: String): DataFrame = {
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_engine_up/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    eng.update("u3.ev", """{search:{etype:"error"}, val:{value:0.0}}""")
+    eng.get("*.ev", "{}")
+      .groupBy("subject", "etype")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject", "etype")
+  }
+
+  /** E4 — T6 through the COMMAND surface: factor series written with
+    * the auto-creating `fset` (first write declares the degenerate
+    * `{time:T, value:F8}` table, /root/reference/src/core/disk/
+    * readme.md) and read back with a ranged `fget`. Client batch shape
+    * mirrors e1: one JSON-array fset per subject. */
+  private def qEngineFactor(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_engine_fx/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root)
+    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(avg("value"), 6).as("factor"))
+      .select(col("user_id"), to_json(struct(
+        to_timestamp(col("day"), "yyyy-MM-dd").as("time"),
+        col("factor").as("value"))).as("j"))
+      .groupBy("user_id")
+      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
+      .collect() // client-side surface: 10 subjects' factor payloads
+    perUser.foreach(r => eng.fset(s"u${r.getLong(0)}.macd", r.getString(1)))
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    eng.fget("u7.macd", lo, hi)
+      .select(unix_millis(col("time")).as("time"), col("value").as("factor"))
+      .orderBy("time")
+  }
+
+  /** E5 — T2 `psub` replay through the COMMAND surface (workers/sisdb/
+    * sisdb.c:491-546): the e1 engine ingest, then `replay(ev, day)`
+    * pumps the stored day through the live SubRegistry in sliced time
+    * order. Per-subscriber filtering runs distributed (a Spark filter
+    * per slice); the bounded client-side collector mirrors t4's stream
+    * collectors. The `u1,u3.ev` pattern proves replayed frames carry
+    * the table tag. */
+  private def qEngineReplay(s: SparkSession, dir: String): DataFrame = {
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_engine_rp/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val acc = scala.collection.mutable.Map[String, (Long, Double)]()
+    eng.sub("collector", Seq("u1,u3.ev")) { df =>
+      df.groupBy("subject").agg(count(lit(1)), sum("value")).collect()
+        .foreach { r =>
+          val (n0, v0) = acc.getOrElse(r.getString(0), (0L, 0.0))
+          acc(r.getString(0)) = (n0 + r.getLong(1), v0 + r.getDouble(2))
+        }
+    }
+    eng.replay("ev", "2024-01-05", slices = 4)
+    import s.implicits._
+    acc.toSeq.map { case (k, (n, v)) =>
+      (k, n, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toDF("subject", "n", "total")
+  }
+
+  /** E6 — M5 through the COMMAND surface: ranged `del` on one subject.
+    * TsStore.deleteWhere rewrites ONLY the day partitions inside the
+    * range (O(days in range) — round 7's flagged scale-killer was the
+    * whole-store rewrite this replaces); the read-back checks surviving
+    * rows, including u2's rows OUTSIDE the range, are intact. */
+  private def qEngineDel(s: SparkSession, dir: String): DataFrame = {
+    val eng = engineWithEvents(s, dir,
+      s"/tmp/graft_engine_dl/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    eng.save("ev")
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    eng.get("*.ev", "{}")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
+  /** KV2 — §1.4 ONE/MUL through the COMMAND surface (kv1 is the
+    * library model): per-user ONE keys written twice (`kset`, last
+    * write wins), a MUL list appended in event order (`kpush`), read
+    * back via `kget` patterns and `krange`. Keys are bare strings —
+    * dots inside them are data, not subject.table splits. */
+  private def qEngineKv(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_engine_kv/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root)
+    val counts = t(s, dir, "events").filter(col("user_id") < 5)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    counts.foreach { case (u, _) => eng.kset(s"mode.u$u", "init") }
+    counts.foreach { case (u, n) => eng.kset(s"mode.u$u", n.toString) }
+    val first5 = t(s, dir, "events").filter(col("user_id") === 2)
+      .orderBy(evKey).limit(5)
+      .select("event_type").collect().map(_.getString(0))
+    first5.foreach(v => eng.kpush("log", v))
+    eng.kget("mode.*")
+      .select(lit("one").as("op"), col("key"), lit(0L).as("seq"), col("value"))
+      .unionByName(eng.krange("log").select(lit("mul").as("op"), col("key"),
+        col("seq"), col("value")))
+      .orderBy("op", "key", "seq")
+  }
+
   /** U1 SQL front door: the SAME engine-ingested store as e1, but
     * queried through plain `spark.sql` against the catalog-registered
     * table (`graft.ev`) — no Scala API in the read path. The day
@@ -1749,6 +1859,11 @@ object SparkEntry {
     "cv1_convert" -> qConvert _,
     "e1_engine_roundtrip" -> qEngineRoundtrip _,
     "e2_engine_multikey" -> qEngineMultikey _,
+    "e3_engine_update" -> qEngineUpdate _,
+    "e4_engine_factor" -> qEngineFactor _,
+    "e5_engine_replay" -> qEngineReplay _,
+    "e6_engine_del" -> qEngineDel _,
+    "kv2_engine_kv" -> qEngineKv _,
     "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
     "p2_last_per_key" -> qLastPerKey _,
@@ -1965,6 +2080,48 @@ object SparkEntry {
          WHERE user_id IN (1, 3, 5)
            AND epoch_ms(ts) BETWEEN 1704672000000 AND 1705795199999
          GROUP BY 1 ORDER BY subject""",
+    "e3_engine_update" ->
+      """SELECT 'u' || user_id AS subject, event_type AS etype,
+         count(*) AS n,
+         round(sum(CASE WHEN user_id = 3 AND event_type = 'error'
+                        THEN 0.0 ELSE value END), 2) AS total
+         FROM events WHERE user_id < 10
+         GROUP BY 1, 2 ORDER BY subject, etype""",
+    "e4_engine_factor" ->
+      """WITH d AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS factor
+           FROM events WHERE user_id < 10 GROUP BY 1, 2)
+         SELECT epoch_ms(day::TIMESTAMP) AS time, factor
+         FROM d
+         WHERE user_id = 7
+           AND epoch_ms(day::TIMESTAMP) BETWEEN 1704067200000 AND 1706745600000
+         ORDER BY time""",
+    "e5_engine_replay" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id IN (1, 3) AND strftime(ts, '%Y-%m-%d') = '2024-01-05'
+         GROUP BY 1 ORDER BY subject""",
+    "e6_engine_del" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10 AND NOT (user_id = 2
+           AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
+         GROUP BY 1 ORDER BY subject""",
+    "kv2_engine_kv" ->
+      s"""WITH c AS (
+           SELECT 'mode.u' || user_id AS key, count(*)::VARCHAR AS value
+           FROM events WHERE user_id < 5 GROUP BY user_id),
+         f AS (
+           SELECT event_type, row_number() OVER (ORDER BY $evKeySql) AS rn
+           FROM events WHERE user_id = 2)
+         SELECT 'one' AS op, key, 0::BIGINT AS seq, value FROM c
+         UNION ALL
+         SELECT 'mul' AS op, 'log' AS key, rn AS seq, event_type AS value
+         FROM f WHERE rn <= 5
+         ORDER BY op, key, seq""",
     "u1_sql_table" ->
       """SELECT 'u' || user_id AS subject, count(*) AS n,
          round(sum(value), 2) AS total

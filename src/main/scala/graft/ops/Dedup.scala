@@ -104,7 +104,13 @@ object Dedup {
       df.select(col(id), posexplode(array(bandCols: _*)))
         .toDF(as, "band", "bucket")
     }
-    buckets(newSigs, "new_id")
+    // the batch side is small by definition — broadcast it so the
+    // index side streams map-side with NO shuffle: a batch then costs
+    // one scan of the banded index plus the matched buckets, and the
+    // slope vs index size is scan speed, not shuffle speed (measured
+    // in PLANS.md via graft.IncScale). AQE usually picks this plan on
+    // its own; the hint makes it survive bad stats at 100 TB.
+    broadcast(buckets(newSigs, "new_id"))
       .join(buckets(indexSigs, "index_id"), Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()
   }
