@@ -59,13 +59,25 @@ object Bench {
     // separate plan changes from planning noise mechanically.
     // Skippable for quick local loops via SPARK_GRAFT_STEADY=0.
     if (sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "0") {
-      val steady = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+      // the first pass leaks cached blocks by design (per-query engines
+      // persist hot tails that die with their owners) — drop them, or
+      // pass 2 measures GC pressure instead of steady-state plans
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      // only queries whose one-shot cost is large enough to ever be
+      // flagged re-run: a sub-half-second query cannot regress by more
+      // than noise, and skipping the tail keeps the driver's bench
+      // wall bounded (it enters this vector the round it grows)
+      val oneShot = results.toMap
+      val steady = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => oneShot.getOrElse(name, 0.0) >= 0.5 }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
       val sqs = steady.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val stotal = steady.map(_._2).filter(_ >= 0).sum

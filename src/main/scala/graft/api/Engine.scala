@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's command surface end-to-end: `create/set/get/keys/
-  * del/drop/save/pack/sub` against `subject.table` keys
-  * (workers/sisdb/sisdb.h:44-53, command table sisdb.c:14-42), wired
+  * del/drop/save/pack/sub/update/replay` against `subject.table` keys
+  * (workers/sisdb/sisdb.h:44-53, command table sisdb.c:14-42), plus
+  * the auto-creating factor surface (`fset`/`fget`) and the
+  * unstructured ONE/MUL styles (`kset`/`kget`/`kpush`/`krange`), wired
   * over the engine's primitives — SdbSchema for table declarations,
   * TsStore per table for storage, Query for the range/where/fields
   * matrix (sisdb_io.c:23-93), Render for the j/a/c output formats, and
@@ -127,15 +129,35 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       require(fmt != 's',
         "multi-table get returns rendered payloads — use format j/a/c")
       require(p0.isObject, s"get params must be a JSON object, got: $paramsJson")
+      // optional per-table params: {tables:{t1:{fields:…}, t2:{range:…}}}
+      // — each table's get may differ in fields/range/count; the shared
+      // top-level keys apply to tables not listed. Formats stay
+      // rendered either way (schemas differ across the union).
+      val perTable = Option(p0.get("tables"))
+      perTable.foreach(tn => require(tn.isObject,
+        s"multi-table get 'tables' must be an object of per-table params"))
       val withFmt =
         if (p0.has("format")) paramsJson
         else {
           val n = p0.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
           n.put("format", "j"); n.toString
         }
-      tables.map(t => getOne(subject, t, withFmt)
-          .select(col("subject"), lit(t).as("table"), col("payload")))
-        .reduce(_ unionByName _)
+      tables.map { t =>
+        val pj = perTable.flatMap(tn => Option(tn.get(t))) match {
+          case Some(per) =>
+            require(per.isObject, s"per-table params for '$t' must be an object")
+            val n = per.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            if (n.has("format")) {
+              val pf = n.get("format").asText("j").headOption.getOrElse('j')
+              require("jac".contains(pf),
+                s"per-table get format '$pf' must be rendered (j/a/c)")
+            } else n.put("format", fmt.toString)
+            n.toString
+          case None => withFmt
+        }
+        getOne(subject, t, pj)
+          .select(col("subject"), lit(t).as("table"), col("payload"))
+      }.reduce(_ unionByName _)
     }
   }
 

@@ -108,6 +108,20 @@ class EngineSpec extends SparkSpec {
       e.get("SH600600.stk_day,stk_week", """{format:"s"}""")
     }
     assert(err.getMessage.contains("rendered"))
+    // a malformed format must fail the same clear way, not surface as
+    // a missing-payload AnalysisException downstream
+    assert(intercept[IllegalArgumentException] {
+      e.get("SH600600.stk_day,stk_week", """{format:"sx"}""")
+    }.getMessage.contains("rendered"))
+
+    // per-table params: each table gets its own fields; unlisted tables
+    // inherit the shared params
+    val per = e.get("SH600600.stk_day,stk_week",
+      """{range:{start:-1},tables:{stk_day:{range:{start:-1},fields:"time,vol"}}}""")
+      .select("table", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(per("stk_day").contains("vol") && !per("stk_day").contains("close"))
+    assert(per("stk_week").contains("close"))
   }
 
   test("table-qualified sub patterns: subjects.tables (sisdb.h:44-49)") {
