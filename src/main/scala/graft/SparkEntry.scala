@@ -659,6 +659,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** D12 — the STORED fingerprint-index probe, d11's production
+    * variant (PLANS.md round-8): the corpus's banded buckets persist
+    * ONCE as a narrow (index_id, band, bucket) parquet table sorted by
+    * (band, bucket); an incoming batch then broadcast-probes it — no
+    * corpus signature recompute, no re-banding scan, no index shuffle.
+    * Candidates are identical to re-banding (same bucket hashes),
+    * which the shared oracle CTEs check pair-for-pair. */
+  private def qStoredIndex(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val store = s"/tmp/graft_fpindex/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val indexSigs = Dedup.minhash(docs.filter(col("doc_id") % 10 =!= 0),
+      "text", shingleK = 3, numHashes = 32)
+    Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
+        as = "index_id")
+      .repartition(col("band"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(store)
+    val newSigs = Dedup.minhash(docs.filter(col("doc_id") % 10 === 0),
+      "text", shingleK = 3, numHashes = 32)
+    Dedup.probeBandedIndex(s.read.parquet(store), newSigs, "doc_id",
+        bands = 16, sigLen = 32)
+      .select(col("new_id").as("doc_id"), col("index_id"))
+      .orderBy("doc_id", "index_id")
+  }
+
   /** SimHash signatures over per-token FNV-1a hashes — oracle-checked
     * (FNV is reproducible in plain SQL, unlike murmur/xxhash);
     * Hamming-pair detection is asserted in ScalaTest. */
@@ -1914,6 +1939,7 @@ object SparkEntry {
     "d9_semantic_dedup" -> qSemanticDedup _,
     "d10_quality_reps" -> qQualityReps _,
     "d11_incremental_dedup" -> qIncrementalDedup _,
+    "d12_stored_index" -> qStoredIndex _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
@@ -3091,6 +3117,24 @@ object SparkEntry {
          FROM (SELECT doc_id FROM sg WHERE doc_id % 10 = 0) i
          LEFT JOIN (SELECT * FROM r WHERE rn = 1) b USING (doc_id)
          ORDER BY i.doc_id"""
+    },
+    // d12: the same asymmetric band-candidate set as d11 (shared sig
+    // prefix, 2-row band slices joined new×index) — the Spark side
+    // probes a STORED (index_id, band, bucket) table instead of
+    // re-banding, and the pair set must come out identical
+    "d12_stored_index" -> {
+      s"""$minhashSigCte,
+         bki AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg
+                 WHERE doc_id % 10 = 0)),
+         bkx AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg
+                 WHERE doc_id % 10 != 0))
+         SELECT DISTINCT i.doc_id AS doc_id, x.doc_id AS index_id
+         FROM bki i JOIN bkx x ON i.b = x.b AND i.key = x.key
+         ORDER BY doc_id, index_id"""
     },
     // d7's cluster CTE + per-doc quality, (q desc, doc_id asc) argmax
     "d10_quality_reps" ->

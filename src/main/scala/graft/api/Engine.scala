@@ -220,10 +220,35 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     }
   }
 
-  /** `keys pattern.table`: matching subjects. */
+  /** `keys pattern.table`: matching subjects; the table side may be a
+    * comma list like `get`'s (sisdb.h:44-49) — the reply is the
+    * distinct union across tables. */
   def keys(pattern: String): DataFrame = {
-    val (subject, table) = splitKey(pattern)
-    graft.store.KvStore.keys(storeOf(table).read(), "subject", subject)
+    val (subject, tablePart) = splitKey(pattern)
+    val tables = tablePart.split(",").map(_.trim).filter(_.nonEmpty)
+    require(tables.nonEmpty, s"pattern '$pattern' names no table")
+    tables.map(t =>
+        graft.store.KvStore.keys(storeOf(t).read(), "subject", subject))
+      .reduce(_ unionByName _).distinct().orderBy("subject")
+  }
+
+  /** M2 `bset subject.table <packed rows>` — the binary sibling of
+    * `set` (sisdb.h:44-49): each payload is one packed row in the
+    * table's declared fixed-width layout
+    * ([[graft.sources.BinaryRows]], zint prices included). Decoded,
+    * staged and published exactly like JSON sets. */
+  def bset(key: String, packedRows: Seq[Array[Byte]]): Long = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    import spark.implicits._
+    val typed = packedRows.toDF("__bin")
+      .select(graft.sources.BinaryRows.unpack(col("__bin"), sdb).as("__row"))
+      .select("__row.*")
+      .withColumn("subject", lit(subject))
+    storeOf(table).set(typed)
+    subs.publish(typed, "subject", table)
+    packedRows.size.toLong
   }
 
   /** `del subject.table {range:{start, stop}}` (M5): targeted

@@ -95,25 +95,46 @@ object Dedup {
     * O(|new|·bands) exploded rows plus the matched buckets, not
     * O(|index|²). Returns distinct (new_id, index_id) pairs. */
   def lshCandidatesAgainst(indexSigs: DataFrame, newSigs: DataFrame,
-      id: String, bands: Int, sigLen: Int): DataFrame = {
-    val rowsPerBand = sigLen / bands
-    def buckets(df: DataFrame, as: String) = {
-      val bandCols = (0 until bands).map(b =>
-        xxhash64(lit(b),
-          concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))))
-      df.select(col(id), posexplode(array(bandCols: _*)))
-        .toDF(as, "band", "bucket")
-    }
+      id: String, bands: Int, sigLen: Int): DataFrame =
     // the batch side is small by definition — broadcast it so the
     // index side streams map-side with NO shuffle: a batch then costs
     // one scan of the banded index plus the matched buckets, and the
     // slope vs index size is scan speed, not shuffle speed (measured
     // in PLANS.md via graft.IncScale). AQE usually picks this plan on
     // its own; the hint makes it survive bad stats at 100 TB.
-    broadcast(buckets(newSigs, "new_id"))
-      .join(buckets(indexSigs, "index_id"), Seq("band", "bucket"))
+    broadcast(bandBuckets(newSigs, id, bands, sigLen, as = "new_id"))
+      .join(bandBuckets(indexSigs, id, bands, sigLen, as = "index_id"),
+        Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()
+
+  /** The banded fingerprint index AS DATA: one narrow (id, band,
+    * bucket) row per document-band — what a production incremental
+    * pipeline PERSISTS (sorted by (band, bucket)) instead of re-banding
+    * the corpus's signatures on every batch. 8-byte bucket hashes, no
+    * signature arrays: the stored index is tiny relative to the corpus
+    * and append-only as new batches are admitted. */
+  def bandBuckets(sigs: DataFrame, id: String, bands: Int, sigLen: Int,
+      as: String = "id"): DataFrame = {
+    val rowsPerBand = sigLen / bands
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b),
+        concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))))
+    sigs.select(col(id), posexplode(array(bandCols: _*)))
+      .toDF(as, "band", "bucket")
   }
+
+  /** Probe a STORED banded index ([[bandBuckets]] output, e.g. read
+    * back from parquet) with an incoming batch: broadcast the batch's
+    * buckets, stream the index map-side — no signature recompute for
+    * the corpus, no re-banding, no index shuffle, no index×index join.
+    * Returns distinct (new_id, index_id) candidate pairs, identical to
+    * [[lshCandidatesAgainst]] over the same population. */
+  def probeBandedIndex(index: DataFrame, newSigs: DataFrame, id: String,
+      bands: Int, sigLen: Int, indexIdCol: String = "index_id"): DataFrame =
+    broadcast(bandBuckets(newSigs, id, bands, sigLen, as = "new_id"))
+      .join(index.select(col(indexIdCol).as("index_id"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select("new_id", "index_id").distinct()
 
   /** Estimated Jaccard from minhash signatures for candidate pairs. */
   def minhashJaccard(pairs: DataFrame, withSig: DataFrame, id: String): DataFrame = {

@@ -145,6 +145,47 @@ class EngineSpec extends SparkSpec {
     assert(both.get() == 2)    // SH600600 across the table comma list
   }
 
+  test("bset: packed binary rows through the command surface (M2)") {
+    import graft.sources.BinaryRows
+    import org.apache.spark.sql.functions.{col, struct}
+    val e = mkEngine
+    val sdb = e.create(stkDay)
+    import spark.implicits._
+    val packed = Seq(
+      ("2021-01-04", 10.10, 10.50, 100L),
+      ("2021-01-05", 10.50, 10.40, 200L))
+      .toDF("time", "open", "close", "vol")
+      .select(col("time").cast("date").as("time"), col("open"),
+        col("close"), col("vol"))
+      .select(BinaryRows.pack(
+        struct(col("time"), col("open"), col("close"), col("vol")), sdb).as("b"))
+      .collect().map(_.getAs[Array[Byte]]("b")).toSeq
+    assert(e.bset("SH600600.stk_day", packed) == 2)
+    val back = e.get("SH600600.stk_day",
+      """{range:{start:20210101,stop:20210131}}""").orderBy("time").collect()
+    assert(back.length == 2)
+    assert(back(0).getAs[Double]("close") == 10.50 &&
+      back(1).getAs[Long]("vol") == 200L)
+    // binary and JSON sets land in the same store: same-time JSON set
+    // replaces the packed row
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.50,"close":9.99,"vol":300}""")
+    val merged = e.get("SH600600.stk_day", """{where:{start:20210105}}""").collect()
+    assert(merged.length == 1 && merged(0).getAs[Double]("close") == 9.99)
+  }
+
+  test("keys accepts a table comma list (sisdb.h:44-49)") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.create(
+      "{stk_week:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    e.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e.set("SZ000001.stk_week", """{"time":"2021-01-08","open":9.0,"close":9.1,"vol":2}""")
+    assert(e.keys("*.stk_day,stk_week").collect().map(_.getString(0)).sorted
+      .sameElements(Array("SH600600", "SZ000001")))
+    assert(e.keys("SH6*.stk_day,stk_week").count() == 1)
+  }
+
   test("bad inputs fail with clear errors, not corruption") {
     val e = mkEngine
     e.create(stkDay)
