@@ -407,6 +407,41 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       .orderBy("key", "seq")
   }
 
+  /** T3 stream ingest through the COMMAND surface (workers/snodb/
+    * snodb.h:90-188: a live feed lands in the store while subscribers
+    * get the same rows): a Structured Streaming file source feeds the
+    * table's OWN TsStore via foreachBatch — each micro-batch is staged
+    * (`set`) then flushed (`save`), so a restart replays the batch into
+    * the same (subject, solely…, time) slots and the upsert makes
+    * redelivery idempotent (stream.Ingest's WAL guarantee, but landing
+    * in the get/del/drop/SQL-addressable store). Each batch publishes
+    * tagged with this table, so table-qualified sub patterns match.
+    * The source must carry the table's declared fields + `subject`. */
+  def startIngest(table: String, srcDir: String, checkpointDir: String,
+      availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val st = storeOf(table)
+    val schema = org.apache.spark.sql.types.StructType(
+      sdb.structType.fields :+ org.apache.spark.sql.types.StructField(
+        "subject", org.apache.spark.sql.types.StringType))
+    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        st.set(b)
+        st.save()
+        subs.publish(b, "subject", table)
+      }
+    val writer = src.writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", checkpointDir)
+    (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
+  }
+
   /** T2 `psub` replay through the command surface (workers/sisdb/
     * sisdb.c:491-546): flush the table, then pump one stored day
     * through the live SubRegistry in time order. Per-subscriber

@@ -334,6 +334,66 @@ class EngineSpec extends SparkSpec {
       .getAs[Long]("vol") == 3L)
   }
 
+  test("startIngest: streamed rows land in the addressable store (T3)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_engine_ing").toString
+    val e = new Engine(spark, s"$base/root")
+    e.create(stkDay)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("live", Seq("*.stk_day"))(df => seen.addAndGet(df.count()))
+    Seq(("2021-01-04", 1.0, 2.0, 1L, "SH600600"),
+        ("2021-01-05", 2.0, 3.0, 2L, "SH600600"),
+        ("2021-01-04", 9.0, 9.1, 3L, "SZ000001"))
+      .toDF("time", "open", "close", "vol", "subject")
+      .select(col("time").cast("date").as("time"), col("open"),
+        col("close"), col("vol").cast("long").as("vol"), col("subject"))
+      .write.mode("overwrite").parquet(s"$base/feed")
+    e.startIngest("stk_day", s"$base/feed", s"$base/ckpt")
+      .awaitTermination()
+    assert(seen.get() == 3, "subscribers did not see the streamed batch")
+    assert(e.get("*.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .count() == 3)
+    // a SECOND run over the same checkpoint re-processes nothing and
+    // the store stays exact (idempotent redelivery either way)
+    e.startIngest("stk_day", s"$base/feed", s"$base/ckpt")
+      .awaitTermination()
+    assert(e.get("*.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .count() == 3)
+    // the streamed store is fully addressable: ranged del still works
+    e.del("SH600600.stk_day", """{range:{start:20210105,stop:20210105}}""")
+    assert(e.get("*.stk_day", """{range:{start:20210101,stop:20211231}}""")
+      .count() == 2)
+  }
+
+  test("engine restart: cold data, tombstones and sequences survive") {
+    val root = Files.createTempDirectory("graft_engine_rs").toString
+    val e1 = new Engine(spark, root)
+    e1.create(stkDay)
+    e1.set("SH600600.stk_day", """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e1.set("SZ000001.stk_day", """{"time":"2021-01-04","open":9.0,"close":9.1,"vol":2}""")
+    e1.save("stk_day")
+    e1.drop("SZ000001.stk_day")
+    e1.kset("cfg", "v1")
+    e1.save("__one")
+
+    // a NEW engine over the same root (fresh process in production):
+    // schemas re-declared, stores re-attach to cold files + meta
+    val e2 = new Engine(spark, root)
+    e2.create(stkDay)
+    assert(e2.get("SH600600.stk_day", """{range:{start:-1}}""").count() == 1)
+    assert(e2.keys("*.stk_day").collect().map(_.getString(0)).toSeq ==
+      Seq("SH600600"), "tombstone did not survive engine restart")
+    assert(e2.kget("cfg").collect()(0).getAs[String]("value") == "v1")
+    // re-creating the dropped subject post-restart works: the restored
+    // sequence watermark outranks the stored tombstone
+    e2.set("SZ000001.stk_day", """{"time":"2021-01-05","open":8.0,"close":8.1,"vol":3}""")
+    e2.save("stk_day")
+    assert(e2.keys("*.stk_day").count() == 2)
+    assert(e2.get("SZ000001.stk_day", """{range:{start:-1}}""").collect()(0)
+      .getAs[Long]("vol") == 3L)
+  }
+
   test("exposeSql registration stays live across save, del and pack") {
     val e = mkEngine
     e.create(stkDay)
