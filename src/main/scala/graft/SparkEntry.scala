@@ -1412,6 +1412,29 @@ object SparkEntry {
       .orderBy("op", "key", "seq")
   }
 
+  /** E7 — T3 through the COMMAND surface: a parquet feed (the e1
+    * events subset) STREAMED into the ev table's own store via
+    * `Engine.startIngest` (Structured Streaming, availableNow,
+    * checkpointed foreachBatch → set+save per micro-batch), then read
+    * back through the ordinary get — streamed rows are immediately
+    * addressable like any set() data, and redelivery is idempotent
+    * through the upsert slots. */
+  private def qEngineIngest(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_engine_in/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val eng = new graft.api.Engine(s, s"$base/root")
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("ts").as("t"), col("event_type").as("etype"),
+        col("value"), concat(lit("u"), col("user_id")).as("subject"))
+      .write.mode("overwrite").parquet(s"$base/feed")
+    eng.startIngest("ev", s"$base/feed", s"$base/ckpt").awaitTermination()
+    eng.get("*.ev", "{}")
+      .groupBy("subject", "etype")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject", "etype")
+  }
+
   /** U1 SQL front door: the SAME engine-ingested store as e1, but
     * queried through plain `spark.sql` against the catalog-registered
     * table (`graft.ev`) — no Scala API in the read path. The day
@@ -1888,6 +1911,7 @@ object SparkEntry {
     "e4_engine_factor" -> qEngineFactor _,
     "e5_engine_replay" -> qEngineReplay _,
     "e6_engine_del" -> qEngineDel _,
+    "e7_engine_ingest" -> qEngineIngest _,
     "kv2_engine_kv" -> qEngineKv _,
     "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
@@ -2136,6 +2160,11 @@ object SparkEntry {
          WHERE user_id < 10 AND NOT (user_id = 2
            AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    "e7_engine_ingest" ->
+      """SELECT 'u' || user_id AS subject, event_type AS etype,
+         count(*) AS n, round(sum(value), 2) AS total
+         FROM events WHERE user_id < 10
+         GROUP BY 1, 2 ORDER BY subject, etype""",
     "kv2_engine_kv" ->
       s"""WITH c AS (
            SELECT 'mode.u' || user_id AS key, count(*)::VARCHAR AS value
