@@ -134,8 +134,17 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       // top-level keys apply to tables not listed. Formats stay
       // rendered either way (schemas differ across the union).
       val perTable = Option(p0.get("tables"))
-      perTable.foreach(tn => require(tn.isObject,
-        s"multi-table get 'tables' must be an object of per-table params"))
+      perTable.foreach { tn =>
+        require(tn.isObject,
+          s"multi-table get 'tables' must be an object of per-table params")
+        import scala.jdk.CollectionConverters._
+        // a typo'd table name would silently fall back to the shared
+        // params — reject keys that name no table in the comma list
+        tn.properties().asScala.foreach(e =>
+          require(tables.contains(e.getKey),
+            s"per-table params name '${e.getKey}', which is not in the " +
+              s"requested tables ${tables.mkString(",")}"))
+      }
       val withFmt =
         if (p0.has("format")) paramsJson
         else {
@@ -281,8 +290,16 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val (subject, table) = splitKey(key)
     val st = storeOf(table)
     if (st.isEmpty) return // benign no-data case, like the reference
-    subject.split(",").map(_.trim).filter(_.nonEmpty)
-      .foreach(st.dropSubject)
+    val subjects = subject.split(",").map(_.trim).filter(_.nonEmpty)
+    // drop takes EXACT keys: a wildcard would be tombstoned as a
+    // literal string — matching nothing, polluting the meta file and
+    // every rebuilt SQL view — so refuse it loudly (del takes the
+    // pattern vocabulary; drop mirrors the reference's exact-key form)
+    subjects.find(_.contains("*")).foreach(p =>
+      throw new IllegalArgumentException(
+        s"drop takes exact keys, not patterns ('$p') — " +
+          "resolve with keys() first or use del"))
+    subjects.foreach(st.dropSubject)
   }
 
   def save(table: String): Unit = storeOf(table).save()
@@ -307,10 +324,18 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     val cond = graft.store.KvStore.matchCond("subject", subject) &&
       Engine.searchCond(p.get("search"))
     import scala.jdk.CollectionConverters._
+    val timeField = sdb.mainIndex.map(_.name)
     val assigns = p.get("val").properties().asScala.toSeq.map { e =>
       val f = sdb.fields.find(_.name == e.getKey).getOrElse(
         throw new IllegalArgumentException(
           s"update val names unknown field '${e.getKey}'"))
+      // assigning an upsert-key field would re-stage matches under a
+      // NEW (subject, solely…, time) slot while the originals stay
+      // live — silent duplication, not an update. The reference's
+      // update rewrites values; keys are immutable (delete + re-set).
+      require(!timeField.contains(f.name) && !f.solely,
+        s"update cannot assign key field '${f.name}' " +
+          "(main index / solely) — del + set instead")
       f.name -> Engine.jsonLit(e.getValue).cast(f.sparkType)
     }
     val matched = st.read().filter(cond)
@@ -320,8 +345,10 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     // sever lineage from the store's own files before staging the
     // rewrite back into it — set() persists its batch, but the plan
     // must not lazily re-read files a later save swaps out
-    val snap = updated.localCheckpoint(true)
-    val n = st.set(snap.drop("__day"))
+    val snap = updated.localCheckpoint(true).drop("__day")
+    val n = st.set(snap)
+    // publish the same shape set/bset publish: declared fields +
+    // subject, no internal columns
     subs.publish(snap, "subject", table)
     n
   }
@@ -354,6 +381,10 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   // strings (no `.table` suffix, dots allowed); values are strings.
   // These are config-scale side tables: all rows share one day
   // partition by design (the reference's string table is one file).
+  // NOTE on pub/sub: SubRegistry patterns split `subjects.tables` on
+  // the LAST dot, so to subscribe to a dotted KV key, table-qualify
+  // the pattern (`sub("w", Seq("cfg.host.__one"))`) — a bare
+  // "cfg.host" would parse as subject "cfg", table "host".
   private val kvSeq = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   private def kvTable(table: String): TsStore = {

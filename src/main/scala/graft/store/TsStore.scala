@@ -48,6 +48,11 @@ final class TsStore(
     val maxHotBatches: Int = 64) {
 
   private var hotFrames: Vector[DataFrame] = Vector.empty
+  // the PERSISTED originals behind hotFrames: deleteWhere/dropSubject
+  // wrap hotFrames in filter views, and unpersisting a wrapper is a
+  // no-op (the cache is keyed on the original plan) — so the cache
+  // handles are kept separately and released here on clearHot
+  private var hotCached: Vector[DataFrame] = Vector.empty
   private var hotRows: Long = 0L
   private var seq: Long = 0L
   // M6 tombstones: subject → drop-sequence. A `drop` is an O(1)
@@ -74,7 +79,8 @@ final class TsStore(
     hotFrames.reduceOption(_ unionByName _)
 
   private def clearHot(): Unit = {
-    hotFrames.foreach(_.unpersist())
+    hotCached.foreach(_.unpersist())
+    hotCached = Vector.empty
     hotFrames = Vector.empty
     hotRows = 0L
   }
@@ -177,6 +183,7 @@ final class TsStore(
           s"(store $path partitions by day; the main index must be non-null)")
     }
     hotRows += total
+    hotCached :+= stamped
     hotFrames :+= stamped
     if (hotRows >= maxHotRows || hotFrames.size >= maxHotBatches) save()
     total
@@ -321,6 +328,11 @@ final class TsStore(
           } else f.delete(dest, true) // no surviving rows — day removed
         }
         f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // the rewrite stamped cold rows with the CURRENT sequence —
+        // persist the watermark NOW: a restart that reloaded a lower
+        // one could mint a later tombstone that ranks below these rows
+        // and silently fail to drop them
+        persistMeta()
         val removed = affected.collect {
           case (name, v) if !produced.contains(name) => v
         }

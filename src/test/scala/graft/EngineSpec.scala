@@ -287,6 +287,14 @@ class EngineSpec extends SparkSpec {
     // keys are bare strings — the KV surface must not require a
     // subject.table shape and dots inside keys are data, not splits
     assert(e.kget("cfg.host").collect()(0).getAs[String]("key") == "cfg.host")
+    // subscribing to a dotted KV key: table-qualify the pattern (the
+    // sub grammar splits on the LAST dot, so the __one qualifier makes
+    // "cfg.host" the subject side)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    e.sub("kvwatch", Seq("cfg.host.__one"))(df => seen.addAndGet(df.count()))
+    e.kset("cfg.host", "third")
+    e.kset("cfg.other", "x") // different key — not delivered
+    assert(seen.get() == 1)
   }
 
   test("replay command: stored day through subs, table-qualified patterns") {

@@ -163,6 +163,24 @@ class StoreSpec extends SparkSpec {
     assert(st.read().count() == 1)
   }
 
+  test("deleteWhere persists the sequence watermark: drop after restart still deletes") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_wm"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("A", 2L, 2.0, "d2"), ("C", 2L, 9.0, "d2"))
+      .toDF("code", "t", "v", "day"))                       // seq=1
+    st.save()                                               // meta seq=1
+    st.set(Seq(("B", 3L, 3.0, "d1")).toDF("code", "t", "v", "day")) // seq=2 (hot)
+    st.set(Seq(("B", 4L, 4.0, "d1")).toDF("code", "t", "v", "day")) // seq=3 (hot)
+    // rewrites d2, stamping C's surviving row __seq=3 — the watermark
+    // must persist NOW, or a restart reloads seq=1 and the next drop's
+    // tombstone (seq=2) ranks BELOW the row it is meant to kill
+    st.deleteWhere(col("code") === "A" && col("t") === 2L, _ == "d2")
+    val st2 = mkStore(root) // restart (hot B rows gone by design)
+    st2.dropSubject("C")
+    assert(!st2.read().collect().map(_.getString(0)).contains("C"),
+      "drop after restart failed to delete rows stamped before the restart")
+  }
+
   test("dropSubject: O(1) tombstone, no file rewrite; pack erases; restart persists") {
     val root = Files.createTempDirectory("graft_store").toString + "/t_tomb"
     val st = mkStore(root)
