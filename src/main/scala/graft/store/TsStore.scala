@@ -365,6 +365,7 @@ final class TsStore(
     * weekly pack drops moved blocks the same way, sisdb.c:586-602,
     * sisdb_fmap_write.c:135-146). O(store) by design. */
   def pack(targetFiles: Int): Unit = synchronized {
+    if (!coldExists) return // nothing flushed yet — benign, like save
     if (tombstones.isEmpty) {
       Write.pack(spark, path, Seq("__day"), targetFiles)
       onColdChange(TsStore.Compacted)

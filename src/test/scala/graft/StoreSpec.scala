@@ -252,6 +252,61 @@ class StoreSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getAs[Double]("value") == 12.60)
   }
 
+  test("model check: random set/save/delete/drop/pack/restart agree with a Map model") {
+    // the store's whole mutation algebra vs an in-memory last-write-
+    // wins map — randomized, seeded, covering the interactions the
+    // unit tests can't enumerate (delete of hot+cold mixes, drop→
+    // resurrect→drop, tombstones across pack and restart, watermark
+    // persistence)
+    val rnd = new scala.util.Random(1031)
+    val codes = Vector("A", "B", "C")
+    val days = Vector("d1", "d2", "d3")
+    for (trial <- 1 to 3) {
+      val root = Files.createTempDirectory("graft_store").toString + s"/model$trial"
+      var st = mkStore(root)
+      var model = Map.empty[(String, String, Long), Double]
+      def check(at: String): Unit = {
+        val got =
+          try st.read().collect()
+            .map(r => (r.getString(0), r.getAs[String]("day"),
+              r.getLong(1)) -> r.getAs[Double]("v")).toMap
+          catch { case _: IllegalStateException => Map.empty } // empty store
+        assert(got == model,
+          s"trial $trial $at:\n store=${got.toSeq.sortBy(_._1.toString)}" +
+            s"\n model=${model.toSeq.sortBy(_._1.toString)}")
+      }
+      for (step <- 1 to 24) {
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 => // set a batch with DISTINCT keys (same-key
+            // rows in one batch share an ingest seq — ties undefined)
+            val ks = rnd.shuffle(
+              for { c <- codes; d <- days; t <- 0L to 2L } yield (c, d, t))
+              .take(1 + rnd.nextInt(4))
+            val rows = ks.map { case (c, d, t) => (c, t, rnd.nextInt(100) / 1.0, d) }
+            st.set(rows.toDF("code", "t", "v", "day"))
+            rows.foreach { case (c, t, v, d) => model += (c, d, t) -> v }
+          case 3 => st.save()
+          case 4 =>
+            val (c, d) = (codes(rnd.nextInt(3)), days(rnd.nextInt(3)))
+            st.deleteWhere(col("code") === c && col("day") === d, _ == d)
+            model = model.filterNot { case ((mc, md, _), _) => mc == c && md == d }
+          case 5 =>
+            val c = codes(rnd.nextInt(3))
+            st.dropSubject(c)
+            model = model.filterNot(_._1._1 == c)
+          case 6 =>
+            st.save(); st.pack(targetFiles = 1)
+          case 7 => // restart (flush first — the hot tail is process
+            // memory and legitimately dies with it)
+            st.save(); st = mkStore(root)
+        }
+        if (step % 6 == 0) check(s"step $step")
+      }
+      st.save()
+      check("final")
+    }
+  }
+
   test("lagCorrBest follows the reference's greedy walk") {
     val rnd = new scala.util.Random(31)
     val xs = Seq.fill(80)(rnd.nextDouble())
