@@ -229,6 +229,31 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     }
   }
 
+  /** `show` (sisdb.c:15): catalog introspection — every declared table
+    * with its field count and main index. */
+  def show(): DataFrame = {
+    import spark.implicits._
+    catalog.tables.map { t =>
+      val sdb = catalog.get(t).get
+      (t, sdb.fields.size, sdb.mainIndex.map(_.name).getOrElse(""))
+    }.toDF("table", "n_fields", "main_index").orderBy("table")
+  }
+
+  /** `show table`: the table's field declarations. */
+  def show(table: String): DataFrame = {
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    import spark.implicits._
+    sdb.fields.map(f => (f.name, f.style.toString, f.len, f.count, f.dot,
+        f.mindex, f.solely))
+      .toDF("field", "style", "len", "count", "dot", "mindex", "solely")
+  }
+
+  /** `gets keys` (sisdb.c:22): the LAST row per subject across a comma
+    * list — sugar for a start=-1 ranged get. */
+  def gets(key: String): DataFrame =
+    get(key, """{range:{start:-1}}""")
+
   /** `keys pattern.table`: matching subjects; the table side may be a
     * comma list like `get`'s (sisdb.h:44-49) — the reply is the
     * distinct union across tables. */

@@ -174,6 +174,29 @@ class EngineSpec extends SparkSpec {
     assert(merged.length == 1 && merged(0).getAs[Double]("close") == 9.99)
   }
 
+  test("show and gets: catalog introspection + last-row sugar (sisdb.c:15,22)") {
+    val e = mkEngine
+    e.create(stkDay)
+    e.create(
+      "{stk_week:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    val tables = e.show().collect()
+    assert(tables.map(_.getString(0)).sorted.sameElements(
+      Array("stk_day", "stk_week")))
+    assert(tables.forall(_.getString(2) == "time"))
+    val fields = e.show("stk_day").collect()
+    assert(fields.map(_.getString(0)).toSeq ==
+      Seq("time", "open", "close", "vol"))
+    assert(fields.find(_.getString(0) == "close").get.getInt(4) == 2) // dot
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1},
+          {"time":"2021-01-05","open":2.0,"close":3.0,"vol":2}]""")
+    e.set("SH600601.stk_day", """{"time":"2021-01-04","open":5.0,"close":5.1,"vol":3}""")
+    val last = e.gets("SH600600,SH600601.stk_day").collect()
+    assert(last.length == 2)
+    assert(last.map(_.getAs[Double]("close")).sorted.sameElements(
+      Array(3.0, 5.1)))
+  }
+
   test("keys accepts a table comma list (sisdb.h:44-49)") {
     val e = mkEngine
     e.create(stkDay)
