@@ -89,13 +89,22 @@ object Write {
     val df = spark.read.parquet(path)
     df.repartition(targetFiles, partitionCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
-    // atomic-enough swap for a local filesystem; object stores would use
-    // a manifest commit instead
+    // rename-aside swap — the live data is never deleted before the
+    // replacement is committed, so a crash at any point leaves either
+    // the original or the marker state TsStore.recoverSwaps rolls
+    // forward/back (the reference's safe-dir save, sisdb.h:184-189).
+    // Assumes atomic directory rename (HDFS/local); an object store
+    // deployment needs a manifest committer instead.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    val o = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    fs.delete(o, true)
+    if (!fs.rename(p, o))
+      throw new java.io.IOException(s"could not stage swap of $p")
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"could not commit packed store $p")
+    fs.delete(o, true)
   }
 }

@@ -63,6 +63,7 @@ final class TsStore(
   // stamp `__seq` with the CURRENT ingest sequence, so rows written
   // after the drop (a re-created subject) always outrank the tombstone.
   private var tombstones: Map[String, Long] = Map.empty
+  recoverSwaps()
   loadMeta()
 
   /** Invoked after any operation that changes what cold reads see
@@ -87,11 +88,12 @@ final class TsStore(
 
   // "exists" = holds at least one day partition — a delete that empties
   // the store leaves the root dir (and parquet's _SUCCESS) behind, and
-  // a bare `spark.read.parquet` on a file-less dir cannot infer schema
-  private def coldExists: Boolean = {
-    val files = new java.io.File(path).listFiles()
-    files != null && files.exists(_.getName.startsWith("__day="))
-  }
+  // a bare `spark.read.parquet` on a file-less dir cannot infer schema.
+  // Probed through the Hadoop FileSystem like every other path op: a
+  // java.io.File probe is always-false on hdfs://-style schemes, which
+  // would make save() silently overwrite cold data on a real cluster.
+  private def coldExists: Boolean =
+    dayDirs(new org.apache.hadoop.fs.Path(path)).nonEmpty
 
   // ── persisted store metadata (sidecar JSON next to the parquet root):
   // the ingest-sequence watermark and the live tombstones. Persisted on
@@ -124,8 +126,83 @@ final class TsStore(
     root.put("seq", seq)
     val t = root.putObject("tombstones")
     tombstones.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
-    val out = fs.create(metaFile, true)
+    // write-tmp + atomic rename-over: an in-place overwrite interrupted
+    // mid-write corrupts the watermark/tombstone file and the store
+    // fails to load (or worse, loads a stale watermark that lets a
+    // later tombstone rank below re-stamped rows). FileContext.rename
+    // with OVERWRITE is atomic on HDFS and the local FS alike.
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__meta.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaFile.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ── crash recovery: every cold rewrite commits through an on-disk
+  // marker (`__saving`/`__deleting` per-day tmp dirs, `__packed` +
+  // `__old` for pack's whole-store swap — the reference's safe-dir
+  // save protocol, workers/sisdb/sisdb.h:184-189: merge under safe,
+  // swap on success, restore on failure). A store opened over a path
+  // with leftover markers finishes or rolls back the interrupted swap
+  // BEFORE serving any read, so a crash can never silently lose the
+  // only copy of the cold data.
+  private def recoverSwaps(): Unit = {
+    val f = fs
+    val p = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    val packedP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__packed")
+    if (f.exists(oldP)) {
+      if (f.exists(p)) {
+        // pack got past rename-in (live IS the packed output; `__old`
+        // is the superseded pre-pack store) — finish: drop the backup
+        f.delete(oldP, true)
+      } else if (f.exists(packedP)) {
+        // crashed between rename-aside and rename-in: the packed
+        // replacement is complete by protocol order (pack renames
+        // aside only after the packed write commits) — roll forward
+        if (!f.rename(packedP, p))
+          throw new java.io.IOException(s"swap recovery: could not commit $p")
+        f.delete(oldP, true)
+      } else {
+        // no replacement to roll forward — restore the original
+        if (!f.rename(oldP, p))
+          throw new java.io.IOException(s"swap recovery: could not restore $p")
+      }
+    } else if (f.exists(packedP)) {
+      // pack crashed during (or right after) the packed WRITE, before
+      // touching the live store — live is authoritative, tmp is trash
+      f.delete(packedP, true)
+    }
+    // per-day swaps (save / deleteWhere): the tmp dir holds the merged
+    // (resp. surviving) rows for each still-unswapped day. `_SUCCESS`
+    // distinguishes a completed write (roll the remaining days forward
+    // — for save this also recovers the hot rows being flushed) from a
+    // write that died midway (live store untouched — discard the tmp).
+    // A deleteWhere interrupted before removing a now-empty day leaves
+    // that day's pre-delete rows; the delete was never acknowledged and
+    // is idempotent to re-issue.
+    Seq("__saving", "__deleting").foreach { sfx =>
+      val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + sfx)
+      if (f.exists(tmp)) {
+        if (f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          f.mkdirs(p)
+          dayDirs(tmp).foreach { case (name, _) =>
+            val dest = new org.apache.hadoop.fs.Path(p, name)
+            f.delete(dest, true)
+            if (!f.rename(new org.apache.hadoop.fs.Path(tmp, name), dest))
+              throw new java.io.IOException(
+                s"swap recovery: could not commit day partition $dest")
+          }
+        }
+        f.delete(tmp, true)
+      }
+    }
+    // a persistMeta interrupted mid-write leaves only this tmp; the
+    // committed meta (if any) is intact because the rename is atomic
+    f.delete(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__meta.json.tmp"), false)
   }
 
   /** Rows KILLED by an active tombstone (cold side only — hot batches
@@ -275,6 +352,12 @@ final class TsStore(
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       require(dayDirs.length == dirtyDays.length,
         s"save produced ${dayDirs.length} day dirs for ${dirtyDays.length} dirty days")
+      // durable watermark BEFORE the swap: the merged rows are stamped
+      // with the current sequence, and a crash mid-swap must not let a
+      // restart reload a lower watermark (a later tombstone would rank
+      // below the re-stamped rows). Persisting a higher-than-used
+      // sequence is always safe — sequences only need monotonicity.
+      persistMeta()
       dayDirs.foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
         f.delete(dest, true)
@@ -283,7 +366,6 @@ final class TsStore(
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()
-      persistMeta()
       onColdChange(TsStore.DaysUpserted(dirtyDays))
     }
   }
@@ -317,6 +399,12 @@ final class TsStore(
           .sortWithinPartitions(col(subject), col(time))
           .write.mode("overwrite").partitionBy("__day").parquet(tmp)
         val produced = dayDirs(new org.apache.hadoop.fs.Path(tmp)).toMap
+        // the rewrite stamped cold rows with the CURRENT sequence —
+        // persist the watermark BEFORE the swap: a restart (even one
+        // recovering a crash mid-swap) that reloaded a lower one could
+        // mint a later tombstone that ranks below these rows and
+        // silently fail to drop them
+        persistMeta()
         affected.foreach { case (name, _) =>
           val dest = new org.apache.hadoop.fs.Path(path, name)
           if (produced.contains(name)) {
@@ -328,11 +416,6 @@ final class TsStore(
           } else f.delete(dest, true) // no surviving rows — day removed
         }
         f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        // the rewrite stamped cold rows with the CURRENT sequence —
-        // persist the watermark NOW: a restart that reloaded a lower
-        // one could mint a later tombstone that ranks below these rows
-        // and silently fail to drop them
-        persistMeta()
         val removed = affected.collect {
           case (name, v) if !produced.contains(name) => v
         }
@@ -375,11 +458,23 @@ final class TsStore(
         .repartition(targetFiles, col("__day"))
         .sortWithinPartitions(col(subject), col(time))
         .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+      // durable watermark BEFORE the swap: the rewrite stamped rows
+      // with the current sequence — a restart must never reload a
+      // lower one (see deleteWhere)
+      persistMeta()
+      // rename-aside swap: the live store is never deleted before its
+      // replacement is committed. A crash at ANY point here leaves a
+      // marker state [[recoverSwaps]] finishes or rolls back — the
+      // reference's safe-dir save (sisdb.h:184-189).
       val f = fs
       val p = new org.apache.hadoop.fs.Path(path)
-      f.delete(p, true)
+      val oldP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+      f.delete(oldP, true)
+      if (!f.rename(p, oldP))
+        throw new java.io.IOException(s"could not stage swap of $p")
       if (!f.rename(new org.apache.hadoop.fs.Path(tmp), p))
         throw new java.io.IOException(s"could not commit packed store $p")
+      f.delete(oldP, true)
       tombstones = Map.empty
       persistMeta()
       // materializing tombstones may have removed whole days → full

@@ -227,6 +227,121 @@ class StoreSpec extends SparkSpec {
       "pack left tombstoned rows in the files")
   }
 
+  // ── crash-recovery: fabricate the exact on-disk marker states an
+  // interrupted swap leaves behind (the protocol makes each state
+  // reachable only by a crash at one specific point) and assert a
+  // reopened store finishes or rolls back the swap before serving reads
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  test("recovery: pack crash between rename-aside and rename-in rolls forward") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec1"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    // fabricate: packed replacement fully written, live renamed aside,
+    // crash before the rename-in — the ONLY copy is in __packed
+    spark.read.parquet(root).write.partitionBy("__day").parquet(root + "__packed")
+    assert(hfs.rename(hp(root), hp(root + "__old")))
+    assert(!hfs.exists(hp(root)))
+    val st2 = mkStore(root) // recovery runs in the constructor
+    assert(st2.read().orderBy("code").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("v"))).toSeq ==
+      Seq(("A", 1.0), ("B", 2.0)), "rolled-forward pack lost rows")
+    assert(!hfs.exists(hp(root + "__old")) && !hfs.exists(hp(root + "__packed")),
+      "recovery left swap markers behind")
+  }
+
+  test("recovery: stale __old after a completed pack is dropped; live wins") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec2"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()
+    // fabricate: pack completed the swap but crashed before deleting
+    // the backup — __old holds SUPERSEDED data that must not resurrect
+    Seq(("OLD", 9L, 9.0, "d9")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(0L))
+      .write.partitionBy("__day").parquet(root + "__old")
+    val st2 = mkStore(root)
+    assert(st2.read().collect().map(_.getString(0)).toSeq == Seq("A"),
+      "superseded __old data resurrected")
+    assert(!hfs.exists(hp(root + "__old")))
+  }
+
+  test("recovery: uncommitted __packed without __old is discarded; rollback restores a missing live") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec3"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()
+    // crash DURING the packed write: partial tmp, live intact
+    hfs.mkdirs(hp(root + "__packed/__day=d1"))
+    val st2 = mkStore(root)
+    assert(st2.read().count() == 1)
+    assert(!hfs.exists(hp(root + "__packed")), "partial pack tmp not discarded")
+    // crash with live renamed aside and NO replacement → roll back
+    assert(hfs.rename(hp(root), hp(root + "__old")))
+    val st3 = mkStore(root)
+    assert(st3.read().collect().map(_.getString(0)).toSeq == Seq("A"),
+      "rollback did not restore the renamed-aside store")
+  }
+
+  test("recovery: save crash mid-day-swap rolls the remaining tmp days forward") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec4"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    // fabricate: a completed __saving tmp (with _SUCCESS) holding d1's
+    // REPLACEMENT; crash happened after deleting live d1, before the
+    // rename — d1 exists only in the tmp
+    Seq(("A", 1L, 42.0, "d1")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(9L))
+      .write.partitionBy("__day").parquet(root + "__saving")
+    hfs.delete(hp(s"$root/__day=d1"), true)
+    val st2 = mkStore(root)
+    val got = st2.read().orderBy("code").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("v"))).toSeq
+    assert(got == Seq(("A", 42.0), ("B", 2.0)),
+      s"interrupted save not rolled forward: $got")
+    assert(!hfs.exists(hp(root + "__saving")))
+  }
+
+  test("recovery: save crash mid-WRITE (no _SUCCESS) discards the tmp; live intact") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec5"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()
+    // a partially-written tmp: day dir present, no _SUCCESS marker —
+    // rolling it forward would replace good data with a torn write
+    Seq(("A", 1L, 666.0, "d1")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(9L))
+      .write.partitionBy("__day").parquet(root + "__deleting")
+    hfs.delete(hp(root + "__deleting/_SUCCESS"), false)
+    val st2 = mkStore(root)
+    assert(st2.read().collect().map(_.getAs[Double]("v")).toSeq == Seq(1.0),
+      "torn tmp write was rolled forward over good data")
+    assert(!hfs.exists(hp(root + "__deleting")))
+  }
+
+  test("pack never leaves the path without a committed store (protocol order)") {
+    // end-to-end: a normal pack with tombstones uses rename-aside —
+    // verify the final state AND that the markers are gone
+    val root = Files.createTempDirectory("graft_store").toString + "/rec6"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    st.dropSubject("A")
+    st.pack(targetFiles = 1)
+    assert(st.read().collect().map(_.getString(0)).toSeq == Seq("B"))
+    assert(!hfs.exists(hp(root + "__old")) && !hfs.exists(hp(root + "__packed")))
+    // and the meta sidecar is the committed (renamed) one, no tmp left
+    assert(!hfs.exists(hp(root + "__meta.json.tmp")))
+    assert(hfs.exists(hp(root + "__meta.json")))
+  }
+
   test("KV store: ONE last-write-wins, MUL ordered list, keys matching") {
     import graft.store.KvStore
     val kv = Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("b", 1L, "x"),
