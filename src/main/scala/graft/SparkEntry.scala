@@ -1435,6 +1435,25 @@ object SparkEntry {
       .orderBy("subject", "etype")
   }
 
+  /** E8 — engine COLD RESTART: the e1 ingest flushed and one subject
+    * dropped, then a brand-new Engine instance opens the same rootPath
+    * WITHOUT any `create` being re-issued — table declarations
+    * rehydrate from the persisted catalog sidecar (the reference
+    * recovers its sdb dicts from conf/disk at init/open,
+    * workers/sisdb/sisdb.c:603-639), stores re-attach to their cold
+    * files, and the drop's tombstone stays dead across the restart. */
+  private def qEngineRestart(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_engine_rs/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val eng = engineWithEvents(s, dir, root)
+    eng.save("ev")
+    eng.drop("u4.ev")
+    val eng2 = new graft.api.Engine(s, root) // fresh process in production
+    eng2.get("*.ev", "{}")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   /** U1 SQL front door: the SAME engine-ingested store as e1, but
     * queried through plain `spark.sql` against the catalog-registered
     * table (`graft.ev`) — no Scala API in the read path. The day
@@ -1912,6 +1931,7 @@ object SparkEntry {
     "e5_engine_replay" -> qEngineReplay _,
     "e6_engine_del" -> qEngineDel _,
     "e7_engine_ingest" -> qEngineIngest _,
+    "e8_engine_restart" -> qEngineRestart _,
     "kv2_engine_kv" -> qEngineKv _,
     "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
@@ -2165,6 +2185,11 @@ object SparkEntry {
          count(*) AS n, round(sum(value), 2) AS total
          FROM events WHERE user_id < 10
          GROUP BY 1, 2 ORDER BY subject, etype""",
+    "e8_engine_restart" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events WHERE user_id < 10 AND user_id <> 4
+         GROUP BY 1 ORDER BY subject""",
     "kv2_engine_kv" ->
       s"""WITH c AS (
            SELECT 'mode.u' || user_id AS key, count(*)::VARCHAR AS value

@@ -39,9 +39,73 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     scala.collection.concurrent.TrieMap[String, Vector[(String, String)]]()
   private val mapper = new ObjectMapper()
 
-  /** `create`: declare a table from the schema DSL. */
+  // ── durable catalog: every `create` persists the table's canonical
+  // DSL (plus any SQL exposures) in a sidecar under rootPath, and a
+  // NEW Engine over an existing rootPath rehydrates its declarations
+  // from it — the reference recovers its sdb dicts from conf/disk at
+  // init/open (workers/sisdb/sisdb.c:603-639; disk file heads carry
+  // the dicts, src/core/disk/sis_disk.h:239ff). Stores themselves stay
+  // lazy (first access runs TsStore's own meta/tombstone/swap
+  // recovery), so reopening a 10k-table root costs one JSON read.
+  private def hadoopFs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def catalogFile = new org.apache.hadoop.fs.Path(
+    s"${rootPath.stripSuffix("/")}/__catalog.json")
+  // exposures done via exposeSql: table → (db list), re-exposed on open
+  private val exposedDbs =
+    scala.collection.concurrent.TrieMap[String, Vector[String]]()
+  loadEngineCatalog()
+
+  private def persistEngineCatalog(): Unit = synchronized {
+    val root = mapper.createObjectNode()
+    val ts = root.putObject("tables")
+    catalog.tables.foreach(t => ts.put(t, catalog.get(t).get.toDsl))
+    val ex = root.putObject("exposed")
+    exposedDbs.toSeq.sortBy(_._1).foreach { case (t, dbs) =>
+      val arr = ex.putArray(t); dbs.foreach(arr.add)
+    }
+    // tmp + atomic rename-over, same protocol as TsStore.persistMeta —
+    // a torn catalog write must never take down every table at once
+    val f = hadoopFs
+    f.mkdirs(new org.apache.hadoop.fs.Path(rootPath))
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${rootPath.stripSuffix("/")}/__catalog.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(catalogFile.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, catalogFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def loadEngineCatalog(): Unit = {
+    val f = hadoopFs
+    if (f.exists(catalogFile)) {
+      val in = f.open(catalogFile)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      val node = mapper.readTree(bytes)
+      import scala.jdk.CollectionConverters._
+      node.path("tables").properties().asScala
+        .foreach(e => catalog.register(e.getValue.asText()))
+      node.path("exposed").properties().asScala.foreach { e =>
+        (0 until e.getValue.size()).foreach(i =>
+          exposeSql(e.getKey, e.getValue.get(i).asText()))
+      }
+    }
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"${rootPath.stripSuffix("/")}/__catalog.json.tmp"), false)
+  }
+
+  /** `create`: declare a table from the schema DSL. The declaration is
+    * persisted under `rootPath`, so a new Engine over the same root
+    * serves `get`/`del`/`sub`/SQL without re-issuing any `create`. */
   def create(dsl: String): SdbSchema.Sdb = {
     val sdb = catalog.register(dsl)
+    persistEngineCatalog()
     sdb
   }
 
@@ -553,6 +617,12 @@ final class Engine(val spark: SparkSession, rootPath: String) {
     createSqlView(st, table, qn, backing)
     sqlNames.updateWith(table)(prev =>
       Some(prev.getOrElse(Vector.empty).filterNot(_._1 == qn) :+ (qn, backing)))
+    // record the exposure so a restarted Engine re-registers the view
+    val already = exposedDbs.getOrElse(table, Vector.empty)
+    if (!already.contains(db)) {
+      exposedDbs.put(table, already :+ db)
+      persistEngineCatalog()
+    }
     st.onColdChange = change => sqlNames.getOrElse(table, Vector.empty)
       .foreach { case (view, back) =>
         change match {

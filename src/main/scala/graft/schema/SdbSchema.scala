@@ -76,6 +76,18 @@ object SdbSchema {
     def solelyFields: Seq[Field] = fields.filter(_.solely)
     def dotOf(field: String): Int =
       fields.find(_.name == field).map(_.dot).getOrElse(0)
+    /** Canonical DSL round-trip (`parse(toDsl) == this`) — the durable
+      * form the engine persists so a restarted process recovers its
+      * table declarations from disk (the reference reloads sdb dicts
+      * from conf/disk heads at init, workers/sisdb/sisdb.c:603-639). */
+    def toDsl: String = {
+      val fs = fields.map { f =>
+        val flags = (if (f.mindex) "I" else "") + (if (f.solely) "O" else "")
+        s"${f.name}:[${f.style},${f.len},${f.count},${f.dot}" +
+          (if (flags.nonEmpty) s",$flags]" else "]")
+      }.mkString(",")
+      s"{$name:{fields:{$fs}}}"
+    }
   }
 
   private val mapper = new ObjectMapper()

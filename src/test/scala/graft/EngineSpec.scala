@@ -409,9 +409,12 @@ class EngineSpec extends SparkSpec {
     e1.save("__one")
 
     // a NEW engine over the same root (fresh process in production):
-    // schemas re-declared, stores re-attach to cold files + meta
+    // schemas REHYDRATE from the persisted catalog sidecar — no
+    // create is re-issued — and stores re-attach to cold files + meta
     val e2 = new Engine(spark, root)
-    e2.create(stkDay)
+    assert(e2.catalog.tables.contains("stk_day") &&
+      e2.catalog.tables.contains("__one"),
+      s"catalog did not rehydrate: ${e2.catalog.tables}")
     assert(e2.get("SH600600.stk_day", """{range:{start:-1}}""").count() == 1)
     assert(e2.keys("*.stk_day").collect().map(_.getString(0)).toSeq ==
       Seq("SH600600"), "tombstone did not survive engine restart")
@@ -423,6 +426,33 @@ class EngineSpec extends SparkSpec {
     assert(e2.keys("*.stk_day").count() == 2)
     assert(e2.get("SZ000001.stk_day", """{range:{start:-1}}""").collect()(0)
       .getAs[Long]("vol") == 3L)
+  }
+
+  test("catalog sidecar: DSL round-trip and SQL exposure survive restart") {
+    // toDsl must round-trip every declaration detail the engine relies
+    // on (styles, widths, dots, index/solely flags)
+    val dsl = "{snap:{fields:{t:[T,8],px:[P,4,1,2],qty:[U,4],tag:[C,16,1,0,O]}}}"
+    val parsed = graft.schema.SdbSchema.parse(dsl)
+    assert(graft.schema.SdbSchema.parse(parsed.toDsl) == parsed,
+      s"toDsl round-trip drifted: ${parsed.toDsl}")
+
+    val root = Files.createTempDirectory("graft_engine_cat").toString
+    val e1 = new Engine(spark, root)
+    e1.create(stkDay)
+    e1.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    val qn = e1.exposeSql("stk_day", db = "graft_rs")
+    assert(spark.sql(s"SELECT count(*) FROM $qn").head().getLong(0) == 1)
+    // wipe the session catalog (a fresh process has none), reopen
+    spark.sql(s"DROP VIEW IF EXISTS $qn")
+    spark.sql(s"DROP TABLE IF EXISTS graft_rs.stk_day__files")
+    val e2 = new Engine(spark, root)
+    // the SQL exposure was re-registered at open from the sidecar
+    assert(spark.sql(s"SELECT vol FROM $qn").head().getLong(0) == 1L,
+      "SQL exposure did not survive engine restart")
+    // and the rehydrated declaration carries the full field detail
+    val sdb = e2.catalog.get("stk_day").get
+    assert(sdb.dotOf("close") == 2 && sdb.mainIndex.get.name == "time")
   }
 
   test("exposeSql registration stays live across save, del and pack") {
