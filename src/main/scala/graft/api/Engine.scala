@@ -361,15 +361,40 @@ final class Engine(val spark: SparkSession, rootPath: String) {
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val timeField = sdb.mainIndex.map(_.name).get
     val p = mapper.readTree(SdbSchema.quoteBareWords(paramsJson))
-    val r = p.get("range")
-    val start = if (r != null && r.has("start")) r.get("start").asLong(0L) else 0L
-    val stop = if (r != null && r.has("stop")) r.get("stop").asLong(0L) else 0L
-    val st = storeOf(table)
-    if (st.isEmpty) return // benign no-data case, like the reference
-    val cond = graft.store.KvStore.matchCond("subject", subject) &&
-      Engine.indexAsLong(sdb, timeField, col(timeField)).between(start, stop)
-    st.deleteWhere(cond, Engine.dayInRange(sdb, timeField, start, stop))
+    // the reference's del sentinels (sisdb_io.c:246-288), mirroring
+    // get's range vocabulary: `range` REQUIRES start (else the whole
+    // command is a no-op — "必须带参数 否则不执行删除操作"); a missing
+    // stop defaults to START (a point delete, not "up to index 0");
+    // stop == -1 is open-ended; `where:{start}` is an exact-index
+    // point delete; and no range/where at all deletes nothing.
+    val bounds: Option[(Long, Long)] =
+      if (p.has("range")) {
+        val r = p.get("range")
+        if (!r.has("start")) None
+        else {
+          val start = r.get("start").asLong(0L)
+          val stop = if (r.has("stop")) r.get("stop").asLong(start) else start
+          Some((start, if (stop == -1L) Long.MaxValue else stop))
+        }
+      } else if (p.has("where")) {
+        val w = p.get("where")
+        if (!w.has("start")) None
+        else { val s = w.get("start").asLong(0L); Some((s, s)) }
+      } else None
+    bounds.foreach { case (start, stop) =>
+      val st = storeOf(table)
+      if (!st.isEmpty) { // benign no-data case, like the reference
+        val cond = graft.store.KvStore.matchCond("subject", subject) &&
+          Engine.indexAsLong(sdb, timeField, col(timeField)).between(start, stop)
+        st.deleteWhere(cond, Engine.dayInRange(sdb, timeField, start, stop))
+      }
+    }
   }
+
+  /** `dels` — comma-list sugar over [[del]] (memdb.h command table):
+    * the subject side of [[del]] already takes the full match
+    * vocabulary, so this is the same call. */
+  def dels(key: String, paramsJson: String): Unit = del(key, paramsJson)
 
   /** `drop subject.table` (M6): O(1) tombstone — no data rewrite; dead
     * rows are erased physically at `pack` (the reference's moved-block
@@ -694,6 +719,33 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   def sub(id: String, patterns: Seq[String])(cb: DataFrame => Unit): Unit =
     subs.subscribe(id, patterns)(cb)
   def unsub(id: String): Unit = subs.unsubscribe(id)
+
+  /** `pub key {json}` (workers/memdb/memdb.h:43-44): publish an
+    * arbitrary message to matching subscribers WITHOUT writing it to
+    * any store — the transient-notification sibling of `set`. The key
+    * is `subject.table` so table-qualified sub patterns match exactly
+    * as they do for stored writes; payload rows are typed per the
+    * table's declared schema (subscribers see the same shape a `set`
+    * publish carries). Returns rows published. */
+  def pub(key: String, json: String): Long = {
+    val (subject, table) = splitKey(key)
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val node = mapper.readTree(json)
+    val rows: Seq[String] =
+      if (node.isArray) (0 until node.size()).map(i => node.get(i).toString)
+      else Seq(node.toString)
+    import spark.implicits._
+    val raw = rows.toDF("__json")
+    val typed =
+      (if (node.isArray && node.size() > 0 && node.get(0).isArray)
+        Sources.fromArrayRows(raw, "__json", sdb)
+      else Sources.fromJsonRows(raw, "__json", sdb))
+        .drop("__json")
+        .withColumn("subject", lit(subject))
+    subs.publish(typed, "subject", table)
+    rows.size.toLong
+  }
 }
 
 object Engine {

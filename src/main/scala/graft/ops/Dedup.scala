@@ -95,17 +95,24 @@ object Dedup {
     * O(|new|·bands) exploded rows plus the matched buckets, not
     * O(|index|²). Returns distinct (new_id, index_id) pairs. */
   def lshCandidatesAgainst(indexSigs: DataFrame, newSigs: DataFrame,
-      id: String, bands: Int, sigLen: Int): DataFrame =
-    // the batch side is small by definition — broadcast it so the
-    // index side streams map-side with NO shuffle: a batch then costs
-    // one scan of the banded index plus the matched buckets, and the
-    // slope vs index size is scan speed, not shuffle speed (measured
-    // in PLANS.md via graft.IncScale). AQE usually picks this plan on
-    // its own; the hint makes it survive bad stats at 100 TB.
-    broadcast(bandBuckets(newSigs, id, bands, sigLen, as = "new_id"))
+      id: String, bands: Int, sigLen: Int,
+      broadcastBatch: Boolean = true): DataFrame = {
+    // the batch side is usually small — broadcast it so the index side
+    // streams map-side with NO shuffle: a batch then costs one scan of
+    // the banded index plus the matched buckets, and the slope vs
+    // index size is scan speed, not shuffle speed (measured in
+    // PLANS.md via graft.IncScale). AQE usually picks this plan on its
+    // own; the hint makes it survive bad stats at 100 TB. The hint is
+    // a CALLER promise, not a fact the engine can check cheaply —
+    // a pipeline admitting unbounded batches passes broadcastBatch =
+    // false (bands × |batch| rows must fit one executor) and lets
+    // AQE's size-based choice pick the join side from runtime stats.
+    val newSide = bandBuckets(newSigs, id, bands, sigLen, as = "new_id")
+    (if (broadcastBatch) broadcast(newSide) else newSide)
       .join(bandBuckets(indexSigs, id, bands, sigLen, as = "index_id"),
         Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()
+  }
 
   /** The banded fingerprint index AS DATA: one narrow (id, band,
     * bucket) row per document-band — what a production incremental
@@ -130,11 +137,15 @@ object Dedup {
     * Returns distinct (new_id, index_id) candidate pairs, identical to
     * [[lshCandidatesAgainst]] over the same population. */
   def probeBandedIndex(index: DataFrame, newSigs: DataFrame, id: String,
-      bands: Int, sigLen: Int, indexIdCol: String = "index_id"): DataFrame =
-    broadcast(bandBuckets(newSigs, id, bands, sigLen, as = "new_id"))
+      bands: Int, sigLen: Int, indexIdCol: String = "index_id",
+      broadcastBatch: Boolean = true): DataFrame = {
+    // same broadcast contract as [[lshCandidatesAgainst]]
+    val newSide = bandBuckets(newSigs, id, bands, sigLen, as = "new_id")
+    (if (broadcastBatch) broadcast(newSide) else newSide)
       .join(index.select(col(indexIdCol).as("index_id"), col("band"),
         col("bucket")), Seq("band", "bucket"))
       .select("new_id", "index_id").distinct()
+  }
 
   /** Estimated Jaccard from minhash signatures for candidate pairs. */
   def minhashJaccard(pairs: DataFrame, withSig: DataFrame, id: String): DataFrame = {

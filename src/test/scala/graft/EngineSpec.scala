@@ -250,6 +250,74 @@ class EngineSpec extends SparkSpec {
     assert(e.keys("*.stk_day").count() == 1)
   }
 
+  test("pub: publish without a store write (memdb.h:43-44)") {
+    val e = mkEngine
+    e.create(stkDay)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    e.sub("w", Seq("SH6*.stk_day"))(df =>
+      df.collect().foreach(r => seen +=
+        ((r.getAs[String]("subject"), r.getAs[Long]("vol")))))
+    // matching subscriber sees typed rows; nothing lands in the store
+    val n = e.pub("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":7},
+          {"time":"2021-01-05","open":2.0,"close":3.0,"vol":8}]""")
+    assert(n == 2)
+    assert(seen.toSeq == Seq(("SH600600", 7L), ("SH600600", 8L)))
+    // table-qualified patterns filter pub like set: wrong subject → no fan-out
+    e.pub("SZ000001.stk_day",
+      """{"time":"2021-01-04","open":9.0,"close":9.0,"vol":9}""")
+    assert(seen.size == 2, "pub leaked past the subject pattern")
+    // the store never saw the published rows
+    assert(e.get("*.stk_day", "{}").count() == 0,
+      "pub wrote to the store — must be transient")
+  }
+
+  test("del sentinels mirror the reference (sisdb_io.c:246-288)") {
+    def freshEngine = {
+      val e = mkEngine
+      e.create(stkDay)
+      e.set("SH600600.stk_day",
+        """[{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1},
+            {"time":"2021-01-05","open":2.0,"close":3.0,"vol":2},
+            {"time":"2021-01-06","open":3.0,"close":4.0,"vol":3}]""")
+      e
+    }
+    def times(e: Engine) = e.get("SH600600.stk_day", "{}")
+      .select("time").collect().map(_.getDate(0).toString).sorted.toSeq
+
+    // missing stop defaults to START — a point delete, not "to index 0"
+    val e1 = freshEngine
+    e1.del("SH600600.stk_day", """{range:{start:20210105}}""")
+    assert(times(e1) == Seq("2021-01-04", "2021-01-06"),
+      s"missing-stop point delete broke: ${times(e1)}")
+
+    // stop:-1 is open-ended (start..latest)
+    val e2 = freshEngine
+    e2.del("SH600600.stk_day", """{range:{start:20210105,stop:-1}}""")
+    assert(times(e2) == Seq("2021-01-04"), s"open-ended del broke: ${times(e2)}")
+
+    // where:{start} is an exact-index point delete
+    val e3 = freshEngine
+    e3.del("SH600600.stk_day", """{where:{start:20210104}}""")
+    assert(times(e3) == Seq("2021-01-05", "2021-01-06"),
+      s"where-form del broke: ${times(e3)}")
+
+    // no params / range without start: the command is a NO-OP ("必须带
+    // 参数 否则不执行删除操作") — nothing deleted, nothing thrown
+    val e4 = freshEngine
+    e4.del("SH600600.stk_day", "{}")
+    e4.del("SH600600.stk_day", """{range:{stop:20210106}}""")
+    e4.del("SH600600.stk_day", """{where:{}}""")
+    assert(times(e4).size == 3, s"param-less del was not a no-op: ${times(e4)}")
+
+    // dels = comma-list del
+    val e5 = freshEngine
+    e5.set("SH600601.stk_day",
+      """{"time":"2021-01-05","open":5.0,"close":5.1,"vol":9}""")
+    e5.dels("SH600600,SH600601.stk_day", """{range:{start:20210105}}""")
+    assert(e5.get("*.stk_day", "{}").count() == 2)
+  }
+
   test("update command: AND/OR/range search, val assignment (sisdb.h:50-53)") {
     val e = mkEngine
     e.create(stkDay)
