@@ -31,10 +31,13 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+      df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // ts arrives as long nanos (see configure); truncate to Spark's
       // native µs precision. Downstream comparisons are all >= ms
-      // granularity, matching the oracle's ns-precision reads.
+      // granularity, matching the oracle's ns-precision reads. A
+      // replicated/derived events table (graft.SfScale) has already
+      // been through this wrapping and loads as a plain TIMESTAMP.
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }

@@ -35,6 +35,25 @@ import org.apache.spark.storage.StorageLevel
   * Writes are serialized by the caller exactly like the reference's
   * single dispatcher thread (sisdb_server.c:474-476) — the store keeps
   * one writer's view consistent, it is not a concurrency layer.
+  *
+  * ==Concurrent-reader contract==
+  * Cold rewrites commit per day partition by delete-dest + rename (and
+  * `pack` swaps the whole store by rename-aside). Renames are atomic,
+  * so a CONCURRENT reader never sees torn files — but a read that
+  * lists partitions in the millisecond window between a day's delete
+  * and its rename-in can miss that day, and a multi-day `del` is not
+  * a snapshot (a racing read may see day A rewritten and day B not
+  * yet). This is the reference's own position — every command runs on
+  * one dispatcher thread, readers included (sisdb_server.c:474-476) —
+  * and the single-process engine serializes through `synchronized`
+  * the same way. Deployments that add OUT-OF-PROCESS readers (e.g.
+  * external SQL engines over the same parquet paths) and cannot
+  * tolerate a transiently missing day during a swap should version
+  * the partitions instead: write `__day=X/__v=N` dirs plus a
+  * manifest the writer commits last and readers pin — the standard
+  * snapshot-isolation upgrade this layout leaves room for. Renames
+  * are assumed atomic (HDFS/posix); object stores need a
+  * manifest-committer deployment regardless.
   */
 final class TsStore(
     val spark: SparkSession,
