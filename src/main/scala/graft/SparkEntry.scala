@@ -454,6 +454,23 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
       .orderBy("id_a", "id_b")
 
+  /** d4's high-threshold scale path: the PREFIX-FILTERED set-
+    * similarity join ([[Dedup.ngramJaccardPairsPrefix]]) — only the
+    * (1-t)·n+1 smallest shingle hashes per doc are indexed (the
+    * PPJoin prefix principle), so at t=0.7 the inverted index and its
+    * shuffle carry ~30% of the postings and candidates must collide
+    * on a rare-prefix hash; survivors are verified exactly from the
+    * full arrays. Output — and hence the oracle — is identical in
+    * form to d4's, at the threshold real training-data dedup uses.
+    * The sf1 run measured d4's all-postings join at 7.1× for 10×
+    * data (fixed blocking); this is the shape that holds the line. */
+  private def qNgramJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsPrefix(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", 3, minJaccard = 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("id_a", "id_b")
+
   /** Winnowing (rolling-hash) containment candidates — detects shared
     * passages, not just whole-doc near-dups; rows-only (fingerprints
     * are engine hashes), guarantee asserted in DedupSpec. */
@@ -2052,6 +2069,7 @@ object SparkEntry {
     "d7_dup_clusters" -> qDupClusters _,
     "d3_simhash" -> qSimhash _,
     "d4_ngram_jaccard" -> qNgramJaccard _,
+    "d4b_ngram_prefix" -> qNgramJaccardPrefix _,
     "d5_cosine_dup" -> qCosineDup _,
     "d5b_cosine_dup_blocked" -> qCosineDupBlocked _,
     "d6_winnow_pairs" -> qWinnowPairs _,
@@ -2657,6 +2675,22 @@ object SparkEntry {
          FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+         ORDER BY id_a, id_b""",
+    "d4b_ngram_prefix" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+               len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
          ORDER BY id_a, id_b""",
     "d5_cosine_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

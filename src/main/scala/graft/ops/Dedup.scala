@@ -147,6 +147,65 @@ object Dedup {
       .select("new_id", "index_id").distinct()
   }
 
+  /** A solved LSH banding configuration: `bands` bands of
+    * `rowsPerBand` rows (signature length = product), with the
+    * S-curve numbers that justify it. */
+  final case class BandingPlan(bands: Int, rowsPerBand: Int,
+      recallAtTarget: Double, expectedFalseCandidatesPerDoc: Double) {
+    def sigLen: Int = bands * rowsPerBand
+  }
+
+  /** Solve the LSH banding dial for a corpus size — the computed form
+    * of the growth law measured in PLANS.md (round 4): with fixed
+    * banding, unrelated pairs collide with constant probability, so
+    * candidates grow quadratically; holding candidates-per-doc flat
+    * while the corpus grows G× means adding ~log(G) rows to each band
+    * and re-widening recall with more bands. This function does that
+    * arithmetic so a 10⁹-doc deployment derives its config instead of
+    * hand-picking one.
+    *
+    * Inputs are the two points of the S-curve that matter: the
+    * similarity you must CATCH (`targetSim`, band-collision
+    * probability p^rows with p = targetSim for minhash; for
+    * random-hyperplane cosine LSH pass p = 1 - acos(cos)/π) and the
+    * background similarity of unrelated pairs (`backgroundSim`).
+    * Solves for the smallest rows-per-band keeping expected false
+    * candidates per doc ≤ `falseCandidateBudget`, then the fewest
+    * bands reaching `minRecall` at the target:
+    * `recall = 1 - (1 - p^r)^b  ⟹  b = ⌈ln(1-minRecall)/ln(1-p^r)⌉`.
+    *
+    * The returned plan drops into [[lshCandidates]] /
+    * [[bandBuckets]] unchanged — same plan shape, same ids-only
+    * shuffles, just more/wider bands. (The shipped demo queries pin
+    * their configs for oracle stability; a production pipeline calls
+    * this at job-planning time with the catalog's row count.) */
+  def bandingPlan(corpusSize: Long, targetSim: Double,
+      backgroundSim: Double = 0.1, minRecall: Double = 0.9,
+      falseCandidateBudget: Double = 10.0, maxRows: Int = 64): BandingPlan = {
+    require(targetSim > backgroundSim && targetSim < 1.0 &&
+      backgroundSim > 0.0, s"need 0 < background < target < 1, got " +
+      s"background=$backgroundSim target=$targetSim")
+    require(minRecall > 0 && minRecall < 1, s"minRecall in (0,1): $minRecall")
+    var chosen: Option[BandingPlan] = None
+    var r = 1
+    while (chosen.isEmpty && r <= maxRows) {
+      val pT = math.pow(targetSim, r)
+      val b = math.ceil(math.log1p(-minRecall) / math.log1p(-pT)).toInt.max(1)
+      val recall = 1 - math.pow(1 - pT, b)
+      // expected unrelated-pair candidates per doc: (corpus-1) pairs,
+      // each colliding with prob 1-(1-bg^r)^b ≈ b·bg^r at small bg^r
+      val pBg = math.pow(backgroundSim, r)
+      val falsePerDoc = (corpusSize - 1).max(0) * (1 - math.pow(1 - pBg, b))
+      if (falsePerDoc <= falseCandidateBudget)
+        chosen = Some(BandingPlan(b, r, recall, falsePerDoc))
+      r += 1
+    }
+    chosen.getOrElse(throw new IllegalArgumentException(
+      s"no banding with <= $maxRows rows/band meets a $falseCandidateBudget" +
+        s" false-candidate budget at corpus=$corpusSize — raise the budget" +
+        " or the background-similarity estimate is too close to the target"))
+  }
+
   /** Estimated Jaccard from minhash signatures for candidate pairs. */
   def minhashJaccard(pairs: DataFrame, withSig: DataFrame, id: String): DataFrame = {
     val sigA = withSig.select(col(id).as("id_a"), col("minhash").as("__sig_a"))
@@ -211,6 +270,83 @@ object Dedup {
       .agg(count(lit(1)).as("__inter"))
       .withColumn("jac", col("__inter").cast("double") /
         (col("__na") + col("__nb") - col("__inter")))
+      .filter(col("jac") >= minJaccard)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Prefix-filtered exact Jaccard pairs — the high-threshold scale
+    * path of [[ngramJaccardPairs]] (identical output). The prefix
+    * principle (the PPJoin family of set-similarity joins): under ANY
+    * fixed total order on shingles, two sets with Jaccard ≥ t must
+    * share at least one element among each set's first
+    * `n - ⌈t·n⌉ + 1` elements — if A's prefix and B's prefix were
+    * disjoint, the overlap is at most `min(n_A, n_B) - prefix + ...`,
+    * too small to reach t. So only PREFIXES are indexed:
+    *
+    *  - posting volume drops from Σn to Σ(1-t)n + |docs| — at t=0.8
+    *    the inverted index (and its shuffle) is ~5× smaller;
+    *  - the candidate join emits only pairs colliding on a prefix
+    *    hash, orders of magnitude fewer than "any shared shingle"
+    *    at high t — plus the length filter (jac ≥ t ⟹
+    *    t·max(n_A,n_B) ≤ min(n_A,n_B)) prunes before the distinct;
+    *  - survivors are verified EXACTLY from the full shingle arrays
+    *    (array_intersect), so the result set is identical to the
+    *    all-postings formulation and the same cross-engine oracle
+    *    applies. The order used is numeric hash order — no global
+    *    frequency pass needed; a skew-hostile corpus can pre-rank by
+    *    document frequency for stronger pruning at the cost of one
+    *    extra aggregation, same correctness either way.
+    *
+    * Below t≈0.3 the prefix is most of the set and
+    * [[ngramJaccardPairs]]'s count-based single join is the better
+    * shape — this variant exists for the 0.7-0.9 thresholds real
+    * training-data dedup runs at. */
+  def ngramJaccardPairsPrefix(df: DataFrame, id: String, text: String,
+      k: Int, minJaccard: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"prefix filtering needs 0 < t <= 1, got $minJaccard")
+    val shingled = df
+      .select((blockCols.map(col) :+ col(id) :+
+        graft.functions.ShingleHashesExpr(col(text), k).as("__g")): _*)
+      .withColumn("__n", size(col("__g")))
+    // prefix = the (n - ceil(t*n) + 1) smallest hashes; array_sort on
+    // the distinct-hash array, computed per doc — no shuffle. The 1e-9
+    // inside ceil keeps a float product that landed a hair ABOVE an
+    // exact integer t·n from shortening the prefix by one (a longer
+    // prefix is always safe, a shorter one can drop a valid pair).
+    val prefixed = shingled.withColumn("__p",
+      slice(array_sort(col("__g")), lit(1),
+        (col("__n") - ceil(col("__n") * lit(minJaccard) - lit(1e-9)) + lit(1))
+          .cast("int")))
+    val posts = prefixed.select(
+      (blockCols.map(col) :+ col(id) :+ col("__n") :+
+        explode(col("__p")).as("__gram")): _*)
+    val a = posts.select(
+      (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_a") :+
+        col("__n").as("__na")): _*)
+    val b = posts.select(
+      (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_b") :+
+        col("__n").as("__nb")): _*)
+    // the 1e-12 slack guards the length filter's floating compare on
+    // exact-boundary pairs (t*max == min): a dropped VALID pair would
+    // be a correctness bug, an extra candidate just gets verified away
+    val cands = a.join(b, blockCols :+ "__gram")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")) * lit(minJaccard - 1e-12))
+      .select("id_a", "id_b").distinct()
+    // verify survivors exactly from the full shingle arrays — the
+    // candidate set is small at high t, so shipping two arrays per
+    // candidate is cheap; output is bit-identical to ngramJaccardPairs
+    val ga = shingled.select(col(id).as("id_a"),
+      col("__g").as("__ga"), col("__n").as("__vna"))
+    val gb = shingled.select(col(id).as("id_b"),
+      col("__g").as("__gb"), col("__n").as("__vnb"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__ga"), col("__gb"))))
+      .withColumn("jac", col("__inter").cast("double") /
+        (col("__vna") + col("__vnb") - col("__inter")))
       .filter(col("jac") >= minJaccard)
       .select("id_a", "id_b", "jac")
   }

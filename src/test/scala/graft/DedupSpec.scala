@@ -34,6 +34,66 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex == allPairs && viaIndex.size == 15)
   }
 
+  test("prefix-filtered jaccard pairs == plain inverted-index path") {
+    // multiple thresholds, including boundary-prone ones (t*n integral)
+    // and docs of uneven length so the length filter is exercised
+    val uneven = docs.union(Seq(
+      (300L, (1 to 40).map(j => s"w1_$j").mkString(" ") + " tail extra"),
+      (301L, (1 to 10).map(j => s"w1_$j").mkString(" "))
+    ).toDF("doc_id", "text"))
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)) {
+      val plain = Dedup.ngramJaccardPairs(uneven, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSeq
+      val prefixed = Dedup.ngramJaccardPairsPrefix(uneven, "doc_id", "text", 3, t)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSeq
+      assert(prefixed == plain, s"prefix path diverged at t=$t")
+    }
+    // sanity: the high-recall threshold actually finds the near-dup pairs
+    val found = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.7)
+      .count()
+    assert(found == 15L)
+  }
+
+  test("prefix-filtered path indexes only prefixes (posting volume cut)") {
+    // structural check on the plan input, not timing: at t=0.9 each
+    // 40-word doc (38 trigrams) should explode ~⌈0.1*38⌉+1 = 5 prefix
+    // hashes, not 38 — assert via the exploded row count
+    val shingled = docs.select(col("doc_id"),
+      graft.functions.ShingleHashesExpr(col("text"), 3).as("g"))
+    val full = shingled.select(explode(col("g"))).count()
+    val t = 0.9
+    val prefixLen = shingled.select(
+      (size(col("g")) - ceil(size(col("g")) * lit(t) - lit(1e-9)) + lit(1))
+        .cast("long").as("p"))
+      .agg(sum("p")).as[Long].head()
+    assert(prefixLen * 5 < full,
+      s"prefix posting volume $prefixLen not <20% of full $full")
+  }
+
+  test("bandingPlan: recall holds, candidates bounded, dial turns with scale") {
+    val small = Dedup.bandingPlan(corpusSize = 1000000L, targetSim = 0.8)
+    val big = Dedup.bandingPlan(corpusSize = 1000000000L, targetSim = 0.8)
+    for (p <- Seq(small, big)) {
+      assert(p.recallAtTarget >= 0.9)
+      assert(p.expectedFalseCandidatesPerDoc <= 10.0)
+      // the plan's own numbers re-derive from the S-curve formula
+      val pT = math.pow(0.8, p.rowsPerBand)
+      assert(math.abs(p.recallAtTarget - (1 - math.pow(1 - pT, p.bands))) < 1e-12)
+    }
+    // 1000x corpus growth must widen the bands (more rows per band) —
+    // the log(G) law from PLANS.md round 4 — and stay implementable
+    assert(big.rowsPerBand > small.rowsPerBand)
+    assert(big.sigLen <= 4096)
+    // the shipped d2 demo config (16 bands x 2 rows) is in the family
+    // this solves for small corpora: solver at 10k docs stays modest
+    val demo = Dedup.bandingPlan(corpusSize = 10000L, targetSim = 0.8)
+    assert(demo.sigLen <= small.sigLen)
+  }
+
   test("minhash LSH recall >= 0.9 on true near-dup pairs") {
     val sig = Dedup.minhash(docs, "text", shingleK = 3, numHashes = 32)
     val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)
