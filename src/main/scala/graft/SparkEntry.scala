@@ -456,11 +456,11 @@ object SparkEntry {
 
   /** d4's high-threshold scale path: the PREFIX-FILTERED set-
     * similarity join ([[Dedup.ngramJaccardPairsPrefix]]) — only the
-    * (1-t)·n+1 smallest shingle hashes per doc are indexed (the
-    * PPJoin prefix principle), so at t=0.7 the inverted index and its
-    * shuffle carry ~30% of the postings and candidates must collide
-    * on a rare-prefix hash; survivors are verified exactly from the
-    * full arrays. Output — and hence the oracle — is identical in
+    * (1-t)·n+1 RAREST shingles per doc are indexed (the PPJoin prefix
+    * principle, document-frequency order), so at t=0.7 the inverted
+    * index and its shuffle carry ~30% of the postings and candidates
+    * must collide on a rare shingle; survivors are verified exactly
+    * from the full arrays. Output — and hence the oracle — is identical in
     * form to d4's, at the threshold real training-data dedup uses.
     * The sf1 run measured d4's all-postings join at 7.1× for 10×
     * data (fixed blocking); this is the shape that holds the line. */

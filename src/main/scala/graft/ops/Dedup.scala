@@ -292,10 +292,17 @@ object Dedup {
     *  - survivors are verified EXACTLY from the full shingle arrays
     *    (array_intersect), so the result set is identical to the
     *    all-postings formulation and the same cross-engine oracle
-    *    applies. The order used is numeric hash order — no global
-    *    frequency pass needed; a skew-hostile corpus can pre-rank by
-    *    document frequency for stronger pruning at the cost of one
-    *    extra aggregation, same correctness either way.
+    *    applies. The total order is ascending DOCUMENT FREQUENCY
+    *    (ties by hash value) — the order the PPJoin family prescribes,
+    *    and it is load-bearing: under a random (hash) order a globally
+    *    COMMON shingle is as likely as a rare one to land in every
+    *    doc's prefix, and one boilerplate phrase shared by f docs
+    *    mints f² candidates (measured 3× slower than the plain path
+    *    at sf0.1). Rarest-first makes prefix collisions mean "these
+    *    two docs share a RARE shingle" — near-dups and little else.
+    *    The df rank costs one map-side-combinable count over the
+    *    postings plus a per-doc row_number, both shuffles the plain
+    *    path pays anyway in its pair-count aggregation.
     *
     * Below t≈0.3 the prefix is most of the set and
     * [[ngramJaccardPairs]]'s count-based single join is the better
@@ -309,31 +316,58 @@ object Dedup {
       .select((blockCols.map(col) :+ col(id) :+
         graft.functions.ShingleHashesExpr(col(text), k).as("__g")): _*)
       .withColumn("__n", size(col("__g")))
-    // prefix = the (n - ceil(t*n) + 1) smallest hashes; array_sort on
-    // the distinct-hash array, computed per doc — no shuffle. The 1e-9
-    // inside ceil keeps a float product that landed a hair ABOVE an
-    // exact integer t·n from shortening the prefix by one (a longer
-    // prefix is always safe, a shorter one can drop a valid pair).
-    val prefixed = shingled.withColumn("__p",
-      slice(array_sort(col("__g")), lit(1),
-        (col("__n") - ceil(col("__n") * lit(minJaccard) - lit(1e-9)) + lit(1))
-          .cast("int")))
-    val posts = prefixed.select(
+    val full = shingled.select(
       (blockCols.map(col) :+ col(id) :+ col("__n") :+
-        explode(col("__p")).as("__gram")): _*)
+        explode(col("__g")).as("__gram")): _*)
+    // global (per-block) document frequency of each shingle — the
+    // prefix ORDER. Map-side combinable; the df table is |vocab| rows.
+    val dfreq = full.groupBy((blockCols.map(col) :+ col("__gram")): _*)
+      .agg(count(lit(1)).as("__df"))
+    // prefix = the (n - ceil(t*n) + 1) rarest shingles per doc. The
+    // 1e-9 inside ceil keeps a float product that landed a hair ABOVE
+    // an exact integer t·n from shortening the prefix by one (a longer
+    // prefix is always safe, a shorter one can drop a valid pair).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((blockCols.map(col) :+ col(id)): _*)
+      .orderBy(col("__df"), col("__gram"))
+    // every join below is MERGE-hinted: the post-explode/aggregate/
+    // window size estimates here are fiction (measured: Catalyst
+    // statically broadcast the df table, a whole windowed posting
+    // side, AND the full shingle arrays at sf1 — 40 s of driver-side
+    // broadcast builds that would OOM a real cluster). A shuffle join
+    // on __gram also lets the exchange under the dfreq groupBy be
+    // reused, and AQE can still downgrade to broadcast at runtime
+    // when a side is MEASURED small — the safe direction.
+    val posts = full.join(dfreq.hint("merge"), blockCols :+ "__gram")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        (col("__n") - ceil(col("__n") * lit(minJaccard) - lit(1e-9)) + lit(1))
+          .cast("int"))
+      .select((blockCols.map(col) :+ col(id) :+ col("__n") :+ col("__rn") :+
+        col("__gram")): _*)
     val a = posts.select(
       (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_a") :+
-        col("__n").as("__na")): _*)
+        col("__n").as("__na") :+ col("__rn").as("__ra")): _*)
     val b = posts.select(
       (blockCols.map(col) :+ col("__gram") :+ col(id).as("id_b") :+
-        col("__n").as("__nb")): _*)
+        col("__n").as("__nb") :+ col("__rn").as("__rb")): _*)
     // the 1e-12 slack guards the length filter's floating compare on
     // exact-boundary pairs (t*max == min): a dropped VALID pair would
-    // be a correctness bug, an extra candidate just gets verified away
-    val cands = a.join(b, blockCols :+ "__gram")
+    // be a correctness bug, an extra candidate just gets verified away.
+    // The POSITIONAL filter is PPJoin's second prune: jac >= t needs
+    // |A∩B| >= t/(1+t)·(n_a+n_b), and a pair whose colliding shingle
+    // sits at rank r in a doc's df-sorted list can still share at most
+    // 1 + (n - r) elements — pairs that collide only DEEP in both
+    // prefixes can't reach the required overlap and drop before the
+    // distinct (measured: 1.04M -> 333k candidates at sf1/t=0.7).
+    val cands = a.join(b.hint("merge"), blockCols :+ "__gram")
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         greatest(col("__na"), col("__nb")) * lit(minJaccard - 1e-12))
+      .filter(lit(1) +
+        least(col("__na") - col("__ra"), col("__nb") - col("__rb")) >=
+        ceil((col("__na") + col("__nb")) *
+          lit(minJaccard / (1 + minJaccard)) - lit(1e-9)))
       .select("id_a", "id_b").distinct()
     // verify survivors exactly from the full shingle arrays — the
     // candidate set is small at high t, so shipping two arrays per
@@ -342,7 +376,7 @@ object Dedup {
       col("__g").as("__ga"), col("__n").as("__vna"))
     val gb = shingled.select(col(id).as("id_b"),
       col("__g").as("__gb"), col("__n").as("__vnb"))
-    cands.join(ga, "id_a").join(gb, "id_b")
+    cands.join(ga.hint("merge"), "id_a").join(gb.hint("merge"), "id_b")
       .withColumn("__inter",
         size(array_intersect(col("__ga"), col("__gb"))))
       .withColumn("jac", col("__inter").cast("double") /
