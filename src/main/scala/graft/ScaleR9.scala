@@ -18,10 +18,19 @@ import org.apache.spark.sql.functions._
   * boilerplate the dominant cross-doc overlap — and measures:
   *
   *  - candidates-per-doc: fixed banding grows linearly in n
-  *    (quadratic total); the solved plan stays under its
-  *    falseCandidateBudget at every n;
+  *    (quadratic total); the solved plan grows far slower but sits
+  *    ABOVE its falseCandidateBudget — deliberately kept in the
+  *    output, because it demonstrates the model's limit: a
+  *    corpus-GLOBAL shared set (the template, identical in every
+  *    pair's intersection) makes some bands hot for every pair at
+  *    once, a variance term the independent-pair S-curve cannot see
+  *    (verified directly: with pair-private overlaps the measured
+  *    band rate matches p^rows; with the template it is ~20× over);
+  *  - the production remedy, measured: strip the template BEFORE
+  *    shingling (the d8 boilerplate-span operator's job) — the
+  *    "solved+stripped" rows land within the solver's budget;
   *  - recall on PLANTED near-dup pairs (content copied, tail edited,
-  *    trigram Jaccard ≈ 0.85): both configs must stay ≥ 0.9 — the
+  *    trigram Jaccard ≈ 0.85): every config must stay ≥ 0.9 — the
   *    solver cuts noise, not signal.
   *
   * The corpus is fully deterministic (hash-derived words, no RNG), so
@@ -77,9 +86,10 @@ object BandScale {
           size(array_union(col("g"), col("g2")))).as("bg"))
         .head().getDouble(0)
 
-      def run(tag: String, bands: Int, sigLen: Int): Unit = {
+      def run(tag: String, bands: Int, sigLen: Int,
+          on: DataFrame = docs): Unit = {
         val t0 = System.nanoTime()
-        val sigs = Dedup.minhash(docs, "text", shingleK = 3,
+        val sigs = Dedup.minhash(on, "text", shingleK = 3,
           numHashes = sigLen)
         val cands = Dedup.lshCandidates(sigs, "doc_id",
           bands = bands, sigLen = sigLen)
@@ -106,6 +116,33 @@ object BandScale {
         f"${plan.expectedFalseCandidatesPerDoc}%.2f")
       run(s"solved(${plan.bands}x${plan.rowsPerBand})",
         bands = plan.bands, sigLen = plan.sigLen)
+      // the production pre-step for template corpora: boilerplate off
+      // BEFORE shingling (what d8's span detector feeds); background
+      // similarity re-measured on the stripped text, floored at 0.02
+      // (the solver needs a nonzero background; a planning job would
+      // floor its estimate the same way)
+      val stripped = docs.withColumn("text",
+        regexp_replace(col("text"), lit("^" + boiler + " "), lit("")))
+        .persist()
+      stripped.count()
+      val sh2 = stripped.filter(col("doc_id") < n)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashesExpr(col("text"), 3).as("g"))
+      val bg2 = sh2.select(col("doc_id"), col("g"))
+        .join(sh2.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
+          "doc_id")
+        .limit(500)
+        .select(avg(size(array_intersect(col("g"), col("g2"))).cast("double") /
+          size(array_union(col("g"), col("g2")))).as("bg"))
+        .head().getDouble(0).max(0.02)
+      val plan2 = Dedup.bandingPlan(corpusSize = nDocs, targetSim = 0.8,
+        backgroundSim = bg2, minRecall = 0.9, falseCandidateBudget = 10.0)
+      println(f"n=$nDocs%6d stripped_bg=$bg2%.3f solver: ${plan2.bands}x" +
+        f"${plan2.rowsPerBand} predicted_false_per_doc=" +
+        f"${plan2.expectedFalseCandidatesPerDoc}%.2f")
+      run(s"solved+stripped(${plan2.bands}x${plan2.rowsPerBand})",
+        bands = plan2.bands, sigLen = plan2.sigLen, on = stripped)
+      stripped.unpersist()
       docs.unpersist()
     }
     spark.stop()

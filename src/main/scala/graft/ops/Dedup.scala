@@ -178,7 +178,20 @@ object Dedup {
     * [[bandBuckets]] unchanged — same plan shape, same ids-only
     * shuffles, just more/wider bands. (The shipped demo queries pin
     * their configs for oracle stability; a production pipeline calls
-    * this at job-planning time with the catalog's row count.) */
+    * this at job-planning time with the catalog's row count.)
+    *
+    * Model assumption, measured (BandScale, PLANS.md round 9): the
+    * S-curve treats each pair's intersection as PRIVATE to the pair —
+    * under that regime the observed band-collision rate matches
+    * p^rows within noise. A corpus where one shared set is GLOBAL
+    * (every page carries the same site template) breaks it: a band
+    * whose hashes happen to rank that set's minima low is hot for
+    * EVERY pair at once, and the realized false-candidate rate lands
+    * an order of magnitude over the expectation (the expectation is
+    * still right ACROSS coefficient draws; the variance is what
+    * bites). The fix is not more bands — it is removing the shared
+    * text before shingling ([[graft.SparkEntry]] d8's boilerplate
+    * spans), after which the measured rate returns to the model. */
   def bandingPlan(corpusSize: Long, targetSim: Double,
       backgroundSim: Double = 0.1, minRecall: Double = 0.9,
       falseCandidateBudget: Double = 10.0, maxRows: Int = 64): BandingPlan = {
