@@ -560,6 +560,7 @@ object SparkEntry {
     * pre-round-4 behavior. */
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
+    @volatile var storedCentroids: Option[Array[Array[Double]]] = None
   }
 
   /** IVF ANN (clusterable-corpus scale path) — oracle-checked: the
@@ -574,6 +575,30 @@ object SparkEntry {
     IvfOracle.centroids = Some(cents)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, precomputed = Some(cents))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** x3's production shape, mirroring d12 for ANN: the IVF index is
+    * BUILT once ([[Similarity.ivfAssignments]], written to parquet
+    * `partitionBy("cell")`) and each query batch probes the STORED
+    * index ([[Similarity.probeIvfIndex]]) — no re-clustering, no
+    * corpus re-scan; the probe's cell equi-join prunes to nprobe
+    * directories. Same frozen centroids as x3, so the same bit-exact
+    * inlined-centroid oracle applies; results are x3's by
+    * construction, reproduced through the parquet round-trip. */
+  private def qAnnIvfStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 16)
+    IvfOracle.storedCentroids = Some(cents)
+    val root = "/tmp/graft_x5_ivf_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+    Similarity.probeIvfIndex(s.read.parquet(root),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
@@ -2080,6 +2105,7 @@ object SparkEntry {
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
+    "x5_ann_ivf_stored" -> qAnnIvfStored _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -3663,15 +3689,13 @@ object SparkEntry {
     *  - queries probe the nprobe=4 best cells (same tie order —
     *    sort_array(desc) on struct(s, cell));
     *  - candidates = equi-join on cell, re-ranked by exact cosine. */
-  private def ivfOracleEntry: Map[String, String] =
-    IvfOracle.centroids.map { cents =>
-      val centRows = cents.zipWithIndex.map { case (c, i) =>
-        val lit = c.map(_.toString).mkString("[", ",", "]")
-        val half = (c.map(x => x * x).sum / 2).toString
-        s"($i, $lit::DOUBLE[], $half)"
-      }.mkString(",\n             ")
-      "x3_ann_ivf" ->
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def ivfOracleSqlFor(cents: Array[Array[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($i, $lit::DOUBLE[], $half)"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
            cent AS (SELECT * FROM (VALUES
              $centRows) AS t(cell, cv, half)),
            sc AS (
@@ -3707,5 +3731,13 @@ object SparkEntry {
              FROM scored)
            SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank::INT AS rank
            FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""
-    }.toMap
+  }
+
+  private def ivfOracleEntry: Map[String, String] =
+    IvfOracle.centroids.map(c => "x3_ann_ivf" -> ivfOracleSqlFor(c)).toMap ++
+      // x5 probes the STORED index built from the same frozen
+      // centroids, so the relational contract — and hence the SQL —
+      // is x3's; a store/probe bug shows up as an x5-only mismatch
+      IvfOracle.storedCentroids
+        .map(c => "x5_ann_ivf_stored" -> ivfOracleSqlFor(c)).toMap
 }

@@ -128,23 +128,49 @@ object Similarity {
       precomputed: Option[Array[Array[Double]]] = None): DataFrame = {
     val centroids = precomputed.getOrElse(
       trainCentroids(corpus, vec, nlist, seed, sampleSize, iters))
+    probeIvfIndex(ivfAssignments(corpus, id, vec, centroids),
+      queries, id, vec, k, centroids, nprobe)
+  }
 
-    def cellScore(c: Array[Double]) = {
+  /** Per-centroid score structs struct(c·v − |c|²/2, cell) — argmax
+    * picks the nearest cell (ties toward the larger cell id, the
+    * `greatest`-over-structs order the oracle mirrors). */
+  private def cellStructs(vecCol: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]]) =
+    centroids.zipWithIndex.map { case (c, i) =>
       val lit2 = array(c.toSeq.map(lit): _*)
-      graft.functions.DotProductExpr(col(vec).cast("array<double>"), lit2) -
-        lit(c.map(x => x * x).sum / 2)
+      struct((graft.functions.DotProductExpr(vecCol.cast("array<double>"), lit2) -
+        lit(c.map(x => x * x).sum / 2)).as("s"), lit(i).as("cell"))
     }
-    val cellStructs = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cellScore(c).as("s"), lit(i).as("cell"))
-    }
-    val bestCell = greatest(cellStructs: _*).getField("cell")
 
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+  /** The persistable half of IVF: every corpus vector assigned to its
+    * nearest centroid cell, with the vector and its norm carried so a
+    * probe never re-reads the corpus. Write with
+    * `.partitionBy("cell")` and a probe's cell equi-join prunes to
+    * the probed directories — the index is built ONCE (admission-job
+    * cost, like [[graft.ops.Dedup.bandBuckets]] for text dedup) and
+    * each query batch probes it from parquet. */
+  def ivfAssignments(corpus: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val bestCell = greatest(cellStructs(col(vec), centroids): _*)
+      .getField("cell")
+    corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"), bestCell.as("cell"))
+  }
+
+  /** Probe a stored IVF index (the output of [[ivfAssignments]],
+    * typically read back from cell-partitioned parquet): each query
+    * scores the centroid literals, probes its `nprobe` best cells via
+    * the cell equi-join, and exact-cosine re-ranks the candidates.
+    * Identical results to [[ivfTopK]] over the same centroids — the
+    * stored index only moves the assignment scan to build time. */
+  def probeIvfIndex(index: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
     // queries probe their nprobe best cells: sort the per-cell scores
     // descending and explode the first nprobe
-    val scoreArr = array(cellStructs: _*)
-    val probed = sort_array(scoreArr, asc = false)
+    val probed = sort_array(array(cellStructs(col(vec), centroids): _*),
+      asc = false)
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
         norm(col(vec)).as("__qn"),
         slice(transform(probed, s => s.getField("cell")), 1, nprobe).as("__cells"))
@@ -152,7 +178,7 @@ object Similarity {
         explode(col("__cells")).as("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.join(c, "cell")
+    q.join(index, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))

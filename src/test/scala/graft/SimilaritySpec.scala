@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("stored IVF index probe == inline ivfTopK, through parquet") {
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 12)
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 12, nprobe = 3, precomputed = Some(cents))
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf_idx").toString + "/index"
+    Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+    val stored = Similarity.probeIvfIndex(spark.read.parquet(root),
+        queries, "vec_id", "embedding", 5, cents, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSeq
+    assert(stored == inline && stored.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("cosineDupPairs blocked path finds the same high-cosine pairs") {
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
         threshold = 0.97, blocked = false)
