@@ -1052,6 +1052,49 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** ST6 — streaming near-dup ADMISSION against the stored band
+    * index ([[graft.stream.StreamAdmit]]): the curated corpus
+    * (doc_id % 10 != 0, d11's split) seeds a persisted
+    * fingerprint+signature index; the remaining documents stream in
+    * as two pinned-order file batches (batch 0 = doc_id % 20 == 0,
+    * batch 1 = doc_id % 20 == 10, mtimes 60 s apart so the file
+    * source's oldest-first order is deterministic). Each batch is
+    * screened against index ∪ prior admissions; admitted fingerprints
+    * append to the index, so batch 1 is checked against batch 0's
+    * admissions — the oracle reproduces the two admission stages
+    * relationally from the same inlined-coefficient signatures. */
+  private def qStreamAdmit(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamadmit/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    graft.stream.StreamAdmit.seedIndex(
+      graft.ops.Dedup.minhash(d.filter(col("doc_id") % 10 =!= 0),
+        "text", shingleK = 3, numHashes = 32),
+      "doc_id", s"$base/index", bands = 16, sigLen = 32)
+    // two feed files in pinned mtime order
+    def feedFile(cond: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      d.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$base/feed/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val now = System.currentTimeMillis()
+    feedFile(col("doc_id") % 20 === 0, "b0", now - 120000L)
+    feedFile(col("doc_id") % 20 === 10, "b1", now - 60000L)
+    val q = graft.stream.StreamAdmit.start(s, s"$base/feed", d.schema,
+      "doc_id", "text", s"$base/index", s"$base/admitted", s"$base/ckpt")
+    q.awaitTermination()
+    s.read.parquet(s"$base/admitted")
+      .select(col("doc_id"), col("batch").cast("int").as("batch"))
+      .orderBy("doc_id")
+  }
+
   /** W10 rolling z-score per series (20-row trailing window): the
     * outlier-scoring stage of sensor/market data cleaning — one
     * shuffle per subject, window math inside the stage. Ordered by the
@@ -2120,6 +2163,7 @@ object SparkEntry {
     "st1_stream_window" -> qStreamWindow _,
     "st3_session_window" -> qSessionWindow _,
     "st4_stream_dedup" -> qStreamDedup _,
+    "st6_stream_admit" -> qStreamAdmit _,
     "st5_stream_sessions" -> qStreamSessions _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
@@ -3311,6 +3355,47 @@ object SparkEntry {
          FROM (SELECT doc_id FROM sg WHERE doc_id % 10 = 0) i
          LEFT JOIN (SELECT * FROM r WHERE rn = 1) b USING (doc_id)
          ORDER BY i.doc_id"""
+    },
+    // st6: the two admission stages replayed relationally — stage 0
+    // screens batch 0 (doc_id%20=0) against the curated index
+    // (doc_id%10!=0); stage 1 screens batch 1 (doc_id%20=10) against
+    // index ∪ stage-0 admissions. Same banded candidates + est-sig
+    // verdicts as d11; batch ids from the pinned file order.
+    "st6_stream_admit" -> {
+      s"""$minhashSigCte,
+         bkall AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
+         bkx AS (SELECT * FROM bkall WHERE doc_id % 10 != 0),
+         cand0 AS (
+           SELECT DISTINCT n.doc_id AS nid, x.doc_id AS xid
+           FROM (SELECT * FROM bkall WHERE doc_id % 20 = 0) n
+           JOIN bkx x ON n.b = x.b AND n.key = x.key),
+         dup0 AS (
+           SELECT DISTINCT c.nid FROM cand0 c
+           JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.xid
+           WHERE len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 >= 0.5),
+         adm0 AS (
+           SELECT doc_id FROM sg WHERE doc_id % 20 = 0
+             AND doc_id NOT IN (SELECT nid FROM dup0)),
+         bkidx1 AS (
+           SELECT * FROM bkx
+           UNION ALL
+           SELECT * FROM bkall WHERE doc_id IN (SELECT doc_id FROM adm0)),
+         cand1 AS (
+           SELECT DISTINCT n.doc_id AS nid, x.doc_id AS xid
+           FROM (SELECT * FROM bkall WHERE doc_id % 20 = 10) n
+           JOIN bkidx1 x ON n.b = x.b AND n.key = x.key),
+         dup1 AS (
+           SELECT DISTINCT c.nid FROM cand1 c
+           JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.xid
+           WHERE len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 >= 0.5),
+         adm1 AS (
+           SELECT doc_id FROM sg WHERE doc_id % 20 = 10
+             AND doc_id NOT IN (SELECT nid FROM dup1))
+         SELECT doc_id, 0 AS batch FROM adm0
+         UNION ALL SELECT doc_id, 1 AS batch FROM adm1
+         ORDER BY doc_id"""
     },
     // d12: the same asymmetric band-candidate set as d11 (shared sig
     // prefix, 2-row band slices joined new×index) — the Spark side

@@ -1,0 +1,98 @@
+package graft.stream
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-dup ADMISSION against a stored fingerprint index —
+  * the d11/d12 incremental-dedup contract as a continuous ingest
+  * stage (the shape a training-data pipeline runs forever: a curated
+  * corpus accumulates, every incoming batch is screened against it).
+  *
+  *  - The curated corpus's banded fingerprints AND minhash signatures
+  *    are persisted once ([[seedIndex]]) — narrow tables, tiny
+  *    relative to the corpus text.
+  *  - Each micro-batch probes the STORED bucket table
+  *    ([[Dedup.probeBandedIndex]] — the batch side broadcasts, the
+  *    index streams map-side), est-Jaccard-verdicts the candidates
+  *    from the stored signatures, admits the clean documents, and
+  *    APPENDS their fingerprints+signatures to the index — batch N+1
+  *    is screened against everything admitted through batch N with
+  *    no corpus re-scan and no index re-banding.
+  *
+  * Admission semantics, pinned: a batch is screened against
+  * index ∪ prior admissions ONLY. Intra-batch near-dups are NOT
+  * checked — that is the upstream batch-dedup stage's job (d1/d2/d4
+  * over the batch) and keeping it out of the admission step makes
+  * the admitted set independent of intra-batch ordering. A document
+  * near-dup of a REJECTED document (but of nothing in the curated
+  * set) is admitted: the index is the corpus being curated, not the
+  * reject log — screening is against what the corpus CONTAINS.
+  *
+  * Durability note: the three index/admission sinks are parquet
+  * appends inside foreachBatch and are NOT atomic with the
+  * checkpoint commit; a crash between them can leave a replayed
+  * batch double-appending fingerprints. Duplicate (id, band, bucket)
+  * rows only duplicate candidate pairs (distinct()-ed away) — the
+  * admitted-set math is unaffected, the same idempotent-redelivery
+  * argument as the t7/e7 ingest path. */
+object StreamAdmit {
+  /** Persist the curated corpus's probe state under `indexRoot`:
+    * `buckets/` = (index_id, band, bucket), `sigs/` = (doc_id,
+    * minhash). */
+  def seedIndex(corpusSigs: DataFrame, id: String, indexRoot: String,
+      bands: Int, sigLen: Int): Unit = {
+    corpusSigs.select(col(id).as("doc_id"), col("minhash"))
+      .write.mode("overwrite").parquet(s"$indexRoot/sigs")
+    Dedup.bandBuckets(corpusSigs, id, bands, sigLen, as = "index_id")
+      .write.mode("overwrite").parquet(s"$indexRoot/buckets")
+  }
+
+  /** Screen one batch against the stored index and append the
+    * admissions — the foreachBatch body, public so a batch pipeline
+    * (or a spec) can drive it without a stream. Returns the admitted
+    * (doc_id, batch) rows it wrote. */
+  def admitBatch(batch: DataFrame, id: String, text: String,
+      indexRoot: String, admittedRoot: String, batchId: Long,
+      bands: Int, sigLen: Int, shingleK: Int,
+      minEstJaccard: Double): Unit = {
+    val ss = batch.sparkSession
+    val newSigs = Dedup.minhash(batch.select(col(id).as("doc_id"),
+      col(text).as("__text")), "__text", shingleK, sigLen)
+      .select("doc_id", "minhash")
+    val dupIds = Dedup.minhashJaccard(
+        Dedup.probeBandedIndex(ss.read.parquet(s"$indexRoot/buckets"),
+            newSigs, "doc_id", bands, sigLen)
+          .select(col("new_id").as("id_a"), col("index_id").as("id_b")),
+        newSigs.unionByName(ss.read.parquet(s"$indexRoot/sigs")), "doc_id")
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a").as("doc_id")).distinct()
+    val admitted = newSigs.join(dupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // one materialization; three sinks below reuse it
+    admitted.select(col("doc_id"), lit(batchId).as("batch"))
+      .write.mode("append").parquet(admittedRoot)
+    Dedup.bandBuckets(admitted, "doc_id", bands, sigLen, as = "index_id")
+      .write.mode("append").parquet(s"$indexRoot/buckets")
+    admitted.write.mode("append").parquet(s"$indexRoot/sigs")
+  }
+
+  /** Wire a file-source document stream through [[admitBatch]]. */
+  def start(spark: SparkSession, feedDir: String, schema:
+      org.apache.spark.sql.types.StructType, id: String, text: String,
+      indexRoot: String, admittedRoot: String, checkpoint: String,
+      bands: Int = 16, sigLen: Int = 32, shingleK: Int = 3,
+      minEstJaccard: Double = 0.5,
+      maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        admitBatch(b.toDF(), id, text, indexRoot, admittedRoot, batchId,
+          bands, sigLen, shingleK, minEstJaccard)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

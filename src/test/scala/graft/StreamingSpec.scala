@@ -243,4 +243,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq("S1", "S2", "S3", "T1", "T2", "T3"),
       s"crash+resume diverged from the single-run answer: $got")
   }
+
+  test("stream admission: screened against index + prior admissions only") {
+    import graft.stream.StreamAdmit
+    val root = Files.createTempDirectory("streamadmit").toString
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val w = (1 to 40).map(i => s"base_$i")     // curated doc X's text
+    val u = (1 to 40).map(i => s"other_$i")    // unrelated admitted text
+    val v = (1 to 40).map(i => s"third_$i")    // batch-0 novel text
+    // curated index: doc 1 = X
+    val index = Seq((1L, doc(w))).toDF("doc_id", "text")
+    StreamAdmit.seedIndex(
+      graft.ops.Dedup.minhash(index, "text", 3, 32), "doc_id",
+      s"$root/index", bands = 16, sigLen = 32)
+    // batch 0: 10 = near-dup of X (reject), 11 = novel v (admit),
+    //          12 = novel u (admit)
+    val b0 = Seq(
+      (10L, doc(w.updated(0, "zap"))),
+      (11L, doc(v)),
+      (12L, doc(u))).toDF("doc_id", "text")
+    // batch 1: 20 = near-dup of ADMITTED 12 (reject — the index grew),
+    //          21 = near-dup of REJECTED 10 but novel vs the curated
+    //               set... 10 was a dup of X, so 21 ~ X too; instead:
+    //          21 = near-dup of 10's REJECTING edit only — build a doc
+    //               close to nothing admitted (admit), 22 = dup of X
+    //               still rejected via the ORIGINAL index
+    val b1 = Seq(
+      (20L, doc(u.updated(39, "tail"))),
+      (21L, doc((1 to 40).map(i => s"fresh_$i"))),
+      (22L, doc(w.updated(5, "mid")))).toDF("doc_id", "text")
+    StreamAdmit.admitBatch(b0, "doc_id", "text", s"$root/index",
+      s"$root/admitted", 0L, 16, 32, 3, 0.5)
+    StreamAdmit.admitBatch(b1, "doc_id", "text", s"$root/index",
+      s"$root/admitted", 1L, 16, 32, 3, 0.5)
+    val got = spark.read.parquet(s"$root/admitted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((11L, 0L), (12L, 0L), (21L, 1L)),
+      s"admitted: $got")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
