@@ -604,6 +604,25 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** X6 — int8 scalar-quantized ANN with exact rerank
+    * ([[Similarity.quantizedTopK]]): the approximate scan reads the
+    * 4×-smaller int8 index (per-vector scale, pure integer dot; the
+    * scales cancel out of the approximate cosine), the per-query
+    * top-20 survivors fetch full-precision vectors for exact cosine
+    * top-5. Deterministic quantization (floor(x/s + 0.5), clamp ±127)
+    * and integer-exact approximate scores reproduce bit-for-bit in
+    * the DuckDB oracle — the whole two-stage pipeline is
+    * hash-checked, not rows-only. */
+  private def qAnnQuantized(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, rerankC = 20)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** MinHash-LSH near-dup candidates with estimated Jaccard —
     * oracle-checked end to end: FNV shingle hashes and the inlined
     * permutation coefficients reproduce the exact signatures in SQL. */
@@ -2149,6 +2168,7 @@ object SparkEntry {
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
     "x5_ann_ivf_stored" -> qAnnIvfStored _,
+    "x6_ann_quantized" -> qAnnQuantized _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -2762,6 +2782,47 @@ object SparkEntry {
          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
          ORDER BY id_a, id_b""",
+    // x6: the full two-stage quantized pipeline replayed — identical
+    // int8 quantization (floor(x/s+0.5), clamp), integer-exact approx
+    // cosine (scales cancel), top-20 survivors, exact rerank to 5.
+    "x6_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         qz AS (
+           SELECT vec_id, v,
+             CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> least(127, greatest(-127,
+                         floor(x / s + 0.5)::INT))::DOUBLE) END AS qd
+           FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+                 FROM e)),
+         qn AS (
+           SELECT vec_id, qd, list_inner_product(qd, qd) AS qn2 FROM qz),
+         ap AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_inner_product(a.qd, b.qd) / sqrt(a.qn2 * b.qn2) AS approx
+           FROM qn a JOIN qn b ON b.vec_id != a.vec_id
+           WHERE a.vec_id < 10),
+         surv AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx DESC, neighbor_id) AS rn
+             FROM ap) WHERE rn <= 20),
+         scored AS (
+           SELECT query_id, neighbor_id,
+             list_inner_product(qe.v, ce.v) /
+               (sqrt(list_inner_product(qe.v, qe.v)) *
+                sqrt(list_inner_product(ce.v, ce.v))) AS cosine
+           FROM surv JOIN e qe ON qe.vec_id = surv.query_id
+                     JOIN e ce ON ce.vec_id = surv.neighbor_id),
+         rk AS (
+           SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           rank::INT AS rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
     "d5_cosine_dup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,

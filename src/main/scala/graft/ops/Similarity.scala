@@ -187,6 +187,81 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Int8 scalar quantization + exact rerank — the memory-bandwidth
+    * lever for 100 TB embedding search: the approximate scan reads a
+    * 4×-smaller int8 index (with per-vector symmetric scale
+    * s = max|v_i|/127), and only the per-query top `rerankC`
+    * survivors fetch their full-precision vectors for exact cosine.
+    *
+    * Determinism contract (what makes the cross-engine oracle exact):
+    * q_i = clamp(floor(v_i/s + 0.5), −127, 127) — floor(x+0.5), not
+    * round(), because round's tie rule differs between engines; the
+    * approximate cosine is pure integer math
+    * dotq / √(Σq_a²·Σq_b²) — the scales cancel, the int products are
+    * exact in double, and both engines compute the identical value.
+    * Approx-rank ties break by neighbor id.
+    *
+    * The approximate stage keeps [[bruteForceTopK]]'s broadcast-loop
+    * shape (queries ≪ corpus: no corpus shuffle); the rerank joins
+    * the |Q|·rerankC survivors back to the full vectors by id — at
+    * scale that is the only stage that touches float32 data. The
+    * quantized (id, q, qn2) table is what a production deployment
+    * PERSISTS; pass it as `prequantized` to skip re-quantizing. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      id: String, vec: String, k: Int, rerankC: Int = 20,
+      prequantized: Option[DataFrame] = None): DataFrame = {
+    val cq = prequantized.getOrElse(quantizeIndex(corpus, id, vec))
+    val qq = broadcast(quantizeIndex(queries, id, vec)
+      .withColumnRenamed("qid", "query_id")
+      .withColumnRenamed("q", "__qq")
+      .withColumnRenamed("qn2", "__qn2"))
+    val dotq = aggregate(
+      zip_with(col("__qq"), col("q"), (a, b) => a.cast("int") * b.cast("int")),
+      lit(0L), (acc, x) => acc + x)
+    val approx = dotq.cast("double") /
+      sqrt(col("__qn2").cast("double") * col("qn2").cast("double"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("__approx").desc, col("qid").asc)
+    val survivors = qq.join(cq, col("query_id") =!= col("qid"))
+      .withColumn("__approx", approx)
+      .withColumn("__arank", row_number().over(wa))
+      .filter(col("__arank") <= rerankC)
+      .select(col("query_id"), col("qid").as("neighbor_id"))
+    // exact rerank: only survivors fetch full-precision vectors
+    val cv = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"))
+    val qv = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("__qv"), norm(col(vec)).as("__qn")))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    survivors.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The persistable int8 index: (qid, q array<tinyint>, qn2 = Σq_i²).
+    * Zero vectors quantize to all-zero q (qn2 = 0 → approx cosine
+    * null, ranked last — same contract as exact cosine on a zero
+    * vector). */
+  def quantizeIndex(df: DataFrame, id: String, vec: String): DataFrame = {
+    val v = col(vec).cast("array<double>")
+    val s = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val q = when(col("__s") === 0.0 || col("__s").isNull,
+        transform(col("__v"), _ => lit(0).cast("tinyint")))
+      .otherwise(transform(col("__v"), x =>
+        greatest(lit(-127), least(lit(127),
+          floor(x / col("__s") + lit(0.5)).cast("int"))).cast("tinyint")))
+    df.select(col(id).as("qid"), v.as("__v"), s.as("__s"))
+      .withColumn("q", q)
+      .withColumn("qn2", aggregate(col("q"),
+        lit(0L), (acc, x) => acc + x.cast("int") * x.cast("int")))
+      .select("qid", "q", "qn2")
+  }
+
   /** Plain Lloyd k-means over the training sample (driver-side; the
     * sample is bounded, the corpus never moves). */
   private[ops] def kmeans(points: Array[Array[Double]], k: Int, iters: Int,

@@ -77,6 +77,24 @@ class SimilaritySpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("quantized top-k with exact rerank recovers brute-force top-k") {
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding",
+        k = 5, rerankC = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 keeps ~2 decimal digits of the scores; with a 4x rerank
+    // pool the exact stage recovers the true top-5 on clustered data
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.95, s"quantized recall $recall")
+    // quantization is deterministic and bounded
+    val qi = Similarity.quantizeIndex(emb, "vec_id", "embedding")
+    val bad = qi.select(explode(col("q")).as("x"))
+      .filter(col("x") > 127 || col("x") < -127).count()
+    assert(bad == 0L)
+  }
+
   test("cosineDupPairs blocked path finds the same high-cosine pairs") {
     val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
         threshold = 0.97, blocked = false)
