@@ -73,18 +73,23 @@ object BandScale {
       val plantedDf = planted.toDF("id_a", "id_b")
 
       // production planning step: ESTIMATE background similarity from
-      // sampled unrelated pairs (here: consecutive ids — never planted
-      // partners, which are n apart)
-      val sh = docs.filter(col("doc_id") < n)
-        .select(col("doc_id"),
-          graft.functions.ShingleHashesExpr(col("text"), 3).as("g"))
-      val bg = sh.select(col("doc_id"), col("g"))
-        .join(sh.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
-          "doc_id")
-        .limit(500)
-        .select(avg(size(array_intersect(col("g"), col("g2"))).cast("double") /
-          size(array_union(col("g"), col("g2")))).as("bg"))
-        .head().getDouble(0)
+      // sampled unrelated pairs (consecutive ids — never planted
+      // partners, which are n apart). The sample is the DETERMINISTIC
+      // id range < 501, not limit() — an unordered limit picks a
+      // partitioning-dependent subset and the solved plan would not
+      // reproduce across CPU counts.
+      def measureBg(corpus: DataFrame): Double = {
+        val sh = corpus.filter(col("doc_id") < 501)
+          .select(col("doc_id"),
+            graft.functions.ShingleHashesExpr(col("text"), 3).as("g"))
+        sh.select(col("doc_id"), col("g"))
+          .join(sh.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
+            "doc_id")
+          .select(avg(size(array_intersect(col("g"), col("g2"))).cast("double") /
+            size(array_union(col("g"), col("g2")))).as("bg"))
+          .head().getDouble(0)
+      }
+      val bg = measureBg(docs)
 
       def run(tag: String, bands: Int, sigLen: Int,
           on: DataFrame = docs): Unit = {
@@ -125,16 +130,7 @@ object BandScale {
         regexp_replace(col("text"), lit("^" + boiler + " "), lit("")))
         .persist()
       stripped.count()
-      val sh2 = stripped.filter(col("doc_id") < n)
-        .select(col("doc_id"),
-          graft.functions.ShingleHashesExpr(col("text"), 3).as("g"))
-      val bg2 = sh2.select(col("doc_id"), col("g"))
-        .join(sh2.select((col("doc_id") - 1).as("doc_id"), col("g").as("g2")),
-          "doc_id")
-        .limit(500)
-        .select(avg(size(array_intersect(col("g"), col("g2"))).cast("double") /
-          size(array_union(col("g"), col("g2")))).as("bg"))
-        .head().getDouble(0).max(0.02)
+      val bg2 = measureBg(stripped).max(0.02)
       val plan2 = Dedup.bandingPlan(corpusSize = nDocs, targetSim = 0.8,
         backgroundSim = bg2, minRecall = 0.9, falseCandidateBudget = 10.0)
       println(f"n=$nDocs%6d stripped_bg=$bg2%.3f solver: ${plan2.bands}x" +

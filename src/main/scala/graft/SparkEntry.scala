@@ -593,7 +593,7 @@ object SparkEntry {
       col("embedding").cast("array<double>"))
     val cents = Similarity.trainCentroids(emb, "embedding", nlist = 16)
     IvfOracle.storedCentroids = Some(cents)
-    val root = "/tmp/graft_x5_ivf_index"
+    val root = s"/tmp/graft_x5_ivf_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
       .write.mode("overwrite").partitionBy("cell").parquet(root)

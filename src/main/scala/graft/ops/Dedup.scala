@@ -203,14 +203,21 @@ object Dedup {
     var r = 1
     while (chosen.isEmpty && r <= maxRows) {
       val pT = math.pow(targetSim, r)
-      val b = math.ceil(math.log1p(-minRecall) / math.log1p(-pT)).toInt.max(1)
-      val recall = 1 - math.pow(1 - pT, b)
-      // expected unrelated-pair candidates per doc: (corpus-1) pairs,
-      // each colliding with prob 1-(1-bg^r)^b ≈ b·bg^r at small bg^r
-      val pBg = math.pow(backgroundSim, r)
-      val falsePerDoc = (corpusSize - 1).max(0) * (1 - math.pow(1 - pBg, b))
-      if (falsePerDoc <= falseCandidateBudget)
-        chosen = Some(BandingPlan(b, r, recall, falsePerDoc))
+      val bD = math.ceil(math.log1p(-minRecall) / math.log1p(-pT)).max(1.0)
+      // a band count past any practical signature width means this r is
+      // infeasible, not "clamp and hope": Int-clamping here once let a
+      // plan through whose true recall was ~0.12 against a 0.9 ask
+      // (and whose sigLen overflowed Int)
+      if (bD <= (1 << 20)) {
+        val b = bD.toInt
+        val recall = 1 - math.pow(1 - pT, b)
+        // expected unrelated-pair candidates per doc: (corpus-1) pairs,
+        // each colliding with prob 1-(1-bg^r)^b ≈ b·bg^r at small bg^r
+        val pBg = math.pow(backgroundSim, r)
+        val falsePerDoc = (corpusSize - 1).max(0) * (1 - math.pow(1 - pBg, b))
+        if (recall >= minRecall && falsePerDoc <= falseCandidateBudget)
+          chosen = Some(BandingPlan(b, r, recall, falsePerDoc))
+      }
       r += 1
     }
     chosen.getOrElse(throw new IllegalArgumentException(

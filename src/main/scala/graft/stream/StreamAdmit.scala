@@ -29,14 +29,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * near-dup of a REJECTED document (but of nothing in the curated
   * set) is admitted: the index is the corpus being curated, not the
   * reject log — screening is against what the corpus CONTAINS.
+  * Precondition (as for d11's split): batch ids are disjoint from
+  * index ids — a re-ingested id would join the wrong signature in
+  * the verdict lookup. Upstream exact-id dedup (st4) owns this.
   *
-  * Durability note: the three index/admission sinks are parquet
-  * appends inside foreachBatch and are NOT atomic with the
-  * checkpoint commit; a crash between them can leave a replayed
-  * batch double-appending fingerprints. Duplicate (id, band, bucket)
-  * rows only duplicate candidate pairs (distinct()-ed away) — the
-  * admitted-set math is unaffected, the same idempotent-redelivery
-  * argument as the t7/e7 ingest path. */
+  * Durability: the three sinks inside foreachBatch are not atomic
+  * with the checkpoint commit, so the write ORDER is load-bearing
+  * for replay idempotence: sigs → buckets → admitted. A batch's own
+  * ids are excluded from its candidate pairs, so a replayed doc
+  * never self-matches; a crash after the sigs append replays into
+  * duplicate identical sig rows (fan equal-valued verdict rows,
+  * distinct()-ed away), a crash after the buckets append replays
+  * into duplicate bucket rows (duplicate candidate pairs,
+  * distinct()-ed away), and `admitted` — the output consumers read —
+  * is written exactly once, last. The REVERSE order would be a real
+  * bug: buckets-before-sigs leaves a crash window where a doc's
+  * buckets exist without its signature, and every later near-dup of
+  * it would silently pass screening. */
 object StreamAdmit {
   /** Persist the curated corpus's probe state under `indexRoot`:
     * `buckets/` = (index_id, band, bucket), `sigs/` = (doc_id,
@@ -64,17 +73,22 @@ object StreamAdmit {
     val dupIds = Dedup.minhashJaccard(
         Dedup.probeBandedIndex(ss.read.parquet(s"$indexRoot/buckets"),
             newSigs, "doc_id", bands, sigLen)
+          // a replayed batch finds its own prior appends in the index;
+          // excluding self-pairs keeps replay idempotent (see scaladoc)
+          .filter(col("new_id") =!= col("index_id"))
           .select(col("new_id").as("id_a"), col("index_id").as("id_b")),
         newSigs.unionByName(ss.read.parquet(s"$indexRoot/sigs")), "doc_id")
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a").as("doc_id")).distinct()
     val admitted = newSigs.join(dupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // one materialization; three sinks below reuse it
-    admitted.select(col("doc_id"), lit(batchId).as("batch"))
-      .write.mode("append").parquet(admittedRoot)
+    // sigs FIRST, buckets second, the consumer-facing admitted log
+    // LAST — the crash-window analysis in the scaladoc depends on it
+    admitted.write.mode("append").parquet(s"$indexRoot/sigs")
     Dedup.bandBuckets(admitted, "doc_id", bands, sigLen, as = "index_id")
       .write.mode("append").parquet(s"$indexRoot/buckets")
-    admitted.write.mode("append").parquet(s"$indexRoot/sigs")
+    admitted.select(col("doc_id"), lit(batchId).as("batch"))
+      .write.mode("append").parquet(admittedRoot)
   }
 
   /** Wire a file-source document stream through [[admitBatch]]. */
