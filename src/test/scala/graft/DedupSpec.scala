@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
     assert(demo.sigLen <= small.sigLen)
   }
 
+  test("bandingPlan refuses configs it cannot solve honestly") {
+    // high background vs target: the honest band count explodes past
+    // any practical signature width — must throw, not Int-clamp into
+    // a plan whose true recall is a fraction of the ask
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandingPlan(corpusSize = 1000000000L, targetSim = 0.5,
+        backgroundSim = 0.3)
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("minhash LSH recall >= 0.9 on true near-dup pairs") {
     val sig = Dedup.minhash(docs, "text", shingleK = 3, numHashes = 32)
     val cands = Dedup.lshCandidates(sig, "doc_id", bands = 16, sigLen = 32)

@@ -282,4 +282,37 @@ class StreamingSpec extends SparkSpec {
       s"admitted: $got")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("stream admission replay: every crash window is idempotent") {
+    import graft.stream.StreamAdmit
+    import graft.ops.Dedup
+    val root = Files.createTempDirectory("streamadmit_replay").toString
+    val w = (1 to 40).map(i => s"base_$i").mkString(" ")
+    val index = Seq((1L, w)).toDF("doc_id", "text")
+    StreamAdmit.seedIndex(Dedup.minhash(index, "text", 3, 32), "doc_id",
+      s"$root/index", bands = 16, sigLen = 32)
+    val batch = Seq(
+      (10L, (1 to 40).map(i => s"novel_$i").mkString(" ")),
+      (11L, w.replace("base_1 ", "zap "))).toDF("doc_id", "text")
+    def admitted() = spark.read.parquet(s"$root/admitted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def run() = StreamAdmit.admitBatch(batch, "doc_id", "text",
+      s"$root/index", s"$root/admitted", 0L, 16, 32, 3, 0.5)
+    // crash window A: sigs appended, buckets + admitted lost — replay
+    val batchSigs = Dedup.minhash(batch, "text", 3, 32)
+      .select(col("doc_id"), col("minhash"))
+    batchSigs.filter(col("doc_id") === 10L)
+      .write.mode("append").parquet(s"$root/index/sigs")
+    run()
+    assert(admitted() == Seq((10L, 0L)), s"after window-A replay: ${admitted()}")
+    // crash window B: sigs AND buckets appended, admitted lost — the
+    // doc must not self-match on replay. Wipe the admitted log to
+    // simulate the pre-commit state, then replay the whole batch.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/admitted"))
+    run()
+    assert(admitted() == Seq((10L, 0L)),
+      s"after window-B replay (self-match?): ${admitted()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
