@@ -54,9 +54,17 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   // exposures done via exposeSql: table → (db list), re-exposed on open
   private val exposedDbs =
     scala.collection.concurrent.TrieMap[String, Vector[String]]()
+  // true only while loadEngineCatalog replays the sidecar: the replay
+  // funnels through exposeSql, whose persistEngineCatalog would
+  // otherwise overwrite the sidecar with the partially-replayed subset
+  // on every exposure — and a crash mid-open would permanently lose
+  // the exposures not yet replayed. While rehydrating, persist is a
+  // no-op; the on-disk sidecar already holds the complete state.
+  private var rehydrating = false
   loadEngineCatalog()
 
   private def persistEngineCatalog(): Unit = synchronized {
+    if (rehydrating) return // sidecar is the source being replayed
     val root = mapper.createObjectNode()
     val ts = root.putObject("tables")
     catalog.tables.foreach(t => ts.put(t, catalog.get(t).get.toDsl))
@@ -89,12 +97,15 @@ final class Engine(val spark: SparkSession, rootPath: String) {
         } finally in.close()
       val node = mapper.readTree(bytes)
       import scala.jdk.CollectionConverters._
-      node.path("tables").properties().asScala
-        .foreach(e => catalog.register(e.getValue.asText()))
-      node.path("exposed").properties().asScala.foreach { e =>
-        (0 until e.getValue.size()).foreach(i =>
-          exposeSql(e.getKey, e.getValue.get(i).asText()))
-      }
+      rehydrating = true
+      try {
+        node.path("tables").properties().asScala
+          .foreach(e => catalog.register(e.getValue.asText()))
+        node.path("exposed").properties().asScala.foreach { e =>
+          (0 until e.getValue.size()).foreach(i =>
+            exposeSql(e.getKey, e.getValue.get(i).asText()))
+        }
+      } finally rehydrating = false
     }
     f.delete(new org.apache.hadoop.fs.Path(
       s"${rootPath.stripSuffix("/")}/__catalog.json.tmp"), false)

@@ -194,34 +194,83 @@ final class TsStore(
       // touching the live store — live is authoritative, tmp is trash
       f.delete(packedP, true)
     }
-    // per-day swaps (save / deleteWhere): the tmp dir holds the merged
-    // (resp. surviving) rows for each still-unswapped day. `_SUCCESS`
-    // distinguishes a completed write (roll the remaining days forward
-    // — for save this also recovers the hot rows being flushed) from a
-    // write that died midway (live store untouched — discard the tmp).
-    // A deleteWhere interrupted before removing a now-empty day leaves
-    // that day's pre-delete rows; the delete was never acknowledged and
-    // is idempotent to re-issue.
-    Seq("__saving", "__deleting").foreach { sfx =>
-      val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + sfx)
-      if (f.exists(tmp)) {
-        if (f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-          f.mkdirs(p)
-          dayDirs(tmp).foreach { case (name, _) =>
-            val dest = new org.apache.hadoop.fs.Path(p, name)
-            f.delete(dest, true)
-            if (!f.rename(new org.apache.hadoop.fs.Path(tmp, name), dest))
-              throw new java.io.IOException(
-                s"swap recovery: could not commit day partition $dest")
-          }
+    // per-day swaps. save's tmp holds the merged rows for each
+    // still-unswapped day: `_SUCCESS` distinguishes a completed write
+    // (roll the remaining days forward — this also recovers the hot
+    // rows being flushed) from a write that died midway (live store
+    // untouched — discard the tmp). save never REMOVES a day, so the
+    // produced dirs are the complete commit instruction.
+    val saving = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__saving")
+    if (f.exists(saving)) {
+      if (f.exists(new org.apache.hadoop.fs.Path(saving, "_SUCCESS"))) {
+        f.mkdirs(p)
+        dayDirs(saving).foreach { case (name, _) =>
+          val dest = new org.apache.hadoop.fs.Path(p, name)
+          f.delete(dest, true)
+          if (!f.rename(new org.apache.hadoop.fs.Path(saving, name), dest))
+            throw new java.io.IOException(
+              s"swap recovery: could not commit day partition $dest")
         }
-        f.delete(tmp, true)
       }
+      f.delete(saving, true)
+    }
+    // deleteWhere's tmp is NOT self-describing: a day the delete
+    // emptied is absent from it, indistinguishable from a day the
+    // delete never touched — rolling forward from the dirs alone
+    // commits half the delete (rewritten days lose their rows, emptied
+    // days keep all of theirs). So the commit instruction is the
+    // affected-day MANIFEST deleteWhere writes after the job commits;
+    // only _SUCCESS + manifest together mean "acknowledgeable", and
+    // [[commitDeleting]] (shared with the online path) applies it
+    // idempotently from any crash point. _SUCCESS without the manifest
+    // = crashed before acknowledgement — live store untouched, discard.
+    val deleting = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__deleting")
+    if (f.exists(deleting)) {
+      if (f.exists(new org.apache.hadoop.fs.Path(deleting, "_SUCCESS")) &&
+        f.exists(new org.apache.hadoop.fs.Path(deleting, TsStore.AffectedManifest)))
+        commitDeleting(deleting)
+      f.delete(deleting, true)
     }
     // a persistMeta interrupted mid-write leaves only this tmp; the
     // committed meta (if any) is intact because the rename is atomic
     f.delete(new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__meta.json.tmp"), false)
+  }
+
+  /** Apply a delete tmp's affected-day manifest to the live store —
+    * the single commit routine for BOTH the online deleteWhere and
+    * crash recovery, idempotent from any interruption point:
+    * a `replaced` day still in the tmp swaps in (delete-dest +
+    * rename); one already renamed out of the tmp was committed by a
+    * previous attempt (no-op); a `removed` day is deleted from the
+    * live store (re-deleting is a no-op). */
+  private def commitDeleting(tmp: org.apache.hadoop.fs.Path): Unit = {
+    val f = fs
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = f.open(new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest))
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    def names(k: String): Seq[String] =
+      (0 until node.path(k).size()).map(node.path(k).get(_).asText())
+    f.mkdirs(p)
+    names("replaced").foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(tmp, name)
+      if (f.exists(src)) {
+        val dest = new org.apache.hadoop.fs.Path(p, name)
+        f.delete(dest, true)
+        if (!f.rename(src, dest))
+          throw new java.io.IOException(
+            s"delete commit: could not swap day partition $dest")
+      }
+    }
+    names("removed").foreach { name =>
+      f.delete(new org.apache.hadoop.fs.Path(p, name), true)
+    }
   }
 
   /** Rows KILLED by an active tombstone (cold side only — hot batches
@@ -354,6 +403,14 @@ final class TsStore(
             soleCols :+ "__day", time, "__seq")
       }
       val tmp = path.stripSuffix("/") + "__saving"
+      // durable watermark BEFORE the tmp write — not merely before the
+      // swap: the tmp becomes roll-forward-able the instant its job
+      // commits _SUCCESS, so a crash in the gap would otherwise install
+      // rows stamped with a sequence the restarted store never reloads
+      // (and a later tombstone would rank below them). Persisting a
+      // higher-than-used sequence is always safe — monotonicity is all
+      // sequences need.
+      persistMeta()
       // cold rows are stamped with the CURRENT ingest sequence: any
       // tombstone recorded before this save (strictly lower sequence)
       // cannot kill rows a later `set` legitimately re-created
@@ -371,12 +428,6 @@ final class TsStore(
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       require(dayDirs.length == dirtyDays.length,
         s"save produced ${dayDirs.length} day dirs for ${dirtyDays.length} dirty days")
-      // durable watermark BEFORE the swap: the merged rows are stamped
-      // with the current sequence, and a crash mid-swap must not let a
-      // restart reload a lower watermark (a later tombstone would rank
-      // below the re-stamped rows). Persisting a higher-than-used
-      // sequence is always safe — sequences only need monotonicity.
-      persistMeta()
       dayDirs.foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
         f.delete(dest, true)
@@ -409,6 +460,15 @@ final class TsStore(
       val affected = byName.filter { case (_, v) => affectsDay(v) }
       if (affected.nonEmpty) {
         val affectedDays = affected.map(_._2)
+        // the rewrite stamps cold rows with the CURRENT sequence —
+        // persist the watermark BEFORE the tmp write, not merely before
+        // the swap: once the tmp job commits its _SUCCESS (and the
+        // manifest lands), recovery rolls it forward at restart, so the
+        // rows' sequence must already be durable or a restarted store
+        // reloads a lower watermark and a later tombstone ranks below
+        // them. Persisting a higher-than-used sequence is always safe —
+        // sequences only need monotonicity.
+        persistMeta()
         val kept = tombFiltered(cold.get)
           .filter(col("__day").isin(affectedDays: _*))
           .filter(!defMatch)
@@ -418,22 +478,23 @@ final class TsStore(
           .sortWithinPartitions(col(subject), col(time))
           .write.mode("overwrite").partitionBy("__day").parquet(tmp)
         val produced = dayDirs(new org.apache.hadoop.fs.Path(tmp)).toMap
-        // the rewrite stamped cold rows with the CURRENT sequence —
-        // persist the watermark BEFORE the swap: a restart (even one
-        // recovering a crash mid-swap) that reloaded a lower one could
-        // mint a later tombstone that ranks below these rows and
-        // silently fail to drop them
-        persistMeta()
+        // the affected-day manifest is the commit point (written AFTER
+        // the job's _SUCCESS — mode("overwrite") would wipe it first):
+        // it records which days are REPLACED by a tmp dir and which the
+        // delete EMPTIED, so the shared [[commitDeleting]] (and crash
+        // recovery re-running it) can also remove produced-empty days
+        // instead of silently committing half the delete
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val mroot = m.createObjectNode()
+        val rep = mroot.putArray("replaced")
+        val rem = mroot.putArray("removed")
         affected.foreach { case (name, _) =>
-          val dest = new org.apache.hadoop.fs.Path(path, name)
-          if (produced.contains(name)) {
-            // replaced: same per-day delete+rename commit as save
-            f.delete(dest, true)
-            if (!f.rename(new org.apache.hadoop.fs.Path(tmp, name), dest))
-              throw new java.io.IOException(
-                s"could not commit day partition $dest")
-          } else f.delete(dest, true) // no surviving rows — day removed
+          if (produced.contains(name)) rep.add(name) else rem.add(name)
         }
+        val mout = f.create(
+          new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest), true)
+        try mout.write(m.writeValueAsBytes(mroot)) finally mout.close()
+        commitDeleting(new org.apache.hadoop.fs.Path(tmp))
         f.delete(new org.apache.hadoop.fs.Path(tmp), true)
         val removed = affected.collect {
           case (name, v) if !produced.contains(name) => v
@@ -504,6 +565,11 @@ final class TsStore(
 }
 
 object TsStore {
+  /** The delete tmp's commit-point manifest (see
+    * [[TsStore.deleteWhere]] / swap recovery): which affected days the
+    * tmp REPLACES and which the delete EMPTIED. */
+  private[store] val AffectedManifest = "__affected.json"
+
   /** What a cold rewrite did — the contract behind [[TsStore.onColdChange]]. */
   sealed trait ColdChange
   /** `save`: exactly these day partitions were created or rewritten in

@@ -35,9 +35,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Durability: the three sinks inside foreachBatch are not atomic
   * with the checkpoint commit, so the write ORDER is load-bearing
-  * for replay idempotence: sigs → buckets → admitted. A batch's own
-  * ids are excluded from its candidate pairs, so a replayed doc
-  * never self-matches; a crash after the sigs append replays into
+  * for replay idempotence: sigs → buckets → admitted. ALL of the
+  * batch's own ids are excluded from the index side of its candidate
+  * pairs (an anti-join, not just self-pair removal), so a replayed
+  * batch is never screened against its own partial appends — without
+  * that, an intra-batch near-dup pair would admit both docs on a
+  * clean run but reject one on replay; a crash after the sigs append
+  * replays into
   * duplicate identical sig rows (fan equal-valued verdict rows,
   * distinct()-ed away), a crash after the buckets append replays
   * into duplicate bucket rows (duplicate candidate pairs,
@@ -73,9 +77,20 @@ object StreamAdmit {
     val dupIds = Dedup.minhashJaccard(
         Dedup.probeBandedIndex(ss.read.parquet(s"$indexRoot/buckets"),
             newSigs, "doc_id", bands, sigLen)
-          // a replayed batch finds its own prior appends in the index;
-          // excluding self-pairs keeps replay idempotent (see scaladoc)
-          .filter(col("new_id") =!= col("index_id"))
+          // a replayed batch finds its own prior appends in the index —
+          // and not only as exact self-pairs: a crash after the buckets
+          // append leaves the WHOLE batch's rows in the index, so a doc
+          // that is an intra-batch near-dup of another batch doc would
+          // be screened against its own partial append and rejected on
+          // replay while a clean run admits it. Anti-join the index
+          // side against the full batch id set: batch ids are disjoint
+          // from legitimate index ids by precondition (see scaladoc),
+          // so this only removes rows from a prior partial append of
+          // this same batch — keeping the pinned "screened against
+          // index ∪ prior admissions ONLY" contract deterministic
+          // across replays.
+          .join(broadcast(newSigs.select(col("doc_id").as("index_id"))),
+            Seq("index_id"), "left_anti")
           .select(col("new_id").as("id_a"), col("index_id").as("id_b")),
         newSigs.unionByName(ss.read.parquet(s"$indexRoot/sigs")), "doc_id")
       .filter(col("est_jaccard") >= minEstJaccard)

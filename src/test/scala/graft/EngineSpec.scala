@@ -523,6 +523,35 @@ class EngineSpec extends SparkSpec {
     assert(sdb.dotOf("close") == 2 && sdb.mainIndex.get.name == "time")
   }
 
+  test("rehydration never rewrites the catalog sidecar (crash mid-open is lossless)") {
+    val root = Files.createTempDirectory("graft_engine_cat2").toString
+    val e1 = new Engine(spark, root)
+    e1.create(stkDay)
+    e1.create("{idx_day:{fields:{t:[T,8],v:[F,8]}}}")
+    e1.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
+    e1.exposeSql("stk_day", db = "graft_rh_a")
+    e1.exposeSql("stk_day", db = "graft_rh_b")
+    val sidecar = java.nio.file.Paths.get(root, "__catalog.json")
+    val before = java.nio.file.Files.readAllBytes(sidecar)
+    val mtime = java.nio.file.Files.getLastModifiedTime(sidecar)
+    // reopen: the replay funnels through exposeSql, which used to
+    // persist the sidecar per exposure while exposedDbs was still a
+    // partial subset — a crash between those rewrites permanently lost
+    // the not-yet-replayed exposures. Rehydration must treat the
+    // sidecar as read-only: same bytes, same mtime after open.
+    val e2 = new Engine(spark, root)
+    assert(e2.catalog.tables.toSet == Set("stk_day", "idx_day"))
+    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == mtime &&
+      java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(sidecar), before),
+      "open rewrote the catalog sidecar during rehydration")
+    // and a post-open exposure still persists (the flag was cleared)
+    e2.exposeSql("stk_day", db = "graft_rh_c")
+    assert(new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+      .contains("graft_rh_c"), "post-open exposure not persisted")
+  }
+
   test("exposeSql registration stays live across save, del and pack") {
     val e = mkEngine
     e.create(stkDay)

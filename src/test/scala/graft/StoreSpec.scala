@@ -325,6 +325,71 @@ class StoreSpec extends SparkSpec {
     assert(!hfs.exists(hp(root + "__deleting")))
   }
 
+  test("recovery: completed __deleting WITHOUT its manifest is discarded (unacknowledged)") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec7"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    // fabricate: the delete's tmp job committed (_SUCCESS present) but
+    // the crash hit before the affected-day manifest landed. The tmp
+    // dirs alone cannot distinguish an emptied day from an untouched
+    // one, so rolling forward would commit HALF the delete — recovery
+    // must discard it instead (the delete was never acknowledged and
+    // is idempotent to re-issue).
+    Seq(("B", 2L, 2.0, "d2")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(9L))
+      .write.partitionBy("__day").parquet(root + "__deleting")
+    val st2 = mkStore(root)
+    assert(st2.read().orderBy("code").collect().map(_.getString(0)).toSeq ==
+      Seq("A", "B"), "unacknowledged delete was partially committed")
+    assert(!hfs.exists(hp(root + "__deleting")))
+  }
+
+  test("recovery: __deleting manifest also removes the days the delete emptied") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec8"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d2"), ("C", 3L, 3.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    // fabricate the post-manifest crash state of `del v <= 2`: d1 is
+    // EMPTIED (absent from the tmp), d2's replacement keeps only C —
+    // the manifest is what tells recovery d1 must be removed, not kept
+    Seq(("C", 3L, 3.0, "d2")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(9L))
+      .write.partitionBy("__day").parquet(root + "__deleting")
+    val m = """{"replaced":["__day=d2"],"removed":["__day=d1"]}"""
+    val out = hfs.create(hp(root + "__deleting/__affected.json"), true)
+    try out.write(m.getBytes("UTF-8")) finally out.close()
+    val st2 = mkStore(root)
+    val got = st2.read().orderBy("code").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("C"),
+      s"manifest roll-forward applied the delete partially: $got")
+    assert(!hfs.exists(hp(s"$root/__day=d1")), "emptied day survived recovery")
+    assert(!hfs.exists(hp(root + "__deleting")))
+  }
+
+  test("deleteWhere end-to-end: emptied day removed, watermark durable before the tmp") {
+    val root = Files.createTempDirectory("graft_store").toString + "/rec9"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1"), ("B", 2L, 2.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    st.deleteWhere(col("day") === "d1", _ == "d1")
+    assert(!hfs.exists(hp(s"$root/__day=d1")), "emptied day not removed")
+    // the watermark invariant the persist-before-write ordering exists
+    // for: no cold row's __seq may exceed the persisted watermark — a
+    // restarted store + tombstone must always outrank every cold row
+    val maxSeq = spark.read.parquet(root)
+      .agg(max("__seq")).head().getLong(0)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root + "__meta.json")), "UTF-8")
+    val persisted = """"seq"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    assert(persisted >= maxSeq,
+      s"persisted watermark $persisted below cold max __seq $maxSeq")
+  }
+
   test("pack never leaves the path without a committed store (protocol order)") {
     // end-to-end: a normal pack with tombstones uses rename-aside —
     // verify the final state AND that the markers are gone

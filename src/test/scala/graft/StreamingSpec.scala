@@ -313,6 +313,28 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(admitted() == Seq((10L, 0L)),
       s"after window-B replay (self-match?): ${admitted()}")
+    // crash window C: a batch holding an INTRA-batch near-dup pair
+    // (both novel vs the curated set — the pinned contract admits
+    // both; intra-batch screening is the upstream stage's job). After
+    // a crash past the buckets append, the replayed batch finds the
+    // WHOLE batch's rows in the index — excluding only exact
+    // self-pairs would screen 30 against 31's partial append (and
+    // vice versa) and reject both, making the admitted set depend on
+    // crash timing. The full-batch anti-join must re-admit both.
+    val twin = (1 to 40).map(i => s"twin_$i").mkString(" ")
+    val batch2 = Seq((30L, twin), (31L, twin.replace("twin_1 ", "edit ")))
+      .toDF("doc_id", "text")
+    val sigs2 = Dedup.minhash(batch2, "text", 3, 32)
+      .select(col("doc_id"), col("minhash"))
+    sigs2.write.mode("append").parquet(s"$root/index/sigs")
+    Dedup.bandBuckets(sigs2, "doc_id", bands = 16, sigLen = 32,
+        as = "index_id")
+      .write.mode("append").parquet(s"$root/index/buckets")
+    StreamAdmit.admitBatch(batch2, "doc_id", "text", s"$root/index",
+      s"$root/admitted", 1L, 16, 32, 3, 0.5)
+    assert(admitted() == Seq((10L, 0L), (30L, 1L), (31L, 1L)),
+      s"intra-batch near-dups rejected against their own partial " +
+        s"append: ${admitted()}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }
