@@ -721,23 +721,32 @@ object SparkEntry {
       val indexSigs = Dedup.minhash(docs.filter(col("doc_id") % 10 =!= 0),
           "text", shingleK = 3, numHashes = 32)
         .select(col("doc_id"), col("minhash"))
-      Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
-          as = "index_id")
-        .repartition(col("band"))
-        .sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite").parquet(s"$store/bands")
-      indexSigs.write.mode("overwrite").parquet(s"$store/sigs")
+      BandIndex.write(
+        Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
+          as = "index_id"),
+        s"$store/bands", "bucket", targetRowsPerFile = 4096)
+      BandIndex.write(indexSigs, s"$store/sigs", "doc_id",
+        targetRowsPerFile = 4096)
     }
     val incoming = Dedup.minhash(docs.filter(col("doc_id") % 10 === 0),
         "text", shingleK = 3, numHashes = 32)
       .select(col("doc_id"), col("minhash"))
-    val pairs = Dedup.probeBandedIndex(
-        s.read.parquet(s"$store/bands"), incoming, "doc_id",
-        bands = 16, sigLen = 32)
+    val pairs = BandIndex.probe(s"$store/bands", incoming, "doc_id",
+        bands = 16, sigLen = 32)._1
       .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
-    // verification sigs: the batch's own + the STORED index signatures
-    // (id spaces are disjoint by the % 10 split)
-    val sigs = incoming.unionByName(s.read.parquet(s"$store/sigs"))
+      // materialized once: candidate ids prune the signature lookup,
+      // then the pairs feed the verdict join
+      .localCheckpoint()
+    val candIds = pairs.select("id_b").distinct().collect()
+      .map(_.getLong(0))
+    // verification sigs: the batch's own + ONLY the stored signatures
+    // the candidates touch (pruned file-level read — the verdict join
+    // must not re-scan the whole signature table per batch any more
+    // than the bucket probe may re-scan the band index). Id spaces
+    // are disjoint by the % 10 split.
+    val sigs = incoming.unionByName(
+      BandIndex.readForKeys(s, s"$store/sigs", candIds, "doc_id")._1
+        .select("doc_id", "minhash"))
     val scored = Dedup.minhashJaccard(pairs, sigs, "doc_id")
       .filter(col("est_jaccard") >= 0.5)
     val perDoc = Window.partitionBy("id_a")
@@ -759,26 +768,39 @@ object SparkEntry {
 
   /** D12 — the STORED fingerprint-index probe, d11's production
     * variant (PLANS.md round-8): the corpus's banded buckets persist
-    * ONCE as a narrow (index_id, band, bucket) parquet table sorted by
-    * (band, bucket); an incoming batch then broadcast-probes it — no
-    * corpus signature recompute, no re-banding scan, no index shuffle.
-    * Candidates are identical to re-banding (same bucket hashes),
-    * which the shared oracle CTEs check pair-for-pair. */
+    * ONCE in the pruned-probe layout ([[graft.ops.BandIndex]] —
+    * range-sorted by bucket with a per-file (min, max) manifest); an
+    * incoming batch then broadcast-probes ONLY the files its buckets
+    * can land in — no corpus signature recompute, no re-banding scan,
+    * no index shuffle, and (since round 10) no full-index scan per
+    * batch. Candidates are identical to re-banding (file selection is
+    * a conservative superset of the matched buckets), which the
+    * shared oracle CTEs check pair-for-pair. The pruning is REQUIREd
+    * in-query, the o4/u1 pattern: a point lookup of one bucket must
+    * open at most 2 base files (ranges are disjoint up to an equal
+    * boundary key) — a regression to full-scan fails the gate. */
   private def qStoredIndex(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val store = s"/tmp/graft_fpindex/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val indexSigs = Dedup.minhash(docs.filter(col("doc_id") % 10 =!= 0),
       "text", shingleK = 3, numHashes = 32)
-    Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
-        as = "index_id")
-      .repartition(col("band"))
-      .sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").parquet(store)
+    BandIndex.write(
+      Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
+        as = "index_id"),
+      store, "bucket", targetRowsPerFile = 4096)
     val newSigs = Dedup.minhash(docs.filter(col("doc_id") % 10 === 0),
       "text", shingleK = 3, numHashes = 32)
-    Dedup.probeBandedIndex(s.read.parquet(store), newSigs, "doc_id",
-        bands = 16, sigLen = 32)
-      .select(col("new_id").as("doc_id"), col("index_id"))
+    val (pairs, stats) = BandIndex.probe(store, newSigs, "doc_id",
+      bands = 16, sigLen = 32)
+    require(stats.baseFiles > 0 && stats.tailFiles == 0,
+      s"stored index not in manifested base layout: $stats")
+    val oneBucket = Dedup.bandBuckets(newSigs.limit(1), "doc_id",
+      bands = 16, sigLen = 32).select("bucket").first().getLong(0)
+    val point = BandIndex.readForKeys(s, store, Array(oneBucket), "bucket")._2
+    require(point.selectedBase <= 2 &&
+      (point.baseFiles <= 2 || point.selectedBase < point.baseFiles),
+      s"stored-index probe is not file-pruned: $point")
+    pairs.select(col("new_id").as("doc_id"), col("index_id"))
       .orderBy("doc_id", "index_id")
   }
 

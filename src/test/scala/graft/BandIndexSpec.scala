@@ -1,0 +1,157 @@
+package graft
+
+import graft.ops.{BandIndex, Dedup}
+import graft.stream.StreamAdmit
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The pruned-probe index layout: candidates identical to the full
+  * scan, point lookups open O(1) base files, appended tails are
+  * always read, compaction bounds the file count without changing
+  * any admission, and a compact that crashes mid-swap is healed. */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  // 40 corpus docs + 6 incoming, 3 of them near-dups of corpus docs
+  private val corpus = (1 to 40).map { i =>
+    (i.toLong, (1 to 40).map(j => s"c${i}_$j").mkString(" "))
+  }.toDF("doc_id", "text")
+  private val incoming = ((1 to 3).map { i =>
+    (100L + i, (1 to 40).map(j => s"c${i}_$j").mkString(" ")
+      .replaceFirst("_7 ", "_7x "))
+  } ++ (4 to 6).map { i =>
+    (100L + i, (1 to 40).map(j => s"n${i}_$j").mkString(" "))
+  }).toDF("doc_id", "text")
+
+  private def sigs(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhash(df, "text", shingleK = 3, numHashes = 32)
+      .select("doc_id", "minhash")
+
+  test("pruned probe == full-scan probe, pair for pair") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    val corpusSigs = sigs(corpus)
+    val buckets = Dedup.bandBuckets(corpusSigs, "doc_id", 16, 32,
+      as = "index_id")
+    BandIndex.write(buckets, root, "bucket", targetRowsPerFile = 64)
+    val inc = sigs(incoming)
+    val (pruned, stats) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    val full = Dedup.probeBandedIndex(spark.read.parquet(root), inc,
+      "doc_id", 16, 32)
+    val a = pruned.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = full.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b && a.nonEmpty, s"pruned=$a full=$b")
+    assert(stats.baseFiles == stats.totalFiles && stats.tailFiles == 0)
+  }
+
+  test("point lookup opens at most 2 base files; missing keys open 0") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    val buckets = Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,
+      as = "index_id")
+    BandIndex.write(buckets, root, "bucket", targetRowsPerFile = 64)
+    val some = spark.read.parquet(root).select("bucket")
+      .limit(5).collect().map(_.getLong(0))
+    some.foreach { k =>
+      val (df, st) = BandIndex.readForKeys(spark, root, Array(k), "bucket")
+      assert(st.selectedBase <= 2 && st.selectedBase >= 1,
+        s"point lookup of $k: $st")
+      assert(st.baseFiles > 2, "too few files for the test to mean anything")
+      assert(df.filter(col("bucket") === k).count() >= 1)
+    }
+    // a key between files' ranges (or outside them) selects nothing
+    val (_, none) = BandIndex.readForKeys(spark, root,
+      Array(Long.MaxValue), "bucket")
+    assert(none.selectedBase <= 1)
+  }
+
+  test("appended tail is always read; compact folds it into the base") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    val corpusSigs = sigs(corpus)
+    BandIndex.write(Dedup.bandBuckets(corpusSigs, "doc_id", 16, 32,
+      as = "index_id"), root, "bucket", targetRowsPerFile = 64)
+    // append an out-of-band near-dup of incoming doc 101 (id 900)
+    val nd = Seq((900L, (1 to 40).map(j => s"c1_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.bandBuckets(sigs(nd), "doc_id", 16, 32, as = "index_id")
+      .write.mode("append").parquet(root)
+    val inc = sigs(incoming)
+    val (pairs, st) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    assert(st.tailFiles > 0, "append produced no tail files")
+    assert(pairs.filter(col("index_id") === 900L).count() > 0,
+      "tail rows missed by the pruned probe")
+    val before = pairs.orderBy("new_id", "index_id").collect().toSeq
+    assert(BandIndex.compact(spark, root, "bucket",
+      targetRowsPerFile = 64, minTailFiles = 1))
+    val (after, st2) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    assert(st2.tailFiles == 0 && st2.baseFiles == st2.totalFiles)
+    assert(after.orderBy("new_id", "index_id").collect().toSeq == before,
+      "compaction changed probe results")
+    assert(!BandIndex.compact(spark, root, "bucket", minTailFiles = 1),
+      "compact of a tail-free index should no-op")
+  }
+
+  test("compact crash mid-swap: recover rolls forward or back, never loses the index") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    val buckets = Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,
+      as = "index_id")
+    BandIndex.write(buckets, root, "bucket", targetRowsPerFile = 64)
+    val want = spark.read.parquet(root).count()
+    // crash point A: live renamed aside, tmp complete — roll forward
+    val tmp = root + "__compacting"
+    spark.read.parquet(root).write.mode("overwrite").parquet(tmp)
+    assert(hfs.rename(hp(root), hp(root + "__old")))
+    BandIndex.recover(spark, root)
+    assert(spark.read.parquet(root).count() == want)
+    assert(!hfs.exists(hp(tmp)) && !hfs.exists(hp(root + "__old")))
+    // crash point B: live renamed aside, tmp has no _SUCCESS — roll back
+    hfs.mkdirs(hp(tmp))
+    assert(hfs.rename(hp(root), hp(root + "__old")))
+    BandIndex.recover(spark, root)
+    assert(spark.read.parquet(root).count() == want)
+    assert(!hfs.exists(hp(tmp)) && !hfs.exists(hp(root + "__old")))
+  }
+
+  test("streaming admission under continuous compaction: bounded files, admissions unchanged") {
+    // the st6 contract across N=24 micro-batches with an aggressive
+    // compaction trigger vs no compaction at all: identical admitted
+    // sets, and the compacted index's file count stays bounded while
+    // the uncompacted one grows linearly with batches
+    def run(root: String, minTail: Int): Seq[(Long, Long)] = {
+      StreamAdmit.seedIndex(sigs(corpus), "doc_id", s"$root/index", 16, 32,
+        targetRowsPerFile = 64)
+      (0 until 24).foreach { b =>
+        // batch b: one fresh doc + (every 3rd batch) a near-dup of a
+        // corpus doc that must be rejected
+        val fresh = Seq((1000L + b,
+          (1 to 40).map(j => s"f${b}_$j").mkString(" ")))
+        val rows = if (b % 3 == 0)
+          fresh :+ ((2000L + b,
+            (1 to 40).map(j => s"c${b % 40 + 1}_$j").mkString(" ")))
+          else fresh
+        StreamAdmit.admitBatch(rows.toDF("doc_id", "text"), "doc_id",
+          "text", s"$root/index", s"$root/admitted", b, 16, 32, 3, 0.5,
+          compactMinTailFiles = minTail)
+      }
+      spark.read.parquet(s"$root/admitted").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val rootA = Files.createTempDirectory("graft_bandidx").toString + "/a"
+    val rootB = Files.createTempDirectory("graft_bandidx").toString + "/b"
+    val compacted = run(rootA, minTail = 4)
+    val uncompacted = run(rootB, minTail = 1000000)
+    assert(compacted == uncompacted,
+      s"compaction changed admissions: $compacted vs $uncompacted")
+    assert(compacted.count(_._1 >= 2000L) == 0 &&
+      compacted.count(_._1 >= 1000L) == 24,
+      s"admission verdicts wrong: $compacted")
+    def files(r: String) = hfs.listStatus(hp(s"$r/index/buckets"))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    assert(files(rootA) < files(rootB) / 2,
+      s"compaction did not bound files: ${files(rootA)} vs ${files(rootB)}")
+  }
+}
