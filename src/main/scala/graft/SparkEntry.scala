@@ -582,21 +582,32 @@ object SparkEntry {
 
   /** x3's production shape, mirroring d12 for ANN: the IVF index is
     * BUILT once ([[Similarity.ivfAssignments]], written to parquet
-    * `partitionBy("cell")`) and each query batch probes the STORED
-    * index ([[Similarity.probeIvfIndex]]) — no re-clustering, no
-    * corpus re-scan; the probe's cell equi-join prunes to nprobe
-    * directories. Same frozen centroids as x3, so the same bit-exact
-    * inlined-centroid oracle applies; results are x3's by
-    * construction, reproduced through the parquet round-trip. */
+    * `partitionBy("cell")` under a path keyed by the source-content
+    * stamp, with the trained centroids persisted as a sidecar by
+    * [[Similarity.saveCentroids]]) and every later run probes the
+    * STORED index ([[Similarity.probeIvfIndex]]) — no re-training, no
+    * re-clustering, no corpus re-scan: the steady path reads the
+    * centroid sidecar plus the probed cell directories and nothing
+    * else, so a probe process needs no training data at all (the d11
+    * persistence contract applied to ANN). The sidecar is written
+    * LAST, so a crash mid-build leaves no sidecar and the next run
+    * rebuilds. Same frozen centroids either way (Double.toString
+    * round-trips bit-exactly), so the same inlined-centroid oracle
+    * applies; results are x3's by construction, reproduced through
+    * the parquet round-trip. */
   private def qAnnIvfStored(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").withColumn("embedding",
       col("embedding").cast("array<double>"))
-    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 16)
+    val root = s"/tmp/graft_x5_ivf_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${sourceStamp(s, dir, "embeddings")}"
+    val cents = Similarity.loadCentroids(s, root).getOrElse {
+      val trained = Similarity.trainCentroids(emb, "embedding", nlist = 16)
+      Similarity.ivfAssignments(emb, "vec_id", "embedding", trained)
+        .write.mode("overwrite").partitionBy("cell").parquet(root)
+      Similarity.saveCentroids(s, root, trained)
+      trained
+    }
     IvfOracle.storedCentroids = Some(cents)
-    val root = s"/tmp/graft_x5_ivf_index/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(root)
     Similarity.probeIvfIndex(s.read.parquet(root),
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5, cents)
       .select(col("query_id"), col("neighbor_id"),
@@ -694,9 +705,18 @@ object SparkEntry {
     val f = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val st = f.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$table.parquet"))
-    val h = st.map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
-      .sorted.mkString("|").hashCode
-    java.lang.Integer.toHexString(h)
+    val listing = st
+      .map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+      .sorted.mkString("|")
+    // 64-bit FNV-1a, not String.hashCode: a 32-bit stamp collides at
+    // ~2^16 distinct listings (birthday bound) and a collision silently
+    // serves a STALE index for regenerated data — the one failure mode
+    // the stamp exists to prevent
+    var h = 0xcbf29ce484222325L
+    listing.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    java.lang.Long.toHexString(h)
   }
 
   /** D11 incremental dedup — the STEADY-STATE production flow: the

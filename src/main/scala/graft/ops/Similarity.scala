@@ -120,6 +120,58 @@ object Similarity {
     kmeans(sample, nlist, iters, seed)
   }
 
+  /** `_`-prefixed so parquet readers of the index dir skip it. */
+  private[graft] val CentroidsFile = "_centroids.json"
+
+  /** Persist trained centroids NEXT TO their stored IVF index, so a
+    * probe process needs no training data at all: it loads the sidecar
+    * and probes the cell-partitioned parquet. Doubles are serialized
+    * via `Double.toString`, which round-trips bit-exactly through
+    * `Double.parseDouble` — probes reproduce build-time cell scores
+    * exactly. Commit is tmp+rename (a torn write is never visible);
+    * write this LAST when building an index, and gate the "index
+    * exists" check on it, so a crash mid-build rebuilds. */
+  def saveCentroids(ss: org.apache.spark.sql.SparkSession, indexRoot: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    centroids.foreach { c =>
+      val row = arr.addArray()
+      c.foreach(row.add)
+    }
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(arr)) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile)
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  /** The centroids persisted by [[saveCentroids]], or None if the
+    * sidecar is absent (index missing or mid-build crash → rebuild). */
+  def loadCentroids(ss: org.apache.spark.sql.SparkSession, indexRoot: String)
+      : Option[Array[Array[Double]]] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Some((0 until node.size()).map { i =>
+      val row = node.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,

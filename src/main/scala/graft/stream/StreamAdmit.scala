@@ -71,6 +71,87 @@ object StreamAdmit {
       s"$indexRoot/buckets", "bucket", targetRowsPerFile)
   }
 
+  /** The banding configuration an index was seeded with, persisted
+    * inside the index root ([[writeConfig]]) so probes derive their
+    * parameters from the INDEX instead of the caller having to
+    * re-supply a matching triple — a mismatched (bands, sigLen,
+    * shingleK) probe is never an error you can detect from results,
+    * it just silently misses near-dups. */
+  final case class IndexConfig(bands: Int, sigLen: Int, shingleK: Int)
+
+  /** `_`-prefixed so parquet readers of the index dirs skip it. */
+  private[graft] val ConfigFile = "_banding.json"
+
+  private def hfs(ss: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
+
+  private[graft] def writeConfig(ss: SparkSession, indexRoot: String,
+      cfg: IndexConfig): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("bands", cfg.bands)
+    node.put("sigLen", cfg.sigLen)
+    node.put("shingleK", cfg.shingleK)
+    val f = hfs(ss)
+    val tmp = new org.apache.hadoop.fs.Path(indexRoot, ConfigFile + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(indexRoot, ConfigFile)
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  /** The config persisted by [[seedIndexPlanned]] (or an explicit
+    * [[writeConfig]]); None for a pre-config index — callers then
+    * supply the triple themselves, the original [[admitBatch]] path. */
+  def loadConfig(ss: SparkSession, indexRoot: String): Option[IndexConfig] = {
+    val f = hfs(ss)
+    val p = new org.apache.hadoop.fs.Path(indexRoot, ConfigFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Some(IndexConfig(node.path("bands").asInt(), node.path("sigLen").asInt(),
+      node.path("shingleK").asInt()))
+  }
+
+  /** Seed an admission index with a SOLVED banding configuration
+    * instead of a hand-pinned one: [[Dedup.bandingPlan]] turns the
+    * corpus row count (plus the S-curve targets) into the smallest
+    * (bands × rowsPerBand) meeting the recall floor inside the
+    * false-candidate budget — the dial a 10⁹-doc deployment must
+    * derive, not guess (with fixed banding, unrelated-pair collisions
+    * grow linearly with corpus size; holding candidates-per-doc flat
+    * means widening rows-per-band ~log(G) as the corpus grows G×).
+    * Minhashes the corpus at the solved signature length, seeds the
+    * pruned-probe layout, and persists the config sidecar so
+    * [[admitBatchAuto]]/[[attachAuto]] probe with exactly the seeded
+    * parameters. Returns the plan (recall + expected false-candidate
+    * numbers included) for the caller's planning logs. */
+  def seedIndexPlanned(corpus: DataFrame, id: String, text: String,
+      indexRoot: String, targetSim: Double, shingleK: Int = 3,
+      backgroundSim: Double = 0.1, minRecall: Double = 0.9,
+      falseCandidateBudget: Double = 10.0,
+      targetRowsPerFile: Long = 1L << 22): Dedup.BandingPlan = {
+    val ss = corpus.sparkSession
+    val plan = Dedup.bandingPlan(corpus.count(), targetSim,
+      backgroundSim, minRecall, falseCandidateBudget)
+    val sigs = Dedup.minhash(
+        corpus.select(col(id).as("doc_id"), col(text).as("__text")),
+        "__text", shingleK, plan.sigLen)
+      .select("doc_id", "minhash")
+    seedIndex(sigs, "doc_id", indexRoot, plan.bands, plan.sigLen,
+      targetRowsPerFile)
+    writeConfig(ss, indexRoot, IndexConfig(plan.bands, plan.sigLen, shingleK))
+    plan
+  }
+
   /** Screen one batch against the stored index and append the
     * admissions — the foreachBatch body, public so a batch pipeline
     * (or a spec) can drive it without a stream. Returns the admitted
@@ -142,6 +223,22 @@ object StreamAdmit {
       minTailFiles = compactMinTailFiles)
   }
 
+  /** [[admitBatch]] with the banding triple read from the index's own
+    * config sidecar — the probe cannot drift from the seed. Requires
+    * an index seeded by [[seedIndexPlanned]] (or with an explicit
+    * [[writeConfig]]). */
+  def admitBatchAuto(batch: DataFrame, id: String, text: String,
+      indexRoot: String, admittedRoot: String, batchId: Long,
+      minEstJaccard: Double, compactMinTailFiles: Int = 16): Unit = {
+    val cfg = loadConfig(batch.sparkSession, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"$indexRoot has no $ConfigFile — seed with seedIndexPlanned, or " +
+          "call admitBatch with the explicit banding triple"))
+    admitBatch(batch, id, text, indexRoot, admittedRoot, batchId,
+      cfg.bands, cfg.sigLen, cfg.shingleK, minEstJaccard,
+      compactMinTailFiles)
+  }
+
   /** Wire a file-source document stream through [[admitBatch]]. */
   def start(spark: SparkSession, feedDir: String, schema:
       org.apache.spark.sql.types.StructType, id: String, text: String,
@@ -161,4 +258,21 @@ object StreamAdmit {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[start]] against a [[seedIndexPlanned]] index: the banding
+    * triple comes from the config sidecar, read once at wiring time
+    * (the seeded config is immutable for the index's lifetime). */
+  def startAuto(spark: SparkSession, feedDir: String, schema:
+      org.apache.spark.sql.types.StructType, id: String, text: String,
+      indexRoot: String, admittedRoot: String, checkpoint: String,
+      minEstJaccard: Double = 0.5,
+      maxFilesPerTrigger: Int = 1,
+      compactMinTailFiles: Int = 16): StreamingQuery = {
+    val cfg = loadConfig(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"$indexRoot has no $ConfigFile — seed with seedIndexPlanned"))
+    start(spark, feedDir, schema, id, text, indexRoot, admittedRoot,
+      checkpoint, cfg.bands, cfg.sigLen, cfg.shingleK, minEstJaccard,
+      maxFilesPerTrigger, compactMinTailFiles)
+  }
 }

@@ -154,4 +154,59 @@ class BandIndexSpec extends SparkSpec {
     assert(files(rootA) < files(rootB) / 2,
       s"compaction did not bound files: ${files(rootA)} vs ${files(rootB)}")
   }
+
+  test("seedIndexPlanned: solved banding holds candidates-per-doc ~flat across 10x corpus growth") {
+    // docs drawn from a shared 3-token-phrase pool, so unrelated pairs
+    // carry real background shingle similarity (the regime the
+    // S-curve dial exists for — disjoint-vocabulary docs never
+    // collide and any banding looks flat)
+    val phrases = (0 until 100).map(i => s"p${i}a p${i}b p${i}c")
+    def mkDocs(n: Int, seed: Int, idBase: Long) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i => (idBase + i,
+        Seq.fill(12)(phrases(rnd.nextInt(phrases.length))).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    val batch = mkDocs(20, seed = 999, idBase = 1000000L)
+    // candidates per batch doc against an index of n docs seeded with
+    // the given config (solved per-size, or deliberately pinned)
+    def candPerDoc(n: Int, root: String,
+        pin: Option[(Int, Int)]): Double = {
+      val corpus = mkDocs(n, seed = n, idBase = 0L)
+      pin match {
+        case Some((bands, sigLen)) =>
+          StreamAdmit.seedIndex(Dedup.minhash(corpus, "text", 3, sigLen)
+            .select("doc_id", "minhash"), "doc_id", s"$root/index",
+            bands, sigLen, targetRowsPerFile = 512)
+          StreamAdmit.writeConfig(spark, s"$root/index",
+            StreamAdmit.IndexConfig(bands, sigLen, 3))
+        case None =>
+          StreamAdmit.seedIndexPlanned(corpus, "doc_id", "text",
+            s"$root/index", targetSim = 0.8, shingleK = 3,
+            targetRowsPerFile = 512)
+      }
+      val cfg = StreamAdmit.loadConfig(spark, s"$root/index").get
+      val sigs = Dedup.minhash(batch, "text", cfg.shingleK, cfg.sigLen)
+        .select("doc_id", "minhash")
+      val (pairs, _) = BandIndex.probe(s"$root/index/buckets", sigs,
+        "doc_id", cfg.bands, cfg.sigLen)
+      pairs.count().toDouble / 20
+    }
+    val base = Files.createTempDirectory("graft_planned").toString
+    val small = candPerDoc(300, s"$base/s", pin = None)
+    val big = candPerDoc(3000, s"$base/b", pin = None)
+    // the small corpus's SOLVED config frozen onto the 10x corpus —
+    // what "pin once, grow the corpus" costs
+    val smallPlan = graft.ops.Dedup.bandingPlan(300L, targetSim = 0.8)
+    val pinned = candPerDoc(3000, s"$base/p",
+      pin = Some((smallPlan.bands, smallPlan.sigLen)))
+    info(s"solved small=$small big=$big; small-config-on-big=$pinned")
+    // solved configs: candidates-per-doc stays within the budget's
+    // ballpark at both sizes (flat); the frozen config pays ~linear
+    // growth on the same data
+    assert(big <= small * 3 + 3,
+      s"solved banding did not hold candidates flat: $small -> $big")
+    assert(pinned > big * 2,
+      s"pinned config should degrade vs solved at 10x: $pinned vs $big")
+  }
 }

@@ -77,6 +77,39 @@ class SimilaritySpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("centroid sidecar round-trips bit-exactly; probe needs no training data") {
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf_sidecar").toString + "/index"
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 12)
+    Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+    assert(Similarity.loadCentroids(spark, root).isEmpty,
+      "sidecar must be absent until saveCentroids commits (mid-build crash marker)")
+    Similarity.saveCentroids(spark, root, cents)
+    val loaded = Similarity.loadCentroids(spark, root).get
+    assert(loaded.length == cents.length &&
+      loaded.zip(cents).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y) } },
+      "sidecar doubles did not round-trip bit-exactly")
+    // the steady path: queries + sidecar + stored index, no corpus
+    val queries = emb.filter(col("vec_id") % 6 === 0)
+    val viaSidecar = Similarity.probeIvfIndex(spark.read.parquet(root),
+        queries, "vec_id", "embedding", 5, loaded, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSeq
+    val viaTrained = Similarity.probeIvfIndex(spark.read.parquet(root),
+        queries, "vec_id", "embedding", 5, cents, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSeq
+    assert(viaSidecar == viaTrained && viaSidecar.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(root).getParentFile)
+  }
+
   test("quantized top-k with exact rerank recovers brute-force top-k") {
     val queries = emb.filter(col("vec_id") % 6 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
