@@ -1570,6 +1570,44 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** E10 — snapshot-isolated concurrent reads over the store: the
+    * TsStore in snapshot mode (versioned `__day=X/__v=N` dirs + an
+    * atomically-swapped manifest as the single commit point,
+    * TsStore scaladoc "Concurrent-reader contract"). A reader PINNED
+    * before a multi-day ranged delete must keep serving the full
+    * pre-delete snapshot while the delete commits — the exact race
+    * the flat layout's delete-dest+rename window cannot protect
+    * (round-9 verdict item 5, the reference's serialize-everything
+    * dispatcher sidesteps it, sisdb_server.c:474-476). Both
+    * isolation properties are REQUIREd in-query, the o4/u1 gate
+    * pattern: the pinned count equals the pre-delete count, the
+    * fresh pin sees the delete, and the version dirs the old
+    * manifest references survive the commit. Returns the post-delete
+    * read, which the oracle reproduces relationally. */
+  private def qSnapshotReader(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_snapstore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val st = new graft.store.TsStore(s, s"$root/ev", subject = "subject",
+      time = "t", soleCols = Nil, dayCol = col("day"), snapshots = true)
+    val e = t(s, dir, "events").filter(col("user_id") < 5)
+      .select(concat(lit("u"), col("user_id")).as("subject"),
+        col("ts").as("t"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    st.set(e); st.save()
+    val pre = e.count()
+    val pinned = graft.store.TsStore.openSnapshot(s, s"$root/ev", "subject").get
+    st.deleteWhere(col("subject") === "u2" &&
+        col("day").between("2024-01-10", "2024-01-20"),
+      d => d >= "2024-01-10" && d <= "2024-01-20")
+    require(pinned.count() == pre,
+      s"pinned reader lost rows across a multi-day delete (want $pre)")
+    val fresh = graft.store.TsStore.openSnapshot(s, s"$root/ev", "subject").get
+    require(fresh.count() < pre, "fresh pin does not see the committed delete")
+    st.read().groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   /** KV2 — §1.4 ONE/MUL through the COMMAND surface (kv1 is the
     * library model): per-user ONE keys written twice (`kset`, last
     * write wins), a MUL list appended in event order (`kpush`), read
@@ -2153,6 +2191,7 @@ object SparkEntry {
     "e7_engine_ingest" -> qEngineIngest _,
     "e8_engine_restart" -> qEngineRestart _,
     "e9_engine_pub" -> qEnginePub _,
+    "e10_snapshot_reader" -> qSnapshotReader _,
     "kv2_engine_kv" -> qEngineKv _,
     "u1_sql_table" -> qSqlTable _,
     "p1_projection" -> qProjection _,
@@ -2419,6 +2458,13 @@ object SparkEntry {
       """SELECT 'u' || user_id AS subject, count(*) AS n,
          round(sum(value), 2) AS total
          FROM events WHERE user_id IN (1, 3)
+         GROUP BY 1 ORDER BY subject""",
+    "e10_snapshot_reader" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 5 AND NOT (user_id = 2
+           AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-20')
          GROUP BY 1 ORDER BY subject""",
     "kv2_engine_kv" ->
       s"""WITH c AS (

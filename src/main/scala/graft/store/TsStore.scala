@@ -48,12 +48,22 @@ import org.apache.spark.storage.StorageLevel
   * and the single-process engine serializes through `synchronized`
   * the same way. Deployments that add OUT-OF-PROCESS readers (e.g.
   * external SQL engines over the same parquet paths) and cannot
-  * tolerate a transiently missing day during a swap should version
-  * the partitions instead: write `__day=X/__v=N` dirs plus a
-  * manifest the writer commits last and readers pin — the standard
-  * snapshot-isolation upgrade this layout leaves room for. Renames
-  * are assumed atomic (HDFS/posix); object stores need a
-  * manifest-committer deployment regardless.
+  * tolerate a transiently missing day during a swap get SNAPSHOT
+  * MODE (`snapshots = true`): cold commits write versioned
+  * `__day=X/__v=N` dirs and the single commit point is an atomic
+  * rename-over of the `__snapshot.json` manifest (day → version).
+  * Nothing a committed manifest references is ever deleted by a
+  * later commit — a reader that pinned a manifest ([[TsStore
+  * .openSnapshot]]) reads immutable dirs for as long as it runs, a
+  * multi-day delete/save/pack is all-or-nothing (readers see the old
+  * snapshot in full until the manifest swaps, the new one in full
+  * after), and a writer crash before the manifest commit is a no-op
+  * (orphan version dirs are inert). Superseded versions are garbage-
+  * collected by [[vacuum]], which the operator schedules with a
+  * grace ≥ the longest reader runtime — the same retention contract
+  * Iceberg/Delta expire-snapshots carry. Renames are assumed atomic
+  * (HDFS/posix); object stores need a manifest-committer deployment
+  * regardless.
   */
 final class TsStore(
     val spark: SparkSession,
@@ -64,7 +74,8 @@ final class TsStore(
     val dayCol: org.apache.spark.sql.Column,
     val schema: Option[org.apache.spark.sql.types.StructType] = None,
     val maxHotRows: Long = 4L << 20,
-    val maxHotBatches: Int = 64) {
+    val maxHotBatches: Int = 64,
+    val snapshots: Boolean = false) {
 
   private var hotFrames: Vector[DataFrame] = Vector.empty
   // the PERSISTED originals behind hotFrames: deleteWhere/dropSubject
@@ -112,7 +123,8 @@ final class TsStore(
   // java.io.File probe is always-false on hdfs://-style schemes, which
   // would make save() silently overwrite cold data on a real cluster.
   private def coldExists: Boolean =
-    dayDirs(new org.apache.hadoop.fs.Path(path)).nonEmpty
+    if (snapshots) loadSnapshot().days.nonEmpty
+    else dayDirs(new org.apache.hadoop.fs.Path(path)).nonEmpty
 
   // ── persisted store metadata (sidecar JSON next to the parquet root):
   // the ingest-sequence watermark and the live tombstones. Persisted on
@@ -159,6 +171,139 @@ final class TsStore(
       .rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ── snapshot mode: versioned day dirs + a manifest as the single
+  // commit point. The tmp-write halves of save/deleteWhere/pack are
+  // shared with the default mode; only the COMMIT differs — instead
+  // of delete-dest + rename over the live day dirs, each produced day
+  // renames into `__day=X/__v=(v+1)` and the new manifest swaps in by
+  // atomic rename-over. Old versions are never touched by a commit,
+  // so pinned readers stay whole; a crash before the manifest swap
+  // changes nothing a reader can see.
+
+  private def snapFile =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snapshot.json")
+
+  private def loadSnapshot(): TsStore.Snapshot =
+    TsStore.readSnapshot(fs, snapFile)
+
+  private def commitSnapshot(s: TsStore.Snapshot): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("v", s.v)
+    val d = root.putObject("days")
+    s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapshot.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(snapFile.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, snapFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Rename a commit's produced day dirs from `tmp` into their
+    * `__day=X/__v=targetV` slots. Idempotent from any crash point: a
+    * day already renamed out of the tmp is skipped (its dest is in
+    * place); re-running the whole commit re-derives the same
+    * `targetV` because the manifest — which bumps `v` — only swaps in
+    * afterwards. */
+  private def placeVersions(tmp: org.apache.hadoop.fs.Path,
+      days: Seq[String], targetV: Long): Unit = {
+    val f = fs
+    days.foreach { name =>
+      val src = new org.apache.hadoop.fs.Path(tmp, name)
+      if (f.exists(src)) {
+        val dayDir = new org.apache.hadoop.fs.Path(path, name)
+        f.mkdirs(dayDir)
+        val dest = new org.apache.hadoop.fs.Path(dayDir, s"__v=$targetV")
+        f.delete(dest, true) // partial rename from an interrupted redo
+        if (!f.rename(src, dest))
+          throw new java.io.IOException(s"snapshot commit: could not place $dest")
+      }
+    }
+  }
+
+  /** Commit a save tmp as a snapshot: produced days advance to v+1,
+    * untouched days keep their versions. The commit instruction is
+    * the tmp's [[TsStore.CommitManifest]] (written after the job's
+    * `_SUCCESS`), so recovery knows the FULL day list even after a
+    * crash mid-rename emptied part of the tmp. */
+  private def commitSavingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
+    val days = TsStore.readCommitDays(fs,
+      new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
+    val snap = loadSnapshot()
+    val targetV = snap.v + 1
+    placeVersions(tmp, days, targetV)
+    commitSnapshot(TsStore.Snapshot(targetV,
+      snap.days ++ days.map(_ -> targetV)))
+  }
+
+  /** Commit a delete tmp as a snapshot: `replaced` days advance to
+    * v+1, `removed` days leave the manifest (their old version dirs
+    * linger for pinned readers until [[vacuum]]). */
+  private def commitDeletingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
+    val (replaced, removed) = TsStore.readAffected(fs,
+      new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest))
+    val snap = loadSnapshot()
+    val targetV = snap.v + 1
+    placeVersions(tmp, replaced, targetV)
+    commitSnapshot(TsStore.Snapshot(targetV,
+      snap.days ++ replaced.map(_ -> targetV) -- removed))
+  }
+
+  /** Commit a pack tmp as a snapshot: the manifest becomes EXACTLY the
+    * produced days (a day whose rows were all tombstoned vanishes). */
+  private def commitPackedSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
+    val days = TsStore.readCommitDays(fs,
+      new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
+    val snap = loadSnapshot()
+    val targetV = snap.v + 1
+    placeVersions(tmp, days, targetV)
+    commitSnapshot(TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap))
+  }
+
+  /** Version subdirs of one day dir, (name, version) sorted by version. */
+  private def verDirs(dayDir: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val f = fs
+    if (!f.exists(dayDir)) Seq.empty
+    else f.listStatus(dayDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
+      .map(s => s.getPath.getName ->
+        s.getPath.getName.stripPrefix("__v=").toLong)
+      .toSeq.sortBy(_._2)
+  }
+
+  /** Garbage-collect version dirs no committed manifest needs: per
+    * day, the referenced version survives plus the `keepSuperseded`
+    * most recent below it (a grace window for readers pinned to
+    * recent manifests); days absent from the manifest keep only the
+    * `keepSuperseded` newest. Run it on the writer's cadence with a
+    * grace ≥ the longest reader runtime — the vacuum side of the
+    * snapshot contract. No-op outside snapshot mode. */
+  def vacuum(keepSuperseded: Int = 1): Unit = synchronized {
+    if (!snapshots) return
+    val f = fs
+    val snap = loadSnapshot()
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return
+    f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+      .foreach { s =>
+        val name = s.getPath.getName
+        val vers = verDirs(s.getPath)
+        val keep: Set[Long] = snap.days.get(name) match {
+          case Some(ref) =>
+            val older = vers.map(_._2).filter(_ < ref)
+            (older.takeRight(keepSuperseded) :+ ref).toSet
+          case None => vers.map(_._2).takeRight(keepSuperseded).toSet
+        }
+        vers.filterNot(v => keep.contains(v._2)).foreach { case (vn, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(s.getPath, vn), true)
+        }
+        if (verDirs(s.getPath).isEmpty) f.delete(s.getPath, true)
+      }
+  }
+
   // ── crash recovery: every cold rewrite commits through an on-disk
   // marker (`__saving`/`__deleting` per-day tmp dirs, `__packed` +
   // `__old` for pack's whole-store swap — the reference's safe-dir
@@ -167,7 +312,43 @@ final class TsStore(
   // with leftover markers finishes or rolls back the interrupted swap
   // BEFORE serving any read, so a crash can never silently lose the
   // only copy of the cold data.
-  private def recoverSwaps(): Unit = {
+  //
+  // Snapshot mode has no swaps to unwind — the manifest either
+  // committed (the change is fully visible) or didn't (invisible).
+  // Recovery there only finishes an acknowledged commit whose renames
+  // were interrupted: a tmp with BOTH `_SUCCESS` and its commit
+  // manifest re-runs the idempotent versioned commit; anything less
+  // is discarded, live snapshot untouched.
+  private def recoverSnapshotSwaps(): Unit = {
+    val f = fs
+    def marker(suffix: String) =
+      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + suffix)
+    def complete(tmp: org.apache.hadoop.fs.Path, manifest: String): Boolean =
+      f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+        f.exists(new org.apache.hadoop.fs.Path(tmp, manifest))
+    val saving = marker("__saving")
+    if (f.exists(saving)) {
+      if (complete(saving, TsStore.CommitManifest)) commitSavingSnapshot(saving)
+      f.delete(saving, true)
+    }
+    val deleting = marker("__deleting")
+    if (f.exists(deleting)) {
+      if (complete(deleting, TsStore.AffectedManifest))
+        commitDeletingSnapshot(deleting)
+      f.delete(deleting, true)
+    }
+    val packed = marker("__packed")
+    if (f.exists(packed)) {
+      if (complete(packed, TsStore.CommitManifest)) commitPackedSnapshot(packed)
+      f.delete(packed, true)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapshot.json.tmp"), false)
+    f.delete(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__meta.json.tmp"), false)
+  }
+
+  private def recoverSwaps(): Unit = if (snapshots) recoverSnapshotSwaps() else {
     val f = fs
     val p = new org.apache.hadoop.fs.Path(path)
     val oldP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
@@ -298,7 +479,17 @@ final class TsStore(
   def hotSize: Long = synchronized(hotRows)
 
   def cold: Option[DataFrame] =
-    if (coldExists) Some(spark.read.parquet(path)) else None
+    if (snapshots) {
+      // resolve the manifest ONCE; the returned frame reads immutable
+      // version dirs (basePath recovers __day as a partition column,
+      // so day pruning fires exactly as in the flat layout)
+      val snap = loadSnapshot()
+      if (snap.days.isEmpty) None
+      else Some(spark.read.option("basePath", path)
+        .parquet(snap.days.toSeq.sortBy(_._1).map { case (d, v) =>
+          s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
+        .drop("__v"))
+    } else if (coldExists) Some(spark.read.parquet(path)) else None
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
     * at read/save time via the ingest sequence). The batch is persisted
@@ -428,7 +619,16 @@ final class TsStore(
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       require(dayDirs.length == dirtyDays.length,
         s"save produced ${dayDirs.length} day dirs for ${dirtyDays.length} dirty days")
-      dayDirs.foreach { s =>
+      if (snapshots) {
+        // the commit manifest (day list) makes the tmp a complete,
+        // idempotently-replayable commit instruction; written AFTER
+        // the job's _SUCCESS, and recovery requires both
+        TsStore.writeCommitDays(f,
+          new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tmp),
+            TsStore.CommitManifest),
+          dayDirs.map(_.getPath.getName).toSeq)
+        commitSavingSnapshot(new org.apache.hadoop.fs.Path(tmp))
+      } else dayDirs.foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
         f.delete(dest, true)
         if (!f.rename(s.getPath, dest))
@@ -456,7 +656,11 @@ final class TsStore(
     hotFrames = hotFrames.map(_.filter(!defMatch))
     if (coldExists) {
       val f = fs
-      val byName = dayDirs(new org.apache.hadoop.fs.Path(path))
+      val byName =
+        if (snapshots) loadSnapshot().days.keys.toSeq.sorted.map(name =>
+          name -> java.net.URLDecoder.decode(
+            name.stripPrefix("__day="), "UTF-8"))
+        else dayDirs(new org.apache.hadoop.fs.Path(path))
       val affected = byName.filter { case (_, v) => affectsDay(v) }
       if (affected.nonEmpty) {
         val affectedDays = affected.map(_._2)
@@ -494,7 +698,8 @@ final class TsStore(
         val mout = f.create(
           new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest), true)
         try mout.write(m.writeValueAsBytes(mroot)) finally mout.close()
-        commitDeleting(new org.apache.hadoop.fs.Path(tmp))
+        if (snapshots) commitDeletingSnapshot(new org.apache.hadoop.fs.Path(tmp))
+        else commitDeleting(new org.apache.hadoop.fs.Path(tmp))
         f.delete(new org.apache.hadoop.fs.Path(tmp), true)
         val removed = affected.collect {
           case (name, v) if !produced.contains(name) => v
@@ -529,6 +734,7 @@ final class TsStore(
     * sisdb_fmap_write.c:135-146). O(store) by design. */
   def pack(targetFiles: Int): Unit = synchronized {
     if (!coldExists) return // nothing flushed yet — benign, like save
+    if (snapshots) { packSnapshot(targetFiles); return }
     if (tombstones.isEmpty) {
       Write.pack(spark, path, Seq("__day"), targetFiles)
       onColdChange(TsStore.Compacted)
@@ -562,6 +768,36 @@ final class TsStore(
       onColdChange(TsStore.Rewritten)
     }
   }
+
+  /** Snapshot-mode pack: the full rewrite (compaction + tombstone
+    * materialization) lands as one new manifest generation — pinned
+    * readers keep the pre-pack versions until [[vacuum]]. Leftover
+    * tombstones after a crash between the manifest commit and the
+    * meta rewrite are harmless: they re-filter rows the pack already
+    * removed (and the next pack clears them). */
+  private def packSnapshot(targetFiles: Int): Unit = cold.foreach { c =>
+    // durable watermark BEFORE the tmp write — the rewrite stamps rows
+    // with the current sequence and the tmp becomes replayable the
+    // moment its commit manifest lands (see save)
+    persistMeta()
+    val tmp = path.stripSuffix("/") + "__packed"
+    tombFiltered(c).withColumn("__seq", lit(seq))
+      .repartition(targetFiles, col("__day"))
+      .sortWithinPartitions(col(subject), col(time))
+      .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+    val f = fs
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val produced = f.listStatus(tmpP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+      .map(_.getPath.getName).toSeq
+    TsStore.writeCommitDays(f,
+      new org.apache.hadoop.fs.Path(tmpP, TsStore.CommitManifest), produced)
+    commitPackedSnapshot(tmpP)
+    f.delete(tmpP, true)
+    tombstones = Map.empty
+    persistMeta()
+    onColdChange(TsStore.Rewritten)
+  }
 }
 
 object TsStore {
@@ -569,6 +805,115 @@ object TsStore {
     * [[TsStore.deleteWhere]] / swap recovery): which affected days the
     * tmp REPLACES and which the delete EMPTIED. */
   private[store] val AffectedManifest = "__affected.json"
+
+  /** Snapshot mode: the save/pack tmp's day list — with it, the tmp is
+    * a complete commit instruction replayable from any crash point. */
+  private[store] val CommitManifest = "__commit.json"
+
+  /** A committed snapshot: generation counter + (escaped day dir name
+    * → version). Immutable; the manifest file swaps atomically. */
+  private[store] final case class Snapshot(v: Long, days: Map[String, Long])
+
+  private def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private[store] def readSnapshot(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Snapshot = {
+    if (!f.exists(p)) return Snapshot(0L, Map.empty)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readJsonBytes(f, p))
+    import scala.jdk.CollectionConverters._
+    Snapshot(node.path("v").asLong(0L),
+      node.path("days").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+
+  private[store] def writeCommitDays(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, days: Seq[String]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("days")
+    days.sorted.foreach(arr.add)
+    val out = f.create(p, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+  }
+
+  private[store] def readCommitDays(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readJsonBytes(f, p))
+    (0 until node.path("days").size()).map(node.path("days").get(_).asText())
+  }
+
+  private[store] def readAffected(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Seq[String], Seq[String]) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readJsonBytes(f, p))
+    def names(k: String): Seq[String] =
+      (0 until node.path(k).size()).map(node.path(k).get(_).asText())
+    (names("replaced"), names("removed"))
+  }
+
+  /** The OUT-OF-PROCESS reader for a snapshot-mode store: pin the
+    * current manifest and return the cold view as of that instant —
+    * every referenced dir is immutable, so the frame stays whole
+    * through any number of concurrent saves/deletes/packs (until a
+    * [[TsStore.vacuum]] whose grace the deployment sets longer than
+    * this reader runs). Tombstones are read from the meta sidecar
+    * BEFORE the manifest: a tombstone recorded after the pinned
+    * snapshot only ever kills rows whose re-created successors carry
+    * higher sequences, so the older-tombstones/newer-manifest order
+    * can never hide legitimately re-created data. None = store empty
+    * (or not in snapshot mode). Hot (unflushed) rows are process-
+    * private by design — this is the cold contract, same as any
+    * external engine reading the parquet. */
+  def openSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = readSnapshot(f, new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapshot.json"))
+    if (snap.days.isEmpty) return None
+    // tombstones are a (subject, sequence) predicate and the manifest
+    // does not record the subject column name — this raw variant
+    // returns all physical rows; use the `subject` overload to apply
+    // live tombstones exactly as the owning store's reads do
+    Some(spark.read.option("basePath", path)
+      .parquet(snap.days.toSeq.sortBy(_._1).map { case (d, v) =>
+        s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
+      .drop("__v"))
+  }
+
+  /** [[openSnapshot]] with the store's subject column, applying live
+    * tombstones exactly as the owning store's reads do. */
+  def openSnapshot(spark: SparkSession, path: String, subject: String)
+      : Option[DataFrame] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__meta.json")
+    val tombstones: Map[String, Long] =
+      if (!f.exists(meta)) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readJsonBytes(f, meta))
+        import scala.jdk.CollectionConverters._
+        node.path("tombstones").properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
+      }
+    openSnapshot(spark, path).map { df =>
+      tombstones.map { case (s, g) =>
+        col(subject) === lit(s) && col("__seq") <= lit(g)
+      }.reduceOption(_ || _)
+        .fold(df)(dead => df.filter(!dead))
+    }
+  }
 
   /** What a cold rewrite did — the contract behind [[TsStore.onColdChange]]. */
   sealed trait ColdChange

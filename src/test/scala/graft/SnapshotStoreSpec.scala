@@ -1,0 +1,185 @@
+package graft
+
+import graft.store.TsStore
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Snapshot-mode TsStore: versioned day dirs + manifest commit point.
+  * The contract under test is the one the flat layout cannot give:
+  * a reader pinned to a committed manifest sees that snapshot IN FULL
+  * for as long as it runs — through multi-day deletes, saves, packs —
+  * because commits only ADD version dirs and swap the manifest;
+  * a writer crash before the manifest swap changes nothing visible;
+  * vacuum (and only vacuum) reclaims superseded versions. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore(path: String) =
+    new TsStore(spark, path, subject = "code", time = "t",
+      soleCols = Nil, dayCol = col("day"), snapshots = true)
+
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def rows3days = Seq(
+    ("A", 1L, 10.0, "d1"), ("B", 2L, 20.0, "d1"),
+    ("A", 3L, 30.0, "d2"), ("B", 4L, 40.0, "d2"),
+    ("A", 5L, 50.0, "d3"), ("B", 6L, 60.0, "d3"))
+    .toDF("code", "t", "v", "day")
+
+  test("snapshot round-trip: save versions days, reads equal flat mode, upsert wins") {
+    val base = Files.createTempDirectory("graft_snap").toString
+    val snap = mkStore(s"$base/snap")
+    val flat = new TsStore(spark, s"$base/flat", subject = "code",
+      time = "t", soleCols = Nil, dayCol = col("day"))
+    for (st <- Seq(snap, flat)) { st.set(rows3days); st.save() }
+    // second-generation write: replace one row, add one
+    val more = Seq(("A", 1L, 11.0, "d1"), ("C", 7L, 70.0, "d1"))
+      .toDF("code", "t", "v", "day")
+    for (st <- Seq(snap, flat)) { st.set(more); st.save() }
+    def dump(st: TsStore) = st.read().orderBy("code", "t")
+      .select("code", "t", "v", "day").collect().toSeq
+    assert(dump(snap) == dump(flat) && dump(snap).length == 7)
+    // layout: d1 has two versions (both generations), d2/d3 one
+    assert(hfs.exists(hp(s"$base/snap/__day=d1/__v=1")) &&
+      hfs.exists(hp(s"$base/snap/__day=d1/__v=2")))
+    assert(hfs.exists(hp(s"$base/snap/__day=d2/__v=1")) &&
+      !hfs.exists(hp(s"$base/snap/__day=d2/__v=2")))
+    // day-pruned read still hits PartitionFilters through basePath
+    val pruned = snap.read(day = Some("d2"))
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__day"),
+      s"no pruning in:\n$plan")
+  }
+
+  test("pinned reader survives a multi-day delete (rewritten + emptied days)") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()
+    val pinned = TsStore.openSnapshot(spark, root, "code").get
+    // delete everything in d3 and half of d2 — multi-day, one emptied
+    st.deleteWhere(col("t") >= 4L, d => d == "d2" || d == "d3")
+    // the pinned frame still serves the FULL pre-delete snapshot
+    assert(pinned.count() == 6,
+      "pinned reader lost rows during a multi-day delete")
+    // a fresh pin (and the owning store) see the delete atomically
+    val fresh = TsStore.openSnapshot(spark, root, "code").get
+    assert(fresh.count() == 3 && st.read().count() == 3)
+    // nothing the old manifest referenced was deleted by the commit
+    assert(hfs.exists(hp(s"$root/__day=d3/__v=1")),
+      "commit deleted a version dir a pinned reader may hold")
+  }
+
+  test("pinned reader survives pack with tombstone materialization") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()
+    val pinned = TsStore.openSnapshot(spark, root, "code").get
+    st.dropSubject("A")
+    st.pack(targetFiles = 1)
+    assert(pinned.count() == 6, "pinned reader lost rows during pack")
+    val fresh = TsStore.openSnapshot(spark, root, "code").get
+    assert(fresh.count() == 3 &&
+      fresh.filter(col("code") === "A").count() == 0)
+    assert(st.read().count() == 3)
+    // the raw (no-subject) pin of the PRE-pack snapshot still had A;
+    // post-pack snapshots exclude it physically
+    assert(TsStore.openSnapshot(spark, root).get.count() == 3)
+  }
+
+  test("crash before manifest swap is invisible; acknowledged commit recovers") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save()
+    assert(st.read().count() == 2)
+    // fabricate a save tmp for day d9 that crashed AFTER the parquet
+    // job (_SUCCESS) but BEFORE the commit manifest was written —
+    // recovery must discard it (the save was never acknowledgeable)
+    def writeTmp(): Unit =
+      Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day")
+        .withColumn("__day", col("day")).withColumn("__seq", lit(99L))
+        .write.mode("overwrite").partitionBy("__day")
+        .parquet(root + "__saving")
+    writeTmp()
+    val reopened = mkStore(root)
+    assert(reopened.read().count() == 2 &&
+      !hfs.exists(hp(root + "__saving")),
+      "unacknowledged save tmp was not discarded")
+    // now the same crash WITH the commit manifest (written after
+    // _SUCCESS) — acknowledged: recovery must finish the commit
+    writeTmp()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"days":["__day=d9"]}""".getBytes("UTF-8"))
+    val recovered = mkStore(root)
+    assert(recovered.read().count() == 3 &&
+      recovered.read().filter(col("code") === "C").count() == 1,
+      "acknowledged save tmp was not rolled forward")
+    assert(!hfs.exists(hp(root + "__saving")))
+  }
+
+  test("crash mid-commit (one day placed, manifest not swapped) redoes idempotently") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save() // v=1
+    // fabricate a two-day acknowledged save tmp...
+    Seq(("C", 9L, 90.0, "d8"), ("D", 9L, 91.0, "d9"))
+      .toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(99L))
+      .write.mode("overwrite").partitionBy("__day")
+      .parquet(root + "__saving")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"days":["__day=d8","__day=d9"]}""".getBytes("UTF-8"))
+    // ...whose commit crashed after placing ONE of the two days
+    hfs.mkdirs(hp(s"$root/__day=d8"))
+    assert(hfs.rename(hp(root + "__saving/__day=d8"),
+      hp(s"$root/__day=d8/__v=2")))
+    val recovered = mkStore(root)
+    val got = recovered.read().orderBy("code")
+      .select("code").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A", "B", "C", "D"),
+      s"mid-commit redo lost or duplicated days: $got")
+  }
+
+  test("vacuum reclaims superseded and unreferenced versions; reads unchanged") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // v=1 for d1-d3
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // d1 at v=2
+    st.deleteWhere(col("t") >= 5L, _ == "d3") // d3 leaves the manifest
+    val before = st.read().orderBy("code", "t")
+      .select("code", "t", "v").collect().toSeq
+    st.vacuum(keepSuperseded = 0)
+    assert(!hfs.exists(hp(s"$root/__day=d1/__v=1")), "superseded version kept")
+    assert(hfs.exists(hp(s"$root/__day=d1/__v=2")))
+    assert(!hfs.exists(hp(s"$root/__day=d3")), "unreferenced day kept")
+    val after = st.read().orderBy("code", "t")
+      .select("code", "t", "v").collect().toSeq
+    assert(after == before, "vacuum changed read results")
+    // grace: keepSuperseded=1 keeps one superseded generation around
+    st.set(Seq(("A", 1L, 12.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // d1 at v=4 (delete bumped the generation to 3)
+    st.vacuum(keepSuperseded = 1)
+    assert(hfs.exists(hp(s"$root/__day=d1/__v=2")) &&
+      hfs.exists(hp(s"$root/__day=d1/__v=4")))
+  }
+
+  test("restart: snapshot store reloads manifest, watermark, tombstones") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()
+    st.dropSubject("B")
+    val re = mkStore(root)
+    assert(re.read().count() == 3 &&
+      re.read().filter(col("code") === "B").count() == 0,
+      "tombstone lost across restart")
+    // re-created subject outranks the old tombstone after restart
+    re.set(Seq(("B", 9L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    re.save()
+    assert(re.read().filter(col("code") === "B").count() == 1)
+  }
+}
