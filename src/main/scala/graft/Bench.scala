@@ -31,27 +31,55 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // a failed query records the sentinel -1, NOT its time-to-failure —
     // otherwise a regression that breaks a query reads as a speedup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def timeQueries(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // throttle-hardening, opt-in via SPARK_GRAFT_RUNS=N: host CPU-steal
+    // windows last minutes and hit different queries in different runs
+    // (round 9: one-shot totals 4.5× apart on identical code). The
+    // compute is deterministic, so per-query MIN over N full passes is
+    // the least-throttled sample; the median records the session's
+    // noise level. Pass 1 is the honest one-shot (cold catalog); later
+    // passes start from cleared caches but a warm catalog.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt)
+    val passes = (1 to runs).map { i =>
+      if (i > 1) { spark.sharedState.cacheManager.clearCache(); System.gc() }
+      timeQueries()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def agg(pick: Seq[Double] => Double): Seq[(String, Double)] =
+      passes.head.map(_._1).map { name =>
+        val ok = passes.map(_.toMap.apply(name)).filter(_ >= 0)
+        name -> (if (ok.isEmpty) -1.0 else pick(ok))
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val results = agg(_.min)
+    def jmap(rs: Seq[(String, Double)]): String = rs
+      .map { case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the stdout tail the driver captures can truncate mid-JSON on a
-    // large inventory — persist the full sorted vector as a file too
+    // large inventory — persist the full sorted vector as a file too,
+    // with the median vector and run count so a reader can tell a
+    // committed min-of-N from a single noisy sample
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_QUERIES.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      line.stripSuffix("}") +
+        s""","runs":$runs,"median":${jmap(agg(median))}}""" + "\n")
     // …and a SECOND, steady-state pass: the one-shot vector keeps
     // producing false regressions from first-run planning/catalog
     // state (t5/t6 in round 7, o2/st1 in round 3 — each re-adjudicated
@@ -69,8 +97,9 @@ object Bench {
       // than noise, and skipping the tail keeps the driver's bench
       // wall bounded (it enters this vector the round it grows)
       val oneShot = results.toMap
-      val steady = SparkEntry.queries.toSeq.sortBy(_._1)
+      val steadyNames = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => oneShot.getOrElse(name, 0.0) >= 0.5 }
+      def timeSteady(): Seq[(String, Double)] = steadyNames
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
@@ -78,12 +107,20 @@ object Bench {
             catch { case _: Throwable => false }
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         }
-      val sqs = steady.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+      // min-of-N here too — the steady vector arbitrates throttle, so
+      // it must not itself be a single throttle sample
+      val spasses = (1 to runs).map { i =>
+        if (i > 1) { spark.sharedState.cacheManager.clearCache(); System.gc() }
+        timeSteady()
+      }
+      val steady = steadyNames.map(_._1).map { name =>
+        val ok = spasses.map(_.toMap.apply(name)).filter(_ >= 0)
+        name -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
       val stotal = steady.map(_._2).filter(_ >= 0).sum
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_STEADY.json"),
-        s"""{"metric":"steady_total","value":$stotal,"unit":"sec","queries":$sqs,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"steady_total","value":$stotal,"unit":"sec","queries":${jmap(steady)},"runs":$runs,"sf":"$sfDir"}""" + "\n")
     }
     spark.stop()
   }
