@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Dedup
+import graft.ops.{BandIndex, Dedup}
 import graft.store.TsStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -64,8 +64,9 @@ object IncScale {
       // the stored narrow table — no signature recompute, no
       // re-banding. The per-batch wall must stay flat in G.
       val store = s"/tmp/graft_incscale_idx/g$g"
-      Dedup.bandBuckets(indexSigs, "doc_id", bands = 16, sigLen = 32,
-          as = "index_id")
+      val indexBuckets = Dedup.bandBuckets(indexSigs, "doc_id",
+        bands = 16, sigLen = 32, as = "index_id")
+      indexBuckets
         .repartition(col("band")).sortWithinPartitions("band", "bucket")
         .write.mode("overwrite").parquet(store)
       val t1 = System.nanoTime()
@@ -73,9 +74,38 @@ object IncScale {
         spark.read.parquet(store), newSigs, "doc_id",
         bands = 16, sigLen = 32).count()
       val storedWall = (System.nanoTime() - t1) / 1e9
+      // round-10 pruned layout (BandIndex): the SAME index stored
+      // range-partitioned by bucket with the per-file (min,max)
+      // manifest, probed by a fixed TRICKLE batch — the streaming-
+      // admission shape where pruning must pay off. Bucket hashes are
+      // uniform, so a pruned probe's cost is capped by the batch's key
+      // count (16 bands × 4 docs = 64 bucket keys → ≤64 base files
+      // opened) no matter how large the index grows, while the
+      // full-scan probe streams every index row. File size is held
+      // constant (1024 rows) so base file count grows ~1.8×g — the
+      // files/keys ratio a 10⁹-doc index reaches with production-sized
+      // (4M-row) files.
+      val lsm = s"/tmp/graft_incscale_lsm/g$g"
+      BandIndex.write(indexBuckets, lsm, "bucket", targetRowsPerFile = 1024)
+      val micro = newSigs.filter(col("doc_id") <= 30) // docs 0,10,20,30
+      val t2 = System.nanoTime()
+      val nFull = Dedup.probeBandedIndex(spark.read.parquet(lsm), micro,
+        "doc_id", bands = 16, sigLen = 32).count()
+      val fullWall = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val (prunedPairs, pstats) = BandIndex.probe(lsm, micro, "doc_id",
+        bands = 16, sigLen = 32)
+      val nPruned = prunedPairs.count()
+      val prunedWall = (System.nanoTime() - t3) / 1e9
+      require(nPruned == nFull,
+        s"pruned probe diverged from full scan: $nPruned vs $nFull")
       println(f"g=$g%2d index=$nIdx%8d batch=$nNew%6d cands=$nCand%7d " +
         f"dup_docs=$nDup%6d wall=$wall%.2f s " +
         f"stored_probe_cands=$nCandStored%7d stored_probe_wall=$storedWall%.2f s")
+      println(f"g=$g%2d trickle_probe: base_files=${pstats.baseFiles}%4d " +
+        f"selected=${pstats.selectedBase}%3d tail=${pstats.tailFiles}%2d " +
+        f"cands=$nPruned%4d pruned_wall=$prunedWall%.2f s " +
+        f"fullscan_wall=$fullWall%.2f s")
       indexSigs.unpersist()
     }
     spark.stop()

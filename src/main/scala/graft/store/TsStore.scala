@@ -93,6 +93,27 @@ final class TsStore(
   // stamp `__seq` with the CURRENT ingest sequence, so rows written
   // after the drop (a re-created subject) always outrank the tombstone.
   private var tombstones: Map[String, Long] = Map.empty
+  // mode/layout guard BEFORE recovery touches anything: a flat store
+  // opened with snapshots=true would read as EMPTY (no manifest) and
+  // the next save would bury live flat day dirs under version dirs; a
+  // snapshot store opened flat would scan every superseded version as
+  // data. Neither failure is detectable from results — fail loudly.
+  // The layouts differ INSIDE the day dirs (flat: data files directly;
+  // snapshot: only `__v=N` subdirs), which stays true across every
+  // crash state — the manifest alone does not (a first save can crash
+  // after placing versions, before the first manifest commit).
+  locally {
+    val probe = dayDirs(new org.apache.hadoop.fs.Path(path)).headOption
+      .map { case (name, _) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(path, name))
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
+      }
+    require(!(snapshots && probe.contains(false)),
+      s"$path holds a flat-layout store — open it with snapshots = " +
+        "false, or migrate by rewriting through a snapshot-mode save")
+    require(!(!snapshots && (probe.contains(true) || fs.exists(snapFile))),
+      s"$path was written in snapshot mode — open it with snapshots = true")
+  }
   recoverSwaps()
   loadMeta()
 

@@ -168,6 +168,25 @@ class SnapshotStoreSpec extends SparkSpec {
       hfs.exists(hp(s"$root/__day=d1/__v=4")))
   }
 
+  test("mode/layout mismatch fails loudly at open, both directions") {
+    val base = Files.createTempDirectory("graft_snap").toString
+    val snap = mkStore(s"$base/snap")
+    snap.set(rows3days); snap.save()
+    val flat = new TsStore(spark, s"$base/flat", subject = "code",
+      time = "t", soleCols = Nil, dayCol = col("day"))
+    flat.set(rows3days); flat.save()
+    // a snapshot store opened flat would scan superseded versions as
+    // data; a flat store opened in snapshot mode would read as empty
+    // and bury live day dirs on the next save — both must throw
+    assertThrows[IllegalArgumentException] {
+      new TsStore(spark, s"$base/snap", subject = "code", time = "t",
+        soleCols = Nil, dayCol = col("day"))
+    }
+    assertThrows[IllegalArgumentException] { mkStore(s"$base/flat") }
+    // the matching modes still open fine
+    assert(mkStore(s"$base/snap").read().count() == 6)
+  }
+
   test("restart: snapshot store reloads manifest, watermark, tombstones") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val st = mkStore(root)
