@@ -49,7 +49,10 @@ object Bench {
     // the least-throttled sample; the median records the session's
     // noise level. Pass 1 is the honest one-shot (cold catalog); later
     // passes start from cleared caches but a warm catalog.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt)
+    // tolerant parse: a malformed value (stray space, "three") must
+    // degrade to one run, not abort the whole bench before any query
+    val runs = math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").trim.toInt).getOrElse(1))
     val passes = (1 to runs).map { i =>
       if (i > 1) { spark.sharedState.cacheManager.clearCache(); System.gc() }
       timeQueries()

@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
   * `get SH600600.stk_day {"range":{"start":20210101,"stop":20211231},
   * "fields":"time,open,close","format":"a"}` becomes
   * `engine.get("SH600600.stk_day", params)` with identical semantics.
-  */
-final class Engine(val spark: SparkSession, rootPath: String) {
+  *
+  * `snapshots = true` puts every table's store in TsStore snapshot
+  * mode (versioned day dirs behind an atomically-swapped manifest —
+  * the concurrent-reader contract, TsStore scaladoc): out-of-process
+  * readers pin a manifest via [[openSnapshot]] and stay whole through
+  * saves/deletes/packs; the deployment schedules [[vacuum]] with a
+  * grace ≥ its longest reader. The mode is recorded in the engine
+  * catalog sidecar and checked on reopen — mixing modes over one root
+  * corrupts silently, so it fails loudly instead. */
+final class Engine(val spark: SparkSession, rootPath: String,
+    val snapshots: Boolean = false) {
 
   val catalog = new Catalog
   val subs = new SubRegistry
@@ -66,6 +75,7 @@ final class Engine(val spark: SparkSession, rootPath: String) {
   private def persistEngineCatalog(): Unit = synchronized {
     if (rehydrating) return // sidecar is the source being replayed
     val root = mapper.createObjectNode()
+    root.put("snapshots", snapshots)
     val ts = root.putObject("tables")
     catalog.tables.foreach(t => ts.put(t, catalog.get(t).get.toDsl))
     val ex = root.putObject("exposed")
@@ -97,6 +107,13 @@ final class Engine(val spark: SparkSession, rootPath: String) {
         } finally in.close()
       val node = mapper.readTree(bytes)
       import scala.jdk.CollectionConverters._
+      // fail at open, before any store is touched: a wrong-mode reopen
+      // would lazily hit each TsStore's own guard one table at a time
+      // (or, for a never-saved table, not at all)
+      require(node.path("snapshots").asBoolean(false) == snapshots,
+        s"$rootPath was written with snapshots = " +
+          s"${node.path("snapshots").asBoolean(false)} — reopen the " +
+          "engine with the same mode")
       rehydrating = true
       try {
         node.path("tables").properties().asScala
@@ -134,7 +151,8 @@ final class Engine(val spark: SparkSession, rootPath: String) {
           org.apache.spark.sql.types.StructField("subject",
             org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__day",
-            org.apache.spark.sql.types.StringType)))))
+            org.apache.spark.sql.types.StringType))),
+      snapshots = snapshots))
   }
 
   private def splitKey(key: String): (String, String) = {
@@ -429,6 +447,23 @@ final class Engine(val spark: SparkSession, rootPath: String) {
 
   def save(table: String): Unit = storeOf(table).save()
   def pack(table: String, files: Int = 4): Unit = storeOf(table).pack(files)
+
+  /** Snapshot-mode maintenance: reclaim version dirs no committed
+    * manifest (inside the grace windows) can reference — see
+    * [[TsStore.vacuum]]. No-op on a flat-mode engine. */
+  def vacuum(table: String, keepSuperseded: Int = 1,
+      removedDayGraceMs: Long = 24L * 3600 * 1000): Unit =
+    storeOf(table).vacuum(keepSuperseded, removedDayGraceMs)
+
+  /** The out-of-process reader contract through the engine surface:
+    * pin the table's current committed snapshot and read it whole for
+    * as long as the frame lives, regardless of concurrent
+    * saves/deletes/packs (until a vacuum whose grace the deployment
+    * must set ≥ this reader's runtime). None when the table has no
+    * cold data (or the engine is not in snapshot mode). Tombstones
+    * apply exactly as the owning store's reads do. */
+  def openSnapshot(table: String): Option[DataFrame] =
+    TsStore.openSnapshot(spark, s"$rootPath/$table", "subject")
 
   /** M9 `update subject.table {search:{...}, val:{...}}`
     * (workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields.

@@ -65,12 +65,18 @@ object BandIndex {
   def write(df: DataFrame, root: String, key: String = "bucket",
       targetRowsPerFile: Long = 1L << 22): Unit = {
     val ss = df.sparkSession
-    val n = df.count()
-    val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
-      .min(100000L).toInt
-    df.repartitionByRange(parts, col(key))
-      .sortWithinPartitions(key)
-      .write.mode("overwrite").parquet(root)
+    // the frame is consumed twice (count to size the range partitions,
+    // then the write) — persist it, or an expensive input (a corpus
+    // minhash pass) recomputes in full for the count
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = mat.count()
+      val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+        .min(100000L).toInt
+      mat.repartitionByRange(parts, col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(root)
+    } finally mat.unpersist()
     writeManifest(ss, root, key)
   }
 

@@ -101,7 +101,12 @@ final class TsStore(
   // The layouts differ INSIDE the day dirs (flat: data files directly;
   // snapshot: only `__v=N` subdirs), which stays true across every
   // crash state — the manifest alone does not (a first save can crash
-  // after placing versions, before the first manifest commit).
+  // after placing versions, before the first manifest commit). A store
+  // with ZERO committed day dirs has no layout to probe, but may still
+  // hold a roll-forward-able tmp from a crashed FIRST save — the meta
+  // sidecar records the writing mode (and persistMeta runs before any
+  // tmp write, so the record exists whenever such a tmp can), closing
+  // the window where wrong-mode recovery would destroy or re-layout it.
   locally {
     val probe = dayDirs(new org.apache.hadoop.fs.Path(path)).headOption
       .map { case (name, _) =>
@@ -113,6 +118,17 @@ final class TsStore(
         "false, or migrate by rewriting through a snapshot-mode save")
     require(!(!snapshots && (probe.contains(true) || fs.exists(snapFile))),
       s"$path was written in snapshot mode — open it with snapshots = true")
+    val metaMode: Option[Boolean] =
+      if (!fs.exists(metaFile)) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(TsStore.readJsonBytes(fs, metaFile))
+        if (node.has("snapshots")) Some(node.path("snapshots").asBoolean())
+        else None // pre-mode-record meta: layout probe is the only guard
+      }
+    require(!metaMode.exists(_ != snapshots),
+      s"$path was written with snapshots = ${metaMode.get} — open it " +
+        "with the same mode")
   }
   recoverSwaps()
   loadMeta()
@@ -176,6 +192,7 @@ final class TsStore(
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("seq", seq)
+    root.put("snapshots", snapshots) // mode record — see the open guard
     val t = root.putObject("tombstones")
     tombstones.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
     // write-tmp + atomic rename-over: an in-place overwrite interrupted
@@ -213,6 +230,8 @@ final class TsStore(
     root.put("v", s.v)
     val d = root.putObject("days")
     s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
+    val r = root.putObject("removed")
+    s.removed.toSeq.sortBy(_._1).foreach { case (k, ts) => r.put(k, ts) }
     val tmp = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__snapshot.json.tmp")
     val out = fs.create(tmp, true)
@@ -225,9 +244,10 @@ final class TsStore(
   /** Rename a commit's produced day dirs from `tmp` into their
     * `__day=X/__v=targetV` slots. Idempotent from any crash point: a
     * day already renamed out of the tmp is skipped (its dest is in
-    * place); re-running the whole commit re-derives the same
-    * `targetV` because the manifest — which bumps `v` — only swaps in
-    * afterwards. */
+    * place), and `targetV` is read from the tmp's commit instruction —
+    * NOT re-derived from the live manifest — so a replay that runs
+    * after the manifest already swapped places (nothing) at the same
+    * version instead of minting a phantom v+2 no dir ever held. */
   private def placeVersions(tmp: org.apache.hadoop.fs.Path,
       days: Seq[String], targetV: Long): Unit = {
     val f = fs
@@ -244,43 +264,63 @@ final class TsStore(
     }
   }
 
-  /** Commit a save tmp as a snapshot: produced days advance to v+1,
-    * untouched days keep their versions. The commit instruction is
-    * the tmp's [[TsStore.CommitManifest]] (written after the job's
-    * `_SUCCESS`), so recovery knows the FULL day list even after a
-    * crash mid-rename emptied part of the tmp. */
+  /** Commit a save tmp as a snapshot: produced days advance to the
+    * instruction's `targetV`, untouched days keep their versions. The
+    * commit instruction is the tmp's [[TsStore.CommitManifest]]
+    * (written after the job's `_SUCCESS`), so recovery knows the FULL
+    * day list — and the version to commit AT — even after a crash
+    * mid-rename emptied part of the tmp or a crash after the manifest
+    * swap left only the undeleted tmp behind; in the latter replay
+    * `snap.v >= targetV` and the swap is skipped (it already
+    * happened — re-deriving v+1 from the bumped manifest is how a
+    * replay would point days at dirs that never existed). */
   private def commitSavingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
-    val days = TsStore.readCommitDays(fs,
+    val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
     val snap = loadSnapshot()
-    val targetV = snap.v + 1
+    val targetV = storedV.getOrElse(snap.v + 1)
     placeVersions(tmp, days, targetV)
-    commitSnapshot(TsStore.Snapshot(targetV,
-      snap.days ++ days.map(_ -> targetV)))
+    if (snap.v < targetV)
+      commitSnapshot(TsStore.Snapshot(targetV,
+        snap.days ++ days.map(_ -> targetV),
+        snap.removed -- days))
   }
 
   /** Commit a delete tmp as a snapshot: `replaced` days advance to
-    * v+1, `removed` days leave the manifest (their old version dirs
-    * linger for pinned readers until [[vacuum]]). */
+    * the instruction's `targetV`, `removed` days leave the manifest
+    * (their old version dirs linger for pinned readers, stamped with
+    * a removal time so [[vacuum]] can reclaim them once the grace
+    * window passes). Replay-idempotent exactly as
+    * [[commitSavingSnapshot]]. */
   private def commitDeletingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
-    val (replaced, removed) = TsStore.readAffected(fs,
+    val (replaced, removed, storedV) = TsStore.readAffected(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest))
     val snap = loadSnapshot()
-    val targetV = snap.v + 1
+    val targetV = storedV.getOrElse(snap.v + 1)
     placeVersions(tmp, replaced, targetV)
-    commitSnapshot(TsStore.Snapshot(targetV,
-      snap.days ++ replaced.map(_ -> targetV) -- removed))
+    if (snap.v < targetV)
+      commitSnapshot(TsStore.Snapshot(targetV,
+        snap.days ++ replaced.map(_ -> targetV) -- removed,
+        snap.removed -- replaced ++
+          removed.map(_ -> System.currentTimeMillis())))
   }
 
   /** Commit a pack tmp as a snapshot: the manifest becomes EXACTLY the
-    * produced days (a day whose rows were all tombstoned vanishes). */
+    * produced days (a day whose rows were all tombstoned vanishes —
+    * recorded as removed so vacuum reclaims it after the grace).
+    * Replay-idempotent exactly as [[commitSavingSnapshot]]. */
   private def commitPackedSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
-    val days = TsStore.readCommitDays(fs,
+    val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
     val snap = loadSnapshot()
-    val targetV = snap.v + 1
+    val targetV = storedV.getOrElse(snap.v + 1)
     placeVersions(tmp, days, targetV)
-    commitSnapshot(TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap))
+    if (snap.v < targetV) {
+      val gone = snap.days.keySet -- days
+      commitSnapshot(TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap,
+        snap.removed -- days ++
+          gone.map(_ -> System.currentTimeMillis())))
+    }
   }
 
   /** Version subdirs of one day dir, (name, version) sorted by version. */
@@ -295,18 +335,28 @@ final class TsStore(
   }
 
   /** Garbage-collect version dirs no committed manifest needs: per
-    * day, the referenced version survives plus the `keepSuperseded`
-    * most recent below it (a grace window for readers pinned to
-    * recent manifests); days absent from the manifest keep only the
-    * `keepSuperseded` newest. Run it on the writer's cadence with a
-    * grace ≥ the longest reader runtime — the vacuum side of the
-    * snapshot contract. No-op outside snapshot mode. */
-  def vacuum(keepSuperseded: Int = 1): Unit = synchronized {
+    * LIVE day, the referenced version survives plus the
+    * `keepSuperseded` most recent below it (a grace window for
+    * readers pinned to recent manifests). A day REMOVED from the
+    * manifest (emptied by a delete, or vanished in a pack) has no
+    * later version to ever supersede it, so a count-based keep would
+    * leak its final dirs forever — instead the manifest records each
+    * removal's epoch-ms ([[TsStore.Snapshot.removed]]) and vacuum
+    * reclaims the whole day once `removedDayGraceMs` has passed since
+    * the removal COMMITTED (not since the data was written — a reader
+    * can pin a manifest long after that). Run it on the writer's
+    * cadence with both graces ≥ the longest reader runtime — the
+    * vacuum side of the snapshot contract. No-op outside snapshot
+    * mode. */
+  def vacuum(keepSuperseded: Int = 1,
+      removedDayGraceMs: Long = 24L * 3600 * 1000): Unit = synchronized {
     if (!snapshots) return
     val f = fs
     val snap = loadSnapshot()
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) return
+    val now = System.currentTimeMillis()
+    var reclaimed = Set.empty[String]
     f.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       .foreach { s =>
@@ -316,13 +366,29 @@ final class TsStore(
           case Some(ref) =>
             val older = vers.map(_._2).filter(_ < ref)
             (older.takeRight(keepSuperseded) :+ ref).toSet
-          case None => vers.map(_._2).takeRight(keepSuperseded).toSet
+          case None =>
+            snap.removed.get(name) match {
+              case Some(at) if now - at >= removedDayGraceMs =>
+                reclaimed += name
+                Set.empty // grace passed: the whole day goes
+              case _ => vers.map(_._2).takeRight(keepSuperseded).toSet
+            }
         }
         vers.filterNot(v => keep.contains(v._2)).foreach { case (vn, _) =>
           f.delete(new org.apache.hadoop.fs.Path(s.getPath, vn), true)
         }
         if (verDirs(s.getPath).isEmpty) f.delete(s.getPath, true)
       }
+    // retire removal records for days that no longer hold any version
+    // dir — reclaimed above via the grace, or earlier via
+    // keepSuperseded=0 (which deletes dirs without retiring records) —
+    // so the manifest's removed map stays bounded by days actually
+    // awaiting reclamation (same v: vacuum is a writer op and changes
+    // nothing any manifest reader can see)
+    val retired = reclaimed ++ snap.removed.keys.filterNot(d =>
+      f.exists(new org.apache.hadoop.fs.Path(root, d)))
+    if (retired.nonEmpty)
+      commitSnapshot(snap.copy(removed = snap.removed -- retired))
   }
 
   // ── crash recovery: every cold rewrite commits through an on-disk
@@ -647,7 +713,7 @@ final class TsStore(
         TsStore.writeCommitDays(f,
           new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(tmp),
             TsStore.CommitManifest),
-          dayDirs.map(_.getPath.getName).toSeq)
+          dayDirs.map(_.getPath.getName).toSeq, loadSnapshot().v + 1)
         commitSavingSnapshot(new org.apache.hadoop.fs.Path(tmp))
       } else dayDirs.foreach { s =>
         val dest = new org.apache.hadoop.fs.Path(path, s.getPath.getName)
@@ -711,6 +777,10 @@ final class TsStore(
         // instead of silently committing half the delete
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
         val mroot = m.createObjectNode()
+        // snapshot replays must commit AT the version this run places
+        // dirs under, never one re-derived from a possibly-bumped
+        // manifest — see writeCommitDays
+        if (snapshots) mroot.put("v", loadSnapshot().v + 1)
         val rep = mroot.putArray("replaced")
         val rem = mroot.putArray("removed")
         affected.foreach { case (name, _) =>
@@ -812,7 +882,8 @@ final class TsStore(
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       .map(_.getPath.getName).toSeq
     TsStore.writeCommitDays(f,
-      new org.apache.hadoop.fs.Path(tmpP, TsStore.CommitManifest), produced)
+      new org.apache.hadoop.fs.Path(tmpP, TsStore.CommitManifest), produced,
+      loadSnapshot().v + 1)
     commitPackedSnapshot(tmpP)
     f.delete(tmpP, true)
     tombstones = Map.empty
@@ -832,10 +903,16 @@ object TsStore {
   private[store] val CommitManifest = "__commit.json"
 
   /** A committed snapshot: generation counter + (escaped day dir name
-    * → version). Immutable; the manifest file swaps atomically. */
-  private[store] final case class Snapshot(v: Long, days: Map[String, Long])
+    * → version), plus the days REMOVED from the manifest with their
+    * removal epoch-ms — the bookkeeping [[TsStore.vacuum]] needs to
+    * reclaim a removed day's final version dirs after the reader
+    * grace passes (a count-based keep can never reclaim them: no
+    * later version ever supersedes a day that left the manifest).
+    * Immutable; the manifest file swaps atomically. */
+  private[store] final case class Snapshot(v: Long, days: Map[String, Long],
+      removed: Map[String, Long] = Map.empty)
 
-  private def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
+  private[store] def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val in = f.open(p)
     try {
@@ -853,13 +930,21 @@ object TsStore {
     import scala.jdk.CollectionConverters._
     Snapshot(node.path("v").asLong(0L),
       node.path("days").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      node.path("removed").properties().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap)
   }
 
+  /** `targetV` rides inside the commit instruction so a crash-replay
+    * commits AT the version the original run placed dirs under —
+    * never one re-derived from a manifest the original run may
+    * already have bumped. */
   private[store] def writeCommitDays(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, days: Seq[String]): Unit = {
+      p: org.apache.hadoop.fs.Path, days: Seq[String],
+      targetV: Long): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
+    root.put("v", targetV)
     val arr = root.putArray("days")
     days.sorted.foreach(arr.add)
     val out = f.create(p, true)
@@ -867,19 +952,22 @@ object TsStore {
   }
 
   private[store] def readCommitDays(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Seq[String] = {
+      p: org.apache.hadoop.fs.Path): (Seq[String], Option[Long]) = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(readJsonBytes(f, p))
-    (0 until node.path("days").size()).map(node.path("days").get(_).asText())
+    val days =
+      (0 until node.path("days").size()).map(node.path("days").get(_).asText())
+    (days, if (node.has("v")) Some(node.path("v").asLong()) else None)
   }
 
   private[store] def readAffected(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): (Seq[String], Seq[String]) = {
+      p: org.apache.hadoop.fs.Path): (Seq[String], Seq[String], Option[Long]) = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(readJsonBytes(f, p))
     def names(k: String): Seq[String] =
       (0 until node.path(k).size()).map(node.path(k).get(_).asText())
-    (names("replaced"), names("removed"))
+    (names("replaced"), names("removed"),
+      if (node.has("v")) Some(node.path("v").asLong()) else None)
   }
 
   /** The OUT-OF-PROCESS reader for a snapshot-mode store: pin the

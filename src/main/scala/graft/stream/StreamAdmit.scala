@@ -64,11 +64,18 @@ object StreamAdmit {
   def seedIndex(corpusSigs: DataFrame, id: String, indexRoot: String,
       bands: Int, sigLen: Int,
       targetRowsPerFile: Long = 1L << 22): Unit = {
-    BandIndex.write(corpusSigs.select(col(id).as("doc_id"), col("minhash")),
-      s"$indexRoot/sigs", "doc_id", targetRowsPerFile)
-    BandIndex.write(
-      Dedup.bandBuckets(corpusSigs, id, bands, sigLen, as = "index_id"),
-      s"$indexRoot/buckets", "bucket", targetRowsPerFile)
+    // both index tables (and their sizing counts inside BandIndex.write)
+    // derive from this one frame — persist it, or the corpus minhash
+    // pass behind it runs four times over a 10⁹-doc seed
+    val mat = corpusSigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BandIndex.write(mat.select(col(id).as("doc_id"), col("minhash")),
+        s"$indexRoot/sigs", "doc_id", targetRowsPerFile)
+      BandIndex.write(
+        Dedup.bandBuckets(mat, id, bands, sigLen, as = "index_id"),
+        s"$indexRoot/buckets", "bucket", targetRowsPerFile)
+    } finally mat.unpersist()
   }
 
   /** The banding configuration an index was seeded with, persisted

@@ -599,4 +599,35 @@ class EngineSpec extends SparkSpec {
       "earlier SQL registration went stale after a later exposeSql")
     assert(spark.sql(s"SELECT * FROM $second").count() == 2)
   }
+
+  test("snapshot-mode engine: pinned reader across del, mode checked on reopen") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100},
+          {"time":"2021-01-05","open":10.50,"close":10.40,"vol":200},
+          {"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}]""")
+    e.save("stk_day")
+    // the engine's stores really are in snapshot layout
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/stk_day__snapshot.json")), "engine store not in snapshot mode")
+    // a reader pinned through the engine surface survives a delete
+    val pinned = e.openSnapshot("stk_day").get
+    e.del("SH600600.stk_day", """{range:{start:20210101,stop:20210131}}""")
+    assert(pinned.count() == 3, "pinned engine reader lost rows across del")
+    assert(e.get("SH600600.stk_day", "{}").count() == 1)
+    assert(e.openSnapshot("stk_day").get.count() == 1)
+    // vacuum through the engine surface: past the removal grace the
+    // emptied days' version dirs are reclaimed, reads unchanged
+    e.vacuum("stk_day", keepSuperseded = 0, removedDayGraceMs = 0L)
+    assert(e.get("SH600600.stk_day", "{}").count() == 1)
+    // a wrong-mode reopen of the same root fails at open, not lazily
+    assertThrows[IllegalArgumentException] { new Engine(spark, root) }
+    // the matching mode rehydrates and still serves the post-del state
+    assert(new Engine(spark, root, snapshots = true)
+      .get("SH600600.stk_day", "{}").count() == 1)
+  }
 }

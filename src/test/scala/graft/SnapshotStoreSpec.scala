@@ -168,6 +168,95 @@ class SnapshotStoreSpec extends SparkSpec {
       hfs.exists(hp(s"$root/__day=d1/__v=4")))
   }
 
+  test("commit replay after the manifest swap does not mint a phantom version") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // v=1, all days placed, manifest swapped
+    // fabricate the one crash state the placed/swapped dirs cannot
+    // distinguish from "never committed": the save fully committed
+    // (days renamed out, manifest at v=1) but the process died before
+    // deleting the tmp — recovery replays the commit instruction.
+    // Re-deriving targetV from the (already bumped) manifest here would
+    // commit days -> v=2, dirs that do not exist, and a later vacuum
+    // would then delete the real v=1 dirs as "superseded".
+    hfs.mkdirs(hp(root + "__saving"))
+    hfs.create(hp(root + "__saving/_SUCCESS"), true).close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"v":1,"days":["__day=d1","__day=d2","__day=d3"]}"""
+        .getBytes("UTF-8"))
+    val re = mkStore(root)
+    assert(re.read().count() == 6, "post-swap replay lost the store")
+    assert(!hfs.exists(hp(s"$root/__day=d1/__v=2")),
+      "replay minted a phantom version dir")
+    assert(!hfs.exists(hp(root + "__saving")))
+    // vacuum after the replay must keep the live data
+    re.vacuum(keepSuperseded = 0)
+    assert(re.read().count() == 6, "vacuum after replay deleted live data")
+    // same window for pack: a fully-committed __packed tmp replays at
+    // its recorded version, not a re-derived one
+    hfs.mkdirs(hp(root + "__packed"))
+    hfs.create(hp(root + "__packed/_SUCCESS"), true).close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__packed", "__commit.json"),
+      """{"v":1,"days":["__day=d1","__day=d2","__day=d3"]}"""
+        .getBytes("UTF-8"))
+    val re2 = mkStore(root)
+    assert(re2.read().count() == 6, "post-swap pack replay lost the store")
+    assert(!hfs.exists(hp(s"$root/__day=d1/__v=2")))
+  }
+
+  test("vacuum reclaims a manifest-removed day only after the removal grace") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()
+    st.deleteWhere(col("t") >= 5L, _ == "d3") // d3 leaves the manifest
+    // inside the grace window (default 24h) the final version dirs
+    // survive for readers pinned to manifests that still reference
+    // them — even though no later version will ever supersede them
+    st.vacuum(keepSuperseded = 1)
+    assert(hfs.exists(hp(s"$root/__day=d3/__v=1")),
+      "vacuum reclaimed a removed day inside its grace window")
+    // past the grace the WHOLE day goes — the count-based keep alone
+    // would leak it forever (nothing ever supersedes a removed day)
+    st.vacuum(keepSuperseded = 1, removedDayGraceMs = 0L)
+    assert(!hfs.exists(hp(s"$root/__day=d3")),
+      "vacuum leaked a removed day past its grace")
+    // live days keep their superseded-count grace in the same call,
+    // reads are unchanged, and the removal record is retired
+    assert(st.read().count() == 4)
+    st.vacuum(keepSuperseded = 1, removedDayGraceMs = 0L) // idempotent
+    assert(st.read().count() == 4)
+  }
+
+  test("meta mode record guards a store with zero committed day dirs") {
+    val base = Files.createTempDirectory("graft_snap").toString
+    // the crashed-first-save shape: meta persisted (it always is,
+    // before the tmp write), no committed day dirs — the day-dir
+    // layout probe has nothing to inspect, so without the meta mode
+    // record a wrong-mode open would pass the guard and its recovery
+    // would destroy (or re-layout) a roll-forward-able first-save tmp
+    val flat = new TsStore(spark, s"$base/flat", subject = "code",
+      time = "t", soleCols = Nil, dayCol = col("day"))
+    flat.set(rows3days); flat.save()
+    hfs.listStatus(hp(s"$base/flat"))
+      .filter(_.getPath.getName.startsWith("__day="))
+      .foreach(s => hfs.delete(s.getPath, true))
+    assertThrows[IllegalArgumentException] { mkStore(s"$base/flat") }
+    // reverse direction: a snapshot store stripped to just its meta
+    // (manifest gone too — the flat guard's snapFile probe is blind)
+    val snap = mkStore(s"$base/snap")
+    snap.set(rows3days); snap.save()
+    hfs.listStatus(hp(s"$base/snap"))
+      .filter(_.getPath.getName.startsWith("__day="))
+      .foreach(s => hfs.delete(s.getPath, true))
+    hfs.delete(hp(s"$base/snap__snapshot.json"), false)
+    assertThrows[IllegalArgumentException] {
+      new TsStore(spark, s"$base/snap", subject = "code", time = "t",
+        soleCols = Nil, dayCol = col("day"))
+    }
+  }
+
   test("mode/layout mismatch fails loudly at open, both directions") {
     val base = Files.createTempDirectory("graft_snap").toString
     val snap = mkStore(s"$base/snap")
