@@ -450,9 +450,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
 
   /** Snapshot-mode maintenance: reclaim version dirs no committed
     * manifest (inside the grace windows) can reference — see
-    * [[TsStore.vacuum]]. No-op on a flat-mode engine. */
-  def vacuum(table: String, keepSuperseded: Int = 1,
-      removedDayGraceMs: Long = 24L * 3600 * 1000): Unit =
+    * [[TsStore.vacuum]], whose defaults these forward (one retention
+    * contract, not two copies that can drift). No-op on a flat-mode
+    * engine. */
+  def vacuum(table: String,
+      keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
+      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs): Unit =
     storeOf(table).vacuum(keepSuperseded, removedDayGraceMs)
 
   /** The out-of-process reader contract through the engine surface:
@@ -461,9 +464,16 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * saves/deletes/packs (until a vacuum whose grace the deployment
     * must set ≥ this reader's runtime). None when the table has no
     * cold data (or the engine is not in snapshot mode). Tombstones
-    * apply exactly as the owning store's reads do. */
-  def openSnapshot(table: String): Option[DataFrame] =
+    * apply exactly as the owning store's reads do. Routed through
+    * [[storeOf]] first: an unknown table throws like every other
+    * command (not a silent None), and opening the store rolls any
+    * crashed-but-acknowledged commit forward before the pin — without
+    * it, the pinned view would depend on whether some OTHER command
+    * had already touched the table this process. */
+  def openSnapshot(table: String): Option[DataFrame] = {
+    storeOf(table)
     TsStore.openSnapshot(spark, s"$rootPath/$table", "subject")
+  }
 
   /** M9 `update subject.table {search:{...}, val:{...}}`
     * (workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields.
@@ -676,6 +686,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * `MSCK … SYNC PARTITIONS` re-list. Calling exposeSql again (same
     * or another db) keeps every earlier registration live. */
   def exposeSql(table: String, db: String = "graft"): String = {
+    // the backing table is a __day-partitioned parquet registration of
+    // the store's raw path; over a snapshot layout its partition
+    // discovery would union EVERY version dir — duplicate rows, and
+    // deletes resurrected from superseded versions a vacuum has not
+    // reclaimed yet. Fail loudly instead of serving silently wrong
+    // SQL; snapshot readers pin manifests via openSnapshot. (The
+    // upgrade path, if snapshot + SQL exposure is ever needed in one
+    // engine: register (day, version) partitions pinned to the
+    // manifest instead of filesystem discovery.)
+    require(!snapshots,
+      "exposeSql is not supported on a snapshot-mode engine — read " +
+        "through openSnapshot, or expose SQL from a flat-mode engine")
     val st = storeOf(table)
     st.save()
     val qn = s"$db.$table"

@@ -63,20 +63,30 @@ object BandIndex {
     * per-file (min, max) manifest. Mode is overwrite — this IS the
     * base; later appends form the tail. */
   def write(df: DataFrame, root: String, key: String = "bucket",
-      targetRowsPerFile: Long = 1L << 22): Unit = {
+      targetRowsPerFile: Long = 1L << 22,
+      knownCount: Option[Long] = None): Unit = {
     val ss = df.sparkSession
     // the frame is consumed twice (count to size the range partitions,
     // then the write) — persist it, or an expensive input (a corpus
-    // minhash pass) recomputes in full for the count
-    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // minhash pass) recomputes in full for the count. Callers that
+    // already know the row count pass it (seedIndex: sigs = corpus
+    // rows, buckets = exactly bands × corpus rows) and skip the cache
+    // entirely; an input the CALLER persisted is never re-cached here —
+    // persist returns the same object, so the finally-unpersist would
+    // silently evict the caller's own cache.
+    val cacheHere = knownCount.isEmpty &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val mat = if (cacheHere)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
     try {
-      val n = mat.count()
+      val n = knownCount.getOrElse(mat.count())
       val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
         .min(100000L).toInt
       mat.repartitionByRange(parts, col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite").parquet(root)
-    } finally mat.unpersist()
+    } finally if (cacheHere) mat.unpersist()
     writeManifest(ss, root, key)
   }
 

@@ -107,6 +107,11 @@ final class TsStore(
   // sidecar records the writing mode (and persistMeta runs before any
   // tmp write, so the record exists whenever such a tmp can), closing
   // the window where wrong-mode recovery would destroy or re-layout it.
+  // The node parsed here is handed to loadMeta (nothing between the
+  // guard and loadMeta rewrites the file), so open reads the sidecar
+  // once — on a 10k-table root that is 10k fewer namenode round-trips.
+  private var metaNodeAtOpen: Option[com.fasterxml.jackson.databind.JsonNode] =
+    None
   locally {
     val probe = dayDirs(new org.apache.hadoop.fs.Path(path)).headOption
       .map { case (name, _) =>
@@ -118,14 +123,13 @@ final class TsStore(
         "false, or migrate by rewriting through a snapshot-mode save")
     require(!(!snapshots && (probe.contains(true) || fs.exists(snapFile))),
       s"$path was written in snapshot mode — open it with snapshots = true")
-    val metaMode: Option[Boolean] =
+    metaNodeAtOpen =
       if (!fs.exists(metaFile)) None
-      else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(TsStore.readJsonBytes(fs, metaFile))
-        if (node.has("snapshots")) Some(node.path("snapshots").asBoolean())
-        else None // pre-mode-record meta: layout probe is the only guard
-      }
+      else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(TsStore.readJsonBytes(fs, metaFile)))
+    val metaMode: Option[Boolean] = metaNodeAtOpen
+      .filter(_.has("snapshots")) // pre-mode-record meta: layout probe only
+      .map(_.path("snapshots").asBoolean())
     require(!metaMode.exists(_ != snapshots),
       s"$path was written with snapshots = ${metaMode.get} — open it " +
         "with the same mode")
@@ -171,16 +175,16 @@ final class TsStore(
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__meta.json")
 
   private def loadMeta(): Unit = {
-    val f = fs
-    if (f.exists(metaFile)) {
-      val in = f.open(metaFile)
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toByteArray
-        } finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    // reuse the node the open guard already parsed (recovery between
+    // the two never rewrites the sidecar); fall back to a fresh read
+    // for any other call path
+    val nodeOpt = metaNodeAtOpen.orElse {
+      if (!fs.exists(metaFile)) None
+      else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(TsStore.readJsonBytes(fs, metaFile)))
+    }
+    metaNodeAtOpen = None
+    nodeOpt.foreach { node =>
       seq = math.max(seq, node.path("seq").asLong(0L))
       import scala.jdk.CollectionConverters._
       tombstones = node.path("tombstones").properties().asScala
@@ -348,8 +352,9 @@ final class TsStore(
     * cadence with both graces ≥ the longest reader runtime — the
     * vacuum side of the snapshot contract. No-op outside snapshot
     * mode. */
-  def vacuum(keepSuperseded: Int = 1,
-      removedDayGraceMs: Long = 24L * 3600 * 1000): Unit = synchronized {
+  def vacuum(keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
+      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs)
+      : Unit = synchronized {
     if (!snapshots) return
     val f = fs
     val snap = loadSnapshot()
@@ -371,7 +376,17 @@ final class TsStore(
               case Some(at) if now - at >= removedDayGraceMs =>
                 reclaimed += name
                 Set.empty // grace passed: the whole day goes
-              case _ => vers.map(_._2).takeRight(keepSuperseded).toSet
+              case Some(_) =>
+                // inside the grace EVERY version survives: these dirs
+                // are exactly what a reader pinned to a pre-removal
+                // manifest references, and keepSuperseded must not
+                // undercut the time guarantee (keepSuperseded=0 would
+                // otherwise void the grace entirely)
+                vers.map(_._2).toSet
+              case None =>
+                // no removal record (pre-upgrade manifest): the old
+                // count-based keep is the only grace available
+                vers.map(_._2).takeRight(keepSuperseded).toSet
             }
         }
         vers.filterNot(v => keep.contains(v._2)).foreach { case (vn, _) =>
@@ -893,6 +908,11 @@ final class TsStore(
 }
 
 object TsStore {
+  /** [[vacuum]] retention defaults — the single source the Engine
+    * surface forwards, so the contract cannot drift between the two. */
+  val DefaultKeepSuperseded = 1
+  val DefaultRemovedDayGraceMs: Long = 24L * 3600 * 1000
+
   /** The delete tmp's commit-point manifest (see
     * [[TsStore.deleteWhere]] / swap recovery): which affected days the
     * tmp REPLACES and which the delete EMPTIED. */
@@ -1021,6 +1041,12 @@ object TsStore {
         col(subject) === lit(s) && col("__seq") <= lit(g)
       }.reduceOption(_ || _)
         .fold(df)(dead => df.filter(!dead))
+        // the ingest-sequence column is internal (needed above for the
+        // tombstone rank only) — hide it exactly as read() and the SQL
+        // view do, so a pinned frame is schema-compatible with every
+        // other read surface (the raw overload keeps physical rows and
+        // documents that)
+        .drop("__seq")
     }
   }
 

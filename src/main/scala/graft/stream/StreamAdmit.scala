@@ -64,17 +64,23 @@ object StreamAdmit {
   def seedIndex(corpusSigs: DataFrame, id: String, indexRoot: String,
       bands: Int, sigLen: Int,
       targetRowsPerFile: Long = 1L << 22): Unit = {
-    // both index tables (and their sizing counts inside BandIndex.write)
-    // derive from this one frame — persist it, or the corpus minhash
-    // pass behind it runs four times over a 10⁹-doc seed
+    // both index tables derive from this one frame — persist it once,
+    // or the corpus minhash pass behind it runs four times over a
+    // 10⁹-doc seed. The derived row counts are known exactly (sigs =
+    // corpus rows, buckets = bands × corpus rows: posexplode of a
+    // bands-length array), so the writes take them and cache nothing
+    // themselves — re-deriving a projection/explode from this cached
+    // parent is cheap, caching the 16×-exploded bucket frame is not.
     val mat = corpusSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val n = mat.count()
       BandIndex.write(mat.select(col(id).as("doc_id"), col("minhash")),
-        s"$indexRoot/sigs", "doc_id", targetRowsPerFile)
+        s"$indexRoot/sigs", "doc_id", targetRowsPerFile, knownCount = Some(n))
       BandIndex.write(
         Dedup.bandBuckets(mat, id, bands, sigLen, as = "index_id"),
-        s"$indexRoot/buckets", "bucket", targetRowsPerFile)
+        s"$indexRoot/buckets", "bucket", targetRowsPerFile,
+        knownCount = Some(n * bands))
     } finally mat.unpersist()
   }
 

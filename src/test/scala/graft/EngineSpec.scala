@@ -629,5 +629,11 @@ class EngineSpec extends SparkSpec {
     // the matching mode rehydrates and still serves the post-del state
     assert(new Engine(spark, root, snapshots = true)
       .get("SH600600.stk_day", "{}").count() == 1)
+    // an unknown table throws like every other command — never a
+    // silent None a typo would read as "no data"
+    assertThrows[IllegalArgumentException] { e.openSnapshot("stk_dya") }
+    // exposeSql over a versioned layout would union every version dir
+    // (duplicate rows, resurrected deletes) — it must refuse loudly
+    assertThrows[IllegalArgumentException] { e.exposeSql("stk_day") }
   }
 }

@@ -153,7 +153,9 @@ class SnapshotStoreSpec extends SparkSpec {
     st.deleteWhere(col("t") >= 5L, _ == "d3") // d3 leaves the manifest
     val before = st.read().orderBy("code", "t")
       .select("code", "t", "v").collect().toSeq
-    st.vacuum(keepSuperseded = 0)
+    // removed days obey the TIME grace, not the count — reclaim needs
+    // the grace passed (the removal-grace spec covers the window)
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L)
     assert(!hfs.exists(hp(s"$root/__day=d1/__v=1")), "superseded version kept")
     assert(hfs.exists(hp(s"$root/__day=d1/__v=2")))
     assert(!hfs.exists(hp(s"$root/__day=d3")), "unreferenced day kept")
