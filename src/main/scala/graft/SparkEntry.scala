@@ -1113,6 +1113,74 @@ object SparkEntry {
       .orderBy("day")
   }
 
+  /** ST7 — event-time stream-stream JOIN: views and clicks arrive as
+    * two independent watermarked streams (two pinned-mtime file
+    * batches per side, so the multi-batch interleaving is
+    * deterministic) and are inner-joined per user on a bounded
+    * event-time window (click within 1 h after the view) — the
+    * attribution-join shape. The time-range condition is what makes
+    * this scale: Spark's symmetric hash join keeps only rows inside
+    * `watermark delay + join range` of the stream's max event time in
+    * the state store, so state is bounded by arrival rate × horizon,
+    * not stream length. The 96 h delay here exceeds the 3-day replay
+    * span, so nothing is late-dropped and the emitted pairs equal the
+    * batch join exactly (append-mode inner join emits each match
+    * once); a production deployment dials the delay down to its real
+    * out-of-orderness and the SAME plan holds. */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamjoin/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd")
+        .between("2024-01-05", "2024-01-07"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    // two files per side with pinned mtimes → the file source replays
+    // each side oldest-first in two micro-batches, deterministically
+    def feed(df: DataFrame, sub: String, splitCol: String): Unit = {
+      df.filter(col(splitCol) % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/$sub")
+      df.filter(col(splitCol) % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/$sub")
+      val d = new java.io.File(s"$base/$sub")
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.lastModified())
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    }
+    feed(views, "views", "view_id")
+    feed(clicks, "clicks", "click_id")
+    val vs = s.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/views")
+      .withWatermark("v_ts", "96 hours")
+    val cs = s.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/clicks")
+      .withWatermark("c_ts", "96 hours")
+    val joined = vs.join(cs,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        b.write.mode("append").parquet(s"$base/out")
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("delay_us"))
+      .orderBy("view_id", "click_id")
+  }
+
   /** ST6 — streaming near-dup ADMISSION against the stored band
     * index ([[graft.stream.StreamAdmit]]): the curated corpus
     * (doc_id % 10 != 0, d11's split) seeds a persisted
@@ -2266,6 +2334,7 @@ object SparkEntry {
     "st4_stream_dedup" -> qStreamDedup _,
     "st6_stream_admit" -> qStreamAdmit _,
     "st5_stream_sessions" -> qStreamSessions _,
+    "st7_stream_join" -> qStreamJoin _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -3172,6 +3241,20 @@ object SparkEntry {
          SELECT user_id, sess_start_ms, sess_end_ms, n, total
          FROM sess CROSS JOIN wm WHERE sess_end_ms <= cut
          ORDER BY user_id, sess_start_ms""",
+    // the 96 h watermark exceeds the 3-day replay span, so the
+    // streaming inner join emits exactly the batch join's pairs
+    "st7_stream_join" ->
+      """WITH e AS (
+           SELECT * FROM events
+           WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-07')
+         SELECT v.user_id AS user_id, v.event_id AS view_id,
+           c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+         FROM e v JOIN e c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+         ORDER BY view_id, click_id""",
     // the stream carried every event TWICE; a correct dedup returns
     // exactly the duplicate-free batch answer
     "st4_stream_dedup" ->
