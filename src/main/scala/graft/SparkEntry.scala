@@ -1805,6 +1805,52 @@ object SparkEntry {
     q
   }
 
+  /** E11 — snapshot-mode SQL front door: the engine runs with
+    * versioned day dirs (concurrent-reader isolation, e10), and
+    * `exposeSql` pins each catalog partition's LOCATION to the
+    * manifest-committed `__v=N` dir instead of filesystem discovery.
+    * The ingest deliberately rewrites every day at a second version
+    * (two saves: odd event-ids, then all rows through the upsert
+    * slots) and a post-expose `del` advances more days — a
+    * discovery-based registration would double-count the odd rows and
+    * resurrect the deleted ones; the hash oracle proves SQL reads the
+    * committed snapshot exactly once. Day predicates must still prune
+    * through the catalog partitions (`require`d, like u1). */
+  private def qSnapshotSql(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_snap_sql/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    def ingest(rows: DataFrame): Unit = rows
+      .select(col("user_id"), to_json(struct(col("ts").as("t"),
+        col("event_type").as("etype"), col("value").as("value"))).as("j"))
+      .groupBy("user_id")
+      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
+      .collect()
+      .foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+    ingest(ev.filter(col("event_id") % 2 === 1))
+    eng.save("ev")
+    ingest(ev) // every day advances to a second version; odds re-slot
+    eng.save("ev")
+    val qn = eng.exposeSql("ev", db = "graft_snap")
+    // live re-pin: the delete lands AFTER the exposure
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    val q = s.sql(
+      s"""SELECT subject, count(*) AS n, round(sum(value), 2) AS total
+         FROM $qn
+         WHERE __day BETWEEN '2024-01-08' AND '2024-01-20'
+         GROUP BY subject ORDER BY subject""")
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim
+    require(plan.contains("PartitionFilters: [") && !pf.isEmpty &&
+      pf.contains("__day"),
+      s"snapshot SQL day predicate did not prune partitions:\n$plan")
+    q
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2335,6 +2381,7 @@ object SparkEntry {
     "st6_stream_admit" -> qStreamAdmit _,
     "st5_stream_sessions" -> qStreamSessions _,
     "st7_stream_join" -> qStreamJoin _,
+    "e11_snapshot_sql" -> qSnapshotSql _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2527,6 +2574,19 @@ object SparkEntry {
       """SELECT 'u' || user_id AS subject, count(*) AS n,
          round(sum(value), 2) AS total
          FROM events WHERE user_id IN (1, 3)
+         GROUP BY 1 ORDER BY subject""",
+    // two saves put every day at two on-disk versions and the delete
+    // advances more AFTER the SQL exposure — a registration that read
+    // anything but the committed manifest would double-count or
+    // resurrect rows and hash-mismatch
+    "e11_snapshot_sql" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10
+           AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-20'
+           AND NOT (user_id = 2
+             AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
     "e10_snapshot_reader" ->
       """SELECT 'u' || user_id AS subject, count(*) AS n,

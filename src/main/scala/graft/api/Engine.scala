@@ -684,20 +684,16 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * only drops cached file listings, and only a wholesale rewrite
     * (`del`/`drop`) — which may remove partitions — pays the full
     * `MSCK … SYNC PARTITIONS` re-list. Calling exposeSql again (same
-    * or another db) keeps every earlier registration live. */
+    * or another db) keeps every earlier registration live.
+    *
+    * On a snapshot-mode engine the backing table skips filesystem
+    * discovery entirely: each day partition's LOCATION is pinned to
+    * the manifest-committed `__v=N` dir and every cold rewrite re-pins
+    * exactly the affected days — SQL clients read the committed
+    * snapshot (never a superseded or half-committed version), and a
+    * scan already running when a commit lands keeps its pinned file
+    * list for as long as the vacuum grace holds those files. */
   def exposeSql(table: String, db: String = "graft"): String = {
-    // the backing table is a __day-partitioned parquet registration of
-    // the store's raw path; over a snapshot layout its partition
-    // discovery would union EVERY version dir — duplicate rows, and
-    // deletes resurrected from superseded versions a vacuum has not
-    // reclaimed yet. Fail loudly instead of serving silently wrong
-    // SQL; snapshot readers pin manifests via openSnapshot. (The
-    // upgrade path, if snapshot + SQL exposure is ever needed in one
-    // engine: register (day, version) partitions pinned to the
-    // manifest instead of filesystem discovery.)
-    require(!snapshots,
-      "exposeSql is not supported on a snapshot-mode engine — read " +
-        "through openSnapshot, or expose SQL from a flat-mode engine")
     val st = storeOf(table)
     st.save()
     val qn = s"$db.$table"
@@ -705,8 +701,37 @@ final class Engine(val spark: SparkSession, rootPath: String,
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     dropRegistration(qn)
     dropRegistration(backing)
-    spark.catalog.createTable(backing, "parquet", Map("path" -> st.path))
-    spark.catalog.recoverPartitions(backing)
+    if (snapshots) {
+      // over a versioned layout, filesystem partition discovery would
+      // union EVERY `__v=N` dir — duplicate rows, and deletes
+      // resurrected from superseded versions a vacuum has not
+      // reclaimed yet. Register the backing table with an EXPLICIT
+      // schema and no discovery, then pin each day partition's
+      // LOCATION to the manifest-committed version dir: SQL clients
+      // read exactly the committed snapshot, day predicates still
+      // prune through the catalog partitions, and in-flight scans of
+      // a superseded version survive a concurrent commit for as long
+      // as the vacuum grace keeps its files (the same reader contract
+      // openSnapshot pins).
+      val sdb = catalog.get(table).getOrElse(
+        throw new IllegalArgumentException(s"unknown table '$table'"))
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        sdb.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name, f.sparkType)) ++
+          Seq(org.apache.spark.sql.types.StructField("subject",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__seq",
+              org.apache.spark.sql.types.LongType)))
+      spark.sql(s"CREATE TABLE $backing (${dataSchema.toDDL}, " +
+        s"`__day` STRING) USING parquet PARTITIONED BY (`__day`) " +
+        s"LOCATION '${sqlStr(st.path)}'")
+      st.snapshotDays.foreach { case (dayDir, v) =>
+        pinSnapshotPartition(st, backing, dayDir, v)
+      }
+    } else {
+      spark.catalog.createTable(backing, "parquet", Map("path" -> st.path))
+      spark.catalog.recoverPartitions(backing)
+    }
     createSqlView(st, table, qn, backing)
     sqlNames.updateWith(table)(prev =>
       Some(prev.getOrElse(Vector.empty).filterNot(_._1 == qn) :+ (qn, backing)))
@@ -718,7 +743,28 @@ final class Engine(val spark: SparkSession, rootPath: String,
     }
     st.onColdChange = change => sqlNames.getOrElse(table, Vector.empty)
       .foreach { case (view, back) =>
-        change match {
+        if (snapshots) change match {
+          // every snapshot-mode rewrite moves the affected days to a
+          // NEW version dir, so the sync is a location re-pin (still
+          // proportional to the CHANGE — the manifest lookup is one
+          // sidecar read, the ALTERs touch only affected days)
+          case TsStore.DaysUpserted(days) =>
+            pinSnapshotDays(st, back, days)
+          case TsStore.DaysReplaced(replaced, removed) =>
+            pinSnapshotDays(st, back, replaced)
+            removed.foreach(d => spark.sql(
+              s"ALTER TABLE $back DROP IF EXISTS PARTITION " +
+                s"(__day='${sqlStr(d)}')"))
+          case TsStore.Tombstoned =>
+            createSqlView(st, table, view, back)
+          case TsStore.Rewritten =>
+            // pack: the manifest is now EXACTLY the produced days —
+            // full partition re-sync (drop gone days, re-pin the rest)
+            // and re-view (tombstones were materialized away)
+            resyncSnapshotPartitions(st, back)
+            createSqlView(st, table, view, back)
+          case TsStore.Compacted => // day set unchanged; refresh below
+        } else change match {
           case TsStore.DaysUpserted(days) =>
             // save never removes a day — targeted ADDs, no full re-list
             days.foreach(d => spark.sql(
@@ -749,6 +795,63 @@ final class Engine(val spark: SparkSession, rootPath: String,
         spark.catalog.refreshTable(back)
       }
     qn
+  }
+
+  /** SQL single-quote escaping for literals built into DDL/partition
+    * statements. */
+  private def sqlStr(s: String): String = s.replace("'", "''")
+
+  /** Pin one day partition of a snapshot-mode backing table to its
+    * manifest-committed version dir. `dayDir` is the escaped partition
+    * dir name (`__day=...`) exactly as the manifest records it; the
+    * catalog partition value is the unescaped day. ADD IF NOT EXISTS
+    * then SET LOCATION: a fresh day registers at the right place, an
+    * advanced day's location moves to the new version. */
+  private def pinSnapshotPartition(st: TsStore, backing: String,
+      dayDir: String, v: Long): Unit = {
+    val dayVal = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(dayDir.stripPrefix("__day="))
+    val loc = s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"
+    spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS PARTITION " +
+      s"(__day='${sqlStr(dayVal)}') LOCATION '${sqlStr(loc)}'")
+    spark.sql(s"ALTER TABLE $backing PARTITION " +
+      s"(__day='${sqlStr(dayVal)}') SET LOCATION '${sqlStr(loc)}'")
+  }
+
+  /** Re-pin the given RAW day values (as ColdChange events carry them)
+    * to their current manifest versions. Days absent from the manifest
+    * are skipped — a concurrent removal wins and its own event drops
+    * the partition. */
+  private def pinSnapshotDays(st: TsStore, backing: String,
+      days: Seq[String]): Unit = {
+    val manifest = st.snapshotDays.toMap
+    days.foreach { d =>
+      val dayDir = "__day=" + org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(d)
+      manifest.get(dayDir).foreach(v =>
+        pinSnapshotPartition(st, backing, dayDir, v))
+    }
+  }
+
+  /** Full catalog↔manifest partition re-sync for a snapshot-mode
+    * backing table (pack may both move and remove days): drop catalog
+    * partitions the manifest no longer lists, re-pin every listed one. */
+  private def resyncSnapshotPartitions(st: TsStore, backing: String): Unit = {
+    val manifest = st.snapshotDays
+    val live = manifest.map { case (dayDir, _) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(dayDir.stripPrefix("__day="))
+    }.toSet
+    spark.sql(s"SHOW PARTITIONS $backing").collect()
+      .map(_.getString(0).stripPrefix("__day="))
+      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName)
+      .filterNot(live)
+      .foreach(d => spark.sql(s"ALTER TABLE $backing DROP IF EXISTS " +
+        s"PARTITION (__day='${sqlStr(d)}')"))
+    manifest.foreach { case (dayDir, v) =>
+      pinSnapshotPartition(st, backing, dayDir, v)
+    }
   }
 
   /** Drop a prior registration under `name`, whichever kind it was —

@@ -327,6 +327,17 @@ final class TsStore(
     }
   }
 
+  /** The committed manifest's (day dir name, version) pairs, sorted by
+    * day — the catalog-pinning surface behind snapshot-mode SQL
+    * exposure (each day partition's location is
+    * `path/<dayDir>/__v=<version>`). Empty outside snapshot mode or
+    * before the first commit. Day names carry parquet's
+    * partition-value escaping, exactly as stored in the manifest. */
+  private[graft] def snapshotDays: Seq[(String, Long)] = synchronized {
+    if (!snapshots) Seq.empty
+    else loadSnapshot().days.toSeq.sortBy(_._1)
+  }
+
   /** Version subdirs of one day dir, (name, version) sorted by version. */
   private def verDirs(dayDir: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
     val f = fs

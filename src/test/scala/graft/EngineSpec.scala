@@ -632,8 +632,51 @@ class EngineSpec extends SparkSpec {
     // an unknown table throws like every other command — never a
     // silent None a typo would read as "no data"
     assertThrows[IllegalArgumentException] { e.openSnapshot("stk_dya") }
-    // exposeSql over a versioned layout would union every version dir
-    // (duplicate rows, resurrected deletes) — it must refuse loudly
-    assertThrows[IllegalArgumentException] { e.exposeSql("stk_day") }
+  }
+
+  test("snapshot-mode exposeSql pins partitions to the committed manifest") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100},
+          {"time":"2021-01-05","open":10.50,"close":10.40,"vol":200},
+          {"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}]""")
+    e.save("stk_day")
+    // rewrite one day at a higher version: the 01-04 day dir now holds
+    // TWO __v=N dirs on disk — naive discovery would read both
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.20,"close":10.60,"vol":150}""")
+    e.save("stk_day")
+    val qn = e.exposeSql("stk_day", db = "graft_snapsql")
+    val rows = spark.sql(
+      s"SELECT __day, vol FROM $qn ORDER BY __day").collect()
+    assert(rows.length == 3, s"expected 3 rows, got ${rows.toSeq}")
+    assert(rows.head.getLong(1) == 150,
+      "SQL read a superseded version, not the committed rewrite")
+    // a later save re-pins the changed day through onColdChange
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.55,"close":10.45,"vol":250}""")
+    e.save("stk_day")
+    assert(spark.sql(s"SELECT sum(vol) FROM $qn").collect()(0).getLong(0)
+      == 150 + 250 + 300, "live registration missed a version advance")
+    // a delete that empties days drops their partitions; survivors stay
+    e.del("SH600600.stk_day", """{range:{start:20210101,stop:20210131}}""")
+    assert(spark.sql(s"SELECT count(*) FROM $qn").collect()(0).getLong(0)
+      == 1, "deleted days still visible through SQL")
+    // pack rewrites the layout wholesale; the re-sync keeps SQL exact
+    e.pack("stk_day")
+    assert(spark.sql(s"SELECT sum(vol) FROM $qn").collect()(0).getLong(0)
+      == 300, "pack desynced the SQL registration")
+    // day predicates prune through the catalog partitions
+    val plan = spark.sql(
+      s"SELECT * FROM $qn WHERE __day = '20210201'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("__day"),
+      s"snapshot SQL scan did not prune partitions:\n$plan")
+    // a restarted engine replays the exposure over the same manifest
+    val e2 = new Engine(spark, root, snapshots = true)
+    assert(spark.sql(s"SELECT sum(vol) FROM $qn").collect()(0).getLong(0)
+      == 300, "rehydrated exposure lost the pinned partitions")
   }
 }
