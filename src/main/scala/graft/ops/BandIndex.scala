@@ -219,6 +219,52 @@ object BandIndex {
     (pairs, stats)
   }
 
+  /** Large-batch probe: the same candidate pairs as [[probe]], with
+    * NOTHING riding the driver — the batch's buckets stay distributed
+    * and the join shuffles both sides on (band, bucket). The pruned
+    * probe wins in the trickle/micro-batch regime, where the batch's
+    * key set selects few base files; once a batch is large enough that
+    * its keys blanket the key space (a backfill screening millions of
+    * docs), every base file is read either way and the driver-side
+    * bucket collect + broadcast become pure liabilities — this is that
+    * path. Size estimates downstream of [[Dedup.bandBuckets]]'s
+    * posexplode are fiction, so the join pins `merge`; AQE may still
+    * DOWNGRADE to broadcast from measured sizes, the safe direction. */
+  def probeLarge(root: String, newSigs: DataFrame, id: String,
+      bands: Int, sigLen: Int, indexIdCol: String = "index_id")
+      : DataFrame = {
+    val ss = newSigs.sparkSession
+    if (!fs(ss).exists(new org.apache.hadoop.fs.Path(root)))
+      recover(ss, root)
+    val newSide = Dedup.bandBuckets(newSigs, id, bands, sigLen, as = "new_id")
+    val index = ss.read.parquet(root)
+      .select(col(indexIdCol).as("index_id"), col("band"), col("bucket"))
+    newSide.hint("merge")
+      .join(index, Seq("band", "bucket"))
+      .select("new_id", "index_id").distinct()
+  }
+
+  /** Dial between [[probe]] and [[probeLarge]] on the batch's key
+    * volume: `bands × |batch|` bucket keys at or under `maxProbeKeys`
+    * keeps the pruned, driver-bounded path (stats returned as
+    * evidence); above it the probe shuffles and no row ever visits
+    * the driver. The one extra action is a count of the batch —
+    * cheap by the same "the batch is the small side" premise that
+    * makes the pruned path safe, and the price of never letting an
+    * unexpectedly large batch OOM the driver instead of degrading to
+    * a shuffle. */
+  def probeAuto(root: String, newSigs: DataFrame, id: String,
+      bands: Int, sigLen: Int, indexIdCol: String = "index_id",
+      maxProbeKeys: Long = 1L << 22)
+      : (DataFrame, Option[ProbeStats]) = {
+    val batchRows = newSigs.count()
+    if (batchRows * bands <= maxProbeKeys) {
+      val (pairs, stats) = probe(root, newSigs, id, bands, sigLen, indexIdCol)
+      (pairs, Some(stats))
+    } else
+      (probeLarge(root, newSigs, id, bands, sigLen, indexIdCol), None)
+  }
+
   /** Fold the appended tail back into a sorted, manifested base —
     * the LSM merge. Parquet files can't be mutated in place, so the
     * rewrite goes through a rename-aside tmp with the same marker

@@ -49,6 +49,34 @@ class BandIndexSpec extends SparkSpec {
     assert(stats.baseFiles == stats.totalFiles && stats.tailFiles == 0)
   }
 
+  test("probeLarge == pruned probe pair for pair; probeAuto dials on batch size") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    val corpusSigs = sigs(corpus)
+    BandIndex.write(Dedup.bandBuckets(corpusSigs, "doc_id", 16, 32,
+      as = "index_id"), root, "bucket", targetRowsPerFile = 64)
+    val inc = sigs(incoming)
+    val pruned = BandIndex.probe(root, inc, "doc_id", 16, 32)._1
+      .orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val large = BandIndex.probeLarge(root, inc, "doc_id", 16, 32)
+      .orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(large == pruned && large.nonEmpty, s"large=$large pruned=$pruned")
+    // small batch under the key cap → pruned path, stats as evidence
+    val (smallPairs, smallStats) =
+      BandIndex.probeAuto(root, inc, "doc_id", 16, 32)
+    assert(smallStats.nonEmpty, "small batch should take the pruned path")
+    assert(smallPairs.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == pruned)
+    // a key cap below bands × |batch| forces the shuffle path (no
+    // stats: nothing visited the driver), same pairs
+    val (bigPairs, bigStats) =
+      BandIndex.probeAuto(root, inc, "doc_id", 16, 32, maxProbeKeys = 16)
+    assert(bigStats.isEmpty, "over-cap batch should take the shuffle path")
+    assert(bigPairs.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == pruned)
+  }
+
   test("point lookup opens at most 2 base files; missing keys open 0") {
     val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
     val buckets = Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,
