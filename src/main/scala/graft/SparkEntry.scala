@@ -1851,6 +1851,48 @@ object SparkEntry {
     q
   }
 
+  /** Z1 — multi-dimensional layout ([[graft.ops.Layout]]): the events
+    * table is written twice, once sorted by `value` alone (the 1-D
+    * layout every plain sort gives) and once Z-ordered on
+    * (user_id, value); the same 2-D box predicate is then priced
+    * against both layouts from their parquet footer stats. The
+    * `require`s pin the scale claim itself: the Z-layout must skip
+    * files for the box (a sorted layout's non-leading dimension prunes
+    * nothing) and must never need MORE files than the 1-D layout.
+    * The returned aggregate is computed off the pruned Z files and
+    * hash-checked against the source-of-truth oracle — pruning that
+    * dropped a row the box needs would mismatch. */
+  private def qZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_zorder/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val b = e.agg(min("user_id"), max("user_id"), min("value"), max("value"))
+      .collect()(0) // four scalars to bound the uniform ranks
+    val (loU, hiU) = (b.getLong(0).toDouble, b.getLong(1).toDouble)
+    val (loV, hiV) = (b.getDouble(2), b.getDouble(3))
+    val files = 16
+    graft.ops.Layout.zorderWrite(e,
+      graft.ops.Layout.uniformRank(col("user_id"), loU, hiU, 256),
+      graft.ops.Layout.uniformRank(col("value"), loV, hiV, 256),
+      s"$base/z", files)
+    e.repartitionByRange(files, col("value")).sortWithinPartitions("value")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    val z = s.read.parquet(s"$base/z")
+    val box = Seq(("user_id", 3.0, 6.0), ("value", 20.0, 60.0))
+    val (zHit, zTot) = graft.ops.Layout.filesForBox(z, box)
+    val (lHit, _) = graft.ops.Layout.filesForBox(
+      s.read.parquet(s"$base/linear"), box)
+    require(zHit < zTot,
+      s"z-order layout skipped no files for the 2-D box ($zHit/$zTot)")
+    require(zHit <= lHit,
+      s"z-order read MORE files than the 1-D layout ($zHit vs $lHit)")
+    z.filter(col("user_id").between(3, 6) && col("value").between(20.0, 60.0))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2382,6 +2424,7 @@ object SparkEntry {
     "st5_stream_sessions" -> qStreamSessions _,
     "st7_stream_join" -> qStreamJoin _,
     "e11_snapshot_sql" -> qSnapshotSql _,
+    "z1_zorder_scan" -> qZorderScan _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2588,6 +2631,13 @@ object SparkEntry {
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    // the aggregate is computed off the PRUNED z-ordered files; a
+    // file wrongly skipped would drop its rows and hash-mismatch
+    "z1_zorder_scan" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id BETWEEN 3 AND 6 AND value BETWEEN 20 AND 60
+         GROUP BY 1 ORDER BY event_type""",
     "e10_snapshot_reader" ->
       """SELECT 'u' || user_id AS subject, count(*) AS n,
          round(sum(value), 2) AS total
