@@ -1893,6 +1893,40 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** HH1 — corpus heavy hitters (frequent word bigrams), the
+    * boilerplate/contamination reconnaissance pass a training-data
+    * pipeline runs before dedup. The exact path is a two-level
+    * aggregate (map-side partial counts, then a TakeOrdered top-k — no
+    * full sort) and is what ships; alongside it the query builds the
+    * bounded-memory scale sibling, a Count-Min sketch (one pass,
+    * `depth × width` ints total regardless of corpus size — the
+    * streaming/approximate path when the bigram domain outgrows the
+    * agg hash maps), and `require`s its guarantees against the exact
+    * counts: every estimate ≥ truth, and ≤ truth + ε·N at the sketch's
+    * own ε. A sketch that breaks either bound fails the query. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val bigrams = t(s, dir, "documents")
+      .select(filter(split(col("text"), "\\s+"),
+        w => length(w) > 0).as("w"))
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val top = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(20)
+    val cms = bigrams.stat.countMinSketch("bigram", eps, 0.999, 42)
+    val slack = (eps * cms.totalCount()).toLong
+    top.collect().foreach { r =>
+      val (g, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(g)
+      require(est >= n, s"CMS under-counted '$g': $est < $n")
+      require(est <= n + slack,
+        s"CMS blew its ε bound on '$g': $est > $n + $slack")
+    }
+    top
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2425,6 +2459,7 @@ object SparkEntry {
     "st7_stream_join" -> qStreamJoin _,
     "e11_snapshot_sql" -> qSnapshotSql _,
     "z1_zorder_scan" -> qZorderScan _,
+    "hh1_heavy_hitters" -> qHeavyHitters _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2631,6 +2666,19 @@ object SparkEntry {
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    // exact top-20 bigrams; the in-query CMS bound check is extra
+    // (both engines agree on the exact counts)
+    "hh1_heavy_hitters" ->
+      """WITH w AS (
+           SELECT list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0) AS w
+           FROM documents),
+         b AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bigram
+           FROM w)
+         SELECT bigram, count(*) AS n FROM b
+         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""",
     // the aggregate is computed off the PRUNED z-ordered files; a
     // file wrongly skipped would drop its rows and hash-mismatch
     "z1_zorder_scan" ->
