@@ -1927,6 +1927,58 @@ object SparkEntry {
     top
   }
 
+  /** QS1 — distribution summaries two ways: the EXACT per-group
+    * percentiles (value at rank ⌈q·n⌉, one window pass — the answer
+    * that ships) and the mergeable quantile-sketch sibling
+    * (`percentile_approx`, Greenwald-Khanna: bounded state per
+    * partition, merged associatively — the path that holds when a
+    * group no longer fits a sort, and the only one available on a
+    * stream). The sketch's contract is `require`d against truth: for
+    * every (group, q) the sketch value's exact rank must lie within
+    * ε·n of the target rank. Tie order between equal prices cannot
+    * change any output (the value at a rank is a property of the
+    * sorted multiset). */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+    val ranked = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val exact = qs.map { case (q, label) =>
+      ranked.filter(col("rn") === ceil(lit(q) * col("n")))
+        .select(col("l_returnflag"), lit(label).as("q"), col("n"),
+          col("l_extendedprice").as("v"))
+    }.reduce(_ unionByName _)
+    // sketch side: one pass, fixed state, same grouping
+    val accuracy = 1000
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(qs.map(p => lit(p._1)): _*), lit(accuracy)).as("est"))
+      .collect().flatMap(r => qs.map(_._2).zipWithIndex.map { case (l, i) =>
+        (r.getString(0), l) -> r.getSeq[Double](1)(i)
+      }).toMap
+    // exact rank of each sketch value in ONE conditional-agg pass
+    val rankCols = approx.toSeq.sortBy(_._1).map { case ((f, l), est) =>
+      sum(when(col("l_returnflag") === f &&
+        col("l_extendedprice") <= est, 1L).otherwise(0L)).as(s"$f|$l")
+    }
+    val ranks = li.agg(rankCols.head, rankCols.tail: _*).collect()(0)
+    val nByFlag = exact.select("l_returnflag", "n").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.toSeq.sortBy(_._1).zipWithIndex.foreach { case (((f, l), _), i) =>
+      val n = nByFlag(f)
+      val target = qs.find(_._2 == l).get._1 * n
+      val rank = ranks.getLong(i)
+      require(math.abs(rank - target) <= n.toDouble / accuracy + 1,
+        s"sketch rank error blew ε·n for ($f, $l): rank $rank vs $target, n=$n")
+    }
+    exact.orderBy("l_returnflag", "q")
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2460,6 +2512,7 @@ object SparkEntry {
     "e11_snapshot_sql" -> qSnapshotSql _,
     "z1_zorder_scan" -> qZorderScan _,
     "hh1_heavy_hitters" -> qHeavyHitters _,
+    "qs1_quantile_sketch" -> qQuantileSketch _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2666,6 +2719,26 @@ object SparkEntry {
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    // exact rank-⌈q·n⌉ values; both engines compute the identical IEEE
+    // product q*n, so the selected ranks agree. The in-query sketch
+    // rank-error REQUIRE is extra.
+    "qs1_quantile_sketch" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, q, n, v FROM (
+           SELECT l_returnflag, 'p50' AS q, n, l_extendedprice AS v
+           FROM r WHERE rn = ceil(0.5 * n)
+           UNION ALL
+           SELECT l_returnflag, 'p90', n, l_extendedprice
+           FROM r WHERE rn = ceil(0.9 * n)
+           UNION ALL
+           SELECT l_returnflag, 'p99', n, l_extendedprice
+           FROM r WHERE rn = ceil(0.99 * n))
+         ORDER BY l_returnflag, q""",
     // exact top-20 bigrams; the in-query CMS bound check is extra
     // (both engines agree on the exact counts)
     "hh1_heavy_hitters" ->
