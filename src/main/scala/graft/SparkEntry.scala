@@ -1979,6 +1979,42 @@ object SparkEntry {
     exact.orderBy("l_returnflag", "q")
   }
 
+  /** IX1 — persisted inverted text index + conjunctive search: the
+    * postings list (term, doc_id, tf) is materialized once, written
+    * range-partitioned and SORTED by term (so every parquet row group
+    * covers a narrow term range, the same earn-the-pruning layout as
+    * [[graft.ops.BandIndex]]); a query then reads only the matched
+    * terms' postings — the `term IN (…)` predicate must reach the
+    * scan as a pushed filter (`require`d), never a post-scan filter
+    * over the whole index. Conjunction = group-count over the
+    * surviving postings (docs holding ALL terms), ranked by tf sum
+    * with a TakeOrdered top-k. At 100 TB the index build is one
+    * shuffle, the index is ~tokens-sized, and each query's cost is
+    * the matched postings, not the corpus. */
+  private def qInvertedSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_invix/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"),
+        w => length(w) > 0)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$base/ix")
+    val terms = Seq("window", "scan", "merge")
+    val q = s.read.parquet(s"$base/ix")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), sum("tf").as("score"))
+      .filter(col("nt") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*term[^\\]]*\\].*"),
+      s"term predicate did not push into the postings scan:\n$plan")
+    q
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2513,6 +2549,7 @@ object SparkEntry {
     "z1_zorder_scan" -> qZorderScan _,
     "hh1_heavy_hitters" -> qHeavyHitters _,
     "qs1_quantile_sketch" -> qQuantileSketch _,
+    "ix1_inverted_search" -> qInvertedSearch _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2719,6 +2756,22 @@ object SparkEntry {
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    // conjunctive search over the postings: docs holding ALL query
+    // terms, ranked by tf sum (top-20, doc_id tiebreak)
+    "ix1_inverted_search" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0)) AS term
+           FROM documents),
+         p AS (
+           SELECT term, doc_id, count(*) AS tf FROM w
+           WHERE term IN ('window', 'scan', 'merge') GROUP BY 1, 2),
+         m AS (
+           SELECT doc_id, count(DISTINCT term) AS nt,
+             sum(tf)::BIGINT AS score
+           FROM p GROUP BY 1)
+         SELECT doc_id, score FROM m WHERE nt = 3
+         ORDER BY score DESC, doc_id LIMIT 20""",
     // exact rank-⌈q·n⌉ values; both engines compute the identical IEEE
     // product q*n, so the selected ranks agree. The in-query sketch
     // rank-error REQUIRE is extra.
