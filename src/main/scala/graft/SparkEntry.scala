@@ -2015,6 +2015,32 @@ object SparkEntry {
     q
   }
 
+  /** HLL1 — cardinality two ways, completing the sketch trio
+    * (hh1 frequency, qs1 quantiles): exact per-group distinct counts
+    * (the answer that ships) next to HyperLogLog++
+    * (`approx_count_distinct`, the fixed-size mergeable register set
+    * that replaces the per-group distinct hash table when the key
+    * domain outgrows memory — and the only option under streaming
+    * retraction-free accumulation). The sketch's relative-error
+    * contract is `require`d in-query: |estimate − truth| must stay
+    * within 5·rsd of truth for every group (HLL++ with Spark's fixed
+    * hash is deterministic on fixed data, so this is a stable gate,
+    * not a flaky probabilistic one). */
+  private def qDistinctSketch(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.01
+    val q = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        approx_count_distinct("user_id", rsd).as("__est"),
+        count(lit(1)).as("n"))
+    q.collect().foreach { r =>
+      val (g, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      require(math.abs(est - exact) <= 5 * rsd * exact + 1,
+        s"HLL blew its rsd bound for '$g': est $est vs exact $exact")
+    }
+    q.drop("__est").orderBy("event_type")
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2550,6 +2576,7 @@ object SparkEntry {
     "hh1_heavy_hitters" -> qHeavyHitters _,
     "qs1_quantile_sketch" -> qQuantileSketch _,
     "ix1_inverted_search" -> qInvertedSearch _,
+    "hll1_distinct_sketch" -> qDistinctSketch _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2756,6 +2783,11 @@ object SparkEntry {
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
          GROUP BY 1 ORDER BY subject""",
+    // exact distinct counts; the in-query HLL rsd bound is extra
+    "hll1_distinct_sketch" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
     // conjunctive search over the postings: docs holding ALL query
     // terms, ranked by tf sum (top-20, doc_id tiebreak)
     "ix1_inverted_search" ->
