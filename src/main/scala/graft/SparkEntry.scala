@@ -1511,18 +1511,24 @@ object SparkEntry {
     * reading the source directly. */
   /** Shared e1/u1 ingest: 10 users' events pushed through the client
     * `set` surface (schema-typed JSON arrays) into a fresh engine. */
+  /** Client-side ingest surface shared by the e-queries: per-user JSON
+    * array payloads exactly as a reference client would send them —
+    * (user_id, "[{t,etype,value},…]") pairs, collected driver-side
+    * because the COMMAND surface is what these queries exercise. */
+  private def clientEventPayloads(rows: DataFrame): Array[(Long, String)] =
+    rows.select(col("user_id"), to_json(struct(col("ts").as("t"),
+        col("event_type").as("etype"), col("value").as("value"))).as("j"))
+      .groupBy("user_id")
+      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
   private def engineWithEvents(s: SparkSession, dir: String,
       root: String): graft.api.Engine = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val eng = new graft.api.Engine(s, root)
     eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
-    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
-      .select(col("user_id"), to_json(struct(col("ts").as("t"),
-        col("event_type").as("etype"), col("value").as("value"))).as("j"))
-      .groupBy("user_id")
-      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
-      .collect() // client-side ingest surface: 10 subjects' JSON payloads
-    perUser.foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    clientEventPayloads(t(s, dir, "events").filter(col("user_id") < 10))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
     eng
   }
 
@@ -1743,13 +1749,8 @@ object SparkEntry {
           acc(r.getString(0)) = (n0 + r.getLong(1), v0 + r.getDouble(2))
         }
     }
-    val perUser = t(s, dir, "events").filter(col("user_id") < 10)
-      .select(col("user_id"), to_json(struct(col("ts").as("t"),
-        col("event_type").as("etype"), col("value").as("value"))).as("j"))
-      .groupBy("user_id")
-      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
-      .collect() // client-side surface: 10 subjects' JSON payloads
-    perUser.foreach(r => eng.pub(s"u${r.getLong(0)}.ev", r.getString(1)))
+    clientEventPayloads(t(s, dir, "events").filter(col("user_id") < 10))
+      .foreach { case (u, arr) => eng.pub(s"u$u.ev", arr) }
     import s.implicits._
     val collected = acc.toSeq.map { case (k, (n, v)) =>
       (k, n, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -1821,13 +1822,8 @@ object SparkEntry {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val eng = new graft.api.Engine(s, root, snapshots = true)
     eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
-    def ingest(rows: DataFrame): Unit = rows
-      .select(col("user_id"), to_json(struct(col("ts").as("t"),
-        col("event_type").as("etype"), col("value").as("value"))).as("j"))
-      .groupBy("user_id")
-      .agg(concat(lit("["), concat_ws(",", collect_list("j")), lit("]")).as("arr"))
-      .collect()
-      .foreach(r => eng.set(s"u${r.getLong(0)}.ev", r.getString(1)))
+    def ingest(rows: DataFrame): Unit = clientEventPayloads(rows)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
     val ev = t(s, dir, "events").filter(col("user_id") < 10)
     ingest(ev.filter(col("event_id") % 2 === 1))
     eng.save("ev")
@@ -2010,8 +2006,11 @@ object SparkEntry {
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
     val plan = q.queryExecution.executedPlan.toString
-    require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*term[^\\]]*\\].*"),
-      s"term predicate did not push into the postings scan:\n$plan")
+    // the membership predicate itself must be pushed — IsNotNull(term)
+    // alone (which Spark also pushes) would leave every search
+    // streaming the whole postings index through a post-scan filter
+    require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term[^\\]]*\\].*"),
+      s"term IN predicate did not push into the postings scan:\n$plan")
     q
   }
 

@@ -725,9 +725,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       spark.sql(s"CREATE TABLE $backing (${dataSchema.toDDL}, " +
         s"`__day` STRING) USING parquet PARTITIONED BY (`__day`) " +
         s"LOCATION '${sqlStr(st.path)}'")
-      st.snapshotDays.foreach { case (dayDir, v) =>
-        pinSnapshotPartition(st, backing, dayDir, v)
-      }
+      pinSnapshotPartitions(st, backing, st.snapshotDays)
     } else {
       spark.catalog.createTable(backing, "parquet", Map("path" -> st.path))
       spark.catalog.recoverPartitions(backing)
@@ -763,7 +761,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
             // and re-view (tombstones were materialized away)
             resyncSnapshotPartitions(st, back)
             createSqlView(st, table, view, back)
-          case TsStore.Compacted => // day set unchanged; refresh below
+          case TsStore.Compacted =>
+            // unreachable in snapshot mode today — pack routes through
+            // packSnapshot, which emits Rewritten; kept total so a
+            // future flat-path emit degrades to a refresh, not a crash
+            ()
         } else change match {
           case TsStore.DaysUpserted(days) =>
             // save never removes a day — targeted ADDs, no full re-list
@@ -801,21 +803,42 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * statements. */
   private def sqlStr(s: String): String = s.replace("'", "''")
 
-  /** Pin one day partition of a snapshot-mode backing table to its
-    * manifest-committed version dir. `dayDir` is the escaped partition
-    * dir name (`__day=...`) exactly as the manifest records it; the
-    * catalog partition value is the unescaped day. ADD IF NOT EXISTS
-    * then SET LOCATION: a fresh day registers at the right place, an
-    * advanced day's location moves to the new version. */
-  private def pinSnapshotPartition(st: TsStore, backing: String,
-      dayDir: String, v: Long): Unit = {
-    val dayVal = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  /** The manifest's escaped day dir name → catalog partition value. */
+  private def snapshotDayVal(dayDir: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(dayDir.stripPrefix("__day="))
-    val loc = s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"
-    spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS PARTITION " +
-      s"(__day='${sqlStr(dayVal)}') LOCATION '${sqlStr(loc)}'")
-    spark.sql(s"ALTER TABLE $backing PARTITION " +
-      s"(__day='${sqlStr(dayVal)}') SET LOCATION '${sqlStr(loc)}'")
+
+  /** Catalog partition values currently registered on `backing`. */
+  private def registeredDays(backing: String): Set[String] =
+    spark.sql(s"SHOW PARTITIONS $backing").collect()
+      .map(r => snapshotDayVal(r.getString(0))).toSet
+
+  /** Pin day partitions of a snapshot-mode backing table to their
+    * manifest-committed version dirs — `pins` are (escaped day dir
+    * name, version) pairs as [[TsStore.snapshotDays]] returns them.
+    * Not-yet-registered days are added in ONE batched
+    * `ADD … PARTITION … LOCATION` statement; already-registered days
+    * get a `SET LOCATION` each (the only per-day DDL, and only for
+    * days a commit actually advanced) — one listing + 1 + O(advanced
+    * days) catalog calls, not 2·days. */
+  private def pinSnapshotPartitions(st: TsStore, backing: String,
+      pins: Seq[(String, Long)]): Unit = {
+    if (pins.isEmpty) return
+    val existing = registeredDays(backing)
+    val specs = pins.map { case (dayDir, v) =>
+      (snapshotDayVal(dayDir),
+        s"${st.path.stripSuffix("/")}/$dayDir/__v=$v")
+    }
+    val (have, fresh) = specs.partition(p => existing.contains(p._1))
+    if (fresh.nonEmpty)
+      spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS " +
+        fresh.map { case (d, loc) =>
+          s"PARTITION (__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'"
+        }.mkString(" "))
+    have.foreach { case (d, loc) =>
+      spark.sql(s"ALTER TABLE $backing PARTITION " +
+        s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
+    }
   }
 
   /** Re-pin the given RAW day values (as ColdChange events carry them)
@@ -825,12 +848,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
   private def pinSnapshotDays(st: TsStore, backing: String,
       days: Seq[String]): Unit = {
     val manifest = st.snapshotDays.toMap
-    days.foreach { d =>
+    val pins = days.flatMap { d =>
       val dayDir = "__day=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(d)
-      manifest.get(dayDir).foreach(v =>
-        pinSnapshotPartition(st, backing, dayDir, v))
+      manifest.get(dayDir).map(dayDir -> _)
     }
+    pinSnapshotPartitions(st, backing, pins)
   }
 
   /** Full catalog↔manifest partition re-sync for a snapshot-mode
@@ -838,20 +861,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * partitions the manifest no longer lists, re-pin every listed one. */
   private def resyncSnapshotPartitions(st: TsStore, backing: String): Unit = {
     val manifest = st.snapshotDays
-    val live = manifest.map { case (dayDir, _) =>
-      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(dayDir.stripPrefix("__day="))
-    }.toSet
-    spark.sql(s"SHOW PARTITIONS $backing").collect()
-      .map(_.getString(0).stripPrefix("__day="))
-      .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName)
-      .filterNot(live)
+    val live = manifest.map(p => snapshotDayVal(p._1)).toSet
+    registeredDays(backing).filterNot(live)
       .foreach(d => spark.sql(s"ALTER TABLE $backing DROP IF EXISTS " +
         s"PARTITION (__day='${sqlStr(d)}')"))
-    manifest.foreach { case (dayDir, v) =>
-      pinSnapshotPartition(st, backing, dayDir, v)
-    }
+    pinSnapshotPartitions(st, backing, manifest)
   }
 
   /** Drop a prior registration under `name`, whichever kind it was —

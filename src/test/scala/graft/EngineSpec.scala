@@ -674,7 +674,12 @@ class EngineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("__day"),
       s"snapshot SQL scan did not prune partitions:\n$plan")
-    // a restarted engine replays the exposure over the same manifest
+    // a restarted engine replays the exposure over the same manifest —
+    // drop the live registrations FIRST, or the assertion would pass
+    // off the first engine's catalog entries even if rehydration
+    // registered nothing
+    spark.sql(s"DROP VIEW $qn")
+    spark.sql(s"DROP TABLE graft_snapsql.stk_day__files")
     val e2 = new Engine(spark, root, snapshots = true)
     assert(spark.sql(s"SELECT sum(vol) FROM $qn").collect()(0).getLong(0)
       == 300, "rehydrated exposure lost the pinned partitions")
