@@ -1924,26 +1924,40 @@ object SparkEntry {
   }
 
   /** QS1 — distribution summaries two ways: the EXACT per-group
-    * percentiles (value at rank ⌈q·n⌉, one window pass — the answer
-    * that ships) and the mergeable quantile-sketch sibling
-    * (`percentile_approx`, Greenwald-Khanna: bounded state per
-    * partition, merged associatively — the path that holds when a
-    * group no longer fits a sort, and the only one available on a
-    * stream). The sketch's contract is `require`d against truth: for
-    * every (group, q) the sketch value's exact rank must lie within
-    * ε·n of the target rank. Tie order between equal prices cannot
-    * change any output (the value at a rank is a property of the
-    * sorted multiset). */
+    * percentiles (value at rank ⌈q·n⌉) and the mergeable
+    * quantile-sketch sibling (`percentile_approx`,
+    * Greenwald-Khanna: bounded state per partition, merged
+    * associatively — the only option on a stream). The exact path is
+    * deliberately NOT `row_number() over (partition by group)` — with
+    * a handful of groups that is a handful of single-task sorts, a
+    * straight scale-killer at 2B rows per group. Instead the rank is
+    * [[Analytics.globalRowNumber]] over the total
+    * (group, value) order — range-partitioned, rank locally, add
+    * broadcast offsets, no stage sees more than one partition — and
+    * the per-group rank is the global rank minus the group's start
+    * offset (group count table: one row per group). The sketch's
+    * contract is `require`d against truth: every (group, q) sketch
+    * value's exact rank must lie within ε·n of target. Tie order
+    * between equal prices cannot change any output (the value at a
+    * rank is a property of the sorted multiset). */
   private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val li = t(s, dir, "lineitem").select("l_returnflag", "l_extendedprice")
     val qs = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val wn = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag")
-    val ranked = li
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+    // group starts: one row per group (bounded by group cardinality,
+    // the same scalar-read contract as the lag-corr table)
+    val groupRows = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().sortBy(_.getString(0))
+    val offDf = {
+      var acc = 0L
+      groupRows.map { r =>
+        val t = (r.getString(0), acc, r.getLong(1)); acc += r.getLong(1); t
+      }.toSeq.toDF("l_returnflag", "__off", "n")
+    }
+    val ranked = Analytics.globalRowNumber(li,
+        Seq(col("l_returnflag"), col("l_extendedprice")), "__grn")
+      .join(broadcast(offDf), "l_returnflag")
+      .withColumn("rn", col("__grn") - col("__off"))
     val exact = qs.map { case (q, label) =>
       ranked.filter(col("rn") === ceil(lit(q) * col("n")))
         .select(col("l_returnflag"), lit(label).as("q"), col("n"),
