@@ -2054,6 +2054,40 @@ object SparkEntry {
     q.drop("__est").orderBy("event_type")
   }
 
+  /** E12 — TIME TRAVEL through the command surface: the snapshot
+    * store's committed generations are retained as
+    * `__snaphist/v=N.json` records (day→version map + the tombstones
+    * live at that commit), and `openSnapshotAt(table, v)` reads the
+    * corpus EXACTLY as generation v committed it — the
+    * reproducibility primitive a training pipeline needs (record the
+    * generation a run consumed; any later job re-reads the identical
+    * bytes, regardless of upserts/deletes/drops since). Here
+    * generation 1 holds only the odd event-ids, generation 2 upserts
+    * the full set; the query reads AT generation 1 after generation 2
+    * committed, `require`s the live read has visibly moved on, and
+    * hash-checks the odd-only aggregate — a time-travel read that
+    * leaked ANY post-generation row would mismatch. */
+  private def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_timetravel/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+    clientEventPayloads(ev.filter(col("event_id") % 2 === 1))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 1: odd event-ids only
+    clientEventPayloads(ev)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 2: the full set (odds re-slot)
+    val v1 = eng.snapshotVersions("ev").min
+    val at1 = eng.openSnapshotAt("ev", v1).get
+    require(at1.count() < eng.get("*.ev", "{}").count(),
+      "time travel did not pin the older generation")
+    at1.groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2590,6 +2624,7 @@ object SparkEntry {
     "qs1_quantile_sketch" -> qQuantileSketch _,
     "ix1_inverted_search" -> qInvertedSearch _,
     "hll1_distinct_sketch" -> qDistinctSketch _,
+    "e12_time_travel" -> qTimeTravel _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2795,6 +2830,14 @@ object SparkEntry {
            AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-20'
            AND NOT (user_id = 2
              AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705795199999)
+         GROUP BY 1 ORDER BY subject""",
+    // generation 1 = odd event-ids only; a time-travel read that
+    // leaked any generation-2 row (the full set) would hash-mismatch
+    "e12_time_travel" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10 AND event_id % 2 = 1
          GROUP BY 1 ORDER BY subject""",
     // exact distinct counts; the in-query HLL rsd bound is extra
     "hll1_distinct_sketch" ->

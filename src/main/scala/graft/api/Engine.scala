@@ -455,8 +455,26 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * engine. */
   def vacuum(table: String,
       keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
-      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs): Unit =
-    storeOf(table).vacuum(keepSuperseded, removedDayGraceMs)
+      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
+      keepHistory: Int = TsStore.DefaultKeepHistory): Unit =
+    storeOf(table).vacuum(keepSuperseded, removedDayGraceMs, keepHistory)
+
+  /** Committed snapshot generations available for time travel on
+    * `table`, ascending (empty outside snapshot mode). */
+  def snapshotVersions(table: String): Seq[Long] =
+    storeOf(table).snapshotVersions
+
+  /** Time-travel read through the command surface: `table` exactly as
+    * snapshot generation `v` committed it (including the tombstones
+    * live at that commit — a later `drop` does not rewrite history).
+    * The reproducibility primitive for training pipelines: record the
+    * generation a run consumed, keep it inside `vacuum`'s
+    * `keepHistory` horizon, and any later job re-reads the identical
+    * corpus. None when the generation is unknown or vacuumed out. */
+  def openSnapshotAt(table: String, v: Long): Option[DataFrame] = {
+    storeOf(table)
+    TsStore.openSnapshotAt(spark, s"$rootPath/$table", v, "subject")
+  }
 
   /** The out-of-process reader contract through the engine surface:
     * pin the table's current committed snapshot and read it whole for

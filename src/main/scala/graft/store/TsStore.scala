@@ -225,8 +225,49 @@ final class TsStore(
   private def snapFile =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snapshot.json")
 
+  private def histDir =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snaphist")
+
   private def loadSnapshot(): TsStore.Snapshot =
     TsStore.readSnapshot(fs, snapFile)
+
+  /** Record a committed manifest generation for time travel:
+    * `__snaphist/v=N.json` holds the generation's day→version map AND
+    * the tombstones live at commit time, so [[TsStore.openSnapshotAt]]
+    * reproduces exactly what a reader pinned at that commit saw
+    * (drops land at the NEXT commit point — `drop` itself is an O(1)
+    * metadata write with no manifest generation). First writer wins:
+    * a crash-replayed commit never rewrites a generation's record.
+    * Written AFTER the live manifest rename — a crash in between
+    * leaves generation N committed but not time-travelable (absent
+    * from [[snapshotVersions]]), never the reverse. */
+  private def writeHistory(s: TsStore.Snapshot): Unit = {
+    val f = fs
+    val dest = new org.apache.hadoop.fs.Path(histDir, s"v=${s.v}.json")
+    if (f.exists(dest)) return
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("v", s.v)
+    val d = root.putObject("days")
+    s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
+    val tb = root.putObject("tombstones")
+    tombstoneList.sortBy(_._1).foreach { case (sub, g) => tb.put(sub, g) }
+    f.mkdirs(histDir)
+    val tmp = new org.apache.hadoop.fs.Path(histDir, s"v=${s.v}.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    if (!f.rename(tmp, dest)) f.delete(tmp, false) // lost the race: fine
+  }
+
+  /** Committed generations available for time travel, ascending. */
+  def snapshotVersions: Seq[Long] = synchronized {
+    val f = fs
+    if (!snapshots || !f.exists(histDir)) Seq.empty
+    else f.listStatus(histDir)
+      .map(_.getPath.getName)
+      .collect { case TsStore.HistFile(v) => v.toLong }
+      .toSeq.sorted
+  }
 
   private def commitSnapshot(s: TsStore.Snapshot): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -243,6 +284,7 @@ final class TsStore(
     org.apache.hadoop.fs.FileContext
       .getFileContext(snapFile.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, snapFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    writeHistory(s)
   }
 
   /** Rename a commit's produced day dirs from `tmp` into their
@@ -364,7 +406,8 @@ final class TsStore(
     * vacuum side of the snapshot contract. No-op outside snapshot
     * mode. */
   def vacuum(keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
-      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs)
+      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
+      keepHistory: Int = TsStore.DefaultKeepHistory)
       : Unit = synchronized {
     if (!snapshots) return
     val f = fs
@@ -372,21 +415,37 @@ final class TsStore(
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) return
     val now = System.currentTimeMillis()
+    // time-travel retention (third dial): the `keepHistory` newest
+    // generation records survive and PIN every (day, version) they
+    // reference — a retained generation must stay readable through
+    // [[TsStore.openSnapshotAt]] no matter what the count/time graces
+    // would reclaim. Older generation records are retired here (their
+    // dirs then fall to the ordinary grace rules). Default 0 keeps the
+    // pre-time-travel reclamation behavior exactly.
+    val histVers = snapshotVersions
+    val retained = histVers.takeRight(keepHistory)
+    histVers.dropRight(keepHistory).foreach(v =>
+      f.delete(new org.apache.hadoop.fs.Path(histDir, s"v=$v.json"), false))
+    val refs: Map[String, Set[Long]] = retained
+      .flatMap { v =>
+        TsStore.readSnapshot(f,
+          new org.apache.hadoop.fs.Path(histDir, s"v=$v.json")).days.toSeq
+      }
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).toSet }
     var reclaimed = Set.empty[String]
     f.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
       .foreach { s =>
         val name = s.getPath.getName
         val vers = verDirs(s.getPath)
-        val keep: Set[Long] = snap.days.get(name) match {
+        val graceKeep: Set[Long] = snap.days.get(name) match {
           case Some(ref) =>
             val older = vers.map(_._2).filter(_ < ref)
             (older.takeRight(keepSuperseded) :+ ref).toSet
           case None =>
             snap.removed.get(name) match {
               case Some(at) if now - at >= removedDayGraceMs =>
-                reclaimed += name
-                Set.empty // grace passed: the whole day goes
+                Set.empty // grace passed: unreferenced versions go
               case Some(_) =>
                 // inside the grace EVERY version survives: these dirs
                 // are exactly what a reader pinned to a pre-removal
@@ -400,6 +459,8 @@ final class TsStore(
                 vers.map(_._2).takeRight(keepSuperseded).toSet
             }
         }
+        val keep = graceKeep ++ refs.getOrElse(name, Set.empty)
+        if (keep.isEmpty && snap.removed.contains(name)) reclaimed += name
         vers.filterNot(v => keep.contains(v._2)).foreach { case (vn, _) =>
           f.delete(new org.apache.hadoop.fs.Path(s.getPath, vn), true)
         }
@@ -923,6 +984,13 @@ object TsStore {
     * surface forwards, so the contract cannot drift between the two. */
   val DefaultKeepSuperseded = 1
   val DefaultRemovedDayGraceMs: Long = 24L * 3600 * 1000
+  /** Time-travel retention default: 0 = no generation records survive
+    * a vacuum (the pre-time-travel behavior); deployments wanting
+    * reproducible as-of reads (e.g. pinning the exact training corpus
+    * a run consumed) set it to their reproducibility horizon. */
+  val DefaultKeepHistory = 0
+
+  private[store] val HistFile = "^v=(\\d+)\\.json$".r
 
   /** The delete tmp's commit-point manifest (see
     * [[TsStore.deleteWhere]] / swap recovery): which affected days the
@@ -1059,6 +1127,43 @@ object TsStore {
         // documents that)
         .drop("__seq")
     }
+  }
+
+  /** Time-travel read: the store EXACTLY as generation `v` committed
+    * it — day→version map AND tombstones are both taken from the
+    * generation record `__snaphist/v=N.json` (current tombstones do
+    * NOT apply: a drop issued after generation `v` must not rewrite
+    * history). None when the generation is unknown or its record was
+    * vacuumed past the retention dial — time travel degrades to
+    * "unavailable", never to a silently different corpus. The files
+    * behind a retained generation are pinned by `vacuum(…,
+    * keepHistory)`; reading an unretained generation between its
+    * record's deletion and its dirs' reclamation is prevented by
+    * deleting the record FIRST (no record ⇒ no read). */
+  def openSnapshotAt(spark: SparkSession, path: String, v: Long,
+      subject: String): Option[DataFrame] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val rec = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snaphist", s"v=$v.json")
+    if (!f.exists(rec)) return None
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readJsonBytes(f, rec))
+    import scala.jdk.CollectionConverters._
+    val days = node.path("days").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+    if (days.isEmpty) return None
+    val tombstones = node.path("tombstones").properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
+    val df = spark.read.option("basePath", path)
+      .parquet(days.toSeq.sortBy(_._1).map { case (d, ver) =>
+        s"${path.stripSuffix("/")}/$d/__v=$ver" }: _*)
+      .drop("__v")
+    Some(tombstones.map { case (s, g) =>
+      col(subject) === lit(s) && col("__seq") <= lit(g)
+    }.reduceOption(_ || _)
+      .fold(df)(dead => df.filter(!dead))
+      .drop("__seq"))
   }
 
   /** What a cold rewrite did — the contract behind [[TsStore.onColdChange]]. */

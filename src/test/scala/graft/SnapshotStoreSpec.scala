@@ -292,4 +292,65 @@ class SnapshotStoreSpec extends SparkSpec {
     re.save()
     assert(re.read().filter(col("code") === "B").count() == 1)
   }
+
+  test("time travel: each generation reads exactly as committed, drops do not rewrite history") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // generation 1
+    val gen1 = st.read().select("code", "t", "v", "day")
+      .orderBy("code", "t").collect().toSeq
+    st.set(Seq(("A", 1L, 11.0, "d1"), ("C", 7L, 70.0, "d1"))
+      .toDF("code", "t", "v", "day"))
+    st.save() // generation 2
+    st.dropSubject("B") // O(1) tombstone, NO generation
+    st.set(Seq(("C", 8L, 80.0, "d2")).toDF("code", "t", "v", "day"))
+    st.save() // generation 3: first commit that records B's tombstone
+    assert(st.snapshotVersions == Seq(1L, 2L, 3L))
+    val at1 = TsStore.openSnapshotAt(spark, root, 1L, "code").get
+    assert(at1.select("code", "t", "v", "day").orderBy("code", "t")
+      .collect().toSeq == gen1,
+      "generation 1 did not read back exactly as committed")
+    // generation 2 committed BEFORE the drop: B is still visible there
+    val at2 = TsStore.openSnapshotAt(spark, root, 2L, "code").get
+    assert(at2.filter(col("code") === "B").count() == 3,
+      "a later drop rewrote generation 2's history")
+    assert(at2.count() == 7) // 6 − A@1 replaced + C@7 added
+    // generation 3 carries the tombstone; live read agrees
+    val at3 = TsStore.openSnapshotAt(spark, root, 3L, "code").get
+    assert(at3.filter(col("code") === "B").count() == 0)
+    assert(at3.count() === st.read().count())
+    // unknown generation: None, never a guess
+    assert(TsStore.openSnapshotAt(spark, root, 99L, "code").isEmpty)
+  }
+
+  test("vacuum keepHistory pins retained generations' files; 0 reclaims records") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // gen 1
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // gen 2: d1 at __v=2, gen-1's __v=1 superseded
+    st.set(Seq(("A", 1L, 12.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // gen 3
+    val gen1 = TsStore.openSnapshotAt(spark, root, 1L, "code").get
+      .orderBy("code", "t").select("v").collect().map(_.getDouble(0)).toSeq
+    // keepSuperseded=0 would reclaim d1 __v=1/__v=2 — but keepHistory=3
+    // retains all three generation records, which pin their versions
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L, keepHistory = 3)
+    assert(st.snapshotVersions == Seq(1L, 2L, 3L))
+    assert(TsStore.openSnapshotAt(spark, root, 1L, "code").get
+      .orderBy("code", "t").select("v").collect().map(_.getDouble(0)).toSeq
+      == gen1, "vacuum reclaimed files a retained generation references")
+    // retention 1: only the newest record survives; gen-1/2 records go
+    // FIRST, then their now-unreferenced dirs fall to the count grace
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L, keepHistory = 1)
+    assert(st.snapshotVersions == Seq(3L))
+    assert(TsStore.openSnapshotAt(spark, root, 1L, "code").isEmpty,
+      "unretained generation still readable (record should be gone)")
+    assert(!hfs.exists(hp(s"$root/__day=d1/__v=1")) &&
+      !hfs.exists(hp(s"$root/__day=d1/__v=2")),
+      "unreferenced superseded versions survived keepSuperseded=0")
+    // the live read and the retained generation are untouched
+    assert(st.read().count() == 6)
+    assert(TsStore.openSnapshotAt(spark, root, 3L, "code").get.count() == 6)
+  }
 }
