@@ -269,7 +269,15 @@ final class TsStore(
       .toSeq.sorted
   }
 
-  private def commitSnapshot(s: TsStore.Snapshot): Unit = {
+  /** `recordHistory = false` is for same-generation bookkeeping
+    * rewrites (vacuum's removal-record retirement): a generation's
+    * history record must only ever be written by the commit that
+    * ADVANCED to it — re-minting one later would stamp it with
+    * current tombstones instead of as-of-commit tombstones, silently
+    * rewriting time-travel history (and resurrecting records a
+    * keepHistory=0 vacuum just reclaimed). */
+  private def commitSnapshot(s: TsStore.Snapshot,
+      recordHistory: Boolean = true): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("v", s.v)
@@ -284,7 +292,7 @@ final class TsStore(
     org.apache.hadoop.fs.FileContext
       .getFileContext(snapFile.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, snapFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    writeHistory(s)
+    if (recordHistory) writeHistory(s)
   }
 
   /** Rename a commit's produced day dirs from `tmp` into their
@@ -475,7 +483,8 @@ final class TsStore(
     val retired = reclaimed ++ snap.removed.keys.filterNot(d =>
       f.exists(new org.apache.hadoop.fs.Path(root, d)))
     if (retired.nonEmpty)
-      commitSnapshot(snap.copy(removed = snap.removed -- retired))
+      commitSnapshot(snap.copy(removed = snap.removed -- retired),
+        recordHistory = false)
   }
 
   // ── crash recovery: every cold rewrite commits through an on-disk

@@ -353,4 +353,21 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read().count() == 6)
     assert(TsStore.openSnapshotAt(spark, root, 3L, "code").get.count() == 6)
   }
+
+  test("vacuum's same-generation bookkeeping never re-mints a reclaimed history record") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // gen 1
+    // empty d1 via delete: its removal is recorded for the grace
+    st.deleteWhere(col("day") === "d1", _ == "d1") // gen 2
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L, keepHistory = 0)
+    // the vacuum reclaimed BOTH history records AND d1's dirs, then
+    // retired the removal record via a same-generation manifest
+    // rewrite — which must NOT resurrect gen 2's history record (it
+    // would carry current tombstones, not as-of-commit ones)
+    assert(st.snapshotVersions.isEmpty,
+      s"retirement re-minted history: ${st.snapshotVersions}")
+    assert(TsStore.openSnapshotAt(spark, root, 2L, "code").isEmpty)
+    assert(st.read().count() == 4) // d2 + d3 live rows unaffected
+  }
 }
