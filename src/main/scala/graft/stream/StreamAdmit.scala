@@ -172,41 +172,63 @@ object StreamAdmit {
   def admitBatch(batch: DataFrame, id: String, text: String,
       indexRoot: String, admittedRoot: String, batchId: Long,
       bands: Int, sigLen: Int, shingleK: Int,
-      minEstJaccard: Double, compactMinTailFiles: Int = 16): Unit = {
+      minEstJaccard: Double, compactMinTailFiles: Int = 16,
+      maxProbeKeys: Long = 1L << 22): Unit = {
     val ss = batch.sparkSession
     val newSigs = Dedup.minhash(batch.select(col(id).as("doc_id"),
       col(text).as("__text")), "__text", shingleK, sigLen)
       .select("doc_id", "minhash")
-    val pairs = BandIndex.probe(s"$indexRoot/buckets", newSigs,
-        "doc_id", bands, sigLen)._1
-      // a replayed batch finds its own prior appends in the index —
-      // and not only as exact self-pairs: a crash after the buckets
-      // append leaves the WHOLE batch's rows in the index, so a doc
-      // that is an intra-batch near-dup of another batch doc would
-      // be screened against its own partial append and rejected on
-      // replay while a clean run admits it. Anti-join the index
-      // side against the full batch id set: batch ids are disjoint
-      // from legitimate index ids by precondition (see scaladoc),
-      // so this only removes rows from a prior partial append of
-      // this same batch — keeping the pinned "screened against
-      // index ∪ prior admissions ONLY" contract deterministic
-      // across replays.
-      .join(broadcast(newSigs.select(col("doc_id").as("index_id"))),
-        Seq("index_id"), "left_anti")
-      .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
-      // materialized once: the candidate ids are collected to prune
-      // the signature lookup, then the pairs join the verdict — the
-      // candidate set is LSH-bounded (≈ flat per doc), the same
-      // driver-size contract as the probe's bucket collect
-      .localCheckpoint()
-    val candIds = pairs.select("id_b").distinct().collect()
-      .map(_.get(0).asInstanceOf[Number].longValue())
-    // verdict signatures: the batch's own + ONLY the stored sigs the
-    // candidates can touch (pruned file-level read — without this the
-    // verdict join re-scans the whole signature table every batch,
-    // the same wrong slope the bucket probe had)
-    val idxSigs = BandIndex.readForKeys(ss, s"$indexRoot/sigs", candIds,
-      "doc_id")._1.select("doc_id", "minhash")
+    // the big-batch dial ([[BandIndex.probeAuto]]'s premise, applied
+    // to the WHOLE screening path): a micro-batch small enough that
+    // its bucket keys and candidate ids fit the driver takes the
+    // pruned point-probe path; a backfill-scale batch (a replayed
+    // feed, a bulk re-ingest through the same stream) shuffles both
+    // the probe AND the verdict lookup — nothing rides the driver,
+    // cost degrades to one pass over index + batch instead of OOM
+    val batchIdsAnti = newSigs.select(col("doc_id").as("index_id"))
+    val small = newSigs.count() * bands <= maxProbeKeys
+    val (pairs, idxSigs) = if (small) {
+      val p = BandIndex.probe(s"$indexRoot/buckets", newSigs,
+          "doc_id", bands, sigLen)._1
+        // a replayed batch finds its own prior appends in the index —
+        // and not only as exact self-pairs: a crash after the buckets
+        // append leaves the WHOLE batch's rows in the index, so a doc
+        // that is an intra-batch near-dup of another batch doc would
+        // be screened against its own partial append and rejected on
+        // replay while a clean run admits it. Anti-join the index
+        // side against the full batch id set: batch ids are disjoint
+        // from legitimate index ids by precondition (see scaladoc),
+        // so this only removes rows from a prior partial append of
+        // this same batch — keeping the pinned "screened against
+        // index ∪ prior admissions ONLY" contract deterministic
+        // across replays.
+        .join(broadcast(batchIdsAnti), Seq("index_id"), "left_anti")
+        .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+        // materialized once: the candidate ids are collected to prune
+        // the signature lookup, then the pairs join the verdict — the
+        // candidate set is LSH-bounded (≈ flat per doc), the same
+        // driver-size contract as the probe's bucket collect
+        .localCheckpoint()
+      val candIds = p.select("id_b").distinct().collect()
+        .map(_.get(0).asInstanceOf[Number].longValue())
+      // verdict signatures: the batch's own + ONLY the stored sigs the
+      // candidates can touch (pruned file-level read — without this
+      // the verdict join re-scans the whole signature table every
+      // batch, the same wrong slope the bucket probe had)
+      (p, BandIndex.readForKeys(ss, s"$indexRoot/sigs", candIds,
+        "doc_id")._1.select("doc_id", "minhash"))
+    } else {
+      // same replay anti-join contract, distributed; the signature
+      // lookup reads the whole table — a blanket batch touches most
+      // of it anyway, and the join (not a collect) does the filtering
+      val p = BandIndex.probeLarge(s"$indexRoot/buckets", newSigs,
+          "doc_id", bands, sigLen)
+        .join(batchIdsAnti, Seq("index_id"), "left_anti")
+        .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+      BandIndex.recover(ss, s"$indexRoot/sigs") // heal a dead compact
+      (p, ss.read.parquet(s"$indexRoot/sigs")
+        .select("doc_id", "minhash"))
+    }
     val dupIds = Dedup.minhashJaccard(pairs,
         newSigs.unionByName(idxSigs), "doc_id")
       .filter(col("est_jaccard") >= minEstJaccard)

@@ -183,6 +183,37 @@ class BandIndexSpec extends SparkSpec {
       s"compaction did not bound files: ${files(rootA)} vs ${files(rootB)}")
   }
 
+  test("admitBatch big-batch dial: shuffle path admits identically to the pruned path") {
+    // same batches through both screening paths — maxProbeKeys=1
+    // forces every batch onto the distributed (probeLarge + full-sig
+    // join) path that a backfill-scale batch would take
+    def run(root: String, cap: Long): Seq[(Long, Long)] = {
+      StreamAdmit.seedIndex(sigs(corpus), "doc_id", s"$root/index", 16, 32,
+        targetRowsPerFile = 64)
+      (0 until 6).foreach { b =>
+        val fresh = Seq((1000L + b,
+          (1 to 40).map(j => s"f${b}_$j").mkString(" ")))
+        val rows = if (b % 2 == 0)
+          fresh :+ ((2000L + b,
+            (1 to 40).map(j => s"c${b % 40 + 1}_$j").mkString(" ")))
+          else fresh
+        StreamAdmit.admitBatch(rows.toDF("doc_id", "text"), "doc_id",
+          "text", s"$root/index", s"$root/admitted", b, 16, 32, 3, 0.5,
+          maxProbeKeys = cap)
+      }
+      spark.read.parquet(s"$root/admitted").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val rootA = Files.createTempDirectory("graft_bandidx").toString + "/a"
+    val rootB = Files.createTempDirectory("graft_bandidx").toString + "/b"
+    val pruned = run(rootA, cap = 1L << 22)
+    val shuffled = run(rootB, cap = 1L)
+    assert(pruned == shuffled,
+      s"the screening paths disagree: $pruned vs $shuffled")
+    assert(pruned.count(_._1 >= 2000L) == 0 && pruned.nonEmpty,
+      s"admission verdicts wrong: $pruned")
+  }
+
   test("seedIndexPlanned: solved banding holds candidates-per-doc ~flat across 10x corpus growth") {
     // docs drawn from a shared 3-token-phrase pool, so unrelated pairs
     // carry real background shingle similarity (the regime the
