@@ -1977,8 +1977,9 @@ object SparkEntry {
         col("l_extendedprice") <= est, 1L).otherwise(0L)).as(s"$f|$l")
     }
     val ranks = li.agg(rankCols.head, rankCols.tail: _*).collect()(0)
-    val nByFlag = exact.select("l_returnflag", "n").distinct()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // groupRows already holds (flag, n) on the driver — never re-run
+    // the ranked pipeline for what a 3-row map answers
+    val nByFlag = groupRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     approx.toSeq.sortBy(_._1).zipWithIndex.foreach { case (((f, l), _), i) =>
       val n = nByFlag(f)
       val target = qs.find(_._2 == l).get._1 * n

@@ -831,14 +831,15 @@ final class Engine(val spark: SparkSession, rootPath: String,
     spark.sql(s"SHOW PARTITIONS $backing").collect()
       .map(r => snapshotDayVal(r.getString(0))).toSet
 
-  /** Pin day partitions of a snapshot-mode backing table to their
-    * manifest-committed version dirs — `pins` are (escaped day dir
-    * name, version) pairs as [[TsStore.snapshotDays]] returns them.
-    * Not-yet-registered days are added in ONE batched
-    * `ADD … PARTITION … LOCATION` statement; already-registered days
-    * get a `SET LOCATION` each (the only per-day DDL, and only for
-    * days a commit actually advanced) — one listing + 1 + O(advanced
-    * days) catalog calls, not 2·days. */
+  /** BULK-pin day partitions of a snapshot-mode backing table to
+    * their manifest-committed version dirs — `pins` are (escaped day
+    * dir name, version) pairs as [[TsStore.snapshotDays]] returns
+    * them. For the bulk paths only (initial exposure, pack resync),
+    * where one partition listing amortizes over the whole manifest:
+    * unregistered days land in ONE batched `ADD … PARTITION …
+    * LOCATION` statement, registered days get a `SET LOCATION` each.
+    * Incremental per-commit syncs go through [[pinSnapshotDays]],
+    * which never lists. */
   private def pinSnapshotPartitions(st: TsStore, backing: String,
       pins: Seq[(String, Long)]): Unit = {
     if (pins.isEmpty) return
@@ -862,16 +863,26 @@ final class Engine(val spark: SparkSession, rootPath: String,
   /** Re-pin the given RAW day values (as ColdChange events carry them)
     * to their current manifest versions. Days absent from the manifest
     * are skipped — a concurrent removal wins and its own event drops
-    * the partition. */
+    * the partition. The incremental path deliberately does NOT list
+    * the catalog partitions (that would re-price every hot-tail
+    * auto-flush at O(all days) — the exact anti-pattern the
+    * onColdChange contract forbids): each changed day pays two
+    * targeted DDLs, ADD IF NOT EXISTS then SET LOCATION, so cost is
+    * O(changed days) regardless of table age. */
   private def pinSnapshotDays(st: TsStore, backing: String,
       days: Seq[String]): Unit = {
     val manifest = st.snapshotDays.toMap
-    val pins = days.flatMap { d =>
+    days.foreach { d =>
       val dayDir = "__day=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(d)
-      manifest.get(dayDir).map(dayDir -> _)
+      manifest.get(dayDir).foreach { v =>
+        val loc = s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"
+        spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS PARTITION " +
+          s"(__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'")
+        spark.sql(s"ALTER TABLE $backing PARTITION " +
+          s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
+      }
     }
-    pinSnapshotPartitions(st, backing, pins)
   }
 
   /** Full catalog↔manifest partition re-sync for a snapshot-mode

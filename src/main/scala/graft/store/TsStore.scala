@@ -134,8 +134,15 @@ final class TsStore(
       s"$path was written with snapshots = ${metaMode.get} — open it " +
         "with the same mode")
   }
-  recoverSwaps()
+  // meta BEFORE recovery: a recovery-path snapshot commit mints the
+  // generation's time-travel history record from the live tombstone
+  // map — replaying with the sidecar not yet loaded would stamp the
+  // record with EMPTY tombstones, silently rewriting the as-of
+  // history a clean run records. Safe in this order: recovery never
+  // rewrites the meta sidecar, and the watermark it loads was
+  // persisted before any roll-forward-able tmp existed (see save).
   loadMeta()
+  recoverSwaps()
 
   /** Invoked after any operation that changes what cold reads see
     * (save / deleteWhere / dropSubject / pack) — lets an owner holding
@@ -175,9 +182,8 @@ final class TsStore(
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__meta.json")
 
   private def loadMeta(): Unit = {
-    // reuse the node the open guard already parsed (recovery between
-    // the two never rewrites the sidecar); fall back to a fresh read
-    // for any other call path
+    // reuse the node the open guard already parsed; fall back to a
+    // fresh read for any other call path
     val nodeOpt = metaNodeAtOpen.orElse {
       if (!fs.exists(metaFile)) None
       else Some(new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1142,9 +1148,12 @@ object TsStore {
     * it — day→version map AND tombstones are both taken from the
     * generation record `__snaphist/v=N.json` (current tombstones do
     * NOT apply: a drop issued after generation `v` must not rewrite
-    * history). None when the generation is unknown or its record was
-    * vacuumed past the retention dial — time travel degrades to
-    * "unavailable", never to a silently different corpus. The files
+    * history). None when the generation is unknown, its record was
+    * vacuumed past the retention dial, or it committed an EMPTY
+    * corpus (a delete emptied every day — the same None-means-no-data
+    * contract as [[openSnapshot]]; there are no files to carry a
+    * schema). Time travel degrades to "unavailable", never to a
+    * silently different corpus. The files
     * behind a retained generation are pinned by `vacuum(…,
     * keepHistory)`; reading an unretained generation between its
     * record's deletion and its dirs' reclamation is prevented by

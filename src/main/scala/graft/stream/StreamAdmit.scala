@@ -175,33 +175,40 @@ object StreamAdmit {
       minEstJaccard: Double, compactMinTailFiles: Int = 16,
       maxProbeKeys: Long = 1L << 22): Unit = {
     val ss = batch.sparkSession
+    // persisted: the shingle+minhash pass over the batch text feeds
+    // the dial's count, the probe, the replay anti-join, the verdict
+    // union and the admitted anti-join — without the cache it would
+    // recompute per action, every trigger, forever (seedIndex solves
+    // the same problem the same way)
     val newSigs = Dedup.minhash(batch.select(col(id).as("doc_id"),
       col(text).as("__text")), "__text", shingleK, sigLen)
       .select("doc_id", "minhash")
-    // the big-batch dial ([[BandIndex.probeAuto]]'s premise, applied
-    // to the WHOLE screening path): a micro-batch small enough that
-    // its bucket keys and candidate ids fit the driver takes the
-    // pruned point-probe path; a backfill-scale batch (a replayed
-    // feed, a bulk re-ingest through the same stream) shuffles both
-    // the probe AND the verdict lookup — nothing rides the driver,
-    // cost degrades to one pass over index + batch instead of OOM
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // the big-batch dial is [[BandIndex.probeAuto]]'s — one source of
+    // truth for the threshold: a micro-batch small enough that its
+    // bucket keys and candidate ids fit the driver takes the pruned
+    // point-probe path (stats returned); a backfill-scale batch (a
+    // replayed feed, a bulk re-ingest through the same stream)
+    // shuffles both the probe AND the verdict lookup — nothing rides
+    // the driver, cost degrades to one pass over index + batch
+    // instead of OOM
     val batchIdsAnti = newSigs.select(col("doc_id").as("index_id"))
-    val small = newSigs.count() * bands <= maxProbeKeys
-    val (pairs, idxSigs) = if (small) {
-      val p = BandIndex.probe(s"$indexRoot/buckets", newSigs,
-          "doc_id", bands, sigLen)._1
-        // a replayed batch finds its own prior appends in the index —
-        // and not only as exact self-pairs: a crash after the buckets
-        // append leaves the WHOLE batch's rows in the index, so a doc
-        // that is an intra-batch near-dup of another batch doc would
-        // be screened against its own partial append and rejected on
-        // replay while a clean run admits it. Anti-join the index
-        // side against the full batch id set: batch ids are disjoint
-        // from legitimate index ids by precondition (see scaladoc),
-        // so this only removes rows from a prior partial append of
-        // this same batch — keeping the pinned "screened against
-        // index ∪ prior admissions ONLY" contract deterministic
-        // across replays.
+    val (rawPairs, statsOpt) = BandIndex.probeAuto(s"$indexRoot/buckets",
+      newSigs, "doc_id", bands, sigLen, maxProbeKeys = maxProbeKeys)
+    // a replayed batch finds its own prior appends in the index — and
+    // not only as exact self-pairs: a crash after the buckets append
+    // leaves the WHOLE batch's rows in the index, so a doc that is an
+    // intra-batch near-dup of another batch doc would be screened
+    // against its own partial append and rejected on replay while a
+    // clean run admits it. Anti-join the index side against the full
+    // batch id set: batch ids are disjoint from legitimate index ids
+    // by precondition (see scaladoc), so this only removes rows from
+    // a prior partial append of this same batch — keeping the pinned
+    // "screened against index ∪ prior admissions ONLY" contract
+    // deterministic across replays.
+    val (pairs, idxSigs) = if (statsOpt.isDefined) {
+      val p = rawPairs
         .join(broadcast(batchIdsAnti), Seq("index_id"), "left_anti")
         .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
         // materialized once: the candidate ids are collected to prune
@@ -218,11 +225,10 @@ object StreamAdmit {
       (p, BandIndex.readForKeys(ss, s"$indexRoot/sigs", candIds,
         "doc_id")._1.select("doc_id", "minhash"))
     } else {
-      // same replay anti-join contract, distributed; the signature
-      // lookup reads the whole table — a blanket batch touches most
-      // of it anyway, and the join (not a collect) does the filtering
-      val p = BandIndex.probeLarge(s"$indexRoot/buckets", newSigs,
-          "doc_id", bands, sigLen)
+      // distributed verdict: the signature lookup reads the whole
+      // table — a blanket batch touches most of it anyway, and the
+      // join (not a collect) does the filtering
+      val p = rawPairs
         .join(batchIdsAnti, Seq("index_id"), "left_anti")
         .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
       BandIndex.recover(ss, s"$indexRoot/sigs") // heal a dead compact
@@ -256,6 +262,7 @@ object StreamAdmit {
       minTailFiles = compactMinTailFiles)
     BandIndex.compact(ss, s"$indexRoot/buckets", "bucket",
       minTailFiles = compactMinTailFiles)
+    } finally newSigs.unpersist()
   }
 
   /** [[admitBatch]] with the banding triple read from the index's own

@@ -354,6 +354,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(TsStore.openSnapshotAt(spark, root, 3L, "code").get.count() == 6)
   }
 
+  test("recovery-minted generation records carry the live tombstones, not empty ones") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save() // gen 1
+    st.dropSubject("B") // tombstone persisted to the meta sidecar
+    // fabricate an acknowledged save tmp (crash after the commit
+    // manifest landed, before the commit ran) — the REOPEN replays
+    // the commit and mints generation 2's history record; it must
+    // embed B's tombstone exactly as an uncrashed save would
+    Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(99L))
+      .write.mode("overwrite").partitionBy("__day")
+      .parquet(root + "__saving")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"days":["__day=d9"],"v":2}""".getBytes("UTF-8"))
+    val recovered = mkStore(root)
+    assert(recovered.snapshotVersions.contains(2L))
+    val at2 = TsStore.openSnapshotAt(spark, root, 2L, "code").get
+    assert(at2.filter(col("code") === "B").count() == 0,
+      "a recovery-minted generation record lost the live tombstones")
+    assert(at2.filter(col("code") === "C").count() == 1)
+  }
+
   test("vacuum's same-generation bookkeeping never re-mints a reclaimed history record") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val st = mkStore(root)
