@@ -456,8 +456,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
   def vacuum(table: String,
       keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
       removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
-      keepHistory: Int = TsStore.DefaultKeepHistory): Unit =
-    storeOf(table).vacuum(keepSuperseded, removedDayGraceMs, keepHistory)
+      keepHistory: Int = TsStore.DefaultKeepHistory,
+      supersededGraceMs: Long = 0L): Unit =
+    storeOf(table).vacuum(keepSuperseded, removedDayGraceMs, keepHistory,
+      supersededGraceMs)
 
   /** Committed snapshot generations available for time travel on
     * `table`, ascending (empty outside snapshot mode). */

@@ -113,11 +113,18 @@ final class TsStore(
   private var metaNodeAtOpen: Option[com.fasterxml.jackson.databind.JsonNode] =
     None
   locally {
-    val probe = dayDirs(new org.apache.hadoop.fs.Path(path)).headOption
+    // probe the first NON-EMPTY day dir: an empty one (a crash between
+    // placeVersions' mkdirs and its rename, or between vacuum deleting
+    // a day's last version dir and the day dir itself) carries no
+    // layout evidence, and misreading it as "flat" would brick the
+    // open that recovery needs to heal exactly that crash
+    val probe = dayDirs(new org.apache.hadoop.fs.Path(path))
+      .iterator
       .map { case (name, _) =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(path, name))
-          .exists(s => s.isDirectory && s.getPath.getName.startsWith("__v="))
-      }
+        fs.listStatus(new org.apache.hadoop.fs.Path(path, name)).toSeq }
+      .find(_.nonEmpty)
+      .map(_.exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("__v=")))
     require(!(snapshots && probe.contains(false)),
       s"$path holds a flat-layout store — open it with snapshots = " +
         "false, or migrate by rewriting through a snapshot-mode save")
@@ -309,8 +316,9 @@ final class TsStore(
     * after the manifest already swapped places (nothing) at the same
     * version instead of minting a phantom v+2 no dir ever held. */
   private def placeVersions(tmp: org.apache.hadoop.fs.Path,
-      days: Seq[String], targetV: Long): Unit = {
+      days: Seq[String], targetV: Long): Boolean = {
     val f = fs
+    var placedAny = false
     days.foreach { name =>
       val src = new org.apache.hadoop.fs.Path(tmp, name)
       if (f.exists(src)) {
@@ -320,8 +328,42 @@ final class TsStore(
         f.delete(dest, true) // partial rename from an interrupted redo
         if (!f.rename(src, dest))
           throw new java.io.IOException(s"snapshot commit: could not place $dest")
+        placedAny = true
       }
     }
+    placedAny
+  }
+
+  /** Shared replay spine of the three snapshot commit routines.
+    * Everything — the placement included — is guarded by
+    * `snap.v < targetV`: once the manifest has swapped past targetV,
+    * a replay must change NOTHING (the online order places every day
+    * before the swap, so a post-swap replay has nothing left to do —
+    * and an unguarded placement would let a stale complete tmp stomp
+    * version slots a LATER commit legitimately re-used, resurrecting
+    * deleted rows). A replay that skips the swap still back-fills the
+    * generation's time-travel record if the crash landed between the
+    * manifest rename and [[writeHistory]] (first-writer-wins, and the
+    * live tombstones were loaded before recovery ran).
+    *
+    * `targetV` rides in the tmp's commit instruction; a LEGACY tmp
+    * (pre-`v` builds) re-derives `snap.v + 1`, which is wrong exactly
+    * when the crash fell after the swap — so for a legacy tmp that
+    * placed nothing (fully drained) whose commit days all sit in the
+    * manifest at the CURRENT generation, the swap already happened
+    * and is skipped rather than re-run at a phantom version no dir
+    * ever held. */
+  private def commitVersioned(tmp: org.apache.hadoop.fs.Path,
+      days: Seq[String], storedV: Option[Long],
+      next: (TsStore.Snapshot, Long) => TsStore.Snapshot): Unit = {
+    val snap = loadSnapshot()
+    val targetV = storedV.getOrElse(snap.v + 1)
+    if (snap.v < targetV) {
+      val placedAny = placeVersions(tmp, days, targetV)
+      val legacyAlreadySwapped = storedV.isEmpty && !placedAny &&
+        days.nonEmpty && days.forall(d => snap.days.get(d).contains(snap.v))
+      if (!legacyAlreadySwapped) commitSnapshot(next(snap, targetV))
+    } else writeHistory(snap)
   }
 
   /** Commit a save tmp as a snapshot: produced days advance to the
@@ -337,11 +379,8 @@ final class TsStore(
   private def commitSavingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
-    val snap = loadSnapshot()
-    val targetV = storedV.getOrElse(snap.v + 1)
-    placeVersions(tmp, days, targetV)
-    if (snap.v < targetV)
-      commitSnapshot(TsStore.Snapshot(targetV,
+    commitVersioned(tmp, days, storedV, (snap, targetV) =>
+      TsStore.Snapshot(targetV,
         snap.days ++ days.map(_ -> targetV),
         snap.removed -- days))
   }
@@ -355,11 +394,8 @@ final class TsStore(
   private def commitDeletingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (replaced, removed, storedV) = TsStore.readAffected(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest))
-    val snap = loadSnapshot()
-    val targetV = storedV.getOrElse(snap.v + 1)
-    placeVersions(tmp, replaced, targetV)
-    if (snap.v < targetV)
-      commitSnapshot(TsStore.Snapshot(targetV,
+    commitVersioned(tmp, replaced, storedV, (snap, targetV) =>
+      TsStore.Snapshot(targetV,
         snap.days ++ replaced.map(_ -> targetV) -- removed,
         snap.removed -- replaced ++
           removed.map(_ -> System.currentTimeMillis())))
@@ -372,15 +408,12 @@ final class TsStore(
   private def commitPackedSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
-    val snap = loadSnapshot()
-    val targetV = storedV.getOrElse(snap.v + 1)
-    placeVersions(tmp, days, targetV)
-    if (snap.v < targetV) {
+    commitVersioned(tmp, days, storedV, (snap, targetV) => {
       val gone = snap.days.keySet -- days
-      commitSnapshot(TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap,
+      TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap,
         snap.removed -- days ++
-          gone.map(_ -> System.currentTimeMillis())))
-    }
+          gone.map(_ -> System.currentTimeMillis()))
+    })
   }
 
   /** The committed manifest's (day dir name, version) pairs, sorted by
@@ -421,9 +454,16 @@ final class TsStore(
     * mode. */
   def vacuum(keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
       removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
-      keepHistory: Int = TsStore.DefaultKeepHistory)
+      keepHistory: Int = TsStore.DefaultKeepHistory,
+      supersededGraceMs: Long = 0L)
       : Unit = synchronized {
     if (!snapshots) return
+    // drain any pending commit first: a complete, replayable tmp may
+    // have already PLACED version dirs the live manifest does not yet
+    // reference — reclaiming those as "superseded orphans" would make
+    // the later replay commit a manifest pointing at deleted dirs.
+    // Recovery is idempotent and this store owns the write lock.
+    recoverSnapshotSwaps()
     val f = fs
     val snap = loadSnapshot()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -455,7 +495,21 @@ final class TsStore(
         val graceKeep: Set[Long] = snap.days.get(name) match {
           case Some(ref) =>
             val older = vers.map(_._2).filter(_ < ref)
-            (older.takeRight(keepSuperseded) :+ ref).toSet
+            // keepSuperseded is a COMMIT-COUNT grace — under a burst
+            // of auto-flush saves it can cycle through in seconds, so
+            // it cannot express "readers run for ≤ T". supersededGraceMs
+            // adds the TIME guarantee for live days: a superseded
+            // version survives while its dir is younger than the
+            // grace (dir mtime ≈ placement time — the rename that
+            // placed it). Both dials keep; either alone suffices.
+            val timeKeep =
+              if (supersededGraceMs <= 0L) Seq.empty[Long]
+              else f.listStatus(s.getPath)
+                .filter(x => x.isDirectory &&
+                  x.getPath.getName.startsWith("__v="))
+                .filter(x => now - x.getModificationTime < supersededGraceMs)
+                .map(_.getPath.getName.stripPrefix("__v=").toLong).toSeq
+            (older.takeRight(keepSuperseded) ++ timeKeep :+ ref).toSet
           case None =>
             snap.removed.get(name) match {
               case Some(at) if now - at >= removedDayGraceMs =>
@@ -535,6 +589,13 @@ final class TsStore(
       path.stripSuffix("/") + "__snapshot.json.tmp"), false)
     f.delete(new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__meta.json.tmp"), false)
+    // a writeHistory that died between create and rename leaves a
+    // v=N.json.tmp no later pass touches (vacuum deletes exact names,
+    // HistFile excludes .tmp) — sweep them here or they accumulate
+    if (f.exists(histDir))
+      f.listStatus(histDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json.tmp"))
+        .foreach(s => f.delete(s.getPath, false))
   }
 
   private def recoverSwaps(): Unit = if (snapshots) recoverSnapshotSwaps() else {
@@ -646,9 +707,7 @@ final class TsStore(
   /** Rows KILLED by an active tombstone (cold side only — hot batches
     * are anti-filtered at drop time). */
   private def tombDead: Option[org.apache.spark.sql.Column] =
-    tombstones.map { case (s, g) =>
-      col(subject) === lit(s) && col("__seq") <= lit(g)
-    }.reduceOption(_ || _)
+    TsStore.tombstoneFilter(tombstones, subject)
 
   private def tombFiltered(df: DataFrame): DataFrame =
     tombDead.fold(df)(dead => df.filter(!dead))
@@ -674,10 +733,7 @@ final class TsStore(
       // so day pruning fires exactly as in the flat layout)
       val snap = loadSnapshot()
       if (snap.days.isEmpty) None
-      else Some(spark.read.option("basePath", path)
-        .parquet(snap.days.toSeq.sortBy(_._1).map { case (d, v) =>
-          s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
-        .drop("__v"))
+      else Some(TsStore.readVersioned(spark, path, snap.days))
     } else if (coldExists) Some(spark.read.parquet(path)) else None
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
@@ -1007,6 +1063,28 @@ object TsStore {
 
   private[store] val HistFile = "^v=(\\d+)\\.json$".r
 
+  /** The ONE tombstone kill predicate — `subject` dropped at sequence
+    * `g` kills rows with `__seq <= g`. Every read surface (the owning
+    * store's tombDead, pinned snapshots, time-travel reads) builds its
+    * filter here so the ranking rule cannot silently diverge between
+    * them. */
+  private[store] def tombstoneFilter(tombstones: Map[String, Long],
+      subject: String): Option[org.apache.spark.sql.Column] =
+    tombstones.map { case (s, g) =>
+      col(subject) === lit(s) && col("__seq") <= lit(g)
+    }.reduceOption(_ || _)
+
+  /** The ONE manifest→frame read: the union of a day→version map's
+    * version dirs, with `basePath` recovering `__day` as a partition
+    * column (so day predicates prune exactly as in the flat layout)
+    * and the internal `__v` dropped. */
+  private[store] def readVersioned(spark: SparkSession, path: String,
+      days: Map[String, Long]): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(days.toSeq.sortBy(_._1).map { case (d, v) =>
+        s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
+      .drop("__v")
+
   /** The delete tmp's commit-point manifest (see
     * [[TsStore.deleteWhere]] / swap recovery): which affected days the
     * tmp REPLACES and which the delete EMPTIED. */
@@ -1089,14 +1167,9 @@ object TsStore {
     * every referenced dir is immutable, so the frame stays whole
     * through any number of concurrent saves/deletes/packs (until a
     * [[TsStore.vacuum]] whose grace the deployment sets longer than
-    * this reader runs). Tombstones are read from the meta sidecar
-    * BEFORE the manifest: a tombstone recorded after the pinned
-    * snapshot only ever kills rows whose re-created successors carry
-    * higher sequences, so the older-tombstones/newer-manifest order
-    * can never hide legitimately re-created data. None = store empty
-    * (or not in snapshot mode). Hot (unflushed) rows are process-
-    * private by design — this is the cold contract, same as any
-    * external engine reading the parquet. */
+    * this reader runs). None = store empty (or not in snapshot mode).
+    * Hot (unflushed) rows are process-private by design — this is the
+    * cold contract, same as any external engine reading the parquet. */
   def openSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -1107,33 +1180,35 @@ object TsStore {
     // does not record the subject column name — this raw variant
     // returns all physical rows; use the `subject` overload to apply
     // live tombstones exactly as the owning store's reads do
-    Some(spark.read.option("basePath", path)
-      .parquet(snap.days.toSeq.sortBy(_._1).map { case (d, v) =>
-        s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
-      .drop("__v"))
+    Some(readVersioned(spark, path, snap.days))
   }
 
   /** [[openSnapshot]] with the store's subject column, applying live
-    * tombstones exactly as the owning store's reads do. */
+    * tombstones exactly as the owning store's reads do. The manifest
+    * is pinned FIRST, the tombstone sidecar read second — the
+    * serializable order: a tombstone recorded after the pin collapses
+    * the view to the just-after-drop instant (it only ever kills rows
+    * whose re-created successors carry higher sequences), whereas
+    * reading the sidecar first could surface a state that existed at
+    * no instant (a concurrently dropped subject visible in days the
+    * drop's next flush rewrote, hidden in days it didn't). */
   def openSnapshot(spark: SparkSession, path: String, subject: String)
       : Option[DataFrame] = {
-    val f = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val meta = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "__meta.json")
-    val tombstones: Map[String, Long] =
-      if (!f.exists(meta)) Map.empty
-      else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(readJsonBytes(f, meta))
-        import scala.jdk.CollectionConverters._
-        node.path("tombstones").properties().asScala
-          .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
-      }
     openSnapshot(spark, path).map { df =>
-      tombstones.map { case (s, g) =>
-        col(subject) === lit(s) && col("__seq") <= lit(g)
-      }.reduceOption(_ || _)
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val meta = new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + "__meta.json")
+      val tombstones: Map[String, Long] =
+        if (!f.exists(meta)) Map.empty
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(readJsonBytes(f, meta))
+          import scala.jdk.CollectionConverters._
+          node.path("tombstones").properties().asScala
+            .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
+        }
+      tombstoneFilter(tombstones, subject)
         .fold(df)(dead => df.filter(!dead))
         // the ingest-sequence column is internal (needed above for the
         // tombstone rank only) — hide it exactly as read() and the SQL
@@ -1173,13 +1248,8 @@ object TsStore {
     if (days.isEmpty) return None
     val tombstones = node.path("tombstones").properties().asScala
       .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
-    val df = spark.read.option("basePath", path)
-      .parquet(days.toSeq.sortBy(_._1).map { case (d, ver) =>
-        s"${path.stripSuffix("/")}/$d/__v=$ver" }: _*)
-      .drop("__v")
-    Some(tombstones.map { case (s, g) =>
-      col(subject) === lit(s) && col("__seq") <= lit(g)
-    }.reduceOption(_ || _)
+    val df = readVersioned(spark, path, days)
+    Some(tombstoneFilter(tombstones, subject)
       .fold(df)(dead => df.filter(!dead))
       .drop("__seq"))
   }

@@ -354,6 +354,86 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(TsStore.openSnapshotAt(spark, root, 3L, "code").get.count() == 6)
   }
 
+  test("an empty day dir (mid-place or mid-vacuum crash) does not brick the open") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()
+    // fabricate the crash residue: a day dir created by placeVersions'
+    // mkdirs whose rename never ran (no __v= inside, no files at all)
+    hfs.mkdirs(hp(s"$root/__day=d0aaa"))
+    val re = mkStore(root) // must not misread the empty dir as flat
+    assert(re.read().count() == 6)
+    // and the inverse mode still fails loudly off the REAL layout
+    assertThrows[IllegalArgumentException] {
+      new TsStore(spark, root, subject = "code", time = "t",
+        soleCols = Nil, dayCol = col("day"))
+    }
+  }
+
+  test("a stale complete tmp replay never stomps a version slot a later commit reused") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save() // gen 1
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // gen 2: d1 at __v=2, vol... v=11.0 is live
+    // fabricate a STALE complete save tmp recorded at v=2 (as if an
+    // earlier attempt at gen 2 failed mid-place, the writer retried
+    // through another code path, and the tmp lingered): its replay
+    // must place NOTHING — the guard is snap.v < targetV, placement
+    // included — or it would overwrite the live __v=2 with stale rows
+    Seq(("Z", 9L, 999.0, "d1")).toDF("code", "t", "v", "day")
+      .withColumn("__day", col("day")).withColumn("__seq", lit(1L))
+      .write.mode("overwrite").partitionBy("__day")
+      .parquet(root + "__saving")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"days":["__day=d1"],"v":2}""".getBytes("UTF-8"))
+    val re = mkStore(root)
+    val a1 = re.read().filter(col("code") === "A" && col("t") === 1)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(a1 == Seq(11.0),
+      s"stale tmp replay overwrote the live version slot: $a1")
+    assert(re.read().filter(col("code") === "Z").count() == 0)
+  }
+
+  test("legacy (no-v) drained tmp after its swap does not mint a phantom generation") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save() // gen 1
+    // fabricate: a pre-upgrade tmp whose day dirs were ALL placed and
+    // whose manifest swap ALSO ran (d1 maps to the current generation)
+    // but whose tmp delete never happened — no "v" in the instruction
+    hfs.mkdirs(hp(root + "__saving"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "_SUCCESS"),
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__saving", "__commit.json"),
+      """{"days":["__day=d1"]}""".getBytes("UTF-8"))
+    val re = mkStore(root)
+    // a phantom re-swap would point d1 at __v=2 (never created) and
+    // every read would die with path-not-found
+    assert(re.read().count() == 2,
+      "legacy drained tmp minted a phantom generation")
+  }
+
+  test("supersededGraceMs keeps superseded live-day versions inside the time grace") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days.filter(col("day") === "d1")); st.save() // __v=1
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save() // __v=2
+    // count grace alone would reclaim __v=1; the time grace keeps it
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L,
+      supersededGraceMs = 3600L * 1000)
+    assert(hfs.exists(hp(s"$root/__day=d1/__v=1")),
+      "time grace did not keep a just-superseded version")
+    st.vacuum(keepSuperseded = 0, removedDayGraceMs = 0L)
+    assert(!hfs.exists(hp(s"$root/__day=d1/__v=1")),
+      "superseded version survived with no grace")
+    assert(st.read().count() == 2)
+  }
+
   test("recovery-minted generation records carry the live tombstones, not empty ones") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val st = mkStore(root)
