@@ -126,5 +126,15 @@ object Bench {
         s"""{"metric":"steady_total","value":$stotal,"unit":"sec","queries":${jmap(steady)},"runs":$runs,"sf":"$sfDir"}""" + "\n")
     }
     spark.stop()
+    // the driver tails sbt stdout for the JSON line, and the early
+    // print above sat buried under the steady pass's Spark WARNs two
+    // rounds running (BENCH_r9/r10 "parsed: null") — re-emit it as
+    // the LAST stdout line, after spark.stop() so no executor
+    // shutdown logging can land behind it, and mirror it on stderr
+    // as a second channel
+    System.out.flush()
+    println(line)
+    System.err.println(line)
+    System.out.flush()
   }
 }

@@ -1140,17 +1140,23 @@ object SparkEntry {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
     // two files per side with pinned mtimes → the file source replays
-    // each side oldest-first in two micro-batches, deterministically
+    // each side oldest-first in two micro-batches, deterministically.
+    // Which file gets the earlier mtime is derived from WHICH WRITE
+    // produced it (the file set is captured between the writes) — not
+    // from wall-clock mtime order, which ties when both writes land in
+    // the same millisecond on a local FS
     def feed(df: DataFrame, sub: String, splitCol: String): Unit = {
       df.filter(col(splitCol) % 2 === 0).coalesce(1)
         .write.mode("overwrite").parquet(s"$base/$sub")
+      val d = new java.io.File(s"$base/$sub")
+      def parts() = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val firstBatch = parts().map(_.getName).toSet
       df.filter(col(splitCol) % 2 =!= 0).coalesce(1)
         .write.mode("append").parquet(s"$base/$sub")
-      val d = new java.io.File(s"$base/$sub")
-      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .sortBy(_.lastModified())
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 60000L)
+      parts().foreach { f =>
+        f.setLastModified(
+          if (firstBatch(f.getName)) 1700000000000L
+          else 1700000000000L + 60000L)
       }
     }
     feed(views, "views", "view_id")
@@ -2089,6 +2095,60 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** E13 — SQL time travel through the engine front door
+    * ([[graft.api.Engine.exposeSqlAt]]): generation 1 (odd event-ids
+    * only) is registered as a FROZEN SQL view — day partitions pinned
+    * to the generation record's day→version map, the view's tombstone
+    * predicate to its as-of-commit tombstones — and then a range
+    * delete lands as a LATER generation. The live exposure re-pins
+    * and sees the delete; the time-travel view must keep reading
+    * exactly what generation 1 committed (REQUIREd: the live view's
+    * row count moved, the pinned view's did not), and its day
+    * predicate must still prune through the pinned catalog partitions
+    * (REQUIREd in-plan, the e11 pattern). This is e12's
+    * reproducibility contract extended to SQL clients — a training
+    * run re-reading its data months later through plain SQL. */
+  private def qTimeTravelSql(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_tt_sql/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+    clientEventPayloads(ev.filter(col("event_id") % 2 === 1))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 1: odd event-ids only
+    clientEventPayloads(ev)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 2: the full set (odds re-slot)
+    val v1 = eng.snapshotVersions("ev").min
+    val at = eng.exposeSqlAt("ev", v1, db = "graft_tt")
+    val live = eng.exposeSql("ev", db = "graft_tt")
+    val atBefore = s.sql(s"SELECT count(*) AS n FROM $at").first().getLong(0)
+    // the delete lands AFTER both exposures: the live view re-pins,
+    // the time-travel view must not move
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    val liveN = s.sql(s"SELECT count(*) AS n FROM $live").first().getLong(0)
+    val atN = s.sql(s"SELECT count(*) AS n FROM $at").first().getLong(0)
+    require(atN == atBefore,
+      s"time-travel view moved with a later commit: $atBefore -> $atN")
+    require(atN < liveN,
+      s"time-travel view is not pinned to the older generation " +
+        s"($atN rows vs live $liveN)")
+    val q = s.sql(
+      s"""SELECT subject, count(*) AS n, round(sum(value), 2) AS total
+         FROM $at
+         WHERE __day BETWEEN '2024-01-08' AND '2024-01-20'
+         GROUP BY subject ORDER BY subject""")
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim
+    require(plan.contains("PartitionFilters: [") && !pf.isEmpty &&
+      pf.contains("__day"),
+      s"time-travel SQL day predicate did not prune partitions:\n$plan")
+    q
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2626,6 +2686,7 @@ object SparkEntry {
     "ix1_inverted_search" -> qInvertedSearch _,
     "hll1_distinct_sketch" -> qDistinctSketch _,
     "e12_time_travel" -> qTimeTravel _,
+    "e13_time_travel_sql" -> qTimeTravelSql _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -2839,6 +2900,17 @@ object SparkEntry {
          round(sum(value), 2) AS total
          FROM events
          WHERE user_id < 10 AND event_id % 2 = 1
+         GROUP BY 1 ORDER BY subject""",
+    // the SQL-front-door reading of the same generation-1 pin, with a
+    // day predicate (pruning REQUIREd in-plan): a frozen view that
+    // leaked the generation-2 re-ingest OR the post-exposure delete
+    // would hash-mismatch
+    "e13_time_travel_sql" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events
+         WHERE user_id < 10 AND event_id % 2 = 1
+           AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-20'
          GROUP BY 1 ORDER BY subject""",
     // exact distinct counts; the in-query HLL rsd bound is extra
     "hll1_distinct_sketch" ->

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{BandIndex, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Round-11 scaling harness (PLANS.md evidence): the tiered-compaction
+  * write bound.
+  *
+  * Round 10's compact rewrote the ENTIRE base whenever the tail
+  * crossed the file threshold, so a forever-running admission stream
+  * paid O(index) writes every ~16 micro-batches — the round-10
+  * verdict's one `weak`. The stepped-merge tiering
+  * ([[graft.ops.BandIndex.compactTiered]]) bounds each merge by the
+  * runs no larger than the incoming data, so per-row write
+  * amplification is O(log(index / batch)) and the base run is
+  * rewritten only when the accumulated newer data reaches its size.
+  *
+  * This harness appends N equal batches to an index seeded G batches
+  * big, compacting after every batch (the st6 cadence, at its most
+  * aggressive), and measures per-batch merged bytes against index
+  * bytes. The claims it must show, per doubling of the index:
+  *
+  *  - MEAN merged bytes per batch grows ~log(index/batch), not
+  *    linearly with the index (the round-10 slope was indexBytes/16);
+  *  - the MAX single merge is bounded by the index's newer-run volume
+  *    (occasional large merges are the amortization, not a stall
+  *    per batch);
+  *  - live run count stays ≤ ~log₂(batches);
+  *  - the probe still equals a flat full scan, pair for pair.
+  */
+object TierScale {
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.nonEmpty) args(0).toInt else 64
+    val rowsPerBatch = if (args.length > 1) args(1).toInt else 5000
+    val spark = Harness.session()
+    import spark.implicits._
+
+    val root = "/tmp/graft_tierscale/idx"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path("/tmp/graft_tierscale"), true)
+
+    // deterministic synthetic bucket rows — compaction is
+    // content-agnostic, so no need to re-run minhash here
+    def batchRows(b: Int) =
+      spark.range(b.toLong * rowsPerBatch, (b + 1).toLong * rowsPerBatch)
+        .select(col("id").as("index_id"),
+          pmod(col("id"), lit(16)).cast("int").as("band"),
+          xxhash64(col("id"), lit("tier")).as("bucket"))
+
+    BandIndex.write(batchRows(0), root, "bucket", targetRowsPerFile = 4096)
+    var appended = 0L
+    var rewritten = 0L
+    var window = Vector.empty[BandIndex.CompactStats] // since last report
+    (1 until batches).foreach { b =>
+      val rows = batchRows(b)
+      rows.write.mode("append").parquet(root)
+      appended += 1
+      val st = BandIndex.compactTiered(spark, root, "bucket",
+        targetRowsPerFile = 4096, minTailFiles = 1).get
+      rewritten += st.mergedBytes
+      window :+= st
+      if ((b & (b + 1)) == 0 || b == batches - 1) { // b = 1,3,7,15,31,63
+        val meanMerged = window.map(_.mergedBytes).sum / window.size
+        val maxMerged = window.map(_.mergedBytes).max
+        println(f"batches=${b + 1}%3d indexBytes=${st.indexBytes}%10d " +
+          f"meanMergedBytes=$meanMerged%9d maxMergedBytes=$maxMerged%9d " +
+          f"runs=${st.runsAfter}%2d " +
+          f"amplification=${rewritten.toDouble / math.max(1L, st.indexBytes)}%.2f")
+        window = Vector.empty
+      }
+    }
+    // correctness tie-off: the tiered index probes identically to a
+    // flat scan of the same rows
+    val probeSigs = Dedup.minhash(
+      (1 to 8).map(i => (900000L + i, s"probe doc $i " * 10))
+        .toDF("doc_id", "text"), "text", 3, 32).select("doc_id", "minhash")
+    val pruned = BandIndex.probe(root, probeSigs, "doc_id", 16, 32)._1.count()
+    val full = Dedup.probeBandedIndex(spark.read.parquet(root), probeSigs,
+      "doc_id", 16, 32).count()
+    require(pruned == full, s"tiered probe diverged: $pruned vs $full")
+    // amplification = total bytes rewritten by all compactions over
+    // the index's final size ≈ how many times the average row was
+    // rewritten; the O(log₂(batches)) bound here is ~6 at 64 batches,
+    // vs batches/16 ≈ 4 → ~32 (and growing linearly) for the
+    // round-10 full-rewrite every-16-batches policy at this cadence
+    // (every batch, so round-10 amortized = batches/2)
+    val entries = BandIndex.readEntries(spark, root, "bucket")
+    val finalBytes = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    println(f"final: files=${entries.size} " +
+      f"runs=${entries.map(_.run).distinct.size} " +
+      f"totalRewritten=$rewritten " +
+      f"amplification=${rewritten.toDouble / math.max(1L, finalBytes)}%.2f")
+    spark.stop()
+  }
+}

@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
   * saves/deletes/packs; the deployment schedules [[vacuum]] with a
   * grace ≥ its longest reader. The mode is recorded in the engine
   * catalog sidecar and checked on reopen — mixing modes over one root
-  * corrupts silently, so it fails loudly instead. */
+  * corrupts silently, so it fails loudly instead.
+  *
+  * One WRITER per store root is ENFORCED, not just documented: each
+  * table's TsStore takes over a lease sidecar at open and re-checks
+  * its fencing token before every commit, so when two engine
+  * processes point at one root the earlier one's next write fails
+  * loudly instead of interleaving commits into a corrupt manifest
+  * (TsStore writer-fence scaladoc; the reference gets the same
+  * guarantee from its single dispatcher thread,
+  * sisdb_server.c:474-476). */
 final class Engine(val spark: SparkSession, rootPath: String,
     val snapshots: Boolean = false) {
 
@@ -46,6 +55,15 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // out over this list rather than being replaced per call
   private val sqlNames =
     scala.collection.concurrent.TrieMap[String, Vector[(String, String)]]()
+  // day partition values known registered per backing table — lets the
+  // incremental per-commit pin issue ONE statement per changed day
+  // (SET LOCATION for known days, one batched ADD for fresh ones)
+  // instead of an ADD + SET round-trip each. Authoritative within the
+  // session: it is (re)seeded by every bulk pin/resync (which list the
+  // catalog once) and maintained by every partition ADD/DROP site, and
+  // the callback that consults it only exists after exposeSql seeded it
+  private val pinnedDays =
+    scala.collection.concurrent.TrieMap[String, Set[String]]()
   private val mapper = new ObjectMapper()
 
   // ── durable catalog: every `create` persists the table's canonical
@@ -142,17 +160,21 @@ final class Engine(val spark: SparkSession, rootPath: String,
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val timeField = sdb.mainIndex.map(_.name).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no main index"))
-    stores.getOrElseUpdate(table, new TsStore(
-      spark, s"$rootPath/$table", subject = "subject", time = timeField,
-      soleCols = sdb.solelyFields.map(_.name),
-      dayCol = Engine.dayOf(sdb, timeField),
-      schema = Some(org.apache.spark.sql.types.StructType(
-        sdb.structType.fields :+
-          org.apache.spark.sql.types.StructField("subject",
-            org.apache.spark.sql.types.StringType) :+
-          org.apache.spark.sql.types.StructField("__day",
-            org.apache.spark.sql.types.StringType))),
-      snapshots = snapshots))
+    stores.getOrElseUpdate(table, {
+      val st = new TsStore(
+        spark, s"$rootPath/$table", subject = "subject", time = timeField,
+        soleCols = sdb.solelyFields.map(_.name),
+        dayCol = Engine.dayOf(sdb, timeField),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          sdb.structType.fields :+
+            org.apache.spark.sql.types.StructField("subject",
+              org.apache.spark.sql.types.StringType) :+
+            org.apache.spark.sql.types.StructField("__day",
+              org.apache.spark.sql.types.StringType))),
+        snapshots = snapshots)
+      st.autoVacuum = autoVacuumCfg
+      st
+    })
   }
 
   private def splitKey(key: String): (String, String) = {
@@ -461,6 +483,31 @@ final class Engine(val spark: SparkSession, rootPath: String,
     storeOf(table).vacuum(keepSuperseded, removedDayGraceMs, keepHistory,
       supersededGraceMs)
 
+  /** Opt-in SCHEDULED vacuum for every table of this engine: after
+    * each cold commit whose generation number is a multiple of
+    * `everyGenerations`, the table's store runs [[vacuum]] with the
+    * given retention dials (defaults = the shared [[TsStore]]
+    * contract). The reference schedules its own save/pack
+    * housekeeping the same way (sisdb.c:137-169); without this, a
+    * deployment that never calls vacuum() accumulates superseded
+    * version dirs and generation records without bound. Applies to
+    * already-open stores and to every store opened later; pass
+    * `everyGenerations = 0` to disable. Readers pinned within the
+    * grace dials are unaffected — the auto run reclaims exactly what
+    * a manual vacuum with these dials would. */
+  def autoVacuum(everyGenerations: Int,
+      keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
+      removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
+      keepHistory: Int = TsStore.DefaultKeepHistory,
+      supersededGraceMs: Long = 0L): Unit = {
+    autoVacuumCfg =
+      if (everyGenerations <= 0) None
+      else Some(TsStore.AutoVacuum(everyGenerations, keepSuperseded,
+        removedDayGraceMs, keepHistory, supersededGraceMs))
+    stores.values.foreach(_.autoVacuum = autoVacuumCfg)
+  }
+  @volatile private var autoVacuumCfg: Option[TsStore.AutoVacuum] = None
+
   /** Committed snapshot generations available for time travel on
     * `table`, ascending (empty outside snapshot mode). */
   def snapshotVersions(table: String): Seq[Long] =
@@ -733,18 +780,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // a superseded version survive a concurrent commit for as long
       // as the vacuum grace keeps its files (the same reader contract
       // openSnapshot pins).
-      val sdb = catalog.get(table).getOrElse(
-        throw new IllegalArgumentException(s"unknown table '$table'"))
-      val dataSchema = org.apache.spark.sql.types.StructType(
-        sdb.fields.map(f =>
-          org.apache.spark.sql.types.StructField(f.name, f.sparkType)) ++
-          Seq(org.apache.spark.sql.types.StructField("subject",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("__seq",
-              org.apache.spark.sql.types.LongType)))
-      spark.sql(s"CREATE TABLE $backing (${dataSchema.toDDL}, " +
-        s"`__day` STRING) USING parquet PARTITIONED BY (`__day`) " +
-        s"LOCATION '${sqlStr(st.path)}'")
+      createPinnedBacking(st, table, backing)
       pinSnapshotPartitions(st, backing, st.snapshotDays)
     } else {
       spark.catalog.createTable(backing, "parquet", Map("path" -> st.path))
@@ -773,6 +809,8 @@ final class Engine(val spark: SparkSession, rootPath: String,
             removed.foreach(d => spark.sql(
               s"ALTER TABLE $back DROP IF EXISTS PARTITION " +
                 s"(__day='${sqlStr(d)}')"))
+            if (removed.nonEmpty)
+              pinnedDays.updateWith(back)(_.map(_ -- removed))
           case TsStore.Tombstoned =>
             createSqlView(st, table, view, back)
           case TsStore.Rewritten =>
@@ -860,6 +898,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       spark.sql(s"ALTER TABLE $backing PARTITION " +
         s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
     }
+    pinnedDays.put(backing, existing ++ specs.map(_._1))
   }
 
   /** Re-pin the given RAW day values (as ColdChange events carry them)
@@ -868,22 +907,36 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * the partition. The incremental path deliberately does NOT list
     * the catalog partitions (that would re-price every hot-tail
     * auto-flush at O(all days) — the exact anti-pattern the
-    * onColdChange contract forbids): each changed day pays two
-    * targeted DDLs, ADD IF NOT EXISTS then SET LOCATION, so cost is
-    * O(changed days) regardless of table age. */
+    * onColdChange contract forbids): against the in-memory registered
+    * set ([[pinnedDays]], seeded by the exposure's one bulk listing),
+    * each already-registered day pays a single `SET LOCATION` and the
+    * fresh days share one batched `ADD … LOCATION` — one statement
+    * per changed day, O(changed days) regardless of table age. */
   private def pinSnapshotDays(st: TsStore, backing: String,
       days: Seq[String]): Unit = {
     val manifest = st.snapshotDays.toMap
-    days.foreach { d =>
+    val known = pinnedDays.getOrElse(backing, Set.empty)
+    val specs = days.flatMap { d =>
       val dayDir = "__day=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(d)
-      manifest.get(dayDir).foreach { v =>
-        val loc = s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"
-        spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS PARTITION " +
-          s"(__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'")
-        spark.sql(s"ALTER TABLE $backing PARTITION " +
-          s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
-      }
+      manifest.get(dayDir).map(v =>
+        (d, s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"))
+    }
+    val (have, fresh) = specs.partition(p => known.contains(p._1))
+    have.foreach { case (d, loc) =>
+      spark.sql(s"ALTER TABLE $backing PARTITION " +
+        s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
+    }
+    if (fresh.nonEmpty) {
+      // a fresh ADD carries its location, so no follow-up SET — the
+      // registered set is session-authoritative (every ADD/DROP site
+      // maintains it), so IF NOT EXISTS never silently no-ops over a
+      // stale location here
+      spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS " +
+        fresh.map { case (d, loc) =>
+          s"PARTITION (__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'"
+        }.mkString(" "))
+      pinnedDays.put(backing, known ++ fresh.map(_._1))
     }
   }
 
@@ -899,14 +952,74 @@ final class Engine(val spark: SparkSession, rootPath: String,
     pinSnapshotPartitions(st, backing, manifest)
   }
 
+  /** Register `backing` as an explicit-schema, no-discovery
+    * partitioned parquet table over `st`'s root — the snapshot-mode
+    * registration shape: filesystem partition discovery over a
+    * versioned layout would union every `__v=N` dir (duplicate rows,
+    * resurrected deletes), so each day partition's LOCATION is pinned
+    * to one committed version dir by the caller instead. */
+  private def createPinnedBacking(st: TsStore, table: String,
+      backing: String): Unit = {
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      sdb.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.sparkType)) ++
+        Seq(org.apache.spark.sql.types.StructField("subject",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__seq",
+            org.apache.spark.sql.types.LongType)))
+    spark.sql(s"CREATE TABLE $backing (${dataSchema.toDDL}, " +
+      s"`__day` STRING) USING parquet PARTITIONED BY (`__day`) " +
+      s"LOCATION '${sqlStr(st.path)}'")
+  }
+
+  /** SQL TIME TRAVEL: register a read-only view over generation `v`
+    * of `table`, pinned to that generation's day→version map AND its
+    * as-of-commit tombstones (both from the store's `__snaphist`
+    * record — the same artifact [[openSnapshotAt]] reads). Unlike
+    * [[exposeSql]] the registration is deliberately FROZEN: later
+    * saves/deletes/packs never re-pin it — SQL clients keep reading
+    * exactly what generation `v` committed (training-run
+    * reproducibility for SQL consumers), for as long as
+    * `vacuum(keepHistory = …)` retains the generation. Day-predicate
+    * pruning works through the pinned catalog partitions exactly as
+    * on the live exposure (e13 REQUIREs it in-plan). Session-scoped
+    * by design — not recorded in the engine catalog sidecar; the
+    * durable artifact is the generation record, from which a restart
+    * re-derives the registration on demand. Registered as
+    * `<db>.<table>__v<v>` so live and time-travel views of one table
+    * coexist in one database. */
+  def exposeSqlAt(table: String, v: Long, db: String = "graft"): String = {
+    require(snapshots,
+      s"time-travel SQL exposure requires an engine opened with " +
+        "snapshots = true")
+    val st = storeOf(table)
+    val (days, tombs) = st.historyRecord(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table has no retained generation $v (retained: " +
+          s"${st.snapshotVersions.mkString(", ")})"))
+    val qn = s"$db.${table}__v$v"
+    val backing = s"$db.${table}__v${v}__files"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    dropRegistration(qn)
+    dropRegistration(backing)
+    createPinnedBacking(st, table, backing)
+    pinSnapshotPartitions(st, backing, days.toSeq.sortBy(_._1))
+    createSqlViewWith(table, qn, backing, tombs.toSeq.sortBy(_._1))
+    qn
+  }
+
   /** Drop a prior registration under `name`, whichever kind it was —
     * `DROP TABLE` on a view (and vice versa) throws. */
-  private def dropRegistration(name: String): Unit =
+  private def dropRegistration(name: String): Unit = {
+    pinnedDays.remove(name)
     if (spark.catalog.tableExists(name)) {
       if (spark.catalog.getTable(name).tableType == "VIEW")
         spark.sql(s"DROP VIEW $name")
       else spark.sql(s"DROP TABLE $name")
     }
+  }
 
   /** The queryable name is a VIEW over the raw file-backed table: the
     * projection hides the internal `__seq` column and the WHERE carries
@@ -916,12 +1029,19 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * through the view — u1 `require`s PartitionFilters in its own
     * executed plan. */
   private def createSqlView(st: TsStore, table: String, viewQn: String,
-      backing: String): Unit = {
+      backing: String): Unit =
+    createSqlViewWith(table, viewQn, backing, st.tombstoneList)
+
+  /** [[createSqlView]] with an explicit tombstone set — the live
+    * exposure passes the store's current tombstones, the time-travel
+    * exposure the generation record's as-of-commit ones. */
+  private def createSqlViewWith(table: String, viewQn: String,
+      backing: String, tombstones: Seq[(String, Long)]): Unit = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val cols = (sdb.fields.map(_.name) :+ "subject" :+ "__day")
       .map(n => s"`$n`").mkString(", ")
-    val where = st.tombstoneList match {
+    val where = tombstones match {
       case Seq() => ""
       case ts => " WHERE " + ts.map { case (s, g) =>
         s"NOT (subject = '${s.replace("'", "''")}' AND __seq <= ${g}L)"

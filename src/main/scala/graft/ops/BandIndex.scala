@@ -23,9 +23,24 @@ import org.apache.spark.sql.functions._
   *    readers from touching it).
   *  - '''Tail''': rows appended after the base (streaming admissions)
   *    are ordinary appended files, absent from the manifest. A probe
-  *    always reads the whole tail; [[compact]] folds the tail back
-  *    into a sorted base and rewrites the manifest — the standard LSM
-  *    shape, built from parquet parts and two renames.
+  *    always reads the whole tail; [[compact]] folds the tail into a
+  *    new sorted RUN and size-tiers the runs (below) — the standard
+  *    LSM shape, built from parquet parts and per-file renames.
+  *  - '''Runs''': the manifest tags every file with the run that
+  *    wrote it (the [[write]] base is run 0). Runs are individually
+  *    range-sorted and manifested, so the probe prunes each run's
+  *    files by range exactly as it prunes the base's — a point lookup
+  *    opens at most one file per run. [[compact]] merges the tail
+  *    with every run NOT LARGER than the merged set (the
+  *    stepped-merge policy): run sizes then follow the binary
+  *    representation of the ingested volume, each row is rewritten
+  *    O(log(index / batch)) times in total, the live run count stays
+  *    ≤ log₂(index / batch), and the big base run is rewritten only
+  *    when the accumulated newer data has grown to its size — never
+  *    on a fixed every-N-batches cadence. Per-compaction cost is
+  *    bounded by the merged runs' bytes, not the index's
+  *    ([[CompactStats]] is the evidence; [[graft.TierScale]]
+  *    measures the amortized slope).
   *  - '''Probe''': [[readForKeys]] takes the probe's key set (bounded
   *    driver-side: the batch's `bands × |batch|` bucket hashes, or the
   *    candidate ids of one batch — the same "batch fits on one
@@ -90,44 +105,85 @@ object BandIndex {
     writeManifest(ss, root, key)
   }
 
-  /** (Re)derive and commit the manifest from the CURRENT data files —
-    * one metadata+key-column scan. Commit is tmp+rename; a reader that
-    * finds no (or a torn) manifest treats every file as tail — slower,
-    * never wrong. */
-  private[graft] def writeManifest(ss: SparkSession, root: String,
-      key: String): Unit = {
-    val ranges = ss.read.parquet(root)
-      .groupBy(col("_metadata.file_name").as("file"))
-      .agg(min(key).as("mn"), max(key).as("mx"))
-      .collect()
+  /** One manifested file: its key range and the run that wrote it
+    * (run 0 = the [[write]] base; manifests written before runs
+    * existed read back as all-run-0 — correct: they ARE one sorted
+    * run). */
+  private[graft] final case class FileEntry(file: String, mn: Long,
+      mx: Long, run: Long)
+
+  private def entriesJson(key: String, entries: Seq[FileEntry]): Array[Byte] = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
     node.put("key", key)
     val arr = node.putArray("files")
-    ranges.foreach { r =>
+    entries.foreach { fe =>
       val e = arr.addObject()
-      e.put("file", r.getString(0))
-      e.put("min", r.getLong(1))
-      e.put("max", r.getLong(2))
+      e.put("file", fe.file)
+      e.put("min", fe.mn)
+      e.put("max", fe.mx)
+      e.put("run", fe.run)
     }
+    m.writeValueAsBytes(node)
+  }
+
+  private def parseEntries(bytes: Array[Byte], key: String)
+      : Seq[FileEntry] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    if (node.path("key").asText() != key) return Nil
+    val files = node.path("files")
+    (0 until files.size()).map { i =>
+      val e = files.get(i)
+      FileEntry(e.path("file").asText(), e.path("min").asLong(),
+        e.path("max").asLong(), e.path("run").asLong(0L))
+    }
+  }
+
+  /** Atomically commit `entries` as the manifest (tmp + rename). */
+  private[graft] def commitManifest(ss: SparkSession, root: String,
+      key: String, entries: Seq[FileEntry]): Unit = {
     val f = fs(ss)
     val tmp = new org.apache.hadoop.fs.Path(root, ManifestFile + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    try out.write(entriesJson(key, entries)) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(root, ManifestFile)
     f.delete(dest, false)
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"could not commit $dest")
   }
 
-  /** file name → (min key, max key); empty if absent/unreadable or
-    * keyed on a different column (all files then count as tail —
-    * correct, just unpruned). */
-  private def readManifest(ss: SparkSession, root: String, key: String)
-      : Map[String, (Long, Long)] = {
+  /** Per-file (min, max) of the `key` column for exactly `paths` —
+    * the stats a manifest entry needs, priced at the files being
+    * described (never the whole index). */
+  private def fileRanges(ss: SparkSession, paths: Seq[String], key: String)
+      : Map[String, (Long, Long)] =
+    ss.read.parquet(paths: _*)
+      .groupBy(col("_metadata.file_name").as("file"))
+      .agg(min(key).as("mn"), max(key).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  /** (Re)derive and commit the manifest from the CURRENT data files
+    * as one run — one key-column scan over the just-written base.
+    * Commit is tmp+rename; a reader that finds no (or a torn)
+    * manifest treats every file as tail — slower, never wrong. */
+  private[graft] def writeManifest(ss: SparkSession, root: String,
+      key: String): Unit = {
+    val names = dataFiles(ss, root).map(_.getPath.toString)
+    val entries = fileRanges(ss, names.toIndexedSeq, key).toSeq.map {
+      case (file, (mn, mx)) => FileEntry(file, mn, mx, run = 0L)
+    }
+    commitManifest(ss, root, key, entries)
+  }
+
+  /** The manifest's file entries; empty if absent/unreadable or keyed
+    * on a different column (all files then count as tail — correct,
+    * just unpruned). */
+  private[graft] def readEntries(ss: SparkSession, root: String, key: String)
+      : Seq[FileEntry] = {
     val f = fs(ss)
     val p = new org.apache.hadoop.fs.Path(root, ManifestFile)
-    if (!f.exists(p)) return Map.empty
+    if (!f.exists(p)) return Nil
     try {
       val in = f.open(p)
       val bytes =
@@ -136,16 +192,14 @@ object BandIndex {
           org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
           buf.toByteArray
         } finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      if (node.path("key").asText() != key) return Map.empty
-      val files = node.path("files")
-      (0 until files.size()).map { i =>
-        val e = files.get(i)
-        e.path("file").asText() ->
-          (e.path("min").asLong(), e.path("max").asLong())
-      }.toMap
-    } catch { case _: java.io.IOException => Map.empty }
+      parseEntries(bytes, key)
+    } catch { case _: java.io.IOException => Nil }
   }
+
+  /** file name → (min key, max key) — the probe's pruning view. */
+  private def readManifest(ss: SparkSession, root: String, key: String)
+      : Map[String, (Long, Long)] =
+    readEntries(ss, root, key).map(e => e.file -> (e.mn, e.mx)).toMap
 
   /** What one pruned read touched — the evidence behind the pruning
     * claims (d12 `require`s a point lookup opens ≤ 2 base files). */
@@ -265,60 +319,197 @@ object BandIndex {
       (probeLarge(root, newSigs, id, bands, sigLen, indexIdCol), None)
   }
 
-  /** Fold the appended tail back into a sorted, manifested base —
-    * the LSM merge. Parquet files can't be mutated in place, so the
-    * rewrite goes through a rename-aside tmp with the same marker
-    * protocol as [[graft.store.TsStore]] pack: write the merged base
-    * to `<root>__compacting` (job `_SUCCESS` = complete), then swap.
-    * A crash anywhere is healed by [[recover]] (the live dir vanishes
-    * for the duration of two renames — covered by the engine-wide
-    * single-writer contract). No-op when the tail is under
-    * `minTailFiles`. Returns true if it compacted. */
-  def compact(ss: SparkSession, root: String, key: String = "bucket",
-      targetRowsPerFile: Long = 1L << 22, minTailFiles: Int = 8): Boolean = {
+  /** What one [[compact]] actually rewrote — the scale evidence: the
+    * per-batch write bound the tiering buys is
+    * `mergedBytes ≤ O(tail + runs no larger than the merged set)`,
+    * never `indexBytes`, unless the accumulated newer data has grown
+    * to the base's own size (the amortized O(log) step). */
+  final case class CompactStats(mergedFiles: Int, mergedBytes: Long,
+      indexBytes: Long, runsBefore: Int, runsAfter: Int)
+
+  /** `_`-prefixed (parquet readers skip it): a completed merge's
+    * commit instruction, written inside the tmp dir AFTER the merge
+    * job; its existence is the commit point — [[recover]] rolls a
+    * planned merge FORWARD, an unplanned one back. */
+  private[graft] val PlanFile = "_plan.json"
+
+  /** Fold the appended tail into a new sorted, manifested RUN and
+    * size-tier the runs: the merge set starts as the tail and absorbs
+    * every run not larger than the set (stepped-merge), so steady
+    * small batches never rewrite the large base — it joins a merge
+    * only when the newer data's total size has reached its own, and
+    * per-row write amplification is O(log(index / batch)).
+    *
+    * Parquet files can't be mutated in place, so the merged run is
+    * written to `<root>__compacting`, then committed by a plan file
+    * (adds + deletes + the spliced manifest): rename the new run's
+    * files into the live dir, delete the merged-away originals, swap
+    * the manifest. The live dir never vanishes; the one non-atomic
+    * window (new files placed, originals not yet deleted) shows
+    * duplicate rows to a concurrent reader and is closed by
+    * [[recover]] roll-forward after a crash — in-process callers are
+    * serialized by the engine-wide single-writer contract, and the
+    * d12/st6 oracles pin that probe RESULTS are identical before,
+    * during recovery, and after. No-op when the tail is under
+    * `minTailFiles`. Returns the merge's cost evidence, None if it
+    * no-opped. */
+  def compactTiered(ss: SparkSession, root: String, key: String = "bucket",
+      targetRowsPerFile: Long = 1L << 22, minTailFiles: Int = 8)
+      : Option[CompactStats] = {
     recover(ss, root)
-    val manifest = readManifest(ss, root, key)
+    val entries = readEntries(ss, root, key)
+    val byName = entries.map(e => e.file -> e).toMap
     val all = dataFiles(ss, root)
-    val tail = all.count(s => !manifest.contains(s.getPath.getName))
-    if (tail < minTailFiles) return false
+    val lens = all.map(s => s.getPath.getName -> s.getLen).toMap
+    val tail = all.filter(s => !byName.contains(s.getPath.getName))
+    if (tail.length < minTailFiles) return None
+    // stepped-merge selection: absorb every run not (much) larger
+    // than the accumulated merge set, to a fixpoint. The 1.5x slack
+    // absorbs byte-size jitter between a raw tail and the same rows
+    // re-sorted (without it, equal-row runs never merge and every
+    // batch mints a run); absorbed runs stay ≤ 1.5x the merged set,
+    // so run sizes still grow geometrically and per-row write
+    // amplification stays O(log(index / batch)).
+    val runBytes = entries.groupBy(_.run).map { case (r, es) =>
+      r -> es.map(e => lens.getOrElse(e.file, 0L)).sum
+    }
+    var mergedBytes = tail.map(_.getLen).sum
+    var mergeRuns = Set.empty[Long]
+    var grew = true
+    while (grew) {
+      grew = false
+      runBytes.foreach { case (r, b) =>
+        if (!mergeRuns(r) && b * 2 <= mergedBytes * 3) {
+          mergeRuns += r; mergedBytes += b; grew = true
+        }
+      }
+    }
+    val mergeNames = tail.map(_.getPath.getName).toSet ++
+      entries.filter(e => mergeRuns(e.run)).map(_.file)
+    val mergePaths = all.filter(s => mergeNames(s.getPath.getName))
+      .map(_.getPath.toString).toIndexedSeq
+    val newRun = (entries.map(_.run) :+ 0L).max + 1
     val f = fs(ss)
-    val tmp = root.stripSuffix("/") + "__compacting"
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val rows = ss.read.parquet(root)
-    val n = rows.count()
+    val tmpDir = root.stripSuffix("/") + "__compacting"
+    f.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    val rows = ss.read.parquet(mergePaths: _*)
+    val n = rows.count() // metadata-only over the merge set
     val parts = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
       .min(100000L).toInt
     rows.repartitionByRange(parts, col(key))
       .sortWithinPartitions(key)
-      .write.mode("overwrite").parquet(tmp)
-    val live = new org.apache.hadoop.fs.Path(root)
-    val old = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "__old")
-    f.delete(old, true)
-    if (!f.rename(live, old))
-      throw new java.io.IOException(s"compact: could not set aside $root")
-    if (!f.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
-      f.rename(old, live) // roll back; tmp still complete on disk
-      throw new java.io.IOException(s"compact: could not commit $root")
+      .write.mode("overwrite").parquet(tmpDir)
+    // run-prefixed names guarantee no collision in the live dir; the
+    // stats scan prices at the REWRITTEN files only (the spliced
+    // manifest keeps every untouched run's entries verbatim)
+    val tmpParts = dataFiles(ss, tmpDir)
+    val renames = tmpParts.map(s =>
+      s.getPath.getName -> s"r$newRun-${s.getPath.getName}").toMap
+    val ranges = fileRanges(ss, tmpParts.map(_.getPath.toString).toIndexedSeq,
+      key)
+    val newEntries = ranges.toSeq.map { case (file, (mn, mx)) =>
+      FileEntry(renames(file), mn, mx, newRun)
     }
-    f.delete(old, true)
-    writeManifest(ss, root, key)
-    true
+    val spliced = entries.filterNot(e => mergeRuns(e.run)) ++ newEntries
+    writePlan(ss, tmpDir, key, renames.toSeq, mergeNames.toSeq.sorted, spliced)
+    applyPlan(ss, root, tmpDir)
+    Some(CompactStats(mergePaths.length, mergedBytes,
+      all.map(_.getLen).sum, runBytes.size, spliced.map(_.run).distinct.size))
   }
 
-  /** Heal a [[compact]] that died mid-swap. The manifest travels
-    * inside the dir, so every outcome is safe: a rolled-back `__old`
+  /** [[compactTiered]] with the original boolean signature. */
+  def compact(ss: SparkSession, root: String, key: String = "bucket",
+      targetRowsPerFile: Long = 1L << 22, minTailFiles: Int = 8): Boolean =
+    compactTiered(ss, root, key, targetRowsPerFile, minTailFiles).isDefined
+
+  private[graft] def writePlan(ss: SparkSession, tmpDir: String, key: String,
+      adds: Seq[(String, String)], deletes: Seq[String],
+      manifest: Seq[FileEntry]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("key", key)
+    val addArr = node.putArray("adds")
+    adds.foreach { case (from, to) =>
+      val e = addArr.addObject(); e.put("from", from); e.put("to", to)
+    }
+    val delArr = node.putArray("deletes")
+    deletes.foreach(delArr.add)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("manifest",
+      m.readTree(entriesJson(key, manifest)))
+    val f = fs(ss)
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir, PlanFile + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    if (!f.rename(tmp, new org.apache.hadoop.fs.Path(tmpDir, PlanFile)))
+      throw new java.io.IOException(s"could not commit $tmpDir/$PlanFile")
+  }
+
+  /** Execute (or re-execute — every step is idempotent) a committed
+    * plan: place the new run's files, drop the merged-away originals,
+    * swap the manifest, clear the tmp dir. */
+  private[graft] def applyPlan(ss: SparkSession, root: String, tmpDir: String)
+      : Unit = {
+    val f = fs(ss)
+    val planPath = new org.apache.hadoop.fs.Path(tmpDir, PlanFile)
+    val in = f.open(planPath)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val key = node.path("key").asText()
+    val adds = node.path("adds")
+    (0 until adds.size()).foreach { i =>
+      val from = new org.apache.hadoop.fs.Path(tmpDir,
+        adds.get(i).path("from").asText())
+      val to = new org.apache.hadoop.fs.Path(root,
+        adds.get(i).path("to").asText())
+      // a replayed plan finds the rename already done (from gone, to
+      // present); rename is atomic so the file is in exactly one place
+      if (f.exists(from) && !f.rename(from, to))
+        throw new java.io.IOException(s"compact: could not place $to")
+      if (!f.exists(to))
+        throw new java.io.IOException(s"compact: $to missing after plan")
+    }
+    val dels = node.path("deletes")
+    (0 until dels.size()).foreach { i =>
+      f.delete(new org.apache.hadoop.fs.Path(root, dels.get(i).asText()),
+        false)
+    }
+    commitManifest(ss, root, key,
+      parseEntries(new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsBytes(node.path("manifest")), key))
+    f.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
+  /** Heal a [[compactTiered]] (or legacy whole-dir-swap compact) that
+    * died mid-commit. Planned merges roll FORWARD (the plan file is
+    * the commit point; every step replays idempotently); a tmp with
+    * no plan is an aborted merge job — dropped, live dir untouched.
+    * Legacy leftovers (`__old` set-asides from the pre-tiered swap
+    * protocol) keep their original healing: the manifest travels
+    * inside the dir, so every outcome is safe — a rolled-back `__old`
     * still holds its matching manifest; a rolled-forward
-    * `__compacting` holds none (all files tail until the next
-    * compact's [[writeManifest]]) — unpruned, never wrong. */
+    * `__compacting` without one has all files as tail until the next
+    * compact — unpruned, never wrong. */
   def recover(ss: SparkSession, root: String): Unit = {
     val f = fs(ss)
     val live = new org.apache.hadoop.fs.Path(root)
-    val tmp = new org.apache.hadoop.fs.Path(
-      root.stripSuffix("/") + "__compacting")
+    val tmpDir = root.stripSuffix("/") + "__compacting"
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir)
     val old = new org.apache.hadoop.fs.Path(root.stripSuffix("/") + "__old")
+    if (f.exists(live) &&
+      f.exists(new org.apache.hadoop.fs.Path(tmp, PlanFile))) {
+      applyPlan(ss, root, tmpDir)
+      f.delete(old, true)
+      return
+    }
     if (!f.exists(live)) {
       if (f.exists(tmp) &&
-        f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+        !f.exists(new org.apache.hadoop.fs.Path(tmp, PlanFile))) {
         if (!f.rename(tmp, live))
           throw new java.io.IOException(s"compact recovery: $root")
       } else if (f.exists(old)) {

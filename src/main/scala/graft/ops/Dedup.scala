@@ -87,6 +87,33 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The PLANNED batch entry point — [[lshCandidates]] with the
+    * banding dial SOLVED from the corpus size ([[bandingPlan]])
+    * instead of caller-pinned: shingle+minhash the documents at the
+    * solved signature length, band at the solved (bands, rowsPerBand),
+    * return the candidate pairs plus the plan (recall and expected
+    * false-candidate numbers included, for the pipeline's planning
+    * logs). This is the library DEFAULT a growing deployment should
+    * call: a banding triple pinned at corpus size n accumulates
+    * unrelated-pair collisions linearly as the corpus grows G× (the
+    * growth law measured in PLANS.md round 4 and solved by
+    * [[bandingPlan]]); the streaming admission path already seeds
+    * from the same solver ([[graft.stream.StreamAdmit
+    * .seedIndexPlanned]]) — this closes the batch path. The pinned
+    * overload stays for oracle queries and for callers reproducing a
+    * recorded configuration. One extra action: the corpus count that
+    * feeds the solver (metadata-cheap on parquet sources). */
+  def lshCandidatesPlanned(docs: DataFrame, id: String, text: String,
+      targetSim: Double, shingleK: Int = 3, backgroundSim: Double = 0.1,
+      minRecall: Double = 0.9, falseCandidateBudget: Double = 10.0,
+      seed: Long = 42L): (DataFrame, BandingPlan) = {
+    val plan = bandingPlan(docs.count(), targetSim, backgroundSim,
+      minRecall, falseCandidateBudget)
+    val sigs = minhash(docs.select(col(id), col(text)), text, shingleK,
+      plan.sigLen, seed)
+    (lshCandidates(sigs, id, plan.bands, plan.sigLen), plan)
+  }
+
   /** Asymmetric LSH candidates: NEW documents against an EXISTING
     * signature index — the incremental-dedup shape of a production
     * pipeline (check incoming docs against the corpus fingerprints;

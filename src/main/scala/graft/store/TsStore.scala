@@ -141,6 +141,24 @@ final class TsStore(
       s"$path was written with snapshots = ${metaMode.get} — open it " +
         "with the same mode")
   }
+  // ── cross-process writer fence. The reference cannot have two
+  // writer processes by construction — every command runs on one
+  // dispatcher thread of one server (sisdb_server.c:474-476). Here
+  // the single-writer contract (scaladoc above) is ENFORCED, not just
+  // documented: opening a store root takes over a lease sidecar
+  // (monotonic epoch + unique token, committed by atomic
+  // rename-over), and every mutation re-checks the token before
+  // touching the live store — so of two live writer handles on one
+  // root, only the LATEST open can commit; the superseded one fails
+  // loudly at its next write instead of interleaving rename-aside
+  // commits into a corrupt manifest. Takeover (not mutual exclusion)
+  // is deliberate: a crashed writer must never brick the store behind
+  // a stale lock file, and a restart is indistinguishable from a
+  // takeover. The fence bounds any interleave to the one commit
+  // already in flight at takeover — the same guarantee epoch-fencing
+  // gives HDFS HA writers. Acquired BEFORE recovery: roll-forward
+  // itself commits.
+  private val leaseToken: String = acquireLease()
   // meta BEFORE recovery: a recovery-path snapshot commit mints the
   // generation's time-travel history record from the live tombstone
   // map — replaying with the sidecar not yet loaded would stamp the
@@ -150,6 +168,76 @@ final class TsStore(
   // persisted before any roll-forward-able tmp existed (see save).
   loadMeta()
   recoverSwaps()
+
+  private def leaseFile =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__lease.json")
+
+  private def readLease(): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val f = fs
+    if (!f.exists(leaseFile)) None
+    else scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(TsStore.readJsonBytes(f, leaseFile))).toOption
+  }
+
+  private def acquireLease(): String = {
+    val f = fs
+    val epoch = readLease().map(_.path("epoch").asLong(0L)).getOrElse(0L) + 1
+    val token = java.util.UUID.randomUUID().toString
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("epoch", epoch)
+    root.put("token", token)
+    root.put("owner", s"${ProcessHandle.current().pid()}@" +
+      java.net.InetAddress.getLocalHost.getHostName)
+    root.put("acquiredAt", System.currentTimeMillis())
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__lease.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(leaseFile.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, leaseFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    token
+  }
+
+  /** Fail loudly if another writer took over this root since this
+    * handle was opened. Checked at every mutation entry (before the
+    * tmp job starts — nothing of the fenced writer's touches disk)
+    * AND at [[commitSnapshot]], the manifest swap itself. */
+  private def checkFence(): Unit = {
+    val lease = readLease()
+    if (!lease.exists(_.path("token").asText() == leaseToken)) {
+      val owner = lease.map(_.path("owner").asText()).getOrElse("unknown")
+      val epoch = lease.map(_.path("epoch").asLong(0L)).getOrElse(-1L)
+      throw new IllegalStateException(
+        s"$path: this writer handle is FENCED — the store root was " +
+          s"taken over by '$owner' (lease epoch $epoch). The store " +
+          "keeps one writer's view consistent; re-open the store to " +
+          "take the root back (the other writer is then fenced).")
+    }
+  }
+
+  /** Opt-in scheduled vacuum ([[TsStore.AutoVacuum]]): when set, each
+    * completed cold mutation whose committed generation is a multiple
+    * of `everyGenerations` runs [[vacuum]] with the configured dials —
+    * a deployment that never calls vacuum() manually would otherwise
+    * accumulate superseded version dirs and generation records without
+    * bound (the reference schedules its own save/pack housekeeping the
+    * same way, sisdb.c:137-169). Runs AFTER the commit and its
+    * onColdChange sync, so it never adds latency inside a commit and
+    * the reader-grace dials apply exactly as a manual vacuum's. */
+  @volatile var autoVacuum: Option[TsStore.AutoVacuum] = None
+
+  /** Run the configured auto-vacuum if the live generation hit the
+    * cadence. Called at the END of the public mutators (never from
+    * inside a commit — vacuum itself drains pending commits, and a
+    * commit-path trigger would recurse). */
+  private def maybeAutoVacuum(): Unit = autoVacuum.foreach { av =>
+    if (snapshots && av.everyGenerations > 0 &&
+      loadSnapshot().v % av.everyGenerations == 0)
+      vacuum(av.keepSuperseded, av.removedDayGraceMs, av.keepHistory,
+        av.supersededGraceMs)
+  }
 
   /** Invoked after any operation that changes what cold reads see
     * (save / deleteWhere / dropSubject / pack) — lets an owner holding
@@ -206,6 +294,7 @@ final class TsStore(
   }
 
   private def persistMeta(): Unit = {
+    checkFence() // before the sidecar write AND the tmp job that follows
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("seq", seq)
@@ -272,6 +361,11 @@ final class TsStore(
     if (!f.rename(tmp, dest)) f.delete(tmp, false) // lost the race: fine
   }
 
+  /** [[TsStore.readHistRecord]] for this store's root. */
+  private[graft] def historyRecord(v: Long)
+      : Option[(Map[String, Long], Map[String, Long])] =
+    TsStore.readHistRecord(fs, path, v)
+
   /** Committed generations available for time travel, ascending. */
   def snapshotVersions: Seq[Long] = synchronized {
     val f = fs
@@ -291,6 +385,7 @@ final class TsStore(
     * keepHistory=0 vacuum just reclaimed). */
   private def commitSnapshot(s: TsStore.Snapshot,
       recordHistory: Boolean = true): Unit = {
+    checkFence() // the manifest swap is THE commit point
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("v", s.v)
@@ -352,16 +447,24 @@ final class TsStore(
     * placed nothing (fully drained) whose commit days all sit in the
     * manifest at the CURRENT generation, the swap already happened
     * and is skipped rather than re-run at a phantom version no dir
-    * ever held. */
+    * ever held. A legacy tmp that placed nothing and carries NO
+    * produced days at all (a delete whose affected days were all
+    * removed) can't use that day-version evidence — the caller
+    * supplies `legacyNoop`, which checks the commit's own effect
+    * (e.g. every removed day already absent from the manifest) to
+    * the same end: replay after the swap must change NOTHING, not
+    * mint a phantom generation. */
   private def commitVersioned(tmp: org.apache.hadoop.fs.Path,
       days: Seq[String], storedV: Option[Long],
-      next: (TsStore.Snapshot, Long) => TsStore.Snapshot): Unit = {
+      next: (TsStore.Snapshot, Long) => TsStore.Snapshot,
+      legacyNoop: TsStore.Snapshot => Boolean = _ => false): Unit = {
     val snap = loadSnapshot()
     val targetV = storedV.getOrElse(snap.v + 1)
     if (snap.v < targetV) {
       val placedAny = placeVersions(tmp, days, targetV)
       val legacyAlreadySwapped = storedV.isEmpty && !placedAny &&
-        days.nonEmpty && days.forall(d => snap.days.get(d).contains(snap.v))
+        (if (days.nonEmpty) days.forall(d => snap.days.get(d).contains(snap.v))
+         else legacyNoop(snap))
       if (!legacyAlreadySwapped) commitSnapshot(next(snap, targetV))
     } else writeHistory(snap)
   }
@@ -398,7 +501,12 @@ final class TsStore(
       TsStore.Snapshot(targetV,
         snap.days ++ replaced.map(_ -> targetV) -- removed,
         snap.removed -- replaced ++
-          removed.map(_ -> System.currentTimeMillis())))
+          removed.map(_ -> System.currentTimeMillis())),
+      // a legacy all-days-removed delete (replaced empty) placed no
+      // dirs, so the only replay evidence is the removal itself:
+      // every removed day already out of the manifest ⇒ the swap
+      // committed — skip, don't re-stamp removal epochs at v+1
+      legacyNoop = snap => removed.forall(d => !snap.days.contains(d)))
   }
 
   /** Commit a pack tmp as a snapshot: the manifest becomes EXACTLY the
@@ -458,6 +566,7 @@ final class TsStore(
       supersededGraceMs: Long = 0L)
       : Unit = synchronized {
     if (!snapshots) return
+    checkFence() // vacuum deletes live-store dirs — writers only
     // drain any pending commit first: a complete, replayable tmp may
     // have already PLACED version dirs the live manifest does not yet
     // reference — reclaiming those as "superseded orphans" would make
@@ -882,6 +991,7 @@ final class TsStore(
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
       clearHot()
       onColdChange(TsStore.DaysUpserted(dirtyDays))
+      maybeAutoVacuum()
     }
   }
 
@@ -956,6 +1066,7 @@ final class TsStore(
         onColdChange(TsStore.DaysReplaced(
           affected.collect { case (name, v) if produced.contains(name) => v },
           removed))
+        maybeAutoVacuum()
       }
     }
   }
@@ -981,17 +1092,35 @@ final class TsStore(
     * point where tombstoned rows are physically erased (the reference's
     * weekly pack drops moved blocks the same way, sisdb.c:586-602,
     * sisdb_fmap_write.c:135-146). O(store) by design. */
-  def pack(targetFiles: Int): Unit = synchronized {
+  def pack(targetFiles: Int): Unit = pack(targetFiles, None)
+
+  /** [[pack]] with an optional Z-ORDER layout for the rewritten days:
+    * `zorderBy = Some((dimA, dimB))` lays each day's rows out by the
+    * Morton interleave of the two dims' bucket ranks (`targetFiles`
+    * range partitions PER DAY instead of one hash partition), so
+    * every file covers a compact rectangle of (dimA, dimB) space and
+    * parquet footer min/max stats prune on BOTH dims — see
+    * [[graft.ops.Layout]]. The natural pair for a series store is
+    * (subject, time). Pack rewrites everything anyway (the
+    * reference's weekly pack does too, sisdb.c:586-602), so the
+    * better layout costs only the rank derivation: a bounded
+    * sorted-distinct dictionary for string dims, two scalars for
+    * numeric ones. Default `None` keeps the (subject, time)
+    * sort-within-day layout (the O1 sorted-series contract). */
+  def pack(targetFiles: Int, zorderBy: Option[(String, String)])
+      : Unit = synchronized {
+    checkFence()
     if (!coldExists) return // nothing flushed yet — benign, like save
-    if (snapshots) { packSnapshot(targetFiles); return }
-    if (tombstones.isEmpty) {
+    if (snapshots) {
+      packSnapshot(targetFiles, zorderBy); maybeAutoVacuum(); return
+    }
+    if (tombstones.isEmpty && zorderBy.isEmpty) {
       Write.pack(spark, path, Seq("__day"), targetFiles)
       onColdChange(TsStore.Compacted)
     } else cold.foreach { c =>
       val tmp = path.stripSuffix("/") + "__packed"
-      tombFiltered(c).withColumn("__seq", lit(seq))
-        .repartition(targetFiles, col("__day"))
-        .sortWithinPartitions(col(subject), col(time))
+      packedLayout(tombFiltered(c).withColumn("__seq", lit(seq)),
+          targetFiles, zorderBy)
         .write.mode("overwrite").partitionBy("__day").parquet(tmp)
       // durable watermark BEFORE the swap: the rewrite stamped rows
       // with the current sequence — a restart must never reload a
@@ -1024,15 +1153,59 @@ final class TsStore(
     * tombstones after a crash between the manifest commit and the
     * meta rewrite are harmless: they re-filter rows the pack already
     * removed (and the next pack clears them). */
-  private def packSnapshot(targetFiles: Int): Unit = cold.foreach { c =>
+  /** The pack rewrite's physical layout — shared by the flat and
+    * snapshot commit halves. Default: one hash partition per day,
+    * rows sorted (subject, time). Z-order: `targetFiles` range
+    * partitions per day on the Morton code of the two dims' bucket
+    * ranks (see [[pack]]'s zorderBy overload). */
+  private def packedLayout(rows: DataFrame, targetFiles: Int,
+      zorderBy: Option[(String, String)]): DataFrame = zorderBy match {
+    case None =>
+      rows.repartition(targetFiles, col("__day"))
+        .sortWithinPartitions(col(subject), col(time))
+    case Some((da, db)) =>
+      val days = math.max(1L, rows.select("__day").distinct().count())
+      val parts = (targetFiles.toLong * days).min(100000L).toInt
+      packZRank(packZRank(rows, da, "__zra"), db, "__zrb")
+        .withColumn("__z",
+          graft.ops.Layout.morton2(col("__zra"), col("__zrb")))
+        .drop("__zra", "__zrb")
+        .repartitionByRange(parts, col("__day"), col("__z"))
+        .sortWithinPartitions("__day", "__z")
+        .drop("__z")
+  }
+
+  /** Bucket rank of `dim` in [0, 256) for the z-interleave: string
+    * dims rank by sorted-distinct position (bounded dictionary,
+    * broadcast-joined — subject cardinality is bounded by the same
+    * contract that makes the catalog's dict stream viable); numeric
+    * dims by uniform rank over their global [min, max] (two
+    * scalars). */
+  private def packZRank(rows: DataFrame, dim: String, as: String)
+      : DataFrame = rows.schema(dim).dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      val dict = graft.catalog.Catalog.dictionary(rows, dim, "__zdictid")
+      val n = dict.count().toDouble
+      rows.join(broadcast(dict), dim)
+        .withColumn(as, graft.ops.Layout.uniformRank(col("__zdictid"),
+          1.0, math.max(n, 2.0), 256))
+        .drop("__zdictid")
+    case _ =>
+      val mm = rows.agg(min(col(dim)).cast("double"),
+        max(col(dim)).cast("double")).collect()(0)
+      rows.withColumn(as, graft.ops.Layout.uniformRank(col(dim),
+        mm.getDouble(0), mm.getDouble(1), 256))
+  }
+
+  private def packSnapshot(targetFiles: Int,
+      zorderBy: Option[(String, String)] = None): Unit = cold.foreach { c =>
     // durable watermark BEFORE the tmp write — the rewrite stamps rows
     // with the current sequence and the tmp becomes replayable the
     // moment its commit manifest lands (see save)
     persistMeta()
     val tmp = path.stripSuffix("/") + "__packed"
-    tombFiltered(c).withColumn("__seq", lit(seq))
-      .repartition(targetFiles, col("__day"))
-      .sortWithinPartitions(col(subject), col(time))
+    packedLayout(tombFiltered(c).withColumn("__seq", lit(seq)),
+        targetFiles, zorderBy)
       .write.mode("overwrite").partitionBy("__day").parquet(tmp)
     val f = fs
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
@@ -1060,6 +1233,16 @@ object TsStore {
     * reproducible as-of reads (e.g. pinning the exact training corpus
     * a run consumed) set it to their reproducibility horizon. */
   val DefaultKeepHistory = 0
+
+  /** Scheduled-vacuum dials ([[TsStore!.autoVacuum]]): run [[vacuum]]
+    * after every cold mutation whose committed generation is a
+    * multiple of `everyGenerations`, with the same retention knobs a
+    * manual vacuum takes (defaults = the shared contract above). */
+  final case class AutoVacuum(everyGenerations: Int,
+      keepSuperseded: Int = DefaultKeepSuperseded,
+      removedDayGraceMs: Long = DefaultRemovedDayGraceMs,
+      keepHistory: Int = DefaultKeepHistory,
+      supersededGraceMs: Long = 0L)
 
   private[store] val HistFile = "^v=(\\d+)\\.json$".r
 
@@ -1237,21 +1420,35 @@ object TsStore {
       subject: String): Option[DataFrame] = {
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    readHistRecord(f, path, v).flatMap { case (days, tombstones) =>
+      if (days.isEmpty) None
+      else {
+        val df = readVersioned(spark, path, days)
+        Some(tombstoneFilter(tombstones, subject)
+          .fold(df)(dead => df.filter(!dead))
+          .drop("__seq"))
+      }
+    }
+  }
+
+  /** A retained generation's commit record, raw: (escaped day dir →
+    * version, tombstones at commit). None when the generation is
+    * unknown or its record was vacuumed. The SQL time-travel surface
+    * ([[graft.api.Engine.exposeSqlAt]]) pins catalog partitions from
+    * exactly this map. */
+  private[graft] def readHistRecord(f: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long)
+      : Option[(Map[String, Long], Map[String, Long])] = {
     val rec = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__snaphist", s"v=$v.json")
     if (!f.exists(rec)) return None
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(readJsonBytes(f, rec))
     import scala.jdk.CollectionConverters._
-    val days = node.path("days").properties().asScala
-      .map(e => e.getKey -> e.getValue.asLong()).toMap
-    if (days.isEmpty) return None
-    val tombstones = node.path("tombstones").properties().asScala
-      .map(e => e.getKey -> e.getValue.asLong(0L)).toMap
-    val df = readVersioned(spark, path, days)
-    Some(tombstoneFilter(tombstones, subject)
-      .fold(df)(dead => df.filter(!dead))
-      .drop("__seq"))
+    Some((node.path("days").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap,
+      node.path("tombstones").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong(0L)).toMap))
   }
 
   /** What a cold rewrite did — the contract behind [[TsStore.onColdChange]]. */

@@ -123,6 +123,104 @@ class BandIndexSpec extends SparkSpec {
       "compact of a tail-free index should no-op")
   }
 
+  test("tiered compaction: steady small batches never rewrite the large base") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    // a base ~20x any batch: 125 docs x 16 bands = 2000 bucket rows
+    val big = (1 to 125).map { i =>
+      (i.toLong, (1 to 40).map(j => s"b${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    BandIndex.write(Dedup.bandBuckets(sigs(big), "doc_id", 16, 32,
+      as = "index_id"), root, "bucket", targetRowsPerFile = 64)
+    val baseFiles = hfs.listStatus(hp(root))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+    assert(baseFiles.size >= 10, s"base too small to prove anything")
+    var maxRuns = 0
+    (0 until 8).foreach { b =>
+      val batch = Seq((5000L + b, (1 to 40).map(j => s"t${b}_$j")
+        .mkString(" "))).toDF("doc_id", "text")
+      Dedup.bandBuckets(sigs(batch), "doc_id", 16, 32, as = "index_id")
+        .write.mode("append").parquet(root)
+      val st = BandIndex.compactTiered(spark, root, "bucket",
+        targetRowsPerFile = 64, minTailFiles = 1)
+      assert(st.nonEmpty, s"batch $b: compact no-opped with a tail present")
+      // the merge is bounded by the newer runs, far under the index
+      assert(st.get.mergedBytes < st.get.indexBytes / 2,
+        s"batch $b merged most of the index: ${st.get}")
+      maxRuns = math.max(maxRuns, st.get.runsAfter)
+    }
+    // the base run was never rewritten: its files are all still live
+    val after = hfs.listStatus(hp(root))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).toSet
+    assert(baseFiles.subsetOf(after),
+      "steady small batches rewrote the base run")
+    // stepped-merge keeps the live run count logarithmic in batches
+    assert(maxRuns <= 5, s"run count not tiered: $maxRuns")
+    // and the tiered index still probes identically to a flat scan
+    val inc = sigs(incoming)
+    val (pruned, stats) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    assert(stats.tailFiles == 0, s"compact left a tail: $stats")
+    val full = Dedup.probeBandedIndex(spark.read.parquet(root), inc,
+      "doc_id", 16, 32)
+    assert(pruned.orderBy("new_id", "index_id").collect().toSeq ==
+      full.orderBy("new_id", "index_id").collect().toSeq)
+  }
+
+  test("planned merge crash mid-commit: recover rolls forward, no loss, no duplicates") {
+    def crashCase(applyOneRename: Boolean): Unit = {
+      val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+      BandIndex.write(Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,
+        as = "index_id"), root, "bucket", targetRowsPerFile = 64)
+      val nd = Seq((900L, (1 to 40).map(j => s"c1_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedup.bandBuckets(sigs(nd), "doc_id", 16, 32, as = "index_id")
+        .write.mode("append").parquet(root)
+      val expected = spark.read.parquet(root)
+        .orderBy("bucket", "index_id", "band").collect().toSeq
+      // fabricate the crash: merged run written to tmp, plan committed,
+      // process dies before (or partway through) applying it
+      val entries = BandIndex.readEntries(spark, root, "bucket")
+      val manifested = entries.map(_.file).toSet
+      val tailNames = hfs.listStatus(hp(root))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName).filterNot(manifested).toSeq.sorted
+      assert(tailNames.nonEmpty)
+      val tmpDir = root + "__compacting"
+      spark.read.parquet(tailNames.map(n => s"$root/$n"): _*)
+        .repartitionByRange(1, col("bucket")).sortWithinPartitions("bucket")
+        .write.mode("overwrite").parquet(tmpDir)
+      val tmpParts = hfs.listStatus(hp(tmpDir))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      val adds = tmpParts.map(s =>
+        s.getPath.getName -> s"r9-${s.getPath.getName}").toSeq
+      val ranges = spark.read.parquet(tmpParts.map(_.getPath.toString): _*)
+        .groupBy(col("_metadata.file_name").as("f"))
+        .agg(min("bucket").as("mn"), max("bucket").as("mx")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val newEntries = adds.map { case (from, to) =>
+        BandIndex.FileEntry(to, ranges(from)._1, ranges(from)._2, 9L)
+      }
+      BandIndex.writePlan(spark, tmpDir, "bucket", adds, tailNames,
+        entries ++ newEntries)
+      if (applyOneRename)
+        assert(hfs.rename(hp(s"$tmpDir/${adds.head._1}"),
+          hp(s"$root/${adds.head._2}")))
+      BandIndex.recover(spark, root)
+      assert(!hfs.exists(hp(tmpDir)), "recover left the tmp dir")
+      val healed = spark.read.parquet(root)
+        .orderBy("bucket", "index_id", "band").collect().toSeq
+      assert(healed == expected,
+        s"roll-forward lost or duplicated rows (${healed.size} vs ${expected.size})")
+      val (_, st) = BandIndex.readForKeys(spark, root,
+        Array(spark.read.parquet(root).select("bucket").first().getLong(0)),
+        "bucket")
+      assert(st.tailFiles == 0, s"rolled-forward index has a tail: $st")
+    }
+    crashCase(applyOneRename = false)
+    crashCase(applyOneRename = true)
+  }
+
   test("compact crash mid-swap: recover rolls forward or back, never loses the index") {
     val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
     val buckets = Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,

@@ -244,4 +244,54 @@ class DedupSpec extends SparkSpec {
     assert(plan.length < 20000, s"CC plan string blew up: ${plan.length} chars")
     assert(cc.select("cluster_id").distinct().count() == 1) // one component
   }
+
+  test("lshCandidatesPlanned: solved banding holds candidates-per-doc ~flat across 10x corpus growth") {
+    // docs drawn from a shared phrase pool so unrelated pairs carry
+    // real background shingle similarity (the regime the dial exists
+    // for), plus planted near-dup partners that must stay found —
+    // the BATCH-path twin of StreamAdmit.seedIndexPlanned's spec
+    val phrases = (0 until 100).map(i => s"p${i}a p${i}b p${i}c")
+    def mkDocs(n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until n).map(i => (i.toLong,
+        Seq.fill(12)(phrases(rnd.nextInt(phrases.length))).mkString(" ")))
+      val planted = base.filter(_._1 % 50 == 0).map { case (i, t) =>
+        (1000000L + i, t.split(" ").dropRight(2).mkString(" ") + " zz yy")
+      }
+      (base ++ planted).toDF("doc_id", "text")
+    }
+    def measure(n: Int, pin: Option[(Int, Int)]): (Double, Long) = {
+      val docs = mkDocs(n, seed = n)
+      val nd = docs.count()
+      val (pairs, bands, sigLen) = pin match {
+        case Some((b, s)) =>
+          val sigs = Dedup.minhash(docs, "text", 3, s)
+          (Dedup.lshCandidates(sigs, "doc_id", b, s), b, s)
+        case None =>
+          val (p, plan) = Dedup.lshCandidatesPlanned(docs, "doc_id",
+            "text", targetSim = 0.8)
+          (p, plan.bands, plan.sigLen)
+      }
+      val planted = pairs.filter(col("id_b") >= 1000000L &&
+        col("id_b") - 1000000L === col("id_a")).count()
+      (pairs.count().toDouble / nd, planted)
+    }
+    val (smallRate, smallPlanted) = measure(300, pin = None)
+    val (bigRate, bigPlanted) = measure(3000, pin = None)
+    // recall first: every planted partner must surface at both sizes
+    assert(smallPlanted == 300 / 50 && bigPlanted == 3000 / 50,
+      s"solved banding lost planted near-dups: $smallPlanted/$bigPlanted")
+    // solved configs hold candidates-per-doc in the same ballpark
+    // across 10x growth on the batch path
+    assert(bigRate <= smallRate * 3 + 3,
+      s"solved banding did not hold candidates flat: $smallRate -> $bigRate")
+    // the small corpus's config frozen onto the big corpus pays the
+    // linear collision growth the solver exists to avoid
+    val smallPlan = Dedup.bandingPlan(300L, targetSim = 0.8)
+    val (pinnedRate, _) = measure(3000,
+      pin = Some((smallPlan.bands, smallPlan.sigLen)))
+    info(s"solved small=$smallRate big=$bigRate pinned-on-big=$pinnedRate")
+    assert(pinnedRate > bigRate * 2,
+      s"pinned config should degrade vs solved at 10x: $pinnedRate vs $bigRate")
+  }
 }

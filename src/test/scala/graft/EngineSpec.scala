@@ -684,4 +684,83 @@ class EngineSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(vol) FROM $qn").collect()(0).getLong(0)
       == 300, "rehydrated exposure lost the pinned partitions")
   }
+
+  test("auto-vacuum bounds version dirs across many commits; pinned reader within grace unaffected") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    // every 2 generations, keep 1 superseded version per day but give
+    // live-superseded versions a LONG time grace — so a reader pinned
+    // mid-run stays whole while counts are still bounded
+    e.autoVacuum(everyGenerations = 2, keepSuperseded = 1,
+      removedDayGraceMs = 0L, supersededGraceMs = 3600L * 1000)
+    def gen(i: Int): Unit = {
+      e.set("SH600600.stk_day",
+        s"""{"time":"2021-01-04","open":10.10,"close":10.${i}0,"vol":${100 + i}}""")
+      e.save("stk_day")
+    }
+    gen(1); gen(2)
+    val pinned = e.openSnapshot("stk_day").get
+    val pinnedRows = pinned.collect().toSeq
+    (3 to 10).foreach(gen)
+    // the pinned reader is inside the time grace: every version it
+    // references must still exist
+    assert(pinned.collect().toSeq == pinnedRows,
+      "auto-vacuum reclaimed a version a reader within grace had pinned")
+    // now tighten the grace and drive two more commits — the dir count
+    // must stay bounded by the retention dial, not grow with commits
+    e.autoVacuum(everyGenerations = 2, keepSuperseded = 1,
+      removedDayGraceMs = 0L, supersededGraceMs = 0L)
+    gen(11); gen(12)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val versions = f.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/stk_day/__day=2021-01-04"))
+      .count(_.getPath.getName.startsWith("__v="))
+    assert(versions <= 2, // live + keepSuperseded
+      s"auto-vacuum did not bound version dirs: $versions after 12 commits")
+    assert(e.get("SH600600.stk_day", "{}").count() == 1)
+  }
+
+  test("exposeSqlAt: frozen time-travel view across later delete and pack; live view moves") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100},
+          {"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}]""")
+    e.save("stk_day") // generation 1
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.50,"close":10.40,"vol":200}""")
+    e.save("stk_day") // generation 2
+    val v1 = e.snapshotVersions("stk_day").min
+    val at = e.exposeSqlAt("stk_day", v1, db = "graft_tt_spec")
+    val live = e.exposeSql("stk_day", db = "graft_tt_spec")
+    def vols(qn: String) = spark.sql(s"SELECT sum(vol) FROM $qn")
+      .collect()(0).getLong(0)
+    assert(vols(at) == 400 && vols(live) == 600)
+    // a later delete + pack: the live view tracks, the pinned one not
+    e.del("SH600600.stk_day", """{range:{start:20210101,stop:20210131}}""")
+    e.pack("stk_day")
+    assert(vols(live) == 300, "live view missed the delete")
+    assert(vols(at) == 400,
+      "time-travel view moved with commits after its generation")
+    // day pruning still works through the pinned catalog partitions
+    val plan = spark.sql(s"SELECT * FROM $at WHERE __day = '20210104'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("__day"),
+      s"time-travel SQL scan did not prune partitions:\n$plan")
+    // an unknown generation fails loudly, listing what is retained
+    val ex = intercept[IllegalArgumentException] {
+      e.exposeSqlAt("stk_day", 999L)
+    }
+    assert(ex.getMessage.contains("999"))
+    // vacuuming the generation's record away makes the REGISTRATION
+    // unobtainable afterwards (the durable artifact is the record)
+    e.vacuum("stk_day", keepSuperseded = 0, removedDayGraceMs = 0L,
+      keepHistory = 0)
+    intercept[IllegalArgumentException] {
+      e.exposeSqlAt("stk_day", v1, db = "graft_tt_spec2")
+    }
+  }
 }

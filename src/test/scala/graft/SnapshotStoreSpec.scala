@@ -474,4 +474,37 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(TsStore.openSnapshotAt(spark, root, 2L, "code").isEmpty)
     assert(st.read().count() == 4) // d2 + d3 live rows unaffected
   }
+
+  test("writer fence: a second open takes over the root; the superseded handle fails loudly") {
+    for (snapMode <- Seq(true, false)) {
+      val root = Files.createTempDirectory("graft_snap").toString +
+        s"/fence_$snapMode"
+      def open() = new TsStore(spark, root, subject = "code", time = "t",
+        soleCols = Nil, dayCol = col("day"), snapshots = snapMode)
+      val a = open()
+      a.set(rows3days); a.save()
+      val before = a.read().orderBy("code", "t")
+        .select("code", "t", "v", "day").collect().toSeq
+      // a second writer process on the same root: simulated in-process
+      // (the lease lives on the shared filesystem, so the mechanism is
+      // identical cross-process)
+      val b = open()
+      // the SUPERSEDED handle is fenced at its next mutation — before
+      // anything of its touches disk
+      a.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+      val ex = intercept[IllegalStateException] { a.save() }
+      assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+      intercept[IllegalStateException] { a.dropSubject("A") }
+      intercept[IllegalStateException] { a.pack(1) }
+      if (snapMode) intercept[IllegalStateException] { a.vacuum() }
+      // the store's content is exactly what the takeover saw — nothing
+      // from the fenced handle's rejected writes leaked in
+      assert(b.read().orderBy("code", "t")
+        .select("code", "t", "v", "day").collect().toSeq == before)
+      // ...and the CURRENT owner's writes proceed normally
+      b.set(Seq(("C", 9L, 9.0, "d2")).toDF("code", "t", "v", "day"))
+      b.save()
+      assert(b.read().count() == before.size + 1)
+    }
+  }
 }

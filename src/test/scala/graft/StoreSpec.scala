@@ -516,4 +516,53 @@ class StoreSpec extends SparkSpec {
     assert(decoded.select("code").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("SH600600", "SH600600", "SH600601"))
   }
+
+  test("pack zorderBy: per-file stats selective on BOTH dims, content unchanged") {
+    val root = Files.createTempDirectory("graft_store").toString + "/zp"
+    val st = mkStore(root)
+    // 32 subjects x 64 times over 2 days — enough rows for 8 files
+    // per day to each cover a compact (code, t) rectangle
+    val rows = for (s <- 0 until 32; t <- 0 until 64) yield
+      (f"s$s%02d", t.toLong, s * 64.0 + t, if (t % 2 == 0) "d1" else "d2")
+    st.set(rows.toDF("code", "t", "v", "day"))
+    st.save()
+    val before = st.read().orderBy("code", "t", "day")
+      .select("code", "t", "v", "day").collect().toSeq
+    st.pack(8, zorderBy = Some(("code", "t")))
+    // content is untouched by the layout change
+    assert(st.read().orderBy("code", "t", "day")
+      .select("code", "t", "v", "day").collect().toSeq == before)
+    // footer-stat selectivity, the pruning an engine actually does:
+    // per-file (min, max) on both dims, box = 4/32 subjects x 16/64 ts
+    val stats = spark.read.parquet(root)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("code").as("mnS"), max("code").as("mxS"),
+        min("t").as("mnT"), max("t").as("mxT"))
+      .collect()
+    assert(stats.length >= 8, s"too few files (${stats.length}) to prove layout")
+    def hits(p: org.apache.spark.sql.Row => Boolean) = stats.count(p)
+    val sOnly = hits(r => r.getString(2) >= "s08" && r.getString(1) <= "s11")
+    val tOnly = hits(r => r.getLong(4) >= 16L && r.getLong(3) <= 31L)
+    val both = hits(r => r.getString(2) >= "s08" && r.getString(1) <= "s11" &&
+      r.getLong(4) >= 16L && r.getLong(3) <= 31L)
+    // each dim must prune ON ITS OWN (a 1-D sort gives full-domain
+    // ranges on the non-leading dim: every file hits), and the 2-D box
+    // must beat either single dim
+    assert(sOnly < stats.length, s"subject dim pruned nothing: $sOnly/${stats.length}")
+    assert(tOnly < stats.length, s"time dim pruned nothing: $tOnly/${stats.length}")
+    assert(both < stats.length / 2,
+      s"2-D box not selective: $both/${stats.length}")
+    // the default layout on the same data: subject-sorted files — the
+    // non-leading t dim's per-file range spans the domain, so the t
+    // predicate prunes NOTHING (what z-order exists to fix)
+    val root2 = Files.createTempDirectory("graft_store").toString + "/flat"
+    val st2 = mkStore(root2)
+    st2.set(rows.toDF("code", "t", "v", "day")); st2.save(); st2.pack(8)
+    val stats2 = spark.read.parquet(root2)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("t").as("mnT"), max("t").as("mxT")).collect()
+    val tOnly2 = stats2.count(r => r.getLong(2) >= 16L && r.getLong(1) <= 31L)
+    assert(tOnly2 == stats2.length,
+      s"expected the 1-D layout to prune nothing on t: $tOnly2/${stats2.length}")
+  }
 }
