@@ -2061,6 +2061,110 @@ object SparkEntry {
     q.drop("__est").orderBy("event_type")
   }
 
+  /** SKS1 — the STORED sketch family ([[graft.ops.Sketches]]).
+    * hh1/qs1/hll1 prove the sketch guarantees but rebuild their
+    * sketches from raw data per question; at 100 TB the production
+    * shape persists one bounded sketch-state row per (group, shard)
+    * at ingest — stamp-keyed like the d11/x5 stored indexes — and
+    * answers every later question by reading + merging STATE whose
+    * size is set by the sketch dials (#shards × k grid points,
+    * 2^lgK registers, depth×width counters), never the corpus. The
+    * merges are exact algebra, REQUIREd here: merged CMS ==
+    * one-pass CMS bit-for-bit (count matrices sum) and within its
+    * `truth ≤ est ≤ truth + ε·N` bound; merged HLL estimate ==
+    * one-pass estimate (registers max) and within the rsd bound of
+    * exact; merged quantile-grid estimates' EXACT ranks within the
+    * mergeable-summary slack `O(N/k + #shards)` of their targets.
+    * The exact per-type aggregate is the output (the oracle anchor);
+    * the one-pass rebuilds live in the REQUIREs only — a production
+    * deployment keeps just the stored partials. */
+  private def qStoredSketches(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_sketches/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${sourceStamp(s, dir, "events")}"
+    val ev = t(s, dir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val shard = pmod(col("event_id"), lit(8))
+    val (eps, conf, seed, lgK, k) = (0.001, 0.99, 42, 12, 128)
+    if (!Sketches.exists(s, root, "cms", "etype") ||
+      !Sketches.exists(s, root, "hll", "users") ||
+      !Sketches.exists(s, root, "qgrid", "value")) {
+      // the INGEST side, paid once per source stamp
+      Sketches.save(Sketches.cmsPartials(ev, "event_type", shard,
+        eps, conf, seed), root, "cms", "etype")
+      Sketches.save(Sketches.hllPartials(ev, "user_id", Seq("event_type"),
+        shard, lgK), root, "hll", "users")
+      Sketches.save(Sketches.quantilePartials(ev, "value",
+        Seq("event_type"), shard, k), root, "qgrid", "value")
+    }
+    // exact anchors — the oracle's view of the same corpus
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total"))
+    val exactRows = exact.collect()
+    // CMS: merged-from-stored == one-pass (bit-exact sums), ε bound
+    val cms = Sketches.mergeCms(s, s"$root/cms_etype")
+    val onePassCms = {
+      val p = Sketches.cmsPartials(ev, "event_type", lit(0), eps, conf, seed)
+        .select("cms").first().getAs[Array[Byte]](0)
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(p))
+    }
+    require(cms.totalCount() == onePassCms.totalCount(),
+      "merged CMS lost mass vs one-pass")
+    val cmsSlack = (eps * cms.totalCount()).toLong
+    exactRows.foreach { r =>
+      val (g, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(g)
+      require(est == onePassCms.estimateCount(g),
+        s"CMS merge not exact for '$g': $est vs ${onePassCms.estimateCount(g)}")
+      require(est >= n && est <= n + cmsSlack,
+        s"stored CMS blew its ε bound on '$g': $est vs $n (+$cmsSlack)")
+    }
+    // HLL: the union of stored partials must meet the SAME rsd bound
+    // as a one-pass sketch (register merge is per-slot max — exact —
+    // but DataSketches' LIST→SET→HLL mode promotion can happen at
+    // different points on the two paths, so estimates agree within
+    // the error class, not bit-for-bit; the shard split must cost no
+    // accuracy, which is the claim that matters)
+    val mergedHll = Sketches.hllEstimates(
+        s.read.parquet(s"$root/hll_users"), Seq("event_type"), "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val onePassHll = Sketches.hllEstimates(
+        Sketches.hllPartials(ev, "user_id", Seq("event_type"), lit(0), lgK),
+        Seq("event_type"), "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+    exactRows.foreach { r =>
+      val (g, nu) = (r.getString(0), r.getLong(2))
+      require(math.abs(mergedHll(g) - nu) <= 5 * rsd * nu + 1,
+        s"stored HLL blew its rsd bound on '$g': ${mergedHll(g)} vs $nu")
+      require(math.abs(mergedHll(g) - onePassHll(g)) <= 2 * rsd * nu + 1,
+        s"HLL union drifted beyond the error class for '$g': " +
+          s"${mergedHll(g)} vs one-pass ${onePassHll(g)}")
+    }
+    // quantile grids: each merged estimate's EXACT rank within the
+    // mergeable-summary slack of its target
+    val ests = Sketches.quantileEstimates(
+      s.read.parquet(s"$root/qgrid_value"), Seq("event_type"),
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+    ev.join(broadcast(ests), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("N"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+      .collect().foreach { r =>
+        val n = r.getLong(1)
+        val slack = 2.0 * n / k + 2 * 8 + 2 // 2(N/k) + 2·#shards + ties
+        Seq(0.5 -> r.getLong(2), 0.9 -> r.getLong(3)).foreach {
+          case (q, rank) =>
+            require(math.abs(rank - q * n) <= slack,
+              s"stored quantile grid missed rank for '${r.getString(0)}' " +
+                s"q=$q: rank $rank of $n (slack $slack)")
+        }
+      }
+    exact.orderBy("event_type")
+  }
+
   /** E12 — TIME TRAVEL through the command surface: the snapshot
     * store's committed generations are retained as
     * `__snaphist/v=N.json` records (day→version map + the tombstones
@@ -2685,6 +2789,7 @@ object SparkEntry {
     "qs1_quantile_sketch" -> qQuantileSketch _,
     "ix1_inverted_search" -> qInvertedSearch _,
     "hll1_distinct_sketch" -> qDistinctSketch _,
+    "sks1_stored_sketches" -> qStoredSketches _,
     "e12_time_travel" -> qTimeTravel _,
     "e13_time_travel_sql" -> qTimeTravelSql _,
     "st2_live_bars" -> qLiveBars _,
@@ -2916,6 +3021,14 @@ object SparkEntry {
     "hll1_distinct_sketch" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // exact anchors; the stored-sketch merges (CMS == one-pass
+    // bit-exact, HLL union == one-pass, quantile-grid rank slack)
+    // are REQUIREd in-query against these
+    "sks1_stored_sketches" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS total
          FROM events GROUP BY 1 ORDER BY event_type""",
     // conjunctive search over the postings: docs holding ALL query
     // terms, ranked by tf sum (top-20, doc_id tiebreak)

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *    shard split. State per shard: `depth × width` longs.
   *  - '''HLL''' (DataSketches, Spark's `hll_sketch_agg` /
   *    `hll_union_agg`): registers merge by per-slot max — order- and
-  *    split-independent, so the merged estimate equals the one-pass
-  *    estimate exactly. State per (group, shard): ≤ `2^lgK` registers.
+  *    split-independent — so a union of shard partials meets the SAME
+  *    rsd bound as a one-pass sketch (estimates can differ sub-rsd
+  *    when the LIST→SET→HLL mode promotion lands at different points
+  *    on the two paths; the shard split costs no accuracy, which is
+  *    the contract). State per (group, shard): ≤ `2^lgK` registers.
   *  - '''Quantile grids''' (mergeable rank summaries): per
   *    (group, shard), the shard's EXACT order statistics at the k
   *    bucket boundaries (value + rank, so each grid point carries its
@@ -94,8 +97,10 @@ object Sketches {
     val part = (groups :+ "__shard").map(col)
     val byV = Window.partitionBy(part: _*).orderBy(col("__v"))
     val all = Window.partitionBy(part: _*)
+    // __rn as LONG before the ·k products: row_number is 32-bit and a
+    // shard above ~2^31/k rows would overflow the boundary arithmetic
     val graded = sh
-      .withColumn("__rn", row_number().over(byV))
+      .withColumn("__rn", row_number().over(byV).cast("long"))
       .withColumn("__n", count(lit(1)).over(all))
     // keep the LAST rank of each of the k equal-depth buckets: rows
     // where ⌊rn·k/n⌋ crosses a boundary — ≤ k rows, always includes
