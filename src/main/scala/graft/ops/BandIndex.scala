@@ -405,13 +405,20 @@ object BandIndex {
     val tmpParts = dataFiles(ss, tmpDir)
     val renames = tmpParts.map(s =>
       s.getPath.getName -> s"r$newRun-${s.getPath.getName}").toMap
-    val ranges = fileRanges(ss, tmpParts.map(_.getPath.toString).toIndexedSeq,
-      key)
+    // an all-empty merge (0-row tail files only) writes no data parts:
+    // the plan then just deletes the empties and keeps the manifest
+    val ranges =
+      if (tmpParts.isEmpty) Map.empty[String, (Long, Long)]
+      else fileRanges(ss, tmpParts.map(_.getPath.toString).toIndexedSeq, key)
     val newEntries = ranges.toSeq.map { case (file, (mn, mx)) =>
       FileEntry(renames(file), mn, mx, newRun)
     }
     val spliced = entries.filterNot(e => mergeRuns(e.run)) ++ newEntries
-    writePlan(ss, tmpDir, key, renames.toSeq, mergeNames.toSeq.sorted, spliced)
+    // only parts with stats are placed — a 0-row part would otherwise
+    // land unmanifested and ride every future merge as phantom tail
+    writePlan(ss, tmpDir, key,
+      renames.toSeq.filter(r => ranges.contains(r._1)),
+      mergeNames.toSeq.sorted, spliced)
     applyPlan(ss, root, tmpDir)
     Some(CompactStats(mergePaths.length, mergedBytes,
       all.map(_.getLen).sum, runBytes.size, spliced.map(_.run).distinct.size))
