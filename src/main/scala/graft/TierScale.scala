@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{BandIndex, Dedup}
+import graft.ops.BandIndex
 import org.apache.spark.sql.functions._
 
 /** Round-11 scaling harness (PLANS.md evidence): the tiered-compaction
@@ -70,15 +70,21 @@ object TierScale {
         window = Vector.empty
       }
     }
-    // correctness tie-off: the tiered index probes identically to a
-    // flat scan of the same rows
-    val probeSigs = Dedup.minhash(
-      (1 to 8).map(i => (900000L + i, s"probe doc $i " * 10))
-        .toDF("doc_id", "text"), "text", 3, 32).select("doc_id", "minhash")
-    val pruned = BandIndex.probe(root, probeSigs, "doc_id", 16, 32)._1.count()
-    val full = Dedup.probeBandedIndex(spark.read.parquet(root), probeSigs,
-      "doc_id", 16, 32).count()
-    require(pruned == full, s"tiered probe diverged: $pruned vs $full")
+    // correctness tie-off, falsifiable: point-probe REAL bucket values
+    // drawn from the index itself and require the pruned read returns
+    // exactly the rows a full scan holds for those keys — a pruning
+    // bug (wrong manifest splice, lost run, stale range) changes a
+    // nonzero count, unlike a probe of disjoint synthetic keys
+    val keys = spark.read.parquet(root).select("bucket")
+      .orderBy(rand(7)).limit(64).collect().map(_.getLong(0))
+    val (prunedDf, pstats) = BandIndex.readForKeys(spark, root, keys, "bucket")
+    val pruned = prunedDf.filter(col("bucket").isInCollection(keys)).count()
+    val full = spark.read.parquet(root)
+      .filter(col("bucket").isInCollection(keys)).count()
+    require(pruned == full && pruned >= 64,
+      s"tiered pruned read diverged: $pruned vs $full rows for 64 keys")
+    require(pstats.selectedBase < pstats.baseFiles,
+      s"point probe selected every file: $pstats")
     // amplification = total bytes rewritten by all compactions over
     // the index's final size ≈ how many times the average row was
     // rewritten; the O(log₂(batches)) bound here is ~6 at 64 batches,

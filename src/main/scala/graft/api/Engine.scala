@@ -882,23 +882,39 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * which never lists. */
   private def pinSnapshotPartitions(st: TsStore, backing: String,
       pins: Seq[(String, Long)]): Unit = {
-    if (pins.isEmpty) return
+    // the registered-day cache is (re)seeded even when there is
+    // nothing to pin: a pack that emptied the manifest just DROPPED
+    // every partition, and leaving the old set cached would route the
+    // next save of a "known" day to SET LOCATION on an unregistered
+    // partition
     val existing = registeredDays(backing)
     val specs = pins.map { case (dayDir, v) =>
       (snapshotDayVal(dayDir),
         s"${st.path.stripSuffix("/")}/$dayDir/__v=$v")
     }
-    val (have, fresh) = specs.partition(p => existing.contains(p._1))
+    pinDaySpecs(backing, specs, existing)
+    pinnedDays.put(backing, existing ++ specs.map(_._1))
+  }
+
+  /** Pin (day value, location) specs on `backing` given the set of
+    * days already registered: fresh days share ONE batched
+    * `ADD IF NOT EXISTS … LOCATION` (the ADD carries the location, no
+    * follow-up SET); already-registered days each get a targeted
+    * `SET LOCATION`. The single DDL-building site behind both the
+    * bulk ([[pinSnapshotPartitions]]) and incremental
+    * ([[pinSnapshotDays]]) pins. */
+  private def pinDaySpecs(backing: String, specs: Seq[(String, String)],
+      known: Set[String]): Unit = {
+    val (have, fresh) = specs.partition(p => known.contains(p._1))
+    have.foreach { case (d, loc) =>
+      spark.sql(s"ALTER TABLE $backing PARTITION " +
+        s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
+    }
     if (fresh.nonEmpty)
       spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS " +
         fresh.map { case (d, loc) =>
           s"PARTITION (__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'"
         }.mkString(" "))
-    have.foreach { case (d, loc) =>
-      spark.sql(s"ALTER TABLE $backing PARTITION " +
-        s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
-    }
-    pinnedDays.put(backing, existing ++ specs.map(_._1))
   }
 
   /** Re-pin the given RAW day values (as ColdChange events carry them)
@@ -922,22 +938,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
       manifest.get(dayDir).map(v =>
         (d, s"${st.path.stripSuffix("/")}/$dayDir/__v=$v"))
     }
-    val (have, fresh) = specs.partition(p => known.contains(p._1))
-    have.foreach { case (d, loc) =>
-      spark.sql(s"ALTER TABLE $backing PARTITION " +
-        s"(__day='${sqlStr(d)}') SET LOCATION '${sqlStr(loc)}'")
-    }
-    if (fresh.nonEmpty) {
-      // a fresh ADD carries its location, so no follow-up SET — the
-      // registered set is session-authoritative (every ADD/DROP site
-      // maintains it), so IF NOT EXISTS never silently no-ops over a
-      // stale location here
-      spark.sql(s"ALTER TABLE $backing ADD IF NOT EXISTS " +
-        fresh.map { case (d, loc) =>
-          s"PARTITION (__day='${sqlStr(d)}') LOCATION '${sqlStr(loc)}'"
-        }.mkString(" "))
-      pinnedDays.put(backing, known ++ fresh.map(_._1))
-    }
+    // the registered set is session-authoritative (every ADD/DROP and
+    // bulk-pin site maintains it), so the fresh ADDs' IF NOT EXISTS
+    // never silently no-ops over a stale location here
+    pinDaySpecs(backing, specs, known)
+    if (specs.exists(p => !known.contains(p._1)))
+      pinnedDays.put(backing, known ++ specs.map(_._1))
   }
 
   /** Full catalog↔manifest partition re-sync for a snapshot-mode

@@ -112,7 +112,8 @@ object BandIndex {
   private[graft] final case class FileEntry(file: String, mn: Long,
       mx: Long, run: Long)
 
-  private def entriesJson(key: String, entries: Seq[FileEntry]): Array[Byte] = {
+  private def entriesNode(key: String, entries: Seq[FileEntry])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
     node.put("key", key)
@@ -124,12 +125,20 @@ object BandIndex {
       e.put("max", fe.mx)
       e.put("run", fe.run)
     }
-    m.writeValueAsBytes(node)
+    node
   }
 
+  private def entriesJson(key: String, entries: Seq[FileEntry]): Array[Byte] =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(entriesNode(key, entries))
+
   private def parseEntries(bytes: Array[Byte], key: String)
-      : Seq[FileEntry] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      : Seq[FileEntry] =
+    parseEntries(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes), key)
+
+  private def parseEntries(node: com.fasterxml.jackson.databind.JsonNode,
+      key: String): Seq[FileEntry] = {
     if (node.path("key").asText() != key) return Nil
     val files = node.path("files")
     (0 until files.size()).map { i =>
@@ -137,6 +146,18 @@ object BandIndex {
       FileEntry(e.path("file").asText(), e.path("min").asLong(),
         e.path("max").asLong(), e.path("run").asLong(0L))
     }
+  }
+
+  /** Read a small sidecar file fully (manifest / plan / config — the
+    * shared read-fully idiom). */
+  private[graft] def readFully(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toByteArray
+    } finally in.close()
   }
 
   /** Atomically commit `entries` as the manifest (tmp + rename). */
@@ -184,16 +205,8 @@ object BandIndex {
     val f = fs(ss)
     val p = new org.apache.hadoop.fs.Path(root, ManifestFile)
     if (!f.exists(p)) return Nil
-    try {
-      val in = f.open(p)
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toByteArray
-        } finally in.close()
-      parseEntries(bytes, key)
-    } catch { case _: java.io.IOException => Nil }
+    try parseEntries(readFully(f, p), key)
+    catch { case _: java.io.IOException => Nil }
   }
 
   /** file name → (min key, max key) — the probe's pruning view. */
@@ -343,14 +356,15 @@ object BandIndex {
     * Parquet files can't be mutated in place, so the merged run is
     * written to `<root>__compacting`, then committed by a plan file
     * (adds + deletes + the spliced manifest): rename the new run's
-    * files into the live dir, delete the merged-away originals, swap
-    * the manifest. The live dir never vanishes; the one non-atomic
-    * window (new files placed, originals not yet deleted) shows
-    * duplicate rows to a concurrent reader and is closed by
-    * [[recover]] roll-forward after a crash — in-process callers are
-    * serialized by the engine-wide single-writer contract, and the
-    * d12/st6 oracles pin that probe RESULTS are identical before,
-    * during recovery, and after. No-op when the tail is under
+    * files into the live dir, swap the manifest, delete the
+    * merged-away originals. The live dir never vanishes and the
+    * manifest never names a deleted file; the one non-atomic window
+    * (both file generations present) shows duplicate rows to a
+    * concurrent reader — which every probe's `distinct()` absorbs —
+    * and is closed by [[recover]] roll-forward after a crash;
+    * in-process callers are serialized by the engine-wide
+    * single-writer contract, and the d12/st6 oracles pin that probe
+    * RESULTS are identical before, during recovery, and after. No-op when the tail is under
     * `minTailFiles`. Returns the merge's cost evidence, None if it
     * no-opped. */
   def compactTiered(ss: SparkSession, root: String, key: String = "bucket",
@@ -442,7 +456,7 @@ object BandIndex {
     val delArr = node.putArray("deletes")
     deletes.foreach(delArr.add)
     node.set[com.fasterxml.jackson.databind.JsonNode]("manifest",
-      m.readTree(entriesJson(key, manifest)))
+      entriesNode(key, manifest))
     val f = fs(ss)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir, PlanFile + ".tmp")
     val out = f.create(tmp, true)
@@ -457,15 +471,8 @@ object BandIndex {
   private[graft] def applyPlan(ss: SparkSession, root: String, tmpDir: String)
       : Unit = {
     val f = fs(ss)
-    val planPath = new org.apache.hadoop.fs.Path(tmpDir, PlanFile)
-    val in = f.open(planPath)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readFully(f, new org.apache.hadoop.fs.Path(tmpDir, PlanFile)))
     val key = node.path("key").asText()
     val adds = node.path("adds")
     (0 until adds.size()).foreach { i =>
@@ -480,14 +487,17 @@ object BandIndex {
       if (!f.exists(to))
         throw new java.io.IOException(s"compact: $to missing after plan")
     }
+    // manifest BEFORE the deletes: in both orders a concurrent reader
+    // can see duplicate rows mid-commit (the documented window), but
+    // deleting first would leave the still-live OLD manifest naming
+    // files that no longer exist — a pruned probe would select them
+    // and die on FileNotFound instead of just deduplicating
+    commitManifest(ss, root, key, parseEntries(node.path("manifest"), key))
     val dels = node.path("deletes")
     (0 until dels.size()).foreach { i =>
       f.delete(new org.apache.hadoop.fs.Path(root, dels.get(i).asText()),
         false)
     }
-    commitManifest(ss, root, key,
-      parseEntries(new com.fasterxml.jackson.databind.ObjectMapper()
-        .writeValueAsBytes(node.path("manifest")), key))
     f.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
   }
 

@@ -145,20 +145,25 @@ final class TsStore(
   // writer processes by construction — every command runs on one
   // dispatcher thread of one server (sisdb_server.c:474-476). Here
   // the single-writer contract (scaladoc above) is ENFORCED, not just
-  // documented: opening a store root takes over a lease sidecar
+  // documented: a handle's FIRST MUTATION takes over a lease sidecar
   // (monotonic epoch + unique token, committed by atomic
-  // rename-over), and every mutation re-checks the token before
+  // rename-over), and every later mutation re-checks the token before
   // touching the live store — so of two live writer handles on one
-  // root, only the LATEST open can commit; the superseded one fails
+  // root, only the latest WRITER can commit; the superseded one fails
   // loudly at its next write instead of interleaving rename-aside
-  // commits into a corrupt manifest. Takeover (not mutual exclusion)
-  // is deliberate: a crashed writer must never brick the store behind
-  // a stale lock file, and a restart is indistinguishable from a
-  // takeover. The fence bounds any interleave to the one commit
-  // already in flight at takeover — the same guarantee epoch-fencing
-  // gives HDFS HA writers. Acquired BEFORE recovery: roll-forward
-  // itself commits.
-  private val leaseToken: String = acquireLease()
+  // commits into a corrupt manifest. Acquisition is lazy, at first
+  // mutation rather than at open, so a process that opens the store
+  // only to READ (an engine serving get/exposeSql, a snapshot
+  // inspector) never fences the active writer — read coexistence is
+  // the vacuum-grace contract's whole point. Takeover (not mutual
+  // exclusion) is deliberate: a crashed writer must never brick the
+  // store behind a stale lock file, and a restart is
+  // indistinguishable from a takeover. The fence bounds any
+  // interleave to the one commit already in flight at takeover — the
+  // same guarantee epoch-fencing gives HDFS HA writers. Recovery at
+  // open can itself commit (roll-forward), which takes the lease then
+  // — correct: replaying a pending commit IS writing.
+  @volatile private var leaseToken: Option[String] = None
   // meta BEFORE recovery: a recovery-path snapshot commit mints the
   // generation's time-travel history record from the live tombstone
   // map — replaying with the sidecar not yet loaded would stamp the
@@ -201,20 +206,24 @@ final class TsStore(
   }
 
   /** Fail loudly if another writer took over this root since this
-    * handle was opened. Checked at every mutation entry (before the
+    * handle FIRST WROTE. Checked at every mutation entry (before the
     * tmp job starts — nothing of the fenced writer's touches disk)
-    * AND at [[commitSnapshot]], the manifest swap itself. */
-  private def checkFence(): Unit = {
-    val lease = readLease()
-    if (!lease.exists(_.path("token").asText() == leaseToken)) {
-      val owner = lease.map(_.path("owner").asText()).getOrElse("unknown")
-      val epoch = lease.map(_.path("epoch").asLong(0L)).getOrElse(-1L)
-      throw new IllegalStateException(
-        s"$path: this writer handle is FENCED — the store root was " +
-          s"taken over by '$owner' (lease epoch $epoch). The store " +
-          "keeps one writer's view consistent; re-open the store to " +
-          "take the root back (the other writer is then fenced).")
-    }
+    * AND at [[commitSnapshot]], the manifest swap itself. The first
+    * check a handle ever makes acquires the lease instead (lazy —
+    * read-only handles never touch it). */
+  private def checkFence(): Unit = leaseToken match {
+    case None => leaseToken = Some(acquireLease())
+    case Some(mine) =>
+      val lease = readLease()
+      if (!lease.exists(_.path("token").asText() == mine)) {
+        val owner = lease.map(_.path("owner").asText()).getOrElse("unknown")
+        val epoch = lease.map(_.path("epoch").asLong(0L)).getOrElse(-1L)
+        throw new IllegalStateException(
+          s"$path: this writer handle is FENCED — the store root was " +
+            s"taken over by '$owner' (lease epoch $epoch). The store " +
+            "keeps one writer's view consistent; re-open the store to " +
+            "take the root back (the other writer is then fenced).")
+      }
   }
 
   /** Opt-in scheduled vacuum ([[TsStore.AutoVacuum]]): when set, each
@@ -1179,22 +1188,30 @@ final class TsStore(
     * dims rank by sorted-distinct position (bounded dictionary,
     * broadcast-joined — subject cardinality is bounded by the same
     * contract that makes the catalog's dict stream viable); numeric
-    * dims by uniform rank over their global [min, max] (two
-    * scalars). */
+    * dims by uniform rank over their global [min, max] (two scalars).
+    * NULL dim values rank 0 on both branches — the join is LEFT and
+    * the rank coalesced, because an inner join would silently DELETE
+    * null-dim rows from the rewritten store (pack must be
+    * content-preserving no matter what layout it chooses). An empty
+    * input (everything tombstoned) short-circuits to rank 0. */
   private def packZRank(rows: DataFrame, dim: String, as: String)
       : DataFrame = rows.schema(dim).dataType match {
     case org.apache.spark.sql.types.StringType =>
-      val dict = graft.catalog.Catalog.dictionary(rows, dim, "__zdictid")
+      val dict = graft.catalog.Catalog.dictionary(
+        rows.filter(col(dim).isNotNull), dim, "__zdictid")
       val n = dict.count().toDouble
-      rows.join(broadcast(dict), dim)
-        .withColumn(as, graft.ops.Layout.uniformRank(col("__zdictid"),
-          1.0, math.max(n, 2.0), 256))
+      rows.join(broadcast(dict), Seq(dim), "left")
+        .withColumn(as, coalesce(
+          graft.ops.Layout.uniformRank(col("__zdictid"),
+            1.0, math.max(n, 2.0), 256), lit(0L)))
         .drop("__zdictid")
     case _ =>
       val mm = rows.agg(min(col(dim)).cast("double"),
         max(col(dim)).cast("double")).collect()(0)
-      rows.withColumn(as, graft.ops.Layout.uniformRank(col(dim),
-        mm.getDouble(0), mm.getDouble(1), 256))
+      if (mm.isNullAt(0)) rows.withColumn(as, lit(0L))
+      else rows.withColumn(as, coalesce(
+        graft.ops.Layout.uniformRank(col(dim),
+          mm.getDouble(0), mm.getDouble(1), 256), lit(0L)))
   }
 
   private def packSnapshot(targetFiles: Int,

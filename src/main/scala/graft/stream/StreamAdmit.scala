@@ -122,14 +122,8 @@ object StreamAdmit {
     val f = hfs(ss)
     val p = new org.apache.hadoop.fs.Path(indexRoot, ConfigFile)
     if (!f.exists(p)) return None
-    val in = f.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(BandIndex.readFully(f, p))
     Some(IndexConfig(node.path("bands").asInt(), node.path("sigLen").asInt(),
       node.path("shingleK").asInt()))
   }

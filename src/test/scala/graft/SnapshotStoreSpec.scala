@@ -475,7 +475,7 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read().count() == 4) // d2 + d3 live rows unaffected
   }
 
-  test("writer fence: a second open takes over the root; the superseded handle fails loudly") {
+  test("writer fence: a second WRITER takes over the root; the superseded handle fails loudly; readers never fence") {
     for (snapMode <- Seq(true, false)) {
       val root = Files.createTempDirectory("graft_snap").toString +
         s"/fence_$snapMode"
@@ -483,12 +483,21 @@ class SnapshotStoreSpec extends SparkSpec {
         soleCols = Nil, dayCol = col("day"), snapshots = snapMode)
       val a = open()
       a.set(rows3days); a.save()
+      // a second handle that only READS must not fence the active
+      // writer (acquisition is lazy, at first mutation): the writer's
+      // next save proceeds
+      val reader = open()
+      assert(reader.read().count() == 6)
+      a.set(Seq(("R", 50L, 5.0, "d3")).toDF("code", "t", "v", "day"))
+      a.save() // must NOT throw — nobody else wrote
       val before = a.read().orderBy("code", "t")
         .select("code", "t", "v", "day").collect().toSeq
-      // a second writer process on the same root: simulated in-process
+      // a second WRITER process on the same root: simulated in-process
       // (the lease lives on the shared filesystem, so the mechanism is
-      // identical cross-process)
+      // identical cross-process). Its first mutation takes the lease.
       val b = open()
+      b.set(Seq(("C", 9L, 9.0, "d2")).toDF("code", "t", "v", "day"))
+      b.save()
       // the SUPERSEDED handle is fenced at its next mutation — before
       // anything of its touches disk
       a.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
@@ -497,14 +506,13 @@ class SnapshotStoreSpec extends SparkSpec {
       intercept[IllegalStateException] { a.dropSubject("A") }
       intercept[IllegalStateException] { a.pack(1) }
       if (snapMode) intercept[IllegalStateException] { a.vacuum() }
-      // the store's content is exactly what the takeover saw — nothing
-      // from the fenced handle's rejected writes leaked in
+      // the store's content is the takeover's view plus its own write —
+      // nothing from the fenced handle's rejected writes leaked in
       assert(b.read().orderBy("code", "t")
-        .select("code", "t", "v", "day").collect().toSeq == before)
-      // ...and the CURRENT owner's writes proceed normally
-      b.set(Seq(("C", 9L, 9.0, "d2")).toDF("code", "t", "v", "day"))
-      b.save()
-      assert(b.read().count() == before.size + 1)
+        .select("code", "t", "v", "day").collect().toSeq.size ==
+        before.size + 1)
+      assert(b.read().filter(col("code") === "Z").count() == 0,
+        "a rejected write leaked into the store")
     }
   }
 }

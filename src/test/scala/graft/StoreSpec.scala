@@ -564,5 +564,19 @@ class StoreSpec extends SparkSpec {
     val tOnly2 = stats2.count(r => r.getLong(2) >= 16L && r.getLong(1) <= 31L)
     assert(tOnly2 == stats2.length,
       s"expected the 1-D layout to prune nothing on t: $tOnly2/${stats2.length}")
+    // null z-dim values must survive the layout rewrite (the string
+    // rank is a LEFT join; an inner join would silently delete them)
+    val root3 = Files.createTempDirectory("graft_store").toString + "/znull"
+    val st3 = mkStore(root3)
+    val tagged = (0 until 64).map(i =>
+      ("s0", i.toLong, i.toDouble, "d1",
+        if (i % 4 == 0) null else s"g${i % 3}"))
+      .toDF("code", "t", "v", "day", "tag")
+    st3.set(tagged); st3.save()
+    st3.pack(4, zorderBy = Some(("tag", "t")))
+    assert(st3.read().count() == 64,
+      "z-pack on a nullable dim lost rows")
+    assert(st3.read().filter(col("tag").isNull).count() == 16,
+      "null-dim rows missing after z-pack")
   }
 }
