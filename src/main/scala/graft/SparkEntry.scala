@@ -2253,6 +2253,50 @@ object SparkEntry {
     q
   }
 
+  /** E14 — SCHEDULED vacuum on the commit path
+    * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
+    * that never calls vacuum() accumulates superseded version dirs
+    * and generation records without bound — the reference runs its
+    * own save/pack housekeeping on a schedule for the same reason
+    * (sisdb.c:137-169). Four full re-ingest generations land with
+    * auto-vacuum at cadence 2 (keepSuperseded 0, zero graces — the
+    * most aggressive dials); the REQUIREs pin the boundedness claim:
+    * after the final even-generation commit every day directory holds
+    * EXACTLY the one live version dir, not four. The final corpus
+    * aggregate is what the oracle hash-checks — reclamation that
+    * touched a live file would mismatch. */
+  private def qAutoVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_autovac/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    eng.autoVacuum(everyGenerations = 2, keepSuperseded = 0,
+      removedDayGraceMs = 0L, supersededGraceMs = 0L)
+    val ev = t(s, dir, "events").filter(col("user_id") < 6)
+    val payloads = clientEventPayloads(ev)
+    (1 to 4).foreach { _ =>
+      payloads.foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+      eng.save("ev") // every day advances a generation each save
+    }
+    // boundedness, the claim itself: 4 generations committed, yet each
+    // day dir holds exactly its ONE live version
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val dayDirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/ev"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__day="))
+    require(dayDirs.nonEmpty, "auto-vacuum query ingested nothing")
+    dayDirs.foreach { d =>
+      val vs = f.listStatus(d.getPath)
+        .count(_.getPath.getName.startsWith("__v="))
+      require(vs == 1,
+        s"auto-vacuum did not bound versions: ${d.getPath.getName} holds $vs")
+    }
+    eng.get("*.ev", "{}")
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("subject")
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2339,6 +2383,64 @@ object SparkEntry {
       .groupBy("day")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .orderBy("day")
+  }
+
+  /** M10 — pack with the Z-ORDER layout option on the store's own
+    * files ([[graft.store.TsStore.pack]] zorderBy): the weekly pack
+    * rewrites everything anyway (sisdb.c:586-602), so the rewrite can
+    * buy a 2-D-prunable layout for free — each rewritten day's files
+    * cover compact (subject, time) rectangles instead of
+    * subject-sorted stripes. REQUIREd in-query from the same footer
+    * stats an engine prunes with: a (subject range × time band) box
+    * must skip files, EACH dim alone must skip files (a 1-D sort's
+    * non-leading dim skips none), and the 2-D box must read no more
+    * files than either single dim. Content equality with the
+    * pre-pack store is what the oracle hash checks. */
+  private def qPackZorder(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_packz/${dir.replaceAll("[^A-Za-z0-9]", "_")}/st"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"/tmp/graft_packz/${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
+    // ONE day of events, so every skipped file is skipped by the
+    // z-layout's intra-day rectangles — day-partition pruning (s2's
+    // job) cannot take the credit
+    val e = t(s, dir, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-08")
+      .select(concat(lit("u"), col("user_id")).as("subject"),
+        unix_millis(col("ts")).as("t_ms"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val st = new graft.store.TsStore(s, root, subject = "subject",
+      time = "t_ms", soleCols = Nil, dayCol = col("day"))
+    st.set(e); st.save()
+    st.pack(16, zorderBy = Some(("subject", "t_ms")))
+    // footer-stat selectivity over the packed files (box: a subject
+    // range × the middle fifth of the time span)
+    val mm = s.read.parquet(root)
+      .agg(min("t_ms"), max("t_ms")).collect()(0)
+    val (tLo, tHi) = (mm.getLong(0), mm.getLong(1))
+    val (bLo, bHi) = (tLo + (tHi - tLo) * 2 / 5, tLo + (tHi - tLo) * 3 / 5)
+    val stats = s.read.parquet(root)
+      .groupBy(col("_metadata.file_name").as("f"))
+      .agg(min("subject").as("mnS"), max("subject").as("mxS"),
+        min("t_ms").as("mnT"), max("t_ms").as("mxT"))
+      .collect()
+    val total = stats.length
+    def subjHit(r: org.apache.spark.sql.Row) =
+      r.getString(2) >= "u2" && r.getString(1) <= "u5"
+    def tHit(r: org.apache.spark.sql.Row) =
+      r.getLong(4) >= bLo && r.getLong(3) <= bHi
+    val (sOnly, tOnly) = (stats.count(subjHit), stats.count(tHit))
+    val both = stats.count(r => subjHit(r) && tHit(r))
+    require(sOnly < total && tOnly < total,
+      s"z-pack layout pruned nothing on a single dim: " +
+        s"subject $sOnly/$total, time $tOnly/$total")
+    require(both <= sOnly && both <= tOnly && both < total,
+      s"2-D box not selective on the z-packed store: $both/$total " +
+        s"(subject $sOnly, time $tOnly)")
+    st.read()
+      .groupBy("subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        min("t_ms").as("t_lo"), max("t_ms").as("t_hi"))
+      .orderBy("subject")
   }
 
   /** O1 sorted series maintenance: day-partitioned store written
@@ -2792,6 +2894,8 @@ object SparkEntry {
     "sks1_stored_sketches" -> qStoredSketches _,
     "e12_time_travel" -> qTimeTravel _,
     "e13_time_travel_sql" -> qTimeTravelSql _,
+    "e14_auto_vacuum" -> qAutoVacuum _,
+    "m10_pack_zorder" -> qPackZorder _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
     "w9_ratio_parts" -> qRatioParts _,
@@ -3016,6 +3120,24 @@ object SparkEntry {
          FROM events
          WHERE user_id < 10 AND event_id % 2 = 1
            AND strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-20'
+         GROUP BY 1 ORDER BY subject""",
+    // four full re-ingest generations with auto-vacuum at cadence 2:
+    // the final corpus equals ONE clean ingest (upserts dedupe), and
+    // the in-query REQUIRE pins exactly one version dir per day —
+    // a vacuum that reclaimed a live file would hash-mismatch here
+    "e14_auto_vacuum" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events WHERE user_id < 6
+         GROUP BY 1 ORDER BY subject""",
+    // one day packed under the z-order layout option: content must be
+    // untouched by the layout rewrite (the 2-D footer selectivity is
+    // REQUIREd in-query against the same stats an engine prunes with)
+    "m10_pack_zorder" ->
+      """SELECT 'u' || user_id AS subject, count(*) AS n,
+         round(sum(value), 2) AS total,
+         min(epoch_ms(ts)) AS t_lo, max(epoch_ms(ts)) AS t_hi
+         FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-08'
          GROUP BY 1 ORDER BY subject""",
     // exact distinct counts; the in-query HLL rsd bound is extra
     "hll1_distinct_sketch" ->
