@@ -126,15 +126,19 @@ object Bench {
         s"""{"metric":"steady_total","value":$stotal,"unit":"sec","queries":${jmap(steady)},"runs":$runs,"sf":"$sfDir"}""" + "\n")
     }
     spark.stop()
-    // the driver tails sbt stdout for the JSON line, and the early
-    // print above sat buried under the steady pass's Spark WARNs two
-    // rounds running (BENCH_r9/r10 "parsed: null") — re-emit it as
-    // the LAST stdout line, after spark.stop() so no executor
-    // shutdown logging can land behind it, and mirror it on stderr
-    // as a second channel
+    // the driver tails ~2 KB of sbt stdout for the JSON line; at 131
+    // queries the full per-query vector is ~4.6 KB and can never fit
+    // that tail no matter where it sits (BENCH_r9/r10/r11 all
+    // "parsed: null"). The LAST line is therefore a COMPACT summary —
+    // total/failed/sf/runs only, a few hundred bytes — emitted after
+    // spark.stop() so no executor shutdown logging lands behind it,
+    // mirrored on stderr as a second channel. The full sorted
+    // per-query vector lives in BENCH_QUERIES.json (written above).
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","runs":$runs,"queries_file":"BENCH_QUERIES.json"}"""
     System.out.flush()
-    println(line)
-    System.err.println(line)
+    println(compact)
+    System.err.println(compact)
     System.out.flush()
   }
 }

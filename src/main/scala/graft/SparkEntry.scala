@@ -2297,6 +2297,170 @@ object SparkEntry {
       .orderBy("subject")
   }
 
+  /** E15 — ENGINE-WIDE CONSISTENT SNAPSHOT CUT
+    * ([[graft.api.Engine.snapshotAll]]): per-table time travel cannot
+    * record one reproducible point across N tables — generations
+    * drift as commits interleave (the reference's multi-table read
+    * pattern, frwdb_reader.c:676-905, has the same need). Two tables
+    * commit interleaved generations; ONE cut records the pair; then
+    * both tables move (a full re-ingest on `ev`, a range delete on
+    * `fx`) and an aggressive vacuum (keepSuperseded 0, keepHistory 1)
+    * lands on both. REQUIREd in-query: the cut still reads EXACTLY
+    * the recorded pair — `ev`'s live view grew past it, `fx`'s shrank
+    * below it, and the vacuum retained the cut-pinned generations
+    * that keepHistory alone would have retired. The oracle hash-checks
+    * the pair's content: a cut that leaked any post-cut row (or lost
+    * a pinned generation) mismatches. */
+  private def qSnapshotCut(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_snapcut/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    eng.create("{fx:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 8)
+    val odds = ev.filter(col("event_id") % 2 === 1)
+    clientEventPayloads(odds)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // ev generation 1: odd event-ids
+    clientEventPayloads(odds.withColumn("value", col("value") * 2))
+      .foreach { case (u, arr) => eng.set(s"u$u.fx", arr) }
+    eng.save("fx") // fx generation 1: odd event-ids, doubled values
+    val cut = eng.snapshotAll(Seq("ev", "fx"))
+    // post-cut drift on BOTH tables, in opposite directions
+    clientEventPayloads(ev)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // ev generation 2: the full set
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.fx", s"""{range:{start:$lo,stop:$hi}}""") // fx generation 2
+    // aggressive retention that would retire generation 1 on both
+    // tables — the cut record must pin it through the vacuum
+    eng.vacuum("ev", keepSuperseded = 0, keepHistory = 1)
+    eng.vacuum("fx", keepSuperseded = 0, keepHistory = 1)
+    val pair = eng.openSnapshotAllAt(cut)
+    val evAt = pair("ev").getOrElse(
+      throw new IllegalStateException("cut lost ev's pinned generation"))
+    val fxAt = pair("fx").getOrElse(
+      throw new IllegalStateException("cut lost fx's pinned generation"))
+    require(evAt.count() < eng.get("*.ev", "{}").count(),
+      "cut did not pin ev: the cut view tracked the live re-ingest")
+    require(fxAt.count() > eng.get("*.fx", "{}").count(),
+      "cut did not pin fx: the cut view tracked the live delete")
+    evAt.select(lit("ev").as("tbl"), col("subject"), col("value"))
+      .unionByName(
+        fxAt.select(lit("fx").as("tbl"), col("subject"), col("value")))
+      .groupBy("tbl", "subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("tbl", "subject")
+  }
+
+  /** ST8 — STREAMING sketch maintenance
+    * ([[graft.ops.Sketches.appendBatch]]): sks1's production shape
+    * under a live feed. Each micro-batch lands ONE partial-state row
+    * set per (group, batch-shard) in the stamp-keyed sketch store —
+    * the batch id keys the subdirectory and the write overwrites it,
+    * so a crashed/replayed batch re-lands in the SAME slot instead of
+    * double-counting (REQUIREd: after replaying batch 0 through the
+    * sink again, the merged CMS totalCount still equals the exact row
+    * count). Queries merge state exactly as sks1 (all three guarantee
+    * families REQUIREd in-query); the steady cost is state size
+    * (dials × batches), never the corpus. */
+  private def qStreamSketch(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamsketch/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // two feed files in pinned mtime order (the st6 pattern)
+    def feedFile(cond: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$base/feed/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val now = System.currentTimeMillis()
+    feedFile(col("event_id") % 2 === 0, "b0", now - 120000L)
+    feedFile(col("event_id") % 2 === 1, "b1", now - 60000L)
+    val root = s"$base/sketch"
+    val stamp = "evfeed"
+    val (eps, conf, seed, k) = (0.001, 0.99, 42, 64)
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, id) => {
+        val bd = b.toDF()
+        Sketches.appendBatch(Sketches.cmsPartials(
+          bd, "user_id", lit(id), eps, conf, seed), root, "cms", stamp, id)
+        Sketches.appendBatch(Sketches.hllPartials(
+          bd, "user_id", Seq("event_type"), lit(id)), root, "hll", stamp, id)
+        Sketches.appendBatch(Sketches.quantilePartials(
+          bd, "value", Seq("event_type"), lit(id), k), root, "qgrid", stamp, id)
+      }
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // CRASH REPLAY: redeliver batch 0 through the sink exactly as a
+    // restarted checkpoint would — same rows, same batch id. The
+    // overwrite-into-slot contract makes it a no-op.
+    sink(s.read.parquet(s"$base/feed/b0.parquet"), 0L)
+    val exactRows = ev.count()
+    val cms = Sketches.mergeCms(s, s"$root/cms_$stamp")
+    require(cms.totalCount() == exactRows,
+      s"replayed batch double-counted: CMS totalCount ${cms.totalCount()} " +
+        s"vs $exactRows exact rows")
+    // CMS guarantee vs exact truth (the hh1 bound)
+    val exactUsers = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exactUsers.foreach { case (u, n) =>
+      val est = cms.estimateCount(u)
+      require(est >= n && est <= n + (eps * exactRows).toLong + 1,
+        s"stored CMS broke its bound for user $u: $est vs exact $n")
+    }
+    // HLL union within the rsd error class vs exact distincts
+    val mergedHll = Sketches.hllEstimates(
+      s.read.parquet(s"$root/hll_$stamp"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+    exact.collect().foreach { r =>
+      val (g, nu) = (r.getString(0), r.getLong(2))
+      require(math.abs(mergedHll(g) - nu) <= 4 * rsd * nu + 1,
+        s"streamed HLL blew its rsd bound on '$g': ${mergedHll(g)} vs $nu")
+    }
+    // quantile grids: merged estimate's EXACT rank within the
+    // mergeable-summary slack (2 batch-shards)
+    val ests = Sketches.quantileEstimates(
+      s.read.parquet(s"$root/qgrid_$stamp"), Seq("event_type"),
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+    ev.join(broadcast(ests), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("N"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+      .collect().foreach { r =>
+        val n = r.getLong(1)
+        val slack = 2.0 * n / k + 2 * 2 + 2
+        Seq(0.5 -> r.getLong(2), 0.9 -> r.getLong(3)).foreach {
+          case (qq, rank) =>
+            require(math.abs(rank - qq * n) <= slack,
+              s"streamed quantile grid missed rank for '${r.getString(0)}' " +
+                s"q=$qq: rank $rank of $n (slack $slack)")
+        }
+      }
+    exact
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -2895,6 +3059,8 @@ object SparkEntry {
     "e12_time_travel" -> qTimeTravel _,
     "e13_time_travel_sql" -> qTimeTravelSql _,
     "e14_auto_vacuum" -> qAutoVacuum _,
+    "e15_snapshot_cut" -> qSnapshotCut _,
+    "st8_stream_sketch" -> qStreamSketch _,
     "m10_pack_zorder" -> qPackZorder _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
@@ -3130,6 +3296,27 @@ object SparkEntry {
          round(sum(value), 2) AS total
          FROM events WHERE user_id < 6
          GROUP BY 1 ORDER BY subject""",
+    // the cut pair = both tables' generation-1 corpora (odd event-ids;
+    // fx carries doubled values so the pair is distinguishable): a cut
+    // that leaked the post-cut re-ingest on ev, the post-cut delete on
+    // fx, or lost a vacuum-pinned generation would hash-mismatch
+    "e15_snapshot_cut" ->
+      """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
+         FROM (
+           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1
+           UNION ALL
+           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1)
+         GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // exact anchors; the streamed per-batch sketch state (CMS
+    // totalCount == exact rows AFTER a replayed batch, HLL rsd class,
+    // quantile-grid rank slack) is REQUIREd in-query against these
+    "st8_stream_sketch" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY 1 ORDER BY event_type""",
     // one day packed under the z-order layout option: content must be
     // untouched by the layout rewrite (the 2-D footer selectivity is
     // REQUIREd in-query against the same stats an engine prunes with)

@@ -32,6 +32,13 @@ object TierScale {
   def main(args: Array[String]): Unit = {
     val batches = if (args.nonEmpty) args(0).toInt else 64
     val rowsPerBatch = if (args.length > 1) args(1).toInt else 5000
+    // REAL-DATA mode (round-12, VERDICT r11 "what's wrong" #1): pass a
+    // documents parquet dir as the 3rd arg and the batches are REAL
+    // minhash band-bucket rows at the st6 dials (shingleK 3, sigLen
+    // 32, 16 bands), split by doc_id — corroborating the synthetic
+    // slope on production-shaped data (bucket hashes are uniform in
+    // both, which is the claim being checked, not assumed).
+    val docsDir = if (args.length > 2) Some(args(2)) else None
     val spark = Harness.session()
     import spark.implicits._
 
@@ -42,11 +49,24 @@ object TierScale {
 
     // deterministic synthetic bucket rows — compaction is
     // content-agnostic, so no need to re-run minhash here
-    def batchRows(b: Int) =
+    def syntheticRows(b: Int) =
       spark.range(b.toLong * rowsPerBatch, (b + 1).toLong * rowsPerBatch)
         .select(col("id").as("index_id"),
           pmod(col("id"), lit(16)).cast("int").as("band"),
           xxhash64(col("id"), lit("tier")).as("bucket"))
+    val realBuckets = docsDir.map { dir =>
+      val docs = spark.read.parquet(s"${dir.stripSuffix("/")}/documents.parquet")
+        .select("doc_id", "text")
+      graft.ops.Dedup.bandBuckets(
+          graft.ops.Dedup.minhash(docs, "text", shingleK = 3, numHashes = 32),
+          "doc_id", bands = 16, sigLen = 32, as = "index_id")
+        .withColumn("__b", pmod(col("index_id"), lit(batches)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def batchRows(b: Int) = realBuckets match {
+      case Some(rb) => rb.filter(col("__b") === b).drop("__b")
+      case None => syntheticRows(b)
+    }
 
     BandIndex.write(batchRows(0), root, "bucket", targetRowsPerFile = 4096)
     var appended = 0L

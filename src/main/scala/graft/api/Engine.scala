@@ -173,6 +173,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
               org.apache.spark.sql.types.StringType))),
         snapshots = snapshots)
       st.autoVacuum = autoVacuumCfg
+      // cross-table snapshot cuts pin generations beyond keepHistory:
+      // any generation a retained cut record references must survive
+      // this table's vacuum no matter how many newer generations land
+      st.historyPins = () => cutPinsFor(table)
       st
     })
   }
@@ -541,6 +545,121 @@ final class Engine(val spark: SparkSession, rootPath: String,
     storeOf(table)
     TsStore.openSnapshot(spark, s"$rootPath/$table", "subject")
   }
+
+  // ── ENGINE-WIDE CONSISTENT SNAPSHOT CUT. Per-table time travel
+  // (openSnapshotAt / exposeSqlAt) cannot record one reproducible
+  // point across N tables — generations drift as commits interleave,
+  // and a training run consuming events + factors + text (the
+  // reference's multi-table read pattern, frwdb_reader.c:676-905)
+  // needs ONE number that re-reads the identical multi-table corpus
+  // months later. A cut is {table → committed generation}, recorded
+  // atomically (tmp + rename, first-writer-wins) under
+  // `rootPath/__snapcuts/cut=N.json` AFTER flushing every listed
+  // table — the engine is single-writer, so no commit can interleave
+  // between the flushes and the record. Vacuum honors cuts: every
+  // generation a retained cut references is pinned past keepHistory
+  // (wired per-store via TsStore.historyPins), so the cut stays
+  // readable until the deployment drops it ([[dropSnapshotCut]]).
+
+  private def cutsDir = new org.apache.hadoop.fs.Path(
+    s"${rootPath.stripSuffix("/")}/__snapcuts")
+  private val CutFile = "^cut=(\\d+)\\.json$".r
+
+  /** Record a consistent cut across `tables` (default: every declared
+    * table): flush each table's hot tail, then atomically record each
+    * table's committed generation under one monotonic cut id.
+    * Returns the cut id — the single number a training run records.
+    * Requires snapshot mode (generations only exist there). */
+  def snapshotAll(tables: Seq[String] = Seq.empty): Long = synchronized {
+    require(snapshots,
+      "engine-wide snapshot cuts require an engine opened with " +
+        "snapshots = true")
+    val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
+    require(ts.nonEmpty, "snapshotAll: no tables declared")
+    // flush first: the cut must include rows already set() — a cut
+    // that silently excluded the hot tail would not be "the corpus as
+    // of now". Single-writer ⇒ nothing commits between these saves
+    // and the record below.
+    ts.foreach(t => storeOf(t).save())
+    val gens = ts.map(t => t -> storeOf(t).currentGeneration)
+    val f = hadoopFs
+    f.mkdirs(cutsDir)
+    val cut = snapshotCuts.lastOption.getOrElse(0L) + 1
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("cut", cut)
+    root.put("at", System.currentTimeMillis())
+    val tn = root.putObject("tables")
+    gens.foreach { case (t, v) => tn.put(t, v) }
+    val tmp = new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json.tmp")
+    val dest = new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    if (!f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new java.io.IOException(s"could not record snapshot cut $cut")
+    }
+    cut
+  }
+
+  /** Recorded cut ids, ascending. */
+  def snapshotCuts: Seq[Long] = {
+    val f = hadoopFs
+    if (!f.exists(cutsDir)) Seq.empty
+    else f.listStatus(cutsDir).map(_.getPath.getName)
+      .collect { case CutFile(n) => n.toLong }.toSeq.sorted
+  }
+
+  /** A cut's recorded {table → generation}, or None if unknown. */
+  def cutRecord(cut: Long): Option[Map[String, Long]] = {
+    val f = hadoopFs
+    val p = new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json")
+    if (!f.exists(p)) None
+    else {
+      val node = mapper.readTree(TsStore.readJsonBytes(f, p))
+      import scala.jdk.CollectionConverters._
+      Some(node.path("tables").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+    }
+  }
+
+  /** Open every table of a recorded cut EXACTLY as its recorded
+    * generation committed it — the multi-table face of
+    * [[openSnapshotAt]]. A table whose recorded generation is 0 (no
+    * data had ever been committed at cut time) or whose record was
+    * vacuumed past retention maps to None — unavailable, never a
+    * silently different corpus. */
+  def openSnapshotAllAt(cut: Long): Map[String, Option[DataFrame]] = {
+    val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
+      s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
+    rec.map { case (t, v) =>
+      t -> (if (v <= 0L) None else openSnapshotAt(t, v))
+    }
+  }
+
+  /** Register the whole cut as frozen SQL views — [[exposeSqlAt]] per
+    * recorded (table, generation), `<db>.<table>__v<v>` each. Returns
+    * table → qualified view name (tables with generation 0 at cut
+    * time are skipped — they had no committed corpus to freeze). */
+  def exposeSqlAllAt(cut: Long, db: String = "graft"): Map[String, String] = {
+    val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
+      s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
+    rec.collect { case (t, v) if v > 0L => t -> exposeSqlAt(t, v, db) }
+  }
+
+  /** Drop a cut record: its generations fall back to the ordinary
+    * keepHistory retention at each table's next vacuum. */
+  def dropSnapshotCut(cut: Long): Unit = {
+    hadoopFs.delete(new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json"),
+      false)
+  }
+
+  /** Generations of `table` pinned by retained cut records — the
+    * [[TsStore!.historyPins]] feed. O(recorded cuts) sidecar reads,
+    * on the vacuum cadence only. */
+  private def cutPinsFor(table: String): Set[Long] =
+    snapshotCuts.flatMap(c => cutRecord(c).flatMap(_.get(table)))
+      .filter(_ > 0L).toSet
 
   /** M9 `update subject.table {search:{...}, val:{...}}`
     * (workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields.
@@ -931,7 +1050,19 @@ final class Engine(val spark: SparkSession, rootPath: String,
   private def pinSnapshotDays(st: TsStore, backing: String,
       days: Seq[String]): Unit = {
     val manifest = st.snapshotDays.toMap
-    val known = pinnedDays.getOrElse(backing, Set.empty)
+    // distinguish "cache missing" from "empty set": every exposure
+    // bulk-seeds the cache before this callback can exist, but that
+    // invariant is convention — if the entry is ever absent, seed it
+    // from the catalog once rather than routing already-registered
+    // days through ADD IF NOT EXISTS (which silently no-ops over a
+    // stale partition location)
+    val known = pinnedDays.get(backing) match {
+      case Some(s) => s
+      case None =>
+        val seeded = registeredDays(backing)
+        pinnedDays.put(backing, seeded)
+        seeded
+    }
     val specs = days.flatMap { d =>
       val dayDir = "__day=" + org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(d)

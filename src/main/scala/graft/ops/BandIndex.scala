@@ -491,7 +491,15 @@ object BandIndex {
     // can see duplicate rows mid-commit (the documented window), but
     // deleting first would leave the still-live OLD manifest naming
     // files that no longer exist — a pruned probe would select them
-    // and die on FileNotFound instead of just deduplicating
+    // and die on FileNotFound instead of just deduplicating.
+    // CROSS-PROCESS caveat: a reader that loaded the PRE-merge
+    // manifest just before this swap can still hold the merged-away
+    // originals in its pruned file set and hit FileNotFound when the
+    // deletes below land. In-process callers are serialized by the
+    // single-writer contract, so the window is unreachable today; if
+    // cross-process readers are ever supported, defer the original-
+    // file deletes by a grace period (the TsStore vacuum pattern)
+    // instead of deleting inline here.
     commitManifest(ss, root, key, parseEntries(node.path("manifest"), key))
     val dels = node.path("deletes")
     (0 until dels.size()).foreach { i =>

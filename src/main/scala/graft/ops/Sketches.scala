@@ -92,7 +92,14 @@ object Sketches {
     * state is ≤ k rows per shard regardless of shard size. */
   def quantilePartials(df: DataFrame, value: String, groups: Seq[String],
       shard: Column, k: Int = 128): DataFrame = {
-    val sh = df.withColumn("__shard", shard)
+    // NULLs are excluded — row_number orders nulls first, so a null
+    // value could otherwise become a grid point (v = null) and poison
+    // low-q estimates through quantileEstimates' min(when(...)). The
+    // grid's `n` therefore counts NON-NULL rows only: quantiles are
+    // statements about values, and every caller's rank checks compare
+    // against non-null truth.
+    val sh = df.filter(col(value).isNotNull)
+      .withColumn("__shard", shard)
       .withColumn("__v", col(value).cast("double"))
     val part = (groups :+ "__shard").map(col)
     val byV = Window.partitionBy(part: _*).orderBy(col("__v"))
@@ -151,6 +158,31 @@ object Sketches {
     partials.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** STREAMING maintenance: land one micro-batch's partial-state rows
+    * under `root/<kind>_<stamp>/batch=<id>` — the foreachBatch sink
+    * shape. REPLAY-IDEMPOTENT by construction: the batch id keys the
+    * subdirectory and the write OVERWRITES it, so a crashed batch
+    * re-delivered by the checkpoint replays into the SAME slot
+    * instead of appending a duplicate partial (the st6 write-order
+    * pattern; an `append`-mode write here would double-count every
+    * replayed row). Readers read the whole `root/<kind>_<stamp>` tree
+    * — every merge in this family is shard-algebraic, so per-batch
+    * partials merge exactly like any other sharding. */
+  def appendBatch(partials: DataFrame, root: String, kind: String,
+      stamp: String, batchId: Long): String = {
+    val path = s"${root.stripSuffix("/")}/${kind}_$stamp/batch=$batchId"
+    partials.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The merged read side of [[appendBatch]]: every batch's partials
+    * as one frame (recursive so `batch=N` subdirs flatten; the state
+    * is dial-bounded per batch, not corpus-bounded). */
+  def readBatches(ss: SparkSession, root: String, kind: String,
+      stamp: String): DataFrame =
+    ss.read.option("recursiveFileLookup", "true")
+      .parquet(s"${root.stripSuffix("/")}/${kind}_$stamp")
 
   /** True iff a state table for (kind, stamp) is already present. */
   def exists(ss: SparkSession, root: String, kind: String,

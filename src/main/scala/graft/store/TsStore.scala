@@ -61,9 +61,13 @@ import org.apache.spark.storage.StorageLevel
   * (orphan version dirs are inert). Superseded versions are garbage-
   * collected by [[vacuum]], which the operator schedules with a
   * grace ≥ the longest reader runtime — the same retention contract
-  * Iceberg/Delta expire-snapshots carry. Renames are assumed atomic
-  * (HDFS/posix); object stores need a manifest-committer deployment
-  * regardless.
+  * Iceberg/Delta expire-snapshots carry. PORTABILITY: the commit
+  * protocol assumes atomic rename (HDFS/posix true, S3 false — object
+  * stores need a manifest-committer deployment regardless); it does
+  * NOT assume meaningful directory mtimes — every grace that measures
+  * "time since placement" reads the committer-written placed-at stamp
+  * inside the version dir ([[TsStore.PlacedStamp]]), with dir mtime
+  * only as a legacy fallback.
   */
 final class TsStore(
     val spark: SparkSession,
@@ -146,8 +150,9 @@ final class TsStore(
   // dispatcher thread of one server (sisdb_server.c:474-476). Here
   // the single-writer contract (scaladoc above) is ENFORCED, not just
   // documented: a handle's FIRST MUTATION takes over a lease sidecar
-  // (monotonic epoch + unique token, committed by atomic
-  // rename-over), and every later mutation re-checks the token before
+  // (a unique token — the fencing identity — plus a best-effort
+  // diagnostic epoch, committed by atomic rename-over), and every
+  // later mutation re-checks the token before
   // touching the live store — so of two live writer handles on one
   // root, only the latest WRITER can commit; the superseded one fails
   // loudly at its next write instead of interleaving rename-aside
@@ -158,12 +163,18 @@ final class TsStore(
   // the vacuum-grace contract's whole point. Takeover (not mutual
   // exclusion) is deliberate: a crashed writer must never brick the
   // store behind a stale lock file, and a restart is
-  // indistinguishable from a takeover. The fence bounds any
-  // interleave to the one commit already in flight at takeover — the
-  // same guarantee epoch-fencing gives HDFS HA writers. Recovery at
+  // indistinguishable from a takeover. The token is additionally
+  // bound INTO every committed manifest (a `writer` record), and
+  // [[commitSnapshot]] re-verifies the live lease AFTER the manifest
+  // rename — a takeover landing inside the in-flight commit no
+  // longer loses an update: the loser detects the takeover, restores
+  // the pre-commit manifest (only if its own is still in place) and
+  // throws, leaving a residual race of the instants between its
+  // rename and the verify rather than the whole commit. Recovery at
   // open can itself commit (roll-forward), which takes the lease then
   // — correct: replaying a pending commit IS writing.
   @volatile private var leaseToken: Option[String] = None
+  @volatile private var leaseEpoch: Long = 0L
   // meta BEFORE recovery: a recovery-path snapshot commit mints the
   // generation's time-travel history record from the live tombstone
   // map — replaying with the sidecar not yet loaded would stamp the
@@ -171,6 +182,33 @@ final class TsStore(
   // history a clean run records. Safe in this order: recovery never
   // rewrites the meta sidecar, and the watermark it loads was
   // persisted before any roll-forward-able tmp existed (see save).
+
+  // ── incremental-vacuum bookkeeping: the commit path records which
+  // day dirs it touched since the last vacuum, so the SCHEDULED
+  // vacuum ([[maybeAutoVacuum]]) lists only those — O(touched days)
+  // directory listings per run, not O(all days a store holding years
+  // accumulates). A day stays pending while a TIME grace is the only
+  // thing keeping its reclaimable dirs (the grace expires by
+  // wall-clock, not by a commit that would re-dirty the day). The set
+  // is in-memory: a restarted store's first scheduled vacuum does one
+  // full sweep (fullVacuumNeeded), then goes incremental. Manual
+  // [[vacuum]] always sweeps everything. Declared BEFORE the recovery
+  // call below — recovery replays commits, which record dirty days.
+  private var dirtyDaysSinceVacuum: Set[String] = Set.empty
+  private var fullVacuumNeeded: Boolean = true
+  /** Spec instrumentation: day dirs whose contents the last vacuum
+    * actually listed. */
+  private[graft] var lastVacuumDaysListed: Int = 0
+
+  private def noteDirtyDays(days: Iterable[String]): Unit =
+    dirtyDaysSinceVacuum ++= days
+
+  /** Test-only hook, invoked between the fence check and the manifest
+    * rename — lets a spec land a competing takeover exactly inside the
+    * commit window the post-swap verification closes. Declared before
+    * the recovery call below (recovery can commit). */
+  private[graft] var onBeforeSnapshotRename: () => Unit = () => ()
+
   loadMeta()
   recoverSwaps()
 
@@ -186,6 +224,11 @@ final class TsStore(
 
   private def acquireLease(): String = {
     val f = fs
+    // best-effort epoch bump: the read-modify-write is not atomic, so
+    // two SIMULTANEOUS takeovers can both read N and write N+1 — the
+    // rename-over picks a winner and the TOKEN (unique per takeover)
+    // is what fences the loser. The epoch is diagnostics (FENCED
+    // messages, the manifest's writer record), not the identity.
     val epoch = readLease().map(_.path("epoch").asLong(0L)).getOrElse(0L) + 1
     val token = java.util.UUID.randomUUID().toString
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -202,6 +245,7 @@ final class TsStore(
     org.apache.hadoop.fs.FileContext
       .getFileContext(leaseFile.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, leaseFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    leaseEpoch = epoch
     token
   }
 
@@ -244,8 +288,12 @@ final class TsStore(
   private def maybeAutoVacuum(): Unit = autoVacuum.foreach { av =>
     if (snapshots && av.everyGenerations > 0 &&
       loadSnapshot().v % av.everyGenerations == 0)
-      vacuum(av.keepSuperseded, av.removedDayGraceMs, av.keepHistory,
-        av.supersededGraceMs)
+      // scoped: the scheduled path lists only the days commits touched
+      // since the last vacuum (plus days a wall-clock grace left
+      // pending) — O(touched), with the full sweep reserved for manual
+      // vacuum() and the first run after a restart
+      vacuumScoped(av.keepSuperseded, av.removedDayGraceMs, av.keepHistory,
+        av.supersededGraceMs, scoped = true)
   }
 
   /** Invoked after any operation that changes what cold reads see
@@ -375,6 +423,13 @@ final class TsStore(
       : Option[(Map[String, Long], Map[String, Long])] =
     TsStore.readHistRecord(fs, path, v)
 
+  /** The live manifest's committed generation (0 before the first
+    * commit; meaningless outside snapshot mode). The number an
+    * engine-wide cut records per table. */
+  private[graft] def currentGeneration: Long = synchronized {
+    if (!snapshots) 0L else loadSnapshot().v
+  }
+
   /** Committed generations available for time travel, ascending. */
   def snapshotVersions: Seq[Long] = synchronized {
     val f = fs
@@ -395,20 +450,95 @@ final class TsStore(
   private def commitSnapshot(s: TsStore.Snapshot,
       recordHistory: Boolean = true): Unit = {
     checkFence() // the manifest swap is THE commit point
+    val myToken = leaseToken.getOrElse(
+      throw new IllegalStateException("commit without a lease")) // unreachable
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("v", s.v)
+    // the fence bound INTO the commit artifact: the writer's lease
+    // token (identity) and epoch (diagnostics) ride inside the
+    // manifest, so after the rename this writer can tell whether the
+    // manifest in place is its own — the post-swap verification below
+    val w = root.putObject("writer")
+    w.put("token", myToken)
+    w.put("epoch", leaseEpoch)
     val d = root.putObject("days")
     s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
     val r = root.putObject("removed")
     s.removed.toSeq.sortBy(_._1).foreach { case (k, ts) => r.put(k, ts) }
+    // UNIQUE tmp per writer (token suffix): two live writer handles
+    // racing a commit must not consume each other's staged manifest —
+    // with a shared tmp name the loser's rename dies on ENOENT
+    // instead of reaching the fence verification below
     val tmp = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "__snapshot.json.tmp")
+      path.stripSuffix("/") + s"__snapshot.json.tmp.$myToken")
     val out = fs.create(tmp, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext
+    onBeforeSnapshotRename()
+    // the manifest our rename will stomp, for the fenced-loser
+    // rollback below — read as LATE as possible (immediately before
+    // the rename): a competing writer's commit landing before this
+    // read is then preserved by the rollback; only one landing in the
+    // instants between this read and the rename could still be lost
+    // (the residual race the verify narrows the old full-commit
+    // window down to)
+    val prevBytes: Option[Array[Byte]] =
+      if (fs.exists(snapFile)) Some(TsStore.readJsonBytes(fs, snapFile))
+      else None
+    try org.apache.hadoop.fs.FileContext
       .getFileContext(snapFile.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, snapFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.FileNotFoundException =>
+      // our staged tmp vanished mid-commit: a takeover's recovery
+      // swept it as stale. Report the fence, not a mystery ENOENT —
+      // the commit did not land either way.
+      if (!readLease().exists(_.path("token").asText() == myToken))
+        throw new IllegalStateException(
+          s"$path: commit FENCED mid-swap — the store root was taken " +
+            "over during this commit and the takeover swept the staged " +
+            "manifest; this write did not land. Re-open the store to " +
+            "take the root back.", e)
+      else throw e
+    }
+    // ── post-swap fence verification: checkFence() above runs BEFORE
+    // the rename, so a takeover landing in between could otherwise be
+    // silently stomped by our rename — the classic lost update the
+    // one-in-flight-commit window allowed. Re-reading the LEASE after
+    // the swap closes it: if another writer took over, this commit
+    // must not stand. Rollback is conditional on the manifest in
+    // place still being OURS (writer.token match) — if the new
+    // writer already committed over us, restoring the pre-commit
+    // manifest would stomp THEIR commit, so we only throw. The
+    // residual race shrinks from "any time during the commit job"
+    // to the instants between our rename and this verify.
+    val liveLease = readLease()
+    if (!liveLease.exists(_.path("token").asText() == myToken)) {
+      val current = scala.util.Try(
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(TsStore.readJsonBytes(fs, snapFile))).toOption
+      val oursInPlace = current.exists(
+        _.path("writer").path("token").asText() == myToken)
+      if (oursInPlace) prevBytes match {
+        case Some(bytes) =>
+          val rtmp = new org.apache.hadoop.fs.Path(
+            path.stripSuffix("/") + s"__snapshot.json.tmp.$myToken")
+          val o2 = fs.create(rtmp, true)
+          try o2.write(bytes) finally o2.close()
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(snapFile.toUri,
+              spark.sparkContext.hadoopConfiguration)
+            .rename(rtmp, snapFile,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        case None => fs.delete(snapFile, false) // first-ever commit: undo
+      }
+      val owner = liveLease.map(_.path("owner").asText()).getOrElse("unknown")
+      throw new IllegalStateException(
+        s"$path: commit FENCED after the manifest swap — the store " +
+          s"root was taken over by '$owner' during this commit; the " +
+          "manifest was restored to the pre-commit generation and " +
+          "this write did not land. Re-open the store to take the " +
+          "root back.")
+    }
     if (recordHistory) writeHistory(s)
   }
 
@@ -432,6 +562,19 @@ final class TsStore(
         f.delete(dest, true) // partial rename from an interrupted redo
         if (!f.rename(src, dest))
           throw new java.io.IOException(s"snapshot commit: could not place $dest")
+        // placed-at stamp: vacuum's supersededGraceMs measures "time
+        // since this version was superseded-able", which needs the
+        // PLACEMENT instant. Dir mtimes carry it on HDFS/posix but are
+        // meaningless on object stores — so the committer records the
+        // instant in a stamp file inside the version dir (underscore
+        // prefix: hidden from Spark's file listings). A crash between
+        // the rename and the stamp leaves no stamp; vacuum falls back
+        // to the dir mtime then.
+        val stamp = new org.apache.hadoop.fs.Path(dest, TsStore.PlacedStamp)
+        val so = f.create(stamp, true)
+        try so.write(System.currentTimeMillis().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally so.close()
         placedAny = true
       }
     }
@@ -474,7 +617,16 @@ final class TsStore(
       val legacyAlreadySwapped = storedV.isEmpty && !placedAny &&
         (if (days.nonEmpty) days.forall(d => snap.days.get(d).contains(snap.v))
          else legacyNoop(snap))
-      if (!legacyAlreadySwapped) commitSnapshot(next(snap, targetV))
+      if (!legacyAlreadySwapped)
+        try commitSnapshot(next(snap, targetV))
+        catch { case e: IllegalStateException =>
+          // a post-swap FENCE rolled the manifest back: delete the tmp
+          // (best-effort) so the NEW writer's recovery cannot replay
+          // this commit later — "did not land" must stay true. The
+          // placed version dirs are inert orphans vacuum reclaims.
+          scala.util.Try(fs.delete(tmp, true))
+          throw e
+        }
     } else writeHistory(snap)
   }
 
@@ -491,6 +643,7 @@ final class TsStore(
   private def commitSavingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
+    noteDirtyDays(days)
     commitVersioned(tmp, days, storedV, (snap, targetV) =>
       TsStore.Snapshot(targetV,
         snap.days ++ days.map(_ -> targetV),
@@ -506,6 +659,7 @@ final class TsStore(
   private def commitDeletingSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (replaced, removed, storedV) = TsStore.readAffected(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.AffectedManifest))
+    noteDirtyDays(replaced ++ removed)
     commitVersioned(tmp, replaced, storedV, (snap, targetV) =>
       TsStore.Snapshot(targetV,
         snap.days ++ replaced.map(_ -> targetV) -- removed,
@@ -525,6 +679,9 @@ final class TsStore(
   private def commitPackedSnapshot(tmp: org.apache.hadoop.fs.Path): Unit = {
     val (days, storedV) = TsStore.readCommitDays(fs,
       new org.apache.hadoop.fs.Path(tmp, TsStore.CommitManifest))
+    // pack rewrites every day — the next scheduled vacuum must sweep
+    // the whole store (pack itself is O(store), so this adds nothing)
+    fullVacuumNeeded = true
     commitVersioned(tmp, days, storedV, (snap, targetV) => {
       val gone = snap.days.keySet -- days
       TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap,
@@ -572,7 +729,19 @@ final class TsStore(
   def vacuum(keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
       removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
       keepHistory: Int = TsStore.DefaultKeepHistory,
-      supersededGraceMs: Long = 0L)
+      supersededGraceMs: Long = 0L): Unit =
+    vacuumScoped(keepSuperseded, removedDayGraceMs, keepHistory,
+      supersededGraceMs, scoped = false)
+
+  /** Generations pinned by an OWNER beyond the `keepHistory` count —
+    * the engine's cross-table snapshot cuts route here: a generation
+    * referenced by any retained cut record must stay time-travel
+    * readable no matter how many newer generations exist. Consulted
+    * once per vacuum. */
+  @volatile private[graft] var historyPins: () => Set[Long] = () => Set.empty
+
+  private def vacuumScoped(keepSuperseded: Int, removedDayGraceMs: Long,
+      keepHistory: Int, supersededGraceMs: Long, scoped: Boolean)
       : Unit = synchronized {
     if (!snapshots) return
     checkFence() // vacuum deletes live-store dirs — writers only
@@ -581,22 +750,30 @@ final class TsStore(
     // reference — reclaiming those as "superseded orphans" would make
     // the later replay commit a manifest pointing at deleted dirs.
     // Recovery is idempotent and this store owns the write lock.
+    // (Recovery can itself commit, adding dirty days — so the scope
+    // is read AFTER it.)
     recoverSnapshotSwaps()
+    val scope: Option[Set[String]] =
+      if (scoped && !fullVacuumNeeded) Some(dirtyDaysSinceVacuum) else None
     val f = fs
     val snap = loadSnapshot()
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) return
     val now = System.currentTimeMillis()
     // time-travel retention (third dial): the `keepHistory` newest
-    // generation records survive and PIN every (day, version) they
-    // reference — a retained generation must stay readable through
-    // [[TsStore.openSnapshotAt]] no matter what the count/time graces
-    // would reclaim. Older generation records are retired here (their
-    // dirs then fall to the ordinary grace rules). Default 0 keeps the
-    // pre-time-travel reclamation behavior exactly.
+    // generation records survive — plus any generation an owner PINNED
+    // ([[historyPins]]: the engine's cross-table snapshot cuts) — and
+    // PIN every (day, version) they reference: a retained generation
+    // must stay readable through [[TsStore.openSnapshotAt]] no matter
+    // what the count/time graces would reclaim. Older generation
+    // records are retired here (their dirs then fall to the ordinary
+    // grace rules). Default 0 keeps the pre-time-travel reclamation
+    // behavior exactly.
+    val pins = historyPins()
     val histVers = snapshotVersions
-    val retained = histVers.takeRight(keepHistory)
-    histVers.dropRight(keepHistory).foreach(v =>
+    val retained = (histVers.takeRight(keepHistory) ++
+      histVers.filter(pins.contains)).distinct.sorted
+    histVers.filterNot(retained.contains).foreach(v =>
       f.delete(new org.apache.hadoop.fs.Path(histDir, s"v=$v.json"), false))
     val refs: Map[String, Set[Long]] = retained
       .flatMap { v =>
@@ -605,9 +782,18 @@ final class TsStore(
       }
       .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).toSet }
     var reclaimed = Set.empty[String]
-    f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
-      .foreach { s =>
+    var pending = Set.empty[String]
+    val dayStatuses: Seq[org.apache.hadoop.fs.FileStatus] = scope match {
+      case Some(days) => days.toSeq.sorted.flatMap { name =>
+        val p = new org.apache.hadoop.fs.Path(root, name)
+        if (f.exists(p)) Some(f.getFileStatus(p)) else None
+      }
+      case None => f.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+        .toSeq
+    }
+    lastVacuumDaysListed = dayStatuses.length
+    dayStatuses.foreach { s =>
         val name = s.getPath.getName
         val vers = verDirs(s.getPath)
         val graceKeep: Set[Long] = snap.days.get(name) match {
@@ -617,17 +803,25 @@ final class TsStore(
             // of auto-flush saves it can cycle through in seconds, so
             // it cannot express "readers run for ≤ T". supersededGraceMs
             // adds the TIME guarantee for live days: a superseded
-            // version survives while its dir is younger than the
-            // grace (dir mtime ≈ placement time — the rename that
-            // placed it). Both dials keep; either alone suffices.
-            val timeKeep =
-              if (supersededGraceMs <= 0L) Seq.empty[Long]
+            // version survives while it is younger than the grace,
+            // measured from the committer's placed-at stamp inside the
+            // version dir (dir mtime as fallback for pre-stamp dirs —
+            // mtimes are meaningless on object stores, which is why
+            // the stamp exists).
+            val countKeep = older.takeRight(keepSuperseded).toSet + ref
+            val timeKeep: Set[Long] =
+              if (supersededGraceMs <= 0L) Set.empty
               else f.listStatus(s.getPath)
                 .filter(x => x.isDirectory &&
                   x.getPath.getName.startsWith("__v="))
-                .filter(x => now - x.getModificationTime < supersededGraceMs)
-                .map(_.getPath.getName.stripPrefix("__v=").toLong).toSeq
-            (older.takeRight(keepSuperseded) ++ timeKeep :+ ref).toSet
+                .filter(x => now - TsStore.placedAt(f, x) < supersededGraceMs)
+                .map(_.getPath.getName.stripPrefix("__v=").toLong).toSet
+            // a version kept ONLY by the time grace becomes
+            // reclaimable when the clock (not a commit) passes —
+            // the day must stay on the scheduled vacuum's worklist
+            if ((timeKeep -- countKeep -- refs.getOrElse(name, Set.empty))
+              .nonEmpty) pending += name
+            countKeep ++ timeKeep
           case None =>
             snap.removed.get(name) match {
               case Some(at) if now - at >= removedDayGraceMs =>
@@ -637,7 +831,10 @@ final class TsStore(
                 // are exactly what a reader pinned to a pre-removal
                 // manifest references, and keepSuperseded must not
                 // undercut the time guarantee (keepSuperseded=0 would
-                // otherwise void the grace entirely)
+                // otherwise void the grace entirely). Wall-clock will
+                // expire the grace without a re-dirtying commit —
+                // keep the day pending.
+                pending += name
                 vers.map(_._2).toSet
               case None =>
                 // no removal record (pre-upgrade manifest): the old
@@ -657,12 +854,19 @@ final class TsStore(
     // keepSuperseded=0 (which deletes dirs without retiring records) —
     // so the manifest's removed map stays bounded by days actually
     // awaiting reclamation (same v: vacuum is a writer op and changes
-    // nothing any manifest reader can see)
-    val retired = reclaimed ++ snap.removed.keys.filterNot(d =>
+    // nothing any manifest reader can see). A scoped run probes only
+    // in-scope records — out-of-scope removed days are still pending
+    // reclamation by definition, and probing them would re-price the
+    // scheduled path at O(removed days).
+    val retireScan = scope.fold(snap.removed.keys.toSeq)(days =>
+      snap.removed.keys.filter(days.contains).toSeq)
+    val retired = reclaimed ++ retireScan.filterNot(d =>
       f.exists(new org.apache.hadoop.fs.Path(root, d)))
     if (retired.nonEmpty)
       commitSnapshot(snap.copy(removed = snap.removed -- retired),
         recordHistory = false)
+    dirtyDaysSinceVacuum = pending
+    if (scope.isEmpty) fullVacuumNeeded = false
   }
 
   // ── crash recovery: every cold rewrite commits through an on-disk
@@ -682,6 +886,22 @@ final class TsStore(
   // is discarded, live snapshot untouched.
   private def recoverSnapshotSwaps(): Unit = {
     val f = fs
+    // token-suffixed manifest tmps from crashed commits are swept
+    // FIRST, while the lease still names the writer whose tmp must be
+    // spared: the marker replays below can themselves commit (taking
+    // the lease over), after which a live writer's staged tmp would
+    // look stale and be swept out from under its in-flight rename.
+    locally {
+      val snapName = snapFile.getName
+      val parent = snapFile.getParent
+      val liveToken = readLease().map(_.path("token").asText()).getOrElse("")
+      if (parent != null && f.exists(parent))
+        f.listStatus(parent)
+          .filter(s => s.isFile &&
+            s.getPath.getName.startsWith(snapName + ".tmp.") &&
+            s.getPath.getName != s"$snapName.tmp.$liveToken")
+          .foreach(s => f.delete(s.getPath, false))
+    }
     def marker(suffix: String) =
       new org.apache.hadoop.fs.Path(path.stripSuffix("/") + suffix)
     def complete(tmp: org.apache.hadoop.fs.Path, manifest: String): Boolean =
@@ -1263,6 +1483,27 @@ object TsStore {
 
   private[store] val HistFile = "^v=(\\d+)\\.json$".r
 
+  /** Placed-at stamp file written inside every version dir by the
+    * committer ([[TsStore!.placeVersions]]): the placement instant as
+    * epoch-ms text. Underscore-prefixed so Spark's file listings hide
+    * it. Exists because [[vacuum]]'s `supersededGraceMs` needs "time
+    * since placement" and directory mtimes don't survive object
+    * stores. */
+  private[store] val PlacedStamp = "_placed"
+
+  /** A version dir's placement instant: the committer's stamp when
+    * present, the dir mtime otherwise (pre-stamp dirs, or a crash
+    * between the placing rename and the stamp write — HDFS/posix
+    * mtimes are correct there; object-store deployments re-commit
+    * through the stamped path). */
+  private[store] def placedAt(f: org.apache.hadoop.fs.FileSystem,
+      verDir: org.apache.hadoop.fs.FileStatus): Long = {
+    val stamp = new org.apache.hadoop.fs.Path(verDir.getPath, PlacedStamp)
+    scala.util.Try(new String(readJsonBytes(f, stamp),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      .getOrElse(verDir.getModificationTime)
+  }
+
   /** The ONE tombstone kill predicate — `subject` dropped at sequence
     * `g` kills rows with `__seq <= g`. Every read surface (the owning
     * store's tombDead, pinned snapshots, time-travel reads) builds its
@@ -1304,7 +1545,7 @@ object TsStore {
   private[store] final case class Snapshot(v: Long, days: Map[String, Long],
       removed: Map[String, Long] = Map.empty)
 
-  private[store] def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Array[Byte] = {
     val in = f.open(p)
     try {

@@ -763,4 +763,85 @@ class EngineSpec extends SparkSpec {
       e.exposeSqlAt("stk_day", v1, db = "graft_tt_spec2")
     }
   }
+
+  test("exposeSqlAt after engine restart: the rehydrated catalog re-derives the identical pinned view") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """[{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100},
+          {"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}]""")
+    e.save("stk_day") // generation 1
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.50,"close":10.40,"vol":200}""")
+    e.save("stk_day") // generation 2
+    val v1 = e.snapshotVersions("stk_day").min
+    val at = e.exposeSqlAt("stk_day", v1, db = "graft_tt_restart")
+    val before = spark.sql(
+      s"SELECT subject, time, open, close, vol, __day FROM $at " +
+        "ORDER BY time").collect().toSeq
+    // the registration is session-scoped by documented design: drop it
+    // so the assertion can only pass off a RE-derivation, then restart
+    spark.sql(s"DROP VIEW $at")
+    spark.sql(s"DROP TABLE graft_tt_restart.stk_day__v${v1}__files")
+    val e2 = new Engine(spark, root, snapshots = true)
+    val at2 = e2.exposeSqlAt("stk_day", v1, db = "graft_tt_restart")
+    assert(at2 == at)
+    val after = spark.sql(
+      s"SELECT subject, time, open, close, vol, __day FROM $at2 " +
+        "ORDER BY time").collect().toSeq
+    assert(after == before,
+      "the rehydrated catalog did not reproduce the pinned view")
+  }
+
+  test("snapshotAll: one cut across two drifting tables survives vacuum; dropping it releases the pin") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.create(
+      "{stk_wk:{fields:{time:[D,4],open:[P,4,1,2],close:[P,4,1,2],vol:[U,4]}}}")
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day") // stk_day generation 1
+    e.set("SH600600.stk_wk",
+      """[{"time":"2021-01-08","open":10.10,"close":10.50,"vol":500},
+          {"time":"2021-01-15","open":10.50,"close":10.40,"vol":600}]""")
+    e.save("stk_wk") // stk_wk generation 1
+    // hot rows staged but unflushed at cut time MUST be included — the
+    // cut flushes first (a silent exclusion would not be "as of now")
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.50,"close":10.40,"vol":200}""")
+    val cut = e.snapshotAll(Seq("stk_day", "stk_wk"))
+    val rec = e.cutRecord(cut).get
+    // post-cut drift in opposite directions
+    e.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}""")
+    e.save("stk_day")
+    e.del("SH600600.stk_wk", """{range:{start:20210115,stop:20210131}}""")
+    // retention that would retire the cut generations without the pin
+    e.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    e.vacuum("stk_wk", keepSuperseded = 0, keepHistory = 1)
+    val pair = e.openSnapshotAllAt(cut)
+    assert(pair("stk_day").get.count() == 2, // flushed hot row included
+      "cut lost stk_day's pinned generation (or excluded the hot tail)")
+    assert(pair("stk_wk").get.count() == 2,
+      "cut lost stk_wk's pinned generation")
+    assert(e.get("SH600600.stk_day", "{}").count() == 3 &&
+      e.get("SH600600.stk_wk", "{}").count() == 1,
+      "live views did not move past the cut")
+    // the whole cut as frozen SQL views
+    val views = e.exposeSqlAllAt(cut, db = "graft_cut_spec")
+    assert(spark.sql(s"SELECT count(*) FROM ${views("stk_day")}")
+      .collect()(0).getLong(0) == 2)
+    assert(spark.sql(s"SELECT sum(vol) FROM ${views("stk_wk")}")
+      .collect()(0).getLong(0) == 1100)
+    // dropping the cut releases the pin: the next vacuum retires the
+    // generations and the cut becomes unavailable — never silently
+    // different
+    e.dropSnapshotCut(cut)
+    e.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    assert(e.openSnapshotAt("stk_day", rec("stk_day")).isEmpty,
+      "a dropped cut still pinned its generation")
+    intercept[IllegalArgumentException] { e.openSnapshotAllAt(cut) }
+  }
 }

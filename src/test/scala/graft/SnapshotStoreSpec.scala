@@ -515,4 +515,149 @@ class SnapshotStoreSpec extends SparkSpec {
         "a rejected write leaked into the store")
     }
   }
+
+  test("post-swap fence verification: a takeover landing INSIDE the commit window rolls the loser back") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val a = mkStore(root)
+    a.set(rows3days); a.save() // generation 1; a holds the lease
+    // hook the exact window the post-swap verify closes: between a's
+    // entry fence check and its manifest rename, another PROCESS takes
+    // over the lease (written directly here — its recovery has not yet
+    // found a's complete tmp, the interleave the old one-in-flight
+    // window allowed to become a lost update)
+    val preCommit = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root.stripSuffix("/") + "__snapshot.json")),
+      "UTF-8")
+    a.onBeforeSnapshotRename = () => {
+      val lease =
+        """{"epoch":999,"token":"foreign-takeover","owner":"other@host"}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root.stripSuffix("/") + "__lease.json"),
+        lease.getBytes("UTF-8"))
+    }
+    a.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    val ex = intercept[IllegalStateException] { a.save() }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    // the loser's commit provably did not land: the rename physically
+    // stomped the manifest, and the verify restored it byte-for-byte
+    val after = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root.stripSuffix("/") + "__snapshot.json")),
+      "UTF-8")
+    assert(after == preCommit,
+      "the fenced writer's manifest swap was not rolled back")
+    val live = TsStore.openSnapshot(spark, root, "code").get
+    assert(live.filter(col("v") === 99.0).count() == 0 && live.count() == 6,
+      "the fenced writer's commit landed despite the takeover")
+    // the fenced writer's tmp was neutralized — the takeover's
+    // recovery must not replay the rejected commit later
+    assert(!hfs.exists(hp(root.stripSuffix("/") + "__saving")),
+      "a fenced commit left a replayable tmp behind")
+    // and the fenced handle stays fenced at its next mutation
+    a.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+    intercept[IllegalStateException] { a.save() }
+  }
+
+  test("takeover mid-commit via a second handle: roll-forward + its commits survive the loser's stomp") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val a = mkStore(root)
+    a.set(rows3days); a.save() // generation 1; a holds the lease
+    // a full second writer handle opens INSIDE a's commit window: its
+    // open finds a's complete, replayable tmp and rolls it forward
+    // (takeover recovery cannot distinguish in-flight from crashed —
+    // the documented contract), then commits its own generation. The
+    // verify must leave the TAKEOVER's manifest standing when a's
+    // rename stomps it.
+    var b: TsStore = null
+    a.onBeforeSnapshotRename = () => if (b == null) {
+      b = mkStore(root)
+      b.set(Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day"))
+      b.save()
+    }
+    a.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    val ex = intercept[IllegalStateException] { a.save() }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    // nothing was lost: b's open replayed a's acknowledged commit
+    // (A=99 present — committed by roll-forward, not by a's rejected
+    // rename) and b's own generation survived a's stomp
+    val live = TsStore.openSnapshot(spark, root, "code").get
+    assert(live.filter(col("code") === "C").count() == 1,
+      "the takeover's interleaved commit was lost to the loser's stomp")
+    assert(live.filter(col("v") === 99.0).count() == 1,
+      "the roll-forward of the acknowledged in-flight commit was lost")
+    assert(live.count() == 7) // 6 seed rows (A,1 upserted to 99) + C
+    // b keeps writing normally
+    b.set(Seq(("D", 10L, 1.0, "d9")).toDF("code", "t", "v", "day"))
+    b.save()
+    assert(b.read().count() == 8)
+  }
+
+  test("scheduled vacuum is incremental (O(touched days)); manual vacuum sweeps all") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.autoVacuum = Some(TsStore.AutoVacuum(everyGenerations = 1,
+      keepSuperseded = 0, removedDayGraceMs = 0L))
+    // 12 days in one commit; the FIRST scheduled run after open is a
+    // full sweep (the pending set is in-memory, a restart loses it)
+    val seed = (1 to 12).map(i => ("A", i.toLong, i * 1.0, f"d$i%02d"))
+      .toDF("code", "t", "v", "day")
+    st.set(seed); st.save()
+    assert(st.lastVacuumDaysListed == 12,
+      s"first scheduled vacuum should sweep all 12 days, " +
+        s"listed ${st.lastVacuumDaysListed}")
+    // now touch TWO days — the scheduled run must list only those
+    st.set(Seq(("A", 1L, 9.0, "d01"), ("A", 2L, 9.0, "d02"))
+      .toDF("code", "t", "v", "day"))
+    st.save()
+    assert(st.lastVacuumDaysListed == 2,
+      s"scheduled vacuum listed ${st.lastVacuumDaysListed} day dirs " +
+        "for a 2-day commit — not incremental")
+    // and it reclaimed the touched days' superseded versions
+    assert(!hfs.exists(hp(s"$root/__day=d01/__v=1")) &&
+      hfs.exists(hp(s"$root/__day=d01/__v=2")),
+      "scoped vacuum did not reclaim a touched day's superseded version")
+    // a day kept ONLY by a time grace stays on the worklist: wall
+    // clock (not a commit) makes it reclaimable
+    st.autoVacuum = Some(TsStore.AutoVacuum(everyGenerations = 1,
+      keepSuperseded = 0, removedDayGraceMs = 0L,
+      supersededGraceMs = 3600L * 1000))
+    st.set(Seq(("A", 3L, 9.0, "d03")).toDF("code", "t", "v", "day"))
+    st.save() // d03's superseded version survives on the time grace
+    assert(st.lastVacuumDaysListed == 1)
+    assert(hfs.exists(hp(s"$root/__day=d03/__v=1")),
+      "time grace did not hold the superseded version")
+    st.set(Seq(("A", 4L, 9.0, "d04")).toDF("code", "t", "v", "day"))
+    st.save() // scope = touched d04 + still-graced d03
+    assert(st.lastVacuumDaysListed == 2,
+      s"a grace-pending day fell off the scheduled worklist " +
+        s"(listed ${st.lastVacuumDaysListed})")
+    // manual vacuum is always the full sweep
+    st.vacuum(keepSuperseded = 0)
+    assert(st.lastVacuumDaysListed == 12,
+      s"manual vacuum listed ${st.lastVacuumDaysListed} of 12 days")
+  }
+
+  test("supersededGraceMs reads the committer's placed-at stamp, not dir mtime") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(Seq(("A", 1L, 1.0, "d1")).toDF("code", "t", "v", "day")); st.save()
+    st.set(Seq(("A", 1L, 2.0, "d1")).toDF("code", "t", "v", "day")); st.save()
+    val v1 = s"$root/__day=d1/__v=1"
+    assert(hfs.exists(hp(s"$v1/_placed")),
+      "the committer did not write the placed-at stamp")
+    // object-store scenario: dir mtimes are meaningless — make the dir
+    // LOOK ancient while the stamp carries the true placement instant;
+    // the grace must still hold the version
+    new java.io.File(v1).setLastModified(1000L)
+    st.vacuum(keepSuperseded = 0, supersededGraceMs = 3600L * 1000)
+    assert(hfs.exists(hp(v1)),
+      "grace trusted the dir mtime over the placed-at stamp")
+    // an ancient STAMP means the grace really has passed → reclaimed
+    val out = hfs.create(hp(s"$v1/_placed"), true)
+    try out.write("1000".getBytes("UTF-8")) finally out.close()
+    st.vacuum(keepSuperseded = 0, supersededGraceMs = 3600L * 1000)
+    assert(!hfs.exists(hp(v1)),
+      "an expired stamp did not release the version")
+  }
 }
