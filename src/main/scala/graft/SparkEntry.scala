@@ -2461,6 +2461,114 @@ object SparkEntry {
     exact
   }
 
+  /** SKS2 — sketch-store BATCH COMPACTION
+    * ([[graft.ops.Sketches.compactCmsBatches]] and siblings): the
+    * piece that makes st8's streaming maintenance survive a LONG
+    * stream. One slot per micro-batch is correct but accretes forever
+    * (a week at a 10 s trigger ≈ 60k slot dirs per kind — every query
+    * pays the listing); compaction folds all slots at or below a safe
+    * watermark (strictly below the newest batch — the only one a
+    * checkpoint can ever redeliver) into ONE consolidated slot via
+    * each family's own merge algebra, through a stage → marker →
+    * apply protocol that rolls forward from a crash. REQUIREd
+    * in-query: exactly two slots remain per kind; CMS estimates are
+    * BIT-EQUAL before/after (elementwise sums are exact); HLL holds
+    * its rsd class; quantile grids hold the one-extra-level DOUBLED
+    * rank slack; and a replayed newest batch still lands
+    * idempotently after compaction. The oracle hash-checks the exact
+    * anchors. */
+  private def qSketchCompaction(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_skcompact/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val ev = t(s, dir, "events")
+      .select("event_id", "event_type", "user_id", "value")
+    val (eps, conf, seed, lgK, k, batches) = (0.001, 0.99, 42, 12, 64, 6)
+    val stamp = "evfeed"
+    def land(b: Long, bd: DataFrame): Unit = {
+      Sketches.appendBatch(Sketches.cmsPartials(
+        bd, "event_type", lit(b), eps, conf, seed), root, "cms", stamp, b)
+      Sketches.appendBatch(Sketches.hllPartials(
+        bd, "user_id", Seq("event_type"), lit(b), lgK), root, "hll", stamp, b)
+      Sketches.appendBatch(Sketches.quantilePartials(
+        bd, "value", Seq("event_type"), lit(b), k), root, "qgrid", stamp, b)
+    }
+    (0L until batches.toLong).foreach(b =>
+      land(b, ev.filter(pmod(col("event_id"), lit(batches)) === b)))
+    val exactRows = ev.count()
+    val beforeCms = Sketches.mergeCms(s, s"$root/cms_$stamp")
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+    val anchors = exact.collect()
+    val beforeEsts = anchors.map(r =>
+      r.getString(0) -> beforeCms.estimateCount(r.getString(0))).toMap
+    // fold slots 0..4 — the newest (5) keeps its own slot because a
+    // checkpoint replay can only ever redeliver the newest batch
+    require(Sketches.compactCmsBatches(s, root, stamp, upTo = 4L) == 5,
+      "CMS compaction folded an unexpected slot count")
+    require(Sketches.compactHllBatches(s, root, stamp, upTo = 4L) == 5,
+      "HLL compaction folded an unexpected slot count")
+    require(Sketches.compactQuantileBatches(s, root, stamp, upTo = 4L, k) == 5,
+      "quantile compaction folded an unexpected slot count")
+    val f = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    Seq("cms", "hll", "qgrid").foreach { kind =>
+      val slots = f.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/${kind}_$stamp"))
+        .filter(x => x.isDirectory && x.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName).sorted.toSeq
+      require(slots == Seq("batch=4", "batch=5"),
+        s"$kind compaction left unexpected slots: $slots")
+    }
+    // CMS: bit-exact across the fold; total mass preserved
+    val cms = Sketches.mergeCms(s, s"$root/cms_$stamp")
+    require(cms.totalCount() == exactRows,
+      s"compaction changed CMS mass: ${cms.totalCount()} vs $exactRows")
+    anchors.foreach { r =>
+      val g = r.getString(0)
+      require(cms.estimateCount(g) == beforeEsts(g),
+        s"compaction changed a CMS estimate for '$g': " +
+          s"${cms.estimateCount(g)} vs ${beforeEsts(g)}")
+    }
+    // replay of the NEWEST batch after compaction: still a no-op
+    land(5L, ev.filter(pmod(col("event_id"), lit(batches)) === 5L))
+    require(Sketches.mergeCms(s, s"$root/cms_$stamp").totalCount() == exactRows,
+      "a post-compaction replay of the newest batch double-counted")
+    // HLL: the consolidated slot was built by the same union the read
+    // side applies — the rsd class must hold
+    val mergedHll = Sketches.hllEstimates(
+      s.read.parquet(s"$root/hll_$stamp"), Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+    anchors.foreach { r =>
+      val (g, nu) = (r.getString(0), r.getLong(2))
+      require(math.abs(mergedHll(g) - nu) <= 5 * rsd * nu + 1,
+        s"compacted HLL blew its rsd bound on '$g': ${mergedHll(g)} vs $nu")
+    }
+    // quantile grids: ONE extra summarization level — the grid term
+    // of the rank slack doubles (2·2N/k), shard terms unchanged
+    val ests = Sketches.quantileEstimates(
+      s.read.parquet(s"$root/qgrid_$stamp"), Seq("event_type"),
+      Seq(0.5 -> "p50", 0.9 -> "p90"))
+    ev.join(broadcast(ests), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("N"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"))
+      .collect().foreach { r =>
+        val n = r.getLong(1)
+        val slack = 4.0 * n / k + 2 * batches + 2
+        Seq(0.5 -> r.getLong(2), 0.9 -> r.getLong(3)).foreach {
+          case (q, rank) =>
+            require(math.abs(rank - q * n) <= slack,
+              s"compacted quantile grid missed rank for '${r.getString(0)}' " +
+                s"q=$q: rank $rank of $n (slack $slack)")
+        }
+      }
+    exact
+  }
+
   /** P5: composable filter tree — predicates combined as an explicitly
     * nested AND/OR/NOT tree (the reference's s_sis_filter node tree,
     * workers/sisdb/sisdb_io.c filter walk) in native Column algebra, so
@@ -3061,6 +3169,7 @@ object SparkEntry {
     "e14_auto_vacuum" -> qAutoVacuum _,
     "e15_snapshot_cut" -> qSnapshotCut _,
     "st8_stream_sketch" -> qStreamSketch _,
+    "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
     "st2_live_bars" -> qLiveBars _,
     "p5_filter_tree" -> qFilterTree _,
@@ -3313,6 +3422,15 @@ object SparkEntry {
     // totalCount == exact rows AFTER a replayed batch, HLL rsd class,
     // quantile-grid rank slack) is REQUIREd in-query against these
     "st8_stream_sketch" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS n_users,
+         round(sum(value), 2) AS total
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // exact anchors again; compaction must not change ANY answer —
+    // CMS bit-equality, HLL rsd class, the doubled grid slack, the
+    // two-slot layout, and post-compaction replay idempotence are all
+    // REQUIREd in-query before these anchors are returned
+    "sks2_compacted_sketches" ->
       """SELECT event_type, count(*) AS n,
          count(DISTINCT user_id) AS n_users,
          round(sum(value), 2) AS total

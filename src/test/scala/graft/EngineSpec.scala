@@ -844,4 +844,24 @@ class EngineSpec extends SparkSpec {
       "a dropped cut still pinned its generation")
     intercept[IllegalArgumentException] { e.openSnapshotAllAt(cut) }
   }
+
+  test("cut pins survive an engine restart: a fresh engine's vacuum re-derives them from the on-disk cut records") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day") // generation 1
+    val cut = e.snapshotAll(Seq("stk_day"))
+    e.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}""")
+    e.save("stk_day") // generation 2
+    // the pin must not live in the recording engine's memory: a FRESH
+    // engine over the same root runs the aggressive vacuum
+    val e2 = new Engine(spark, root, snapshots = true)
+    e2.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    val pair = e2.openSnapshotAllAt(cut)
+    assert(pair("stk_day").exists(_.count() == 1),
+      "a restarted engine's vacuum retired a cut-pinned generation")
+  }
 }
