@@ -599,6 +599,9 @@ final class Engine(val spark: SparkSession, rootPath: String,
       f.delete(tmp, false)
       throw new java.io.IOException(s"could not record snapshot cut $cut")
     }
+    // the writer already holds the record — seed the immutable-record
+    // cache so the cut's first vacuum pays no sidecar read at all
+    cutRecordCache.synchronized { cutRecordCache.put(cut, gens.toMap) }
     cut
   }
 
@@ -610,18 +613,38 @@ final class Engine(val spark: SparkSession, rootPath: String,
       .collect { case CutFile(n) => n.toLong }.toSeq.sorted
   }
 
+  // cut records are IMMUTABLE once written (create-only, delete-only),
+  // so they are cached by id: the per-vacuum pin derivation costs one
+  // dir listing plus a sidecar read per never-seen cut, not O(cuts)
+  // reads every cadence (a fleet cutting daily for years accretes
+  // thousands of records). A cut dropped by ANOTHER process can serve
+  // from this cache until the next pin derivation prunes it against
+  // the live listing — harmless under the engine's single-writer
+  // contract (a stale openSnapshotAllAt degrades to unavailable
+  // tables, never to silently different data).
+  private val cutRecordCache =
+    scala.collection.mutable.Map.empty[Long, Map[String, Long]]
+  /** Spec instrumentation: sidecar files actually read (cache misses). */
+  private[graft] var cutRecordLoads: Long = 0L
+
   /** A cut's recorded {table → generation}, or None if unknown. */
-  def cutRecord(cut: Long): Option[Map[String, Long]] = {
-    val f = hadoopFs
-    val p = new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json")
-    if (!f.exists(p)) None
-    else {
-      val node = mapper.readTree(TsStore.readJsonBytes(f, p))
-      import scala.jdk.CollectionConverters._
-      Some(node.path("tables").properties().asScala
-        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  def cutRecord(cut: Long): Option[Map[String, Long]] =
+    cutRecordCache.synchronized {
+      cutRecordCache.get(cut).orElse {
+        val f = hadoopFs
+        val p = new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json")
+        if (!f.exists(p)) None
+        else {
+          cutRecordLoads += 1
+          val node = mapper.readTree(TsStore.readJsonBytes(f, p))
+          import scala.jdk.CollectionConverters._
+          val rec = node.path("tables").properties().asScala
+            .map(e => e.getKey -> e.getValue.asLong()).toMap
+          cutRecordCache.put(cut, rec)
+          Some(rec)
+        }
+      }
     }
-  }
 
   /** Open every table of a recorded cut EXACTLY as its recorded
     * generation committed it — the multi-table face of
@@ -652,14 +675,23 @@ final class Engine(val spark: SparkSession, rootPath: String,
   def dropSnapshotCut(cut: Long): Unit = {
     hadoopFs.delete(new org.apache.hadoop.fs.Path(cutsDir, s"cut=$cut.json"),
       false)
+    cutRecordCache.synchronized { cutRecordCache.remove(cut) }
   }
 
   /** Generations of `table` pinned by retained cut records — the
-    * [[TsStore!.historyPins]] feed. O(recorded cuts) sidecar reads,
-    * on the vacuum cadence only. */
-  private def cutPinsFor(table: String): Set[Long] =
-    snapshotCuts.flatMap(c => cutRecord(c).flatMap(_.get(table)))
+    * [[TsStore!.historyPins]] feed. One dir listing per call; record
+    * reads only for cuts the cache has never seen (records are
+    * immutable). Cache entries for dropped cuts are pruned against
+    * the live listing here. */
+  private def cutPinsFor(table: String): Set[Long] = {
+    val ids = snapshotCuts
+    cutRecordCache.synchronized {
+      (cutRecordCache.keySet -- ids).toSeq
+        .foreach(cutRecordCache.remove)
+    }
+    ids.flatMap(c => cutRecord(c).flatMap(_.get(table)))
       .filter(_ > 0L).toSet
+  }
 
   /** M9 `update subject.table {search:{...}, val:{...}}`
     * (workers/sisdb/sisdb.h:50-53): rewrite matching rows' fields.

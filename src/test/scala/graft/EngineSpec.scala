@@ -845,6 +845,52 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.openSnapshotAllAt(cut) }
   }
 
+  test("cut records are cached as immutable: repeat vacuums pay the listing, never re-reads") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day")
+    val cut1 = e.snapshotAll(Seq("stk_day"))
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.50,"close":10.40,"vol":200}""")
+    e.save("stk_day")
+    e.snapshotAll(Seq("stk_day"))
+    // the recording engine seeded its own cache — vacuums (which
+    // derive pins through cutPinsFor) must not re-read the records
+    val before = e.cutRecordLoads
+    e.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    e.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    assert(e.cutRecordLoads == before,
+      s"repeat vacuums re-read immutable cut records " +
+        s"(${e.cutRecordLoads - before} loads)")
+    // a fresh engine loads each record exactly ONCE across any number
+    // of vacuums
+    val e2 = new Engine(spark, root, snapshots = true)
+    e2.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    val warm = e2.cutRecordLoads
+    assert(warm == 2, s"expected one load per record, got $warm")
+    e2.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    assert(e2.cutRecordLoads == warm,
+      "a warmed cache still re-read cut records")
+    // dropping a cut prunes the cache through the live listing: after
+    // a third generation, the dropped cut's generation retires while
+    // the retained cut's stays pinned
+    e2.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}""")
+    e2.save("stk_day") // generation 3
+    e2.dropSnapshotCut(cut1)
+    e2.vacuum("stk_day", keepSuperseded = 0, keepHistory = 1)
+    val gen1 = e2.cutRecord(cut1) // dropped: record gone
+    assert(gen1.isEmpty, "a dropped cut's record survived in the cache")
+    assert(e2.openSnapshotAt("stk_day", 1L).isEmpty,
+      "the dropped cut's generation was not retired")
+    assert(e2.openSnapshotAt("stk_day",
+      e2.cutRecord(cut1 + 1).get("stk_day")).isDefined,
+      "the retained cut's generation lost its pin after a sibling drop")
+  }
+
   test("cut pins survive an engine restart: a fresh engine's vacuum re-derives them from the on-disk cut records") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)
