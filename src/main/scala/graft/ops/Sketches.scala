@@ -307,18 +307,24 @@ object Sketches {
       upTo: Long, kind: String = "cms"): Int =
     compactBatches(ss, root, kind, stamp, upTo) { src =>
       val blobs = src.select("cms").collect().map(_.getAs[Array[Byte]](0))
-      val merged = blobs.tail.foldLeft(
-        org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(blobs.head))) { (acc, b) =>
-        acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(b)))
+      // every in-scope slot can be EMPTY (zero-row micro-batches write
+      // empty partials — routine in production streams): consolidate
+      // to an empty slot rather than dying on blobs.head
+      if (blobs.isEmpty) src.limit(0)
+      else {
+        val merged = blobs.tail.foldLeft(
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(blobs.head))) { (acc, b) =>
+          acc.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(b)))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        val shardType = src.schema("__shard").dataType
+        src.limit(1).select(
+          lit(upTo).cast(shardType).as("__shard"),
+          lit(bos.toByteArray).as("cms"))
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      merged.writeTo(bos)
-      val shardType = src.schema("__shard").dataType
-      src.limit(1).select(
-        lit(upTo).cast(shardType).as("__shard"),
-        lit(bos.toByteArray).as("cms"))
     }
 
   /** Fold HLL batch slots ≤ `upTo` into one row per group via

@@ -180,6 +180,43 @@ class SketchesSpec extends SparkSpec {
       }
   }
 
+  test("zero-row micro-batches compact cleanly (all-empty and mixed folds)") {
+    val root = Files.createTempDirectory("graft_sk").toString
+    val (eps, conf, seed) = (0.001, 0.99, 42)
+    def land(b: Long, src: org.apache.spark.sql.DataFrame): Unit = {
+      Sketches.appendBatch(Sketches.cmsPartials(src, "key", lit(b),
+        eps, conf, seed), root, "cms", "t", b)
+      Sketches.appendBatch(Sketches.hllPartials(src, "user", Seq("key"),
+        lit(b), 12), root, "hll", "t", b)
+      Sketches.appendBatch(Sketches.quantilePartials(src, "value", Seq("key"),
+        lit(b), 32), root, "qgrid", "t", b)
+    }
+    // batches 0-2 EMPTY (a quiet stream), 3-4 carry the rows
+    (0L until 3L).foreach(b => land(b, rows.filter(lit(false))))
+    land(3L, rows.filter(col("id") % 2 === 0))
+    land(4L, rows.filter(col("id") % 2 === 1))
+    // all-empty fold: must consolidate to an empty slot, not crash
+    assert(Sketches.compactCmsBatches(spark, root, "t", upTo = 2L) == 3)
+    assert(Sketches.compactHllBatches(spark, root, "t", upTo = 2L) == 3)
+    assert(Sketches.compactQuantileBatches(spark, root, "t", upTo = 2L, 32) == 3)
+    assert(batchDirs(s"$root/cms_t") == Seq("batch=2", "batch=3", "batch=4"))
+    // mixed fold: empty consolidated slot + a data slot
+    assert(Sketches.compactCmsBatches(spark, root, "t", upTo = 3L) == 2)
+    assert(Sketches.compactHllBatches(spark, root, "t", upTo = 3L) == 2)
+    assert(Sketches.compactQuantileBatches(spark, root, "t", upTo = 3L, 32) == 2)
+    // answers intact end-to-end
+    assert(Sketches.mergeCms(spark, s"$root/cms_t").totalCount() == 4000)
+    val ests = Sketches.hllEstimates(spark.read.parquet(s"$root/hll_t"),
+      Seq("key"), "est").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy("key").agg(countDistinct("user").as("nu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rsd = 1.04 / math.sqrt(4096.0)
+    exact.foreach { case (key, nu) =>
+      assert(math.abs(ests(key) - nu) <= 5 * rsd * nu + 1,
+        s"HLL bound broken after empty-slot folds for $key")
+    }
+  }
+
   test("compaction crash windows roll forward from the marker") {
     val root = Files.createTempDirectory("graft_sk").toString
     (0L until 4L).foreach { b =>
