@@ -561,6 +561,7 @@ object SparkEntry {
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
+    @volatile var incrementalCentroids: Option[Array[Array[Double]]] = None
   }
 
   /** IVF ANN (clusterable-corpus scale path) — oracle-checked: the
@@ -613,6 +614,66 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** X7 — INCREMENTAL IVF maintenance
+    * ([[Similarity.ivfBuildBase]] / [[Similarity.ivfAppendBatch]]):
+    * a growing corpus appends O(batch) assignments against the FROZEN
+    * centroid sidecar — no retraining, no corpus re-scan, no index
+    * rewrite (the d11 incremental contract applied to ANN; retrain
+    * offline and rebuild under a new stamp when drift warrants).
+    * Batch-keyed slots make ingest replays idempotent. REQUIREd
+    * in-query: the sidecar is BYTE-IDENTICAL after the appends (no
+    * silent retrain), a replayed append does not grow the index, and
+    * the probe over the incremental tree EQUALS the probe over a
+    * from-scratch assignment of the union with the same centroids.
+    * The oracle reproduces assignment + probing + exact re-rank over
+    * the union from the inlined frozen centroids, bit-for-bit. */
+  private def qAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_x7_ivf_incr/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    // base corpus vs two later ingest batches — modulo split so the
+    // shape survives SfScale's id-shifted replicas
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val b2 = emb.filter(pmod(col("vec_id"), lit(4)) === 3)
+    val cents = Similarity.ivfBuildBase(base, root, "vec_id", "embedding",
+      nlist = 16)
+    IvfOracle.incrementalCentroids = Some(cents)
+    val sidecarBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_centroids.json"))
+    Similarity.ivfAppendBatch(b1, root, 1L, "vec_id", "embedding")
+    Similarity.ivfAppendBatch(b2, root, 2L, "vec_id", "embedding")
+    val countAfter = s.read.parquet(root).count()
+    // replayed ingest batch: the slot overwrite keeps the index flat
+    Similarity.ivfAppendBatch(b2, root, 2L, "vec_id", "embedding")
+    require(s.read.parquet(root).count() == countAfter,
+      "a replayed append batch grew the index")
+    require(java.util.Arrays.equals(sidecarBefore,
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$root/_centroids.json"))),
+      "appending retrained the centroid sidecar")
+    require(countAfter == emb.count(),
+      "the incremental tree does not hold the full union")
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaTree = Similarity.probeIvfIndex(s.read.parquet(root),
+        queries, "vec_id", "embedding", 5, cents)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+    // the no-incremental-loss check: identical to a from-scratch
+    // assignment of the union with the same frozen centroids
+    val viaScratch = Similarity.probeIvfIndex(
+        Similarity.ivfAssignments(emb, "vec_id", "embedding", cents),
+        queries, "vec_id", "embedding", 5, cents)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+    require(viaTree.collect().toSeq == viaScratch.collect().toSeq,
+      "incremental probe diverged from the from-scratch union probe")
+    viaTree
   }
 
   /** X6 — int8 scalar-quantized ANN with exact rerank
@@ -3139,6 +3200,7 @@ object SparkEntry {
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
     "x5_ann_ivf_stored" -> qAnnIvfStored _,
+    "x7_ann_ivf_append" -> qAnnIvfAppend _,
     "x6_ann_quantized" -> qAnnQuantized _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
@@ -5041,5 +5103,11 @@ object SparkEntry {
       // centroids, so the relational contract — and hence the SQL —
       // is x3's; a store/probe bug shows up as an x5-only mismatch
       IvfOracle.storedCentroids
-        .map(c => "x5_ann_ivf_stored" -> ivfOracleSqlFor(c)).toMap
+        .map(c => "x5_ann_ivf_stored" -> ivfOracleSqlFor(c)).toMap ++
+      // x7 probes the INCREMENTALLY-built tree; assignment is a pure
+      // per-row function of (vector, frozen centroids), so the union
+      // relational contract — and hence the SQL — is again x3's with
+      // x7's own centroids (trained on the base split only) inlined
+      IvfOracle.incrementalCentroids
+        .map(c => "x7_ann_ivf_append" -> ivfOracleSqlFor(c)).toMap
 }

@@ -210,6 +210,55 @@ object Similarity {
       norm(col(vec)).as("__cn"), bestCell.as("cell"))
   }
 
+  // ── incremental IVF maintenance ────────────────────────────────
+  //
+  // A 100 TB corpus grows by batches; re-clustering and re-assigning
+  // EVERYTHING per arrival is absurd. Standard IVF practice: freeze
+  // the trained centroids and assign only the NEW vectors against
+  // them — O(batch) work per arrival, no retraining, no corpus
+  // re-scan (retrain offline when drift warrants it and rebuild
+  // under a new stamp, exactly like the d11 band-index contract).
+  // Layout: `root/batch=N/cell=M` — the batch id keys the slot and
+  // the write OVERWRITES it, so a replayed ingest batch re-lands
+  // idempotently (the Sketches.appendBatch contract); readers just
+  // partition-discover the whole tree and probe it like any stored
+  // index. The centroid sidecar at the root is the ONLY shared
+  // state, and appends never touch it.
+
+  /** Build the base of an incremental IVF index: train centroids on
+    * `corpus`, assign it into `root/batch=0`, persist the sidecar
+    * LAST (crash mid-build leaves no sidecar → rebuild). Returns the
+    * trained centroids. */
+  def ivfBuildBase(corpus: DataFrame, root: String, id: String, vec: String,
+      nlist: Int = 16, seed: Long = 42L, sampleSize: Int = 4096,
+      iters: Int = 8): Array[Array[Double]] = {
+    val cents = trainCentroids(corpus, vec, nlist, seed, sampleSize, iters)
+    ivfAssignments(corpus, id, vec, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${root.stripSuffix("/")}/batch=0")
+    saveCentroids(corpus.sparkSession, root, cents)
+    cents
+  }
+
+  /** Append one ingest batch to a stored incremental IVF index:
+    * assign `newVectors` against the FROZEN sidecar centroids and
+    * land them under `root/batch=<batchId>` — O(batch) cost, centroid
+    * sidecar untouched, replay-idempotent (the slot is overwritten).
+    * Probing `spark.read.parquet(root)` afterward is IDENTICAL to
+    * probing a from-scratch index of the union built with the same
+    * centroids: assignment is a pure per-row function of (vector,
+    * centroids). */
+  def ivfAppendBatch(newVectors: DataFrame, root: String, batchId: Long,
+      id: String, vec: String): Unit = {
+    require(batchId > 0, "batch 0 is the base build (ivfBuildBase)")
+    val cents = loadCentroids(newVectors.sparkSession, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root holds no centroid sidecar — build the base index first"))
+    ivfAssignments(newVectors, id, vec, cents)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${root.stripSuffix("/")}/batch=$batchId")
+  }
+
   /** Probe a stored IVF index (the output of [[ivfAssignments]],
     * typically read back from cell-partitioned parquet): each query
     * scores the centroid literals, probes its `nprobe` best cells via

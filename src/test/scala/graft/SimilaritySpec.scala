@@ -110,6 +110,40 @@ class SimilaritySpec extends SparkSpec {
       new java.io.File(root).getParentFile)
   }
 
+  test("incremental IVF: appended batches probe identically to a from-scratch union index") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_incr")
+      .toString + "/ix"
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) < 2)
+    val b1 = emb.filter(pmod(col("vec_id"), lit(3)) === 2)
+    // appending before the base exists fails loudly, not silently
+    intercept[IllegalStateException] {
+      Similarity.ivfAppendBatch(b1, root, 1L, "vec_id", "embedding")
+    }
+    val cents = Similarity.ivfBuildBase(base, root, "vec_id", "embedding",
+      nlist = 8)
+    Similarity.ivfAppendBatch(b1, root, 1L, "vec_id", "embedding")
+    // batch 0 is reserved for the base build
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendBatch(b1, root, 0L, "vec_id", "embedding")
+    }
+    val queries = emb.filter(col("vec_id") < 6)
+    def probeRows(index: org.apache.spark.sql.DataFrame) =
+      Similarity.probeIvfIndex(index, queries, "vec_id", "embedding", 5, cents)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 9).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank").collect().toSeq
+    val viaTree = probeRows(spark.read.parquet(root))
+    val viaScratch = probeRows(
+      Similarity.ivfAssignments(emb, "vec_id", "embedding", cents))
+    assert(viaTree == viaScratch,
+      "incremental tree probe diverged from the from-scratch union probe")
+    // replayed append: slot overwrite keeps the index flat
+    Similarity.ivfAppendBatch(b1, root, 1L, "vec_id", "embedding")
+    assert(spark.read.parquet(root).count() == vecs.size,
+      "a replayed append grew the index")
+    assert(probeRows(spark.read.parquet(root)) == viaTree)
+  }
+
   test("quantized top-k with exact rerank recovers brute-force top-k") {
     val queries = emb.filter(col("vec_id") % 6 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
