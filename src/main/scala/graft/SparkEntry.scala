@@ -562,6 +562,7 @@ object SparkEntry {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
     @volatile var incrementalCentroids: Option[Array[Array[Double]]] = None
+    @volatile var driftCentroids: Option[Array[Array[Double]]] = None
   }
 
   /** IVF ANN (clusterable-corpus scale path) — oracle-checked: the
@@ -674,6 +675,55 @@ object SparkEntry {
     require(viaTree.collect().toSeq == viaScratch.collect().toSeq,
       "incremental probe diverged from the from-scratch union probe")
     viaTree
+  }
+
+  /** X9 — IVF drift monitor ([[Similarity.ivfDriftStats]] /
+    * [[Similarity.totalVariation]]): the WHEN of x7's "retrain
+    * offline when drift warrants". The frozen-centroid append
+    * contract is only sound while new batches still look like the
+    * training corpus, so the monitor compares each ingest batch's
+    * per-cell assignment shares against the base distribution —
+    * total-variation distance is the retrain dial. Cost per batch:
+    * one combinable groupBy to ≤ nlist rows; the corpus is never
+    * rescanned. REQUIREd in-query: an in-distribution batch (the
+    * held-out half of the same corpus) scores BELOW the dial while a
+    * genuinely shifted batch (the same vectors translated by +1 per
+    * coordinate — a deterministic, SQL-reproducible covariate shift
+    * that biases every assignment score by sum(c)) scores ABOVE it,
+    * and the monitor's shares sum to 1 on every side. */
+  private def qIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val held = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val drifted = held.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(1.0d)))
+    val cents = Similarity.trainCentroids(base, "embedding", nlist = 16)
+    IvfOracle.driftCentroids = Some(cents)
+    val aBase = Similarity.ivfAssignments(base, "vec_id", "embedding", cents)
+    val aHeld = Similarity.ivfAssignments(held, "vec_id", "embedding", cents)
+    val aDrift = Similarity.ivfAssignments(drifted, "vec_id", "embedding",
+      cents)
+    val tvHeld = Similarity.totalVariation(
+      Similarity.ivfDriftStats(aBase, aHeld))
+    val tvDrift = Similarity.totalVariation(
+      Similarity.ivfDriftStats(aBase, aDrift))
+    require(tvHeld < 0.15,
+      f"in-distribution batch tripped the drift dial (tv=$tvHeld%.4f)")
+    require(tvDrift > 0.3 && tvDrift > 3 * tvHeld,
+      f"shifted batch did not trip the drift dial (tv=$tvDrift%.4f " +
+        f"vs in-dist $tvHeld%.4f)")
+    val out = Similarity.ivfDriftStats(aHeld, aDrift)
+      .select(col("cell"), col("n_ref").as("n_held"),
+        col("n_new").as("n_drift"),
+        round(col("share_ref"), 6).as("share_held"),
+        round(col("share_new"), 6).as("share_drift"))
+      .orderBy("cell")
+    val sums = out.agg(sum("share_held"), sum("share_drift")).head
+    require(math.abs(sums.getDouble(0) - 1.0) < 1e-6 &&
+      math.abs(sums.getDouble(1) - 1.0) < 1e-6,
+      "drift shares do not sum to 1")
+    out
   }
 
   /** X6 — int8 scalar-quantized ANN with exact rerank
@@ -984,6 +1034,66 @@ object SparkEntry {
       .agg(countDistinct("bench_id").as("n_bench_docs"),
         countDistinct("__gram").as("n_shared_grams"))
       .filter(col("n_shared_grams") >= 3)
+      .orderBy("doc_id")
+  }
+
+  /** X8 — bloom-prefiltered decontamination: x4's SCALE path. x4
+    * broadcasts the benchmark gram set into a hash join, which dies
+    * at the 8 GB broadcast ceiling once the eval suite holds ~10⁸+
+    * grams; a bloom filter over the same keys is ~25× smaller at 3%
+    * fpp and screens the 100 TB side with a codegen'd bitset probe
+    * (Spark's own runtime-filter expressions — [[graft.functions
+    * .BloomFunctions]]). Survivors are CONFIRMED by the exact join,
+    * so false positives cost only wasted probe work, never a wrong
+    * answer — the result is bit-identical to the exact
+    * contamination check, which is exactly what the oracle verifies.
+    * REQUIREd in-query: (1) zero false negatives — every benchmark
+    * gram passes its own filter (the bloom guarantee the confirm
+    * step leans on); (2) the measured false-positive rate over
+    * distinct non-benchmark grams stays within 5× the sizing
+    * (selectivity is the whole point: a saturated filter would
+    * silently degrade to a full join). */
+  private def qContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = d.select(col("doc_id"),
+      graft.functions.ShingleHashesExpr(col("text"), 3).as("__g"))
+    val bench = sh.filter(col("doc_id") % 89 === 5)
+      .select(col("doc_id").as("bench_id"), explode(col("__g")).as("__gram"))
+    // dials: sized for ~2^17 bench grams at fpp ≈ 0.5% (m/n = 16,
+    // k = 11); state is m/8 = 256 KB no matter how big the corpus is
+    val (expItems, numBits) = (1L << 17, 1L << 21)
+    val blob = bench.agg(graft.functions.BloomFunctions
+        .bloomAgg(col("__gram"), expItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val pass = graft.functions.BloomFunctions
+      .mightContain(lit(blob), col("__gram"))
+    // (1) no false negatives: the filter admits every key it was fed
+    require(bench.filter(!pass).isEmpty,
+      "bloom dropped a benchmark gram — false negatives are impossible " +
+        "by construction; the filter blob is corrupt")
+    // (2) fp rate over DISTINCT non-bench grams within 5× the sizing
+    val benchGrams = bench.select("__gram").distinct()
+    val nonBench = sh.select(explode(col("__g")).as("__gram")).distinct()
+      .join(benchGrams, Seq("__gram"), "left_anti")
+    val Array(fpN, totN) = nonBench
+      .agg(sum(when(pass, 1L).otherwise(0L)), count(lit(1)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(totN == 0L || fpN.toDouble / totN <= 0.025,
+      s"bloom false-positive rate ${fpN.toDouble / totN} exceeds 5x " +
+        "the sized fpp - the filter is undersized for this key count")
+    val corpus = sh.select(col("doc_id"), explode(col("__g")).as("__gram"))
+    // the confirm join is deliberately NOT broadcast: x8's premise is
+    // a bench set past the broadcast ceiling. The bloom probe has
+    // already decimated the corpus side to (true matches + fp), so
+    // the shuffle exchanges only survivors — the join is cheap
+    // BECAUSE the prefilter ran, which is the whole pattern.
+    corpus.filter(pass) // the 100 TB side: bitset probe, no shuffle
+      .join(bench, "__gram") // confirm: kills false positives
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("__gram").as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= 2)
       .orderBy("doc_id")
   }
 
@@ -2415,6 +2525,88 @@ object SparkEntry {
       .orderBy("tbl", "subject")
   }
 
+  /** E16 — cut manifest export ([[graft.api.Engine.exportCutManifest]]):
+    * a recorded cut handed to a reader that has NO engine — a trainer
+    * on another cluster, plain pyarrow. The export is one JSON
+    * document: per table, the cut generation, every concrete data
+    * file of every pinned (day → version) dir, and the generation's
+    * as-of tombstones. This query plays the external reader: it
+    * parses the JSON, reads EXACTLY the listed files, applies the
+    * manifest's kill predicate (`NOT (subject = s AND __seq <= g)`),
+    * and REQUIREs (1) the tombstone entry is load-bearing (the raw
+    * files hold MORE rows than the corpus — a reader that skipped
+    * the predicate would resurrect dropped subjects), (2) the
+    * manifest read row-matches `openSnapshotAllAt` exactly, after
+    * post-cut drift moved the live tables. Oracle-checked against
+    * the same aggregate recomputed from the source events. */
+  private def qCutManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_cutman/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    eng.create("{fx:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") >= 8 && col("user_id") <= 13)
+      .filter(col("event_id") % 3 === 0)
+    clientEventPayloads(ev)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    clientEventPayloads(ev.withColumn("value", col("value") * 3))
+      .foreach { case (u, arr) => eng.set(s"u$u.fx", arr) }
+    eng.save("fx")
+    // drop AFTER the flush: the tombstone is a meta-only mutation (no
+    // commit), so the cut below must mint a tombstone-only generation
+    // ([[graft.store.TsStore.commitPendingTombstones]]) or it would
+    // resurrect u9 — and the gen-1 files still CONTAIN u9's rows,
+    // which is what makes the manifest's tombstone entry load-bearing
+    eng.drop("u9.fx")
+    val cut = eng.snapshotAll(Seq("ev", "fx"))
+    // post-cut drift: the manifest must keep describing the cut
+    clientEventPayloads(ev.limit(50))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val manifest = eng.exportCutManifest(cut, s"$root/cut_$cut.json")
+    // ── the external reader: manifest JSON only, no engine ──
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(manifest)))
+    import scala.jdk.CollectionConverters._
+    def externalRead(tbl: String): DataFrame = {
+      val tn = node.path("tables").path(tbl)
+      val files = tn.path("files").elements().asScala
+        .map(_.path("path").asText()).toSeq
+      val tombs = tn.path("tombstones").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toSeq
+      val raw = s.read.parquet(files: _*)
+      val dead = tombs.map { case (subj, g) =>
+        col("subject") === subj && col("__seq") <= g
+      }.reduceOption(_ || _)
+      if (tbl == "fx") {
+        require(tombs.nonEmpty, "fx manifest lost the tombstone")
+        require(raw.count() > dead.fold(raw)(d => raw.filter(!d)).count(),
+          "tombstone not load-bearing: raw files hold no dropped rows")
+      }
+      dead.fold(raw)(d => raw.filter(!d)).drop("__seq")
+    }
+    val pair = eng.openSnapshotAllAt(cut)
+    Seq("ev", "fx").foreach { tbl =>
+      val viaEngine = pair(tbl).get
+        .select("subject", "t", "etype", "value")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val viaManifest = externalRead(tbl)
+        .select("subject", "t", "etype", "value")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      require(viaEngine.sameElements(viaManifest),
+        s"manifest read of '$tbl' diverged from openSnapshotAllAt")
+    }
+    externalRead("ev").select(lit("ev").as("tbl"), col("subject"),
+        col("value"))
+      .unionByName(externalRead("fx").select(lit("fx").as("tbl"),
+        col("subject"), col("value")))
+      .groupBy("tbl", "subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("tbl", "subject")
+  }
+
   /** ST8 — STREAMING sketch maintenance
     * ([[graft.ops.Sketches.appendBatch]]): sks1's production shape
     * under a live feed. Each micro-batch lands ONE partial-state row
@@ -3201,12 +3393,14 @@ object SparkEntry {
     "x3_ann_ivf" -> qAnnIvf _,
     "x5_ann_ivf_stored" -> qAnnIvfStored _,
     "x7_ann_ivf_append" -> qAnnIvfAppend _,
+    "x9_ivf_drift" -> qIvfDrift _,
     "x6_ann_quantized" -> qAnnQuantized _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
     "tx6_pii_scrub" -> qPiiScrub _,
     "x4_contamination" -> qContamination _,
+    "x8_contamination_bloom" -> qContaminationBloom _,
     "d8_boilerplate_spans" -> qBoilerplateSpans _,
     "tx7_unigram_nll" -> qUnigramNll _,
     "tok1_bpe_pairs" -> qBpePairs _,
@@ -3230,6 +3424,7 @@ object SparkEntry {
     "e13_time_travel_sql" -> qTimeTravelSql _,
     "e14_auto_vacuum" -> qAutoVacuum _,
     "e15_snapshot_cut" -> qSnapshotCut _,
+    "e16_cut_manifest" -> qCutManifest _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -3479,6 +3674,22 @@ object SparkEntry {
            UNION ALL
            SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
            FROM events WHERE user_id < 8 AND event_id % 2 = 1)
+         GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // e16's manifest read reproduces the cut exactly, so the oracle
+    // recomputes the same aggregate from the source events — u9.fx is
+    // dropped (tombstoned) BEFORE the cut, the post-cut re-ingest of
+    // 50 payload rows into ev is invisible to the cut by construction
+    "e16_cut_manifest" ->
+      """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
+         FROM (
+           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
+           FROM events
+           WHERE user_id BETWEEN 8 AND 13 AND event_id % 3 = 0
+           UNION ALL
+           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 3 AS v
+           FROM events
+           WHERE user_id BETWEEN 8 AND 13 AND event_id % 3 = 0
+             AND user_id != 9)
          GROUP BY 1, 2 ORDER BY tbl, subject""",
     // exact anchors; the streamed per-batch sketch state (CMS
     // totalCount == exact rows AFTER a replayed batch, HLL rsd class,
@@ -4136,6 +4347,29 @@ object SparkEntry {
            count(DISTINCT gram) AS n_shared_grams
          FROM m GROUP BY doc_id
          HAVING count(DISTINCT gram) >= 3 ORDER BY doc_id""",
+    // x8 = x4's exact semantics on a different bench slice — the
+    // bloom is a prefilter whose survivors are exactly confirmed, so
+    // the oracle is the EXACT contamination SQL: any false positive
+    // leaking through would hash-mismatch here
+    "x8_contamination_bloom" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+               ELSE list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS grams
+           FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '[\t\n\x0B\f\r ]+'),
+                     x -> len(x) > 0) AS w
+                 FROM documents)),
+         b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+               WHERE doc_id % 89 = 5),
+         c AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         m AS (SELECT c.doc_id, b.bench_id, c.gram
+               FROM c JOIN b USING (gram) WHERE c.doc_id != b.bench_id)
+         SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs,
+           count(DISTINCT gram) AS n_shared_grams
+         FROM m GROUP BY doc_id
+         HAVING count(DISTINCT gram) >= 2 ORDER BY doc_id""",
     "d8_boilerplate_spans" ->
       """WITH g AS (
            SELECT doc_id,
@@ -5109,5 +5343,47 @@ object SparkEntry {
       // relational contract — and hence the SQL — is again x3's with
       // x7's own centroids (trained on the base split only) inlined
       IvfOracle.incrementalCentroids
-        .map(c => "x7_ann_ivf_append" -> ivfOracleSqlFor(c)).toMap
+        .map(c => "x7_ann_ivf_append" -> ivfOracleSqlFor(c)).toMap ++
+      // x9's monitor output is pure relational algebra over the same
+      // inlined-centroid assignment: per-cell counts and shares of
+      // the held-out half vs its coordinate-reversed shift
+      IvfOracle.driftCentroids
+        .map(c => "x9_ivf_drift" -> ivfDriftOracleSqlFor(c)).toMap
+
+  private def ivfDriftOracleSqlFor(cents: Array[Array[Double]]): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($i, $lit::DOUBLE[], $half)"
+    }.mkString(",\n             ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 2 = 1),
+           cent AS (SELECT * FROM (VALUES
+             $centRows) AS t(cell, cv, half)),
+           held AS (SELECT cell FROM (
+             SELECT e.vec_id, cent.cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_inner_product(e.v, cent.cv) - cent.half)
+                   DESC, cent.cell DESC) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+           dr AS (SELECT cell FROM (
+             SELECT e.vec_id, cent.cell, row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_inner_product(
+                     list_transform(e.v, x -> x + 1.0), cent.cv)
+                   - cent.half) DESC, cent.cell DESC) AS rn
+             FROM e CROSS JOIN cent) WHERE rn = 1),
+           hc AS (SELECT cell, count(*) AS n_held FROM held GROUP BY cell),
+           dc AS (SELECT cell, count(*) AS n_drift FROM dr GROUP BY cell),
+           j AS (SELECT coalesce(hc.cell, dc.cell) AS cell,
+                   coalesce(n_held, 0) AS n_held,
+                   coalesce(n_drift, 0) AS n_drift
+                 FROM hc FULL OUTER JOIN dc ON hc.cell = dc.cell)
+           SELECT cell, n_held, n_drift,
+             round(n_held::DOUBLE / (SELECT sum(n_held) FROM j), 6)
+               AS share_held,
+             round(n_drift::DOUBLE / (SELECT sum(n_drift) FROM j), 6)
+               AS share_drift
+           FROM j ORDER BY cell"""
+  }
 }

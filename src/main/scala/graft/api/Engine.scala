@@ -578,9 +578,17 @@ final class Engine(val spark: SparkSession, rootPath: String,
     require(ts.nonEmpty, "snapshotAll: no tables declared")
     // flush first: the cut must include rows already set() — a cut
     // that silently excluded the hot tail would not be "the corpus as
-    // of now". Single-writer ⇒ nothing commits between these saves
-    // and the record below.
-    ts.foreach(t => storeOf(t).save())
+    // of now". Tombstone-only mutations (a drop on a fully-flushed
+    // table) never pass through save(), so each table additionally
+    // commits a tombstone-only generation if its live map drifted
+    // past the last record — without it the cut would RESURRECT the
+    // dropped subject. Single-writer ⇒ nothing commits between these
+    // flushes and the record below.
+    ts.foreach { t =>
+      val st = storeOf(t)
+      st.save()
+      st.commitPendingTombstones()
+    }
     val gens = ts.map(t => t -> storeOf(t).currentGeneration)
     val f = hadoopFs
     f.mkdirs(cutsDir)
@@ -668,6 +676,68 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
       s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
     rec.collect { case (t, v) if v > 0L => t -> exposeSqlAt(t, v, db) }
+  }
+
+  /** Export a recorded cut as a SELF-CONTAINED file manifest: one
+    * JSON document listing, per table, the cut generation, every
+    * concrete data file of every pinned (day → version) directory
+    * (with sizes), and the generation's as-of tombstones. A reader
+    * holding ONLY this manifest — a trainer on another cluster, a
+    * different engine, plain pyarrow — reproduces the cut exactly:
+    * read the listed files, apply the one kill predicate per
+    * tombstone entry (`NOT (subject = s AND __seq <= g)`), drop
+    * `__seq`. No engine, no catalog, no manifest-chasing: the export
+    * IS the corpus description, which is what makes a recorded cut
+    * consumable outside this process. Fails loudly if any referenced
+    * generation's record was vacuumed (a dropped cut does not
+    * silently export a different corpus). Cost: one sidecar read per
+    * table + one listing per pinned day dir — metadata only.
+    * Written atomically (tmp + rename); returns the manifest path. */
+  def exportCutManifest(cut: Long, outPath: String): String = {
+    val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
+      s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
+    val f = hadoopFs
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("cut", cut)
+    val tn = root.putObject("tables")
+    rec.toSeq.sortBy(_._1).foreach { case (t, v) =>
+      val node = tn.putObject(t)
+      node.put("generation", v)
+      if (v > 0L) {
+        val tablePath = s"$rootPath/$t"
+        val (days, tombs) = graft.store.TsStore.readHistRecord(
+          f, tablePath, v).getOrElse(throw new IllegalStateException(
+            s"cut $cut references generation $v of '$t' whose record " +
+              "was vacuumed — drop the cut instead of exporting a " +
+              "different corpus"))
+        val tb = node.putObject("tombstones")
+        tombs.toSeq.sortBy(_._1).foreach { case (s, g) => tb.put(s, g) }
+        val fl = node.putArray("files")
+        days.toSeq.sortBy(_._1).foreach { case (day, ver) =>
+          val dir = new org.apache.hadoop.fs.Path(
+            s"$tablePath/$day/__v=$ver")
+          f.listStatus(dir)
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .sortBy(_.getPath.getName)
+            .foreach { s =>
+              val e = fl.addObject()
+              e.put("path", s.getPath.toString)
+              e.put("bytes", s.getLen)
+            }
+        }
+      }
+    }
+    val dest = new org.apache.hadoop.fs.Path(outPath)
+    val tmp = new org.apache.hadoop.fs.Path(outPath + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"could not place cut manifest $dest")
+    outPath
   }
 
   /** Drop a cut record: its generations fall back to the ordinary

@@ -259,6 +259,35 @@ object Similarity {
       .parquet(s"${root.stripSuffix("/")}/batch=$batchId")
   }
 
+  /** The WHEN of "retrain offline when drift warrants": per-cell
+    * assignment shares of a new ingest batch against the reference
+    * distribution the centroids were trained on. Both inputs are
+    * [[ivfAssignments]] outputs (or slices of the stored tree);
+    * the result is one row per cell with counts and shares — feed
+    * it to [[totalVariation]] for the scalar retrain trigger. Cost:
+    * one combinable groupBy per side over dial-bounded output
+    * (≤ nlist rows), so the share normalization's unpartitioned
+    * window moves `nlist` rows to one task — a dial, not the data. */
+  def ivfDriftStats(ref: DataFrame, fresh: DataFrame): DataFrame = {
+    def shares(df: DataFrame, n: String, s: String) = df
+      .groupBy("cell").agg(count(lit(1)).as(n))
+      .withColumn(s, col(n) / sum(col(n)).over(
+        Window.partitionBy(lit(1))))
+    shares(ref, "n_ref", "share_ref")
+      .join(shares(fresh, "n_new", "share_new"), Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_new"))
+      .na.fill(0.0, Seq("share_ref", "share_new"))
+  }
+
+  /** Total-variation distance between the two share columns of an
+    * [[ivfDriftStats]] frame: ½·Σ|share_ref − share_new| ∈ [0, 1].
+    * The standard drift dial — 0 for an in-distribution batch, → 1
+    * as the batch concentrates in cells the reference never used.
+    * Driver-side scalar (the input is ≤ nlist rows). */
+  def totalVariation(drift: DataFrame): Double = drift
+    .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
+    .head.getDouble(0)
+
   /** Probe a stored IVF index (the output of [[ivfAssignments]],
     * typically read back from cell-partitioned parquet): each query
     * scores the centroid literals, probes its `nprobe` best cells via

@@ -430,6 +430,27 @@ final class TsStore(
     if (!snapshots) 0L else loadSnapshot().v
   }
 
+  /** Commit a TOMBSTONE-ONLY generation when the live tombstone map
+    * has moved past the last committed generation's record. [[save]]
+    * flushes hot ROWS, but [[dropSubject]] on a fully-flushed store
+    * mutates only the meta sidecar — no commit — so a consistent cut
+    * ([[graft.api.Engine.snapshotAll]]) "flushed" through save()
+    * alone would record a generation whose as-of tombstones PREDATE
+    * the drop and resurrect the dropped subject on every cut read
+    * (caught by e16's manifest round-trip REQUIRE). The commit
+    * reuses every existing version dir — the days map is unchanged —
+    * its whole payload is the new history record carrying the
+    * current tombstone map. No-op when nothing drifted. */
+  private[graft] def commitPendingTombstones(): Unit = synchronized {
+    if (!snapshots) return
+    val snap = loadSnapshot()
+    if (snap.v <= 0L) return // nothing ever committed: no record to lag
+    val recorded = historyRecord(snap.v).map(_._2)
+      .getOrElse(Map.empty[String, Long])
+    if (recorded == tombstones) return
+    commitSnapshot(snap.copy(v = snap.v + 1))
+  }
+
   /** Committed generations available for time travel, ascending. */
   def snapshotVersions: Seq[Long] = synchronized {
     val f = fs

@@ -845,6 +845,35 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.openSnapshotAllAt(cut) }
   }
 
+  test("snapshotAll after a tombstone-only drop mints a generation: the cut never resurrects the dropped subject") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.set("SH600601.stk_day",
+      """{"time":"2021-01-04","open":20.10,"close":20.50,"vol":900}""")
+    e.save("stk_day") // generation 1: both subjects on disk
+    // a drop on a fully-flushed table is a META-ONLY mutation — no
+    // hot rows, so save() alone would not commit; without the
+    // tombstone-only commit the cut would record generation 1 and
+    // resurrect SH600601 on every cut read (the e16 bug)
+    e.drop("SH600601.stk_day")
+    val cut = e.snapshotAll(Seq("stk_day"))
+    assert(e.cutRecord(cut).get("stk_day") == 2L,
+      "the cut did not mint a tombstone-only generation")
+    val at = e.openSnapshotAllAt(cut)("stk_day").get
+    assert(at.filter(org.apache.spark.sql.functions.col("subject") ===
+      "SH600601").isEmpty,
+      "the cut resurrected a subject dropped before it")
+    assert(at.count() == 1)
+    // idempotent: nothing drifted, so another cut reuses the state
+    // without minting a third generation
+    val cut2 = e.snapshotAll(Seq("stk_day"))
+    assert(e.cutRecord(cut2).get("stk_day") == 2L,
+      "an unchanged table minted a spurious generation on re-cut")
+  }
+
   test("cut records are cached as immutable: repeat vacuums pay the listing, never re-reads") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)

@@ -144,6 +144,39 @@ class SimilaritySpec extends SparkSpec {
     assert(probeRows(spark.read.parquet(root)) == viaTree)
   }
 
+  test("drift monitor: tv = 0 for identical batches, 1 for disjoint cells, and a shift trips the dial") {
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 8)
+    val asg = Similarity.ivfAssignments(emb, "vec_id", "embedding", cents)
+    // identical distributions: exactly zero
+    assert(Similarity.totalVariation(Similarity.ivfDriftStats(asg, asg))
+      == 0.0)
+    // disjoint supports: exactly one (full-outer join + zero-fill
+    // must cover cells the other side never used)
+    val cellsOf = asg.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(cellsOf.length >= 2, "test needs at least two used cells")
+    val lhs = asg.filter(col("cell") === cellsOf.head)
+    val rhs = asg.filter(col("cell") === cellsOf.last)
+    assert(Similarity.totalVariation(Similarity.ivfDriftStats(lhs, rhs))
+      == 1.0)
+    // a per-coordinate covariate shift scores well above the same
+    // vectors unshifted (these spec vectors are 20 TIGHT gaussian
+    // clusters — a shift must clear the cluster radius to re-assign,
+    // hence +3 here where the diffuse real-embedding query uses +1)
+    val shifted = Similarity.ivfAssignments(
+      emb.withColumn("embedding",
+        transform(col("embedding"), x => x + lit(3.0d))),
+      "vec_id", "embedding", cents)
+    val tvShift = Similarity.totalVariation(
+      Similarity.ivfDriftStats(asg, shifted))
+    assert(tvShift > 0.2, s"shift did not register: tv=$tvShift")
+    // shares sum to 1 on both sides of any stats frame
+    val st = Similarity.ivfDriftStats(asg, shifted)
+      .agg(sum("share_ref"), sum("share_new")).head
+    assert(math.abs(st.getDouble(0) - 1.0) < 1e-9 &&
+      math.abs(st.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("quantized top-k with exact rerank recovers brute-force top-k") {
     val queries = emb.filter(col("vec_id") % 6 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
