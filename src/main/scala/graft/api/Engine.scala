@@ -704,6 +704,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     rec.toSeq.sortBy(_._1).foreach { case (t, v) =>
       val node = tn.putObject(t)
       node.put("generation", v)
+      // tombstones/files are ALWAYS present (empty for a generation-0
+      // table) — an external reader follows one uniform schema with
+      // no missing-node special case
+      val tb = node.putObject("tombstones")
+      val fl = node.putArray("files")
       if (v > 0L) {
         val tablePath = s"$rootPath/$t"
         val (days, tombs) = graft.store.TsStore.readHistRecord(
@@ -711,9 +716,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
             s"cut $cut references generation $v of '$t' whose record " +
               "was vacuumed — drop the cut instead of exporting a " +
               "different corpus"))
-        val tb = node.putObject("tombstones")
         tombs.toSeq.sortBy(_._1).foreach { case (s, g) => tb.put(s, g) }
-        val fl = node.putArray("files")
         days.toSeq.sortBy(_._1).foreach { case (day, ver) =>
           val dir = new org.apache.hadoop.fs.Path(
             s"$tablePath/$day/__v=$ver")
@@ -734,9 +737,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val out = f.create(tmp, true)
     try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"could not place cut manifest $dest")
+    // overwrite-capable atomic rename: a delete-then-rename pair would
+    // open a window where a crash (or a concurrent reader) observes NO
+    // manifest at dest — FileContext.rename(OVERWRITE) swaps in one op
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dest.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     outPath
   }
 

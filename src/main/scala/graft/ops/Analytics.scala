@@ -271,9 +271,13 @@ object Analytics {
     df.orderBy(order: _*).limit(k)
 
   /** A window over a PROVABLY TINY table (one row per shuffle partition,
-    * or a post-aggregation series bounded by the calendar): the single
-    * partition is a deliberate choice, made explicit with a constant
-    * partition key rather than left as an accidental global window. */
+    * or a post-aggregation series bounded by the calendar). The constant
+    * partition key documents INTENT only: Spark 4.1's
+    * `EliminateWindowPartitions` rule strips foldable partition keys,
+    * so this executes as exactly the global window it annotates (and
+    * logs `WindowExec: No Partition Defined` — expected, not a scale
+    * bug: every consumer's input is dial- or calendar-bounded; see
+    * PLANS.md "global-window warnings"). */
   private[graft] def tinySeqW =
     Window.partitionBy(lit(0))
 

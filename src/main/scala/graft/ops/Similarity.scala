@@ -269,6 +269,11 @@ object Similarity {
     * (≤ nlist rows), so the share normalization's unpartitioned
     * window moves `nlist` rows to one task — a dial, not the data. */
   def ivfDriftStats(ref: DataFrame, fresh: DataFrame): DataFrame = {
+    // the constant partition key is intent-documentation only — Spark
+    // 4.1's EliminateWindowPartitions folds it away and the share
+    // normalization runs as a global window over ≤ nlist rows (a
+    // dial); the `WindowExec: No Partition Defined` log line it emits
+    // is expected (PLANS.md "global-window warnings")
     def shares(df: DataFrame, n: String, s: String) = df
       .groupBy("cell").agg(count(lit(1)).as(n))
       .withColumn(s, col(n) / sum(col(n)).over(

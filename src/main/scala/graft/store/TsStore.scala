@@ -445,10 +445,27 @@ final class TsStore(
     if (!snapshots) return
     val snap = loadSnapshot()
     if (snap.v <= 0L) return // nothing ever committed: no record to lag
-    val recorded = historyRecord(snap.v).map(_._2)
-      .getOrElse(Map.empty[String, Long])
-    if (recorded == tombstones) return
-    commitSnapshot(snap.copy(v = snap.v + 1))
+    // compare against the latest RETAINED record at or below the live
+    // generation — snap.v's own record may have been vacuumed under
+    // keepHistory=0, and treating that as "recorded nothing" would
+    // mint a new generation on EVERY cut of a table with any live
+    // tombstone (re-cut idempotency violated). An older retained
+    // record is a sound comparison point: tombstone maps only move at
+    // drops (forward) and packs (cleared, which rewrites days and
+    // mints its own generation), so live == as-of-r ⇒ nothing drifted
+    // since r, hence nothing since snap.v ≥ r either.
+    val recorded = (snap.v +: snapshotVersions.filter(_ < snap.v).reverse)
+      .iterator.map(historyRecord).collectFirst { case Some((_, t)) => t }
+    recorded match {
+      case Some(t) if t == tombstones => // nothing drifted: no-op
+      case Some(_) => commitSnapshot(snap.copy(v = snap.v + 1))
+      case None =>
+        // no record retained at all: drift is undecidable — commit
+        // only if any tombstone is live (a resurrected drop is worse
+        // than one spurious generation; a table with no tombstones
+        // trivially has nothing to record)
+        if (tombstones.nonEmpty) commitSnapshot(snap.copy(v = snap.v + 1))
+    }
   }
 
   /** Committed generations available for time travel, ascending. */
