@@ -563,6 +563,7 @@ object SparkEntry {
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
     @volatile var incrementalCentroids: Option[Array[Array[Double]]] = None
     @volatile var driftCentroids: Option[Array[Array[Double]]] = None
+    @volatile var cutoverCentroids: Option[Array[Array[Double]]] = None
   }
 
   /** IVF ANN (clusterable-corpus scale path) — oracle-checked: the
@@ -724,6 +725,104 @@ object SparkEntry {
       math.abs(sums.getDouble(1) - 1.0) < 1e-6,
       "drift shares do not sum to 1")
     out
+  }
+
+  /** X10 — IVF RETRAIN CUTOVER ([[Similarity.ivfRebuildStamp]] /
+    * [[Similarity.ivfCutover]] / [[Similarity.openCurrentIvf]]): the
+    * HOW of x9's "retrain offline when drift warrants", closing the
+    * x7→x9→x10 index lifecycle. Modeled on the reference's
+    * rebuild-then-swap merge (workers/frwdb/frwdb.h:28-33: rebuild
+    * the merged year aside, swap it in while readers keep the old
+    * view): the retrained index builds COMPLETELY under a new stamp
+    * dir while the marker still names the old stamp — zero downtime
+    * — then one overwrite-rename of `_current.json` is the entire
+    * commit. The flow: build + cut over stamp g1 on the base half,
+    * append the drifted half (odd vec_ids translated +1 per
+    * coordinate, x9's shift) against g1's frozen centroids, watch
+    * the drift dial trip, retrain on the full drifted union under
+    * stamp g2, cut over, drop g1. REQUIREd in-query: the rebuild
+    * moves NEITHER the marker nor a single byte of what g1 serves
+    * (pre/post-rebuild probes bit-equal); after cutover every file
+    * the probe reads lives under stamp=g2 (a probe can never mix
+    * stamps — it resolves the marker once and reads only that
+    * subtree); the retrained index's recall against the exact
+    * brute-force top-k on the drifted union is at least the stale
+    * index's (retraining must not make search worse); the retired
+    * stamp drops only after cutover (dropping the serving stamp is
+    * refused). The oracle reproduces the post-cutover probe
+    * relationally from the inlined g2 centroids over the same
+    * shifted-union corpus, bit-for-bit. */
+  private def qIvfCutover(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_x10_ivf_cutover/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val drifted = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(1.0d)))
+    // epoch 1: initial build serves under stamp g1
+    val c1 = Similarity.ivfRebuildStamp(base, root, "g1",
+      "vec_id", "embedding", nlist = 16)
+    Similarity.ivfCutover(s, root, "g1")
+    // the drifted batch arrives: O(batch) append against g1's FROZEN
+    // centroids (the x7 path — the index stays complete, just skewed)
+    Similarity.ivfAppendBatch(drifted, Similarity.ivfStampPath(root, "g1"),
+      1L, "vec_id", "embedding")
+    // the x9 monitor trips → retrain warranted
+    val tv = Similarity.totalVariation(Similarity.ivfDriftStats(
+      Similarity.ivfAssignments(base, "vec_id", "embedding", c1),
+      Similarity.ivfAssignments(drifted, "vec_id", "embedding", c1)))
+    require(tv > 0.3, f"drift dial did not trip (tv=$tv%.4f) — " +
+      "retrain unwarranted, the scenario is broken")
+    val union = base.unionByName(drifted)
+    val queries = union.filter(col("vec_id") < 10)
+    def probeOf(idx: DataFrame, cents: Array[Array[Double]]) =
+      Similarity.probeIvfIndex(idx, queries, "vec_id", "embedding", 5, cents)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    val (s1, idx1, cents1) = Similarity.openCurrentIvf(s, root)
+    require(s1 == "g1", "marker must name the serving stamp")
+    val preProbe = probeOf(idx1, cents1).collect().toSeq
+    // retrain on the drifted union under stamp g2 — g1 keeps serving
+    val c2 = Similarity.ivfRebuildStamp(union, root, "g2",
+      "vec_id", "embedding", nlist = 16)
+    IvfOracle.cutoverCentroids = Some(c2)
+    val (sMid, idxMid, centsMid) = Similarity.openCurrentIvf(s, root)
+    require(sMid == "g1", "a rebuild must not move the cutover marker")
+    require(probeOf(idxMid, centsMid).collect().toSeq == preProbe,
+      "what the serving stamp returns changed during the rebuild")
+    // dropping the SERVING stamp is refused
+    require(scala.util.Try(Similarity.dropIvfStamp(s, root, "g1")).isFailure,
+      "dropping the serving stamp must be refused before cutover")
+    Similarity.ivfCutover(s, root, "g2")
+    val (s2, idx2, cents2) = Similarity.openCurrentIvf(s, root)
+    require(s2 == "g2", "cutover must move the marker to the new stamp")
+    // never-mix: every file the post-cutover probe reads is g2's
+    val probedFiles = idx2.select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    require(probedFiles.nonEmpty && probedFiles.forall(_.contains("stamp=g2")),
+      "post-cutover probe read a file outside the serving stamp")
+    // retraining must not make search WORSE: recall vs the exact
+    // brute-force top-5 on the drifted union, retrained ≥ stale
+    val truth = Similarity.bruteForceTopK(union, queries,
+        "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(p: Seq[org.apache.spark.sql.Row]) =
+      p.map(r => (r.getLong(0), r.getLong(1)))
+        .count(truth.contains).toDouble / math.max(truth.size, 1)
+    val post = probeOf(idx2, cents2).collect().toSeq
+    val rStale = recallOf(preProbe)
+    val rNew = recallOf(post)
+    require(rNew >= rStale,
+      f"retrained recall $rNew%.3f fell below the stale index's " +
+        f"$rStale%.3f — the cutover made search worse")
+    // the retired tree reclaims cleanly now that g2 serves
+    Similarity.dropIvfStamp(s, root, "g1")
+    require(!new java.io.File(Similarity.ivfStampPath(root, "g1")).exists(),
+      "retired stamp tree must be gone after drop")
+    probeOf(idx2, cents2)
   }
 
   /** X6 — int8 scalar-quantized ANN with exact rerank
@@ -2617,6 +2716,96 @@ object SparkEntry {
       .orderBy("tbl", "subject")
   }
 
+  /** E17 — SCHEMA EVOLUTION wired into the store
+    * ([[graft.api.Engine.evolve]] → [[graft.store.TsStore
+    * .evolveSchema]]): the reference's version-tolerant convert
+    * (sis_dynamic.h:12-51 — schema dictionaries exchanged, a
+    * field-by-field converter bridges record layouts; the rule,
+    * sis_dynamic.h:110-117: same style carries/widens via cast,
+    * different styles are NEVER coerced → 0/"", absent fields
+    * likewise) as a first-class engine operation instead of a
+    * standalone kernel. The flow: ingest + flush under schema v0
+    * (qty I4, flag I4, extra I4), `evolve` to v1 (qty widened to I8,
+    * flag crossed to C → old rows read "", score added → old rows
+    * read 0.0, extra dropped), ingest + flush under v1. REQUIREd
+    * in-query: (a) the LIVE read serves the union of both eras
+    * aligned to the NEW schema (qty LongType, flag StringType, score
+    * present, extra gone); (b) time travel to the pre-evolve
+    * generation serves the OLD schema exactly as committed (qty
+    * IntegerType, flag IntegerType, extra present, score absent) —
+    * an evolve must never rewrite history. The returned frame
+    * aggregates BOTH arms so the oracle hash-checks the alignment
+    * semantics value-by-value: old-era rows contribute carried qty,
+    * blank flags and zero score to the live arm; the gen-1 arm sums
+    * the old-style int flags and the later-dropped `extra` field,
+    * proving the old values (not zeroed ghosts) are served. */
+  private def qSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_evolve_q/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,4],flag:[I,4],extra:[I,4]}}}")
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") >= 14 && col("user_id") <= 19)
+    def payloads(rows: DataFrame, fields: org.apache.spark.sql.Column*)
+        : Array[(Long, String)] =
+      rows.select(col("user_id"), to_json(struct(fields: _*)).as("j"))
+        .groupBy("user_id")
+        .agg(concat(lit("["), concat_ws(",", collect_list("j")),
+          lit("]")).as("arr"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // era 0: even event-ids, old layout (flag carries user_id, extra 1)
+    payloads(ev.filter(col("event_id") % 2 === 0),
+      col("ts").as("t"), col("event_type").as("etype"),
+      col("value").as("value"),
+      (col("event_id") % 100).cast("int").as("qty"),
+      col("user_id").cast("int").as("flag"), lit(1).as("extra"))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val genOld = eng.snapshotVersions("ev").last
+    eng.evolve("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,8],flag:[C,8],score:[F,8]}}}")
+    // era 1: odd event-ids, new layout (string flag, real score)
+    payloads(ev.filter(col("event_id") % 2 === 1),
+      col("ts").as("t"), col("event_type").as("etype"),
+      col("value").as("value"),
+      (col("event_id") % 100).cast("long").as("qty"),
+      concat(lit("f"), col("user_id")).as("flag"),
+      (col("value") * 2).as("score"))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    import org.apache.spark.sql.types._
+    val live = eng.get("*.ev", "{}")
+    val lt = live.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(lt("qty") == LongType && lt("flag") == StringType &&
+      lt.contains("score") && !lt.contains("extra"),
+      "live read must serve the union aligned to the NEW schema")
+    val at = eng.openSnapshotAt("ev", genOld).getOrElse(
+      throw new IllegalStateException("pre-evolve generation lost"))
+    val ot = at.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(ot("qty") == IntegerType && ot("flag") == IntegerType &&
+      ot.contains("extra") && !ot.contains("score"),
+      "time travel must serve the OLD schema exactly as committed")
+    val liveArm = live.groupBy("subject").agg(
+      count(lit(1)).as("n"),
+      sum("qty").as("qty_sum"),
+      round(sum("value"), 2).as("value_sum"),
+      round(sum("score"), 2).as("score_sum"),
+      sum(when(col("flag") === "", 1L).otherwise(0L)).as("aux"))
+      .withColumn("src", lit("live"))
+    val oldArm = at.groupBy("subject").agg(
+      count(lit(1)).as("n"),
+      sum("qty").cast("long").as("qty_sum"),
+      round(sum("value"), 2).as("value_sum"),
+      lit(0.0).as("score_sum"), // v0 has no score field — by design
+      (sum("flag") + sum("extra")).cast("long").as("aux"))
+      .withColumn("src", lit("gen1"))
+    liveArm.unionByName(oldArm)
+      .select("src", "subject", "n", "qty_sum", "value_sum",
+        "score_sum", "aux")
+      .orderBy("src", "subject")
+  }
+
   /** ST8 — STREAMING sketch maintenance
     * ([[graft.ops.Sketches.appendBatch]]): sks1's production shape
     * under a live feed. Each micro-batch lands ONE partial-state row
@@ -3404,6 +3593,7 @@ object SparkEntry {
     "x5_ann_ivf_stored" -> qAnnIvfStored _,
     "x7_ann_ivf_append" -> qAnnIvfAppend _,
     "x9_ivf_drift" -> qIvfDrift _,
+    "x10_ivf_cutover" -> qIvfCutover _,
     "x6_ann_quantized" -> qAnnQuantized _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
@@ -3435,6 +3625,7 @@ object SparkEntry {
     "e14_auto_vacuum" -> qAutoVacuum _,
     "e15_snapshot_cut" -> qSnapshotCut _,
     "e16_cut_manifest" -> qCutManifest _,
+    "e17_schema_evolve" -> qSchemaEvolve _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -3701,6 +3892,37 @@ object SparkEntry {
            WHERE user_id BETWEEN 8 AND 13 AND event_id % 3 = 0
              AND user_id != 9)
          GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // e17: both arms recomputed from the source events under the
+    // documented convert rules — live arm: every event, qty carried,
+    // old (even event-id) rows contribute blank flags + zero score;
+    // gen1 arm: only the pre-evolve (even) rows under the OLD layout,
+    // aux = sum(int flag = user_id) + sum(extra = 1). A live read
+    // that leaked old-style flags, zeroed carried qty, or a time
+    // travel that served the new schema would hash-mismatch.
+    "e17_schema_evolve" ->
+      """SELECT src, subject, n, qty_sum, value_sum, score_sum, aux
+         FROM (
+           SELECT 'live' AS src, 'u' || user_id AS subject,
+             count(*) AS n,
+             sum(event_id % 100)::BIGINT AS qty_sum,
+             round(sum(value), 2) AS value_sum,
+             round(sum(CASE WHEN event_id % 2 = 0 THEN 0.0
+                            ELSE value * 2 END), 2) AS score_sum,
+             sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS aux
+           FROM events WHERE user_id BETWEEN 14 AND 19
+           GROUP BY user_id
+           UNION ALL
+           SELECT 'gen1' AS src, 'u' || user_id AS subject,
+             count(*) AS n,
+             sum(event_id % 100)::BIGINT AS qty_sum,
+             round(sum(value), 2) AS value_sum,
+             0.0 AS score_sum,
+             (sum(user_id) + count(*))::BIGINT AS aux
+           FROM events
+           WHERE user_id BETWEEN 14 AND 19 AND event_id % 2 = 0
+           GROUP BY user_id)
+         ORDER BY src, subject""",
     // exact anchors; the streamed per-batch sketch state (CMS
     // totalCount == exact rows AFTER a replayed batch, HLL rsd class,
     // quantile-grid rank slack) is REQUIREd in-query against these
@@ -5297,13 +5519,15 @@ object SparkEntry {
     *  - queries probe the nprobe=4 best cells (same tie order —
     *    sort_array(desc) on struct(s, cell));
     *  - candidates = equi-join on cell, re-ranked by exact cosine. */
-  private def ivfOracleSqlFor(cents: Array[Array[Double]]): String = {
+  private def ivfOracleSqlFor(cents: Array[Array[Double]],
+      corpusCte: String =
+        "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"): String = {
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       val lit = c.map(_.toString).mkString("[", ",", "]")
       val half = (c.map(x => x * x).sum / 2).toString
       s"($i, $lit::DOUBLE[], $half)"
     }.mkString(",\n             ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS ($corpusCte),
            cent AS (SELECT * FROM (VALUES
              $centRows) AS t(cell, cv, half)),
            sc AS (
@@ -5358,7 +5582,19 @@ object SparkEntry {
       // inlined-centroid assignment: per-cell counts and shares of
       // the held-out half vs its +1-per-coordinate covariate shift
       IvfOracle.driftCentroids
-        .map(c => "x9_ivf_drift" -> ivfDriftOracleSqlFor(c)).toMap
+        .map(c => "x9_ivf_drift" -> ivfDriftOracleSqlFor(c)).toMap ++
+      // x10's post-cutover probe is x3's relational contract with the
+      // RETRAINED (g2) centroids inlined, over the drifted-union
+      // corpus (even vec_ids as stored, odd ones translated +1 per
+      // coordinate — x9's covariate shift)
+      IvfOracle.cutoverCentroids
+        .map(c => "x10_ivf_cutover" -> ivfOracleSqlFor(c,
+          """SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 2 = 0
+             UNION ALL
+             SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> x + 1.0) AS v
+               FROM embeddings WHERE vec_id % 2 = 1""")).toMap
 
   private def ivfDriftOracleSqlFor(cents: Array[Array[Double]]): String = {
     val centRows = cents.zipWithIndex.map { case (c, i) =>

@@ -155,6 +155,58 @@ final class Engine(val spark: SparkSession, rootPath: String,
     sdb
   }
 
+  /** Evolve an EXISTING table to a new schema version WITHOUT
+    * abandoning its history — the engine face of the reference's
+    * version-tolerant convert (sis_dynamic.h:12-51: schema
+    * dictionaries are exchanged and a field-by-field converter
+    * bridges old and new record layouts; the rule, sis_dynamic
+    * .h:110-117: same name + same style carries over — widening/
+    * narrowing is a cast — different styles are NEVER coerced, the
+    * target gets 0/"" instead, and fields absent from the source
+    * likewise).
+    *
+    * After `evolve`, live reads serve the UNION of all eras aligned
+    * to the new schema ([[graft.ops.Convert.align]] applied at the
+    * cold-read boundary, per era group); new `set`s are typed under
+    * the new schema; time travel ([[openSnapshotAt]] /
+    * [[openSnapshotAllAt]]) to a pre-evolve generation serves the
+    * OLD schema exactly as committed. Snapshot mode evolves lazily
+    * (a sidecar record, no data rewrite); flat mode migrates the
+    * store once through the crash-safe pack swap — see
+    * [[graft.store.TsStore.evolveSchema]] for the mode trade.
+    *
+    * Invariants the store's identity depends on are REFUSED, not
+    * silently rewritten: the main (time) index and the solely-field
+    * set must keep their names and styles (they are the upsert key,
+    * the day partitioning, and every range read's axis — changing
+    * them is a re-key, i.e. a new table). A table currently exposed
+    * to SQL must drop its exposure first: the backing parquet table
+    * reads day dirs raw, so it cannot span schema eras (re-expose
+    * after evolving — the new DDL then carries the new columns). */
+  def evolve(dsl: String): SdbSchema.Sdb = synchronized {
+    val next = SdbSchema.parse(dsl)
+    val prev = catalog.get(next.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"evolve: unknown table '${next.name}' — create it first"))
+    if (prev == next) return prev // idempotent no-op
+    def idx(s: SdbSchema.Sdb) = s.mainIndex.map(f => (f.name, f.style))
+    require(idx(prev) == idx(next),
+      s"evolve: the main index must not change (${idx(prev)} → " +
+        s"${idx(next)}) — re-keying is a new table, not an evolution")
+    def sole(s: SdbSchema.Sdb) = s.solelyFields.map(f => (f.name, f.style))
+    require(sole(prev) == sole(next),
+      s"evolve: the solely-field set must not change (${sole(prev)} → " +
+        s"${sole(next)}) — it is the store's upsert identity")
+    require(!sqlNames.contains(next.name),
+      s"evolve: '${next.name}' is exposed to SQL — a parquet backing " +
+        "table cannot span schema eras; drop the exposure, evolve, " +
+        "then re-expose")
+    storeOf(next.name).evolveSchema(prev, next)
+    catalog.register(next)
+    persistEngineCatalog()
+    next
+  }
+
   private def storeOf(table: String): TsStore = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
@@ -177,6 +229,16 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // any generation a retained cut record references must survive
       // this table's vacuum no matter how many newer generations land
       st.historyPins = () => cutPinsFor(table)
+      // heal the declaration from the store's own schema history: the
+      // era-record write is the evolve commit point, so a crash
+      // between it and persistEngineCatalog leaves the engine sidecar
+      // one era behind — the store's latest recorded era wins (evolve
+      // preserves the main index and solely fields, so the
+      // constructor arguments above remain valid either way)
+      st.latestEraSdb.filter(_ != sdb).foreach { evolved =>
+        catalog.register(evolved)
+        persistEngineCatalog()
+      }
       st
     })
   }
@@ -200,6 +262,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * for surfaces whose keys are NOT `subject.table` (the unstructured
     * ONE/MUL styles route bare keys here). */
   private def setRow(subject: String, table: String, json: String): Long = {
+    // open the store BEFORE resolving the schema: opening heals the
+    // catalog from the store's recorded era history (see storeOf), so
+    // a write issued right after a crash mid-evolve types its rows
+    // under the era the store actually writes
+    val st = storeOf(table)
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
     val node = mapper.readTree(json)
@@ -218,7 +285,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       else Sources.fromJsonRows(raw, "__json", sdb))
         .drop("__json")
         .withColumn("subject", lit(subject))
-    storeOf(table).set(typed)
+    st.set(typed)
     subs.publish(typed, "subject", table)
     rows.size.toLong
   }
@@ -392,6 +459,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * staged and published exactly like JSON sets. */
   def bset(key: String, packedRows: Seq[Array[Byte]]): Long = {
     val (subject, table) = splitKey(key)
+    storeOf(table) // open first: heals the catalog post-crash (see setRow)
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
     import spark.implicits._
@@ -479,13 +547,22 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * [[TsStore.vacuum]], whose defaults these forward (one retention
     * contract, not two copies that can drift). No-op on a flat-mode
     * engine. */
+  /** Returns stale-cut warnings when `cutMaxAgeMs > 0` (see
+    * [[staleCutWarnings]]): vacuum is where a deployment notices a
+    * forgotten cut, because cuts are the one pin no retention dial
+    * ever expires — age-flagged here, reclaimed only by an explicit
+    * [[dropSnapshotCut]] (the warning never auto-drops: a cut is a
+    * reproducibility promise someone recorded on purpose). */
   def vacuum(table: String,
       keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
       removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
       keepHistory: Int = TsStore.DefaultKeepHistory,
-      supersededGraceMs: Long = 0L): Unit =
+      supersededGraceMs: Long = 0L,
+      cutMaxAgeMs: Long = 0L): Seq[String] = {
     storeOf(table).vacuum(keepSuperseded, removedDayGraceMs, keepHistory,
       supersededGraceMs)
+    staleCutWarnings(cutMaxAgeMs)
+  }
 
   /** Opt-in SCHEDULED vacuum for every table of this engine: after
     * each cold commit whose generation number is a multiple of
@@ -560,6 +637,20 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // generation a retained cut references is pinned past keepHistory
   // (wired per-store via TsStore.historyPins), so the cut stays
   // readable until the deployment drops it ([[dropSnapshotCut]]).
+  //
+  // RETENTION CONTRACT: a cut is an UNBOUNDED pin by design — every
+  // other retention surface is a count or a grace window, but a cut
+  // holds its generations for as long as the record exists, because
+  // it is a reproducibility promise (a training run recorded it to
+  // re-read the identical corpus later). The lifecycle is therefore
+  // explicit: [[listCuts]] audits every retained cut with its age
+  // and pinned generations; [[vacuum]]'s optional `cutMaxAgeMs` dial
+  // flags cuts older than the deployment's reproducibility horizon
+  // (warnings only — nothing auto-drops); [[dropSnapshotCut]] is the
+  // single release point, after which the pinned generations fall
+  // back to ordinary keepHistory retention at each table's next
+  // vacuum. A deployment that cuts on a cadence should pair it with
+  // an equal-cadence listCuts review or a cutMaxAgeMs on its vacuum.
 
   private def cutsDir = new org.apache.hadoop.fs.Path(
     s"${rootPath.stripSuffix("/")}/__snapcuts")
@@ -620,6 +711,44 @@ final class Engine(val spark: SparkSession, rootPath: String,
     else f.listStatus(cutsDir).map(_.getPath.getName)
       .collect { case CutFile(n) => n.toLong }.toSeq.sorted
   }
+
+  /** One retained cut's lifecycle facts: when it was recorded, how
+    * old it is, and exactly which {table → generation} pairs it pins
+    * past vacuum reclamation. */
+  final case class CutInfo(id: Long, at: Long, ageMs: Long,
+      tables: Map[String, Long])
+
+  /** Every retained cut with its age and pinned generations — the
+    * lifecycle audit surface for the cut retention contract (see
+    * [[snapshotAll]]'s block comment): a cut pins its generations
+    * FOREVER until [[dropSnapshotCut]], so a forgotten cut is a
+    * reclamation blocker, and this listing is how a deployment finds
+    * it. Cost: one dir listing + one (cached-map) sidecar read per
+    * cut; the `at` stamp reads the immutable record directly. */
+  def listCuts(now: Long = System.currentTimeMillis()): Seq[CutInfo] =
+    snapshotCuts.map { id =>
+      val at = mapper.readTree(TsStore.readJsonBytes(hadoopFs,
+        new org.apache.hadoop.fs.Path(cutsDir, s"cut=$id.json")))
+        .path("at").asLong(0L)
+      CutInfo(id, at, math.max(0L, now - at),
+        cutRecord(id).getOrElse(Map.empty))
+    }
+
+  /** Cuts older than `maxAgeMs`, rendered as actionable warnings —
+    * the optional staleness dial [[vacuum]] surfaces: retention
+    * dials bound every OTHER pin (keepSuperseded / keepHistory /
+    * graces are counts and windows), but a cut pins until dropped,
+    * so age is the only signal a deployment has that one was
+    * forgotten. `maxAgeMs <= 0` disables (default). */
+  def staleCutWarnings(maxAgeMs: Long,
+      now: Long = System.currentTimeMillis()): Seq[String] =
+    if (maxAgeMs <= 0L || !snapshots) Seq.empty
+    else listCuts(now).filter(_.ageMs > maxAgeMs).map { c =>
+      s"cut ${c.id} is ${c.ageMs} ms old (> $maxAgeMs ms): it pins " +
+        c.tables.toSeq.sortBy(_._1)
+          .map { case (t, v) => s"$t@$v" }.mkString(", ") +
+        " past every vacuum until dropSnapshotCut(" + c.id + ")"
+    }
 
   // cut records are IMMUTABLE once written (create-only, delete-only),
   // so they are cached by id: the per-vacuum pin derivation costs one
@@ -990,6 +1119,15 @@ final class Engine(val spark: SparkSession, rootPath: String,
   def exposeSql(table: String, db: String = "graft"): String = {
     val st = storeOf(table)
     st.save()
+    // a parquet backing table reads day dirs raw — it cannot align
+    // schema eras the way the store's own reads do, so every pinned
+    // dir must be from the live era (pack rewrites older-era days)
+    require(!st.hasEras ||
+      st.snapshotDays.forall { case (_, v) =>
+        st.eraOfVersion(v) == st.currentEra },
+      s"exposeSql: '$table' still holds day dirs written under an " +
+        "older schema era — run pack first (it rewrites every day " +
+        "into the live era), then expose")
     val qn = s"$db.$table"
     val backing = s"$db.${table}__files"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -1244,6 +1382,16 @@ final class Engine(val spark: SparkSession, rootPath: String,
       throw new IllegalArgumentException(
         s"$table has no retained generation $v (retained: " +
           s"${st.snapshotVersions.mkString(", ")})"))
+    // the frozen backing table reads the pinned dirs raw — refuse a
+    // generation whose dirs span eras or predate the catalog schema
+    // (time travel across an evolve boundary is openSnapshotAt's
+    // aligned read, not a raw SQL pin)
+    require(!st.hasEras ||
+      days.forall { case (_, dv) =>
+        st.eraOfVersion(dv) == st.currentEra },
+      s"exposeSqlAt: generation $v of '$table' holds day dirs written " +
+        "under an older schema era — a raw SQL pin cannot align eras; " +
+        "use openSnapshotAt for cross-era time travel")
     val qn = s"$db.${table}__v$v"
     val backing = s"$db.${table}__v${v}__files"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
@@ -1257,6 +1405,23 @@ final class Engine(val spark: SparkSession, rootPath: String,
 
   /** Drop a prior registration under `name`, whichever kind it was —
     * `DROP TABLE` on a view (and vice versa) throws. */
+  /** Drop every SQL registration of `table` (views + backing tables
+    * in every database it was exposed to) and forget the persisted
+    * exposure — the inverse of [[exposeSql]], and the prerequisite
+    * [[evolve]] names for an exposed table (a parquet backing table
+    * cannot span schema eras; re-expose after evolving to get a
+    * backing DDL with the new columns). Frozen `exposeSqlAt` views
+    * are unaffected — they pin a specific generation by design. */
+  def unexposeSql(table: String): Unit = synchronized {
+    sqlNames.remove(table).getOrElse(Vector.empty)
+      .foreach { case (view, backing) =>
+        dropRegistration(view)
+        dropRegistration(backing)
+      }
+    stores.get(table).foreach(_.onColdChange = _ => ())
+    if (exposedDbs.remove(table).isDefined) persistEngineCatalog()
+  }
+
   private def dropRegistration(name: String): Unit = {
     pinnedDays.remove(name)
     if (spark.catalog.tableExists(name)) {

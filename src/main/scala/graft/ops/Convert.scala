@@ -38,4 +38,26 @@ object Convert {
     }
     df.select(cols: _*)
   }
+
+  /** [[align]] with system/passthrough columns carried UNCHANGED after
+    * the schema fields — the store-integration face: a cold read
+    * aligning an old-era day dir to the live schema must keep the
+    * store's own bookkeeping columns (subject, `__day`, `__seq`)
+    * exactly as written, outside the never-cross-type rule. Columns in
+    * `keep` that the frame does not have are skipped (the raw
+    * snapshot-mode read carries `__seq`; some callers aligned a frame
+    * that already dropped it). */
+  def alignKeeping(df: DataFrame, from: SdbSchema.Sdb, to: SdbSchema.Sdb,
+      keep: Seq[String]): DataFrame = {
+    val fromByName = from.fields.map(f => f.name -> f).toMap
+    val present = df.columns.toSet
+    val cols = to.fields.map { tf =>
+      fromByName.get(tf.name) match {
+        case Some(ff) if ff.style == tf.style =>
+          col(tf.name).cast(tf.sparkType).as(tf.name)
+        case _ => zeroOf(tf.sparkType).as(tf.name)
+      }
+    } ++ keep.filter(present).map(col)
+    df.select(cols: _*)
+  }
 }

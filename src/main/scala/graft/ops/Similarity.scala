@@ -293,6 +293,134 @@ object Similarity {
     .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
     .head.getDouble(0)
 
+  // ── retrain cutover (the HOW of "retrain offline when drift
+  // warrants", closing the x7→x9 lifecycle) ─────────────────────
+  //
+  // Frozen-centroid appends degrade as the corpus drifts; when the
+  // [[ivfDriftStats]] dial trips, the remedy is a RETRAIN — but a
+  // 100 TB index cannot go offline while its replacement builds.
+  // The reference's rebuild-then-swap merge (frwdb.h:28-33: a
+  // worker rebuilds the merged year aside, then swaps it in while
+  // readers keep the old view) applied to ANN:
+  //
+  //   root/_current.json         — {"stamp": "<s>"}: THE commit point
+  //   root/stamp=<s>/            — one complete incremental IVF tree
+  //                                each (batch=N/cell=M + sidecar)
+  //
+  // A rebuild lands an entire new tree under a NEW stamp dir —
+  // training, assignment, sidecar — while the marker still names the
+  // old stamp, so every concurrent reader keeps serving the old
+  // index untouched. [[ivfCutover]] flips the marker in ONE
+  // overwrite-rename; a reader resolves the marker ONCE per probe
+  // session ([[openCurrentIvf]]) and then reads only that stamp's
+  // subtree, so no probe can ever mix vectors assigned under
+  // different centroid sets (the never-mix invariant x10 REQUIREs).
+  // Crash anywhere mid-rebuild: the marker still names the old
+  // stamp and the half-built dir is invisible garbage (its missing
+  // sidecar also fails the cutover precondition). The old stamp dir
+  // is dropped explicitly AFTER cutover ([[dropIvfStamp]] refuses
+  // the current one) — the grace window for readers that resolved
+  // the marker pre-flip is the caller's retention dial, exactly the
+  // TsStore vacuum contract.
+
+  private[graft] val StampMarker = "_current.json"
+
+  /** The subtree holding stamp `s`'s complete incremental index. */
+  def ivfStampPath(root: String, stamp: String): String =
+    s"${root.stripSuffix("/")}/stamp=$stamp"
+
+  /** The stamp the marker currently names, or None before the first
+    * cutover (a root with no marker serves nothing yet). */
+  def currentIvfStamp(ss: org.apache.spark.sql.SparkSession, root: String)
+      : Option[String] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, StampMarker)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toByteArray
+    } finally in.close()
+    Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes).path("stamp").asText())
+  }
+
+  /** Build a COMPLETE index under a new stamp while the current one
+    * keeps serving: [[ivfBuildBase]] into `root/stamp=<stamp>` —
+    * train on `corpus`, assign it as batch 0, sidecar last. The
+    * marker is untouched; nothing serves the new tree until
+    * [[ivfCutover]]. Returns the newly trained centroids. */
+  def ivfRebuildStamp(corpus: DataFrame, root: String, stamp: String,
+      id: String, vec: String, nlist: Int = 16, seed: Long = 42L,
+      sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
+    require(!currentIvfStamp(corpus.sparkSession, root).contains(stamp),
+      s"stamp '$stamp' is the SERVING index — rebuild under a new stamp")
+    ivfBuildBase(corpus, ivfStampPath(root, stamp), id, vec,
+      nlist, seed, sampleSize, iters)
+  }
+
+  /** Atomically flip the marker to `stamp` — the single commit point
+    * of a retrain. Preconditions REQUIREd: the new stamp's sidecar
+    * exists (the sidecar is written LAST by the build, so its
+    * presence proves a complete tree — a half-built stamp cannot be
+    * cut over to). The flip is FileContext rename with OVERWRITE:
+    * one metadata op, no window where no marker exists, and a
+    * concurrent reader sees either the old stamp or the new one,
+    * never neither. */
+  def ivfCutover(ss: org.apache.spark.sql.SparkSession, root: String,
+      stamp: String): Unit = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(
+      ivfStampPath(root, stamp), CentroidsFile)
+    require(f.exists(sidecar),
+      s"stamp '$stamp' has no centroid sidecar — its build did not " +
+        "complete; refusing to cut over to a torn index")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("stamp", stamp)
+    f.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      StampMarker + s".tmp-$stamp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(root, StampMarker)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dest.toUri, ss.sparkContext.hadoopConfiguration)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the marker ONCE, then open exactly that stamp's subtree:
+    * (stamp, index frame, its sidecar centroids). Every probe built
+    * on the returned pair reads one stamp's files only — the
+    * structural never-mix guarantee. Throws before the first
+    * cutover or on a sidecarless (torn) tree. */
+  def openCurrentIvf(ss: org.apache.spark.sql.SparkSession, root: String)
+      : (String, DataFrame, Array[Array[Double]]) = {
+    val stamp = currentIvfStamp(ss, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no cutover marker — no index is serving"))
+    val path = ivfStampPath(root, stamp)
+    val cents = loadCentroids(ss, path).getOrElse(
+      throw new IllegalStateException(
+        s"serving stamp '$stamp' has no centroid sidecar — torn tree"))
+    (stamp, ss.read.parquet(path), cents)
+  }
+
+  /** Reclaim a retired stamp's tree. Refuses the SERVING stamp —
+    * dropping it would yank files from live probes; retire, wait
+    * out the caller's reader-grace dial, then drop. */
+  def dropIvfStamp(ss: org.apache.spark.sql.SparkSession, root: String,
+      stamp: String): Unit = {
+    require(!currentIvfStamp(ss, root).contains(stamp),
+      s"stamp '$stamp' is the SERVING index — cut over first")
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(ivfStampPath(root, stamp)), true)
+  }
+
   /** Probe a stored IVF index (the output of [[ivfAssignments]],
     * typically read back from cell-partitioned parquet): each query
     * scores the centroid literals, probes its `nprobe` best cells via

@@ -212,6 +212,56 @@ final class TsStore(
   loadMeta()
   recoverSwaps()
 
+  // ── schema eras (the reference's version-tolerant convert,
+  // sis_dynamic.h:12-51: server and client exchange schema
+  // dictionaries and a field-by-field converter bridges record
+  // layouts; rule sis_dynamic.h:110-117 — same style carries/widens,
+  // different style → 0/empty, never a best-effort cast). A store
+  // that has EVOLVED carries its schema history in a `__schemas`
+  // sidecar dir: one record per era, `e=N.json` = {era,
+  // fromGeneration, dsl}. In SNAPSHOT mode no per-day bookkeeping is
+  // needed: a day-version dir `__v=V` is only ever written by the
+  // commit that advanced the manifest to generation V, and
+  // [[evolveSchema]] flushes before recording `fromGeneration =
+  // current generation + 1` — so a dir's writing era is a pure
+  // function of its version number ([[TsStore.eraOfGen]]) and the
+  // existing commit/recovery/vacuum machinery is untouched. Cold
+  // reads group day dirs by era, read each group self-described, and
+  // [[graft.ops.Convert.alignKeeping]] every non-live group to the
+  // era the read targets (live reads → latest era; time travel → the
+  // era live AT that generation). FLAT mode has no generation to hang
+  // an era on (data dirs and metadata commit in separate renames), so
+  // a flat evolve MIGRATES: one aligned whole-store rewrite through
+  // the crash-safe pack swap — flat stores stay single-era by
+  // construction. Stores that never evolve have no `__schemas` dir
+  // and every read path is byte-identical to before this feature.
+  private var eraRecords: Seq[TsStore.EraRecord] =
+    TsStore.readEras(fs, path)
+
+  /** The latest era's declared schema — the store-authoritative table
+    * declaration an owning engine heals its catalog from after a
+    * crash between the store-side evolve commit and the engine-side
+    * catalog persist. None for a never-evolved store. */
+  private[graft] def latestEraSdb: Option[graft.schema.SdbSchema.Sdb] =
+    eraRecords.lastOption.map(_.sdb)
+
+  /** The era new writes land in (0 for a never-evolved store). */
+  private[graft] def currentEra: Int =
+    eraRecords.lastOption.map(_.era).getOrElse(0)
+
+  /** True once the store spans more than one schema era. */
+  private[graft] def hasEras: Boolean = eraRecords.size > 1
+
+  /** The era a day-version dir committed at generation `v` was
+    * written under ([[TsStore.eraOfGen]] over this store's records). */
+  private[graft] def eraOfVersion(v: Long): Int =
+    TsStore.eraOfGen(eraRecords, v)
+
+  // the read-view schema of the LATEST era (empty-store reads must
+  // serve the evolved struct after a restart, not the constructor's)
+  private var liveReadSchema: Option[org.apache.spark.sql.types.StructType] =
+    eraRecords.lastOption.map(r => TsStore.withSystemCols(r.sdb)).orElse(schema)
+
   private def leaseFile =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__lease.json")
 
@@ -1106,10 +1156,15 @@ final class TsStore(
     if (snapshots) {
       // resolve the manifest ONCE; the returned frame reads immutable
       // version dirs (basePath recovers __day as a partition column,
-      // so day pruning fires exactly as in the flat layout)
+      // so day pruning fires exactly as in the flat layout). An
+      // evolved store's dirs span schema eras — each era group is
+      // read self-described and aligned to the LIVE era (see the
+      // `eraRecords` block above); a single-era store takes the
+      // plain-read path unchanged.
       val snap = loadSnapshot()
       if (snap.days.isEmpty) None
-      else Some(TsStore.readVersioned(spark, path, snap.days))
+      else Some(TsStore.readVersionedAligned(
+        spark, path, snap.days, eraRecords, currentEra))
     } else if (coldExists) Some(spark.read.parquet(path)) else None
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
@@ -1163,8 +1218,9 @@ final class TsStore(
       case (None, None) =>
         // created-but-never-written: the read view is an empty typed
         // DataFrame when the catalog schema is known (reference treats
-        // no-data reads as benign), else still an error.
-        schema match {
+        // no-data reads as benign), else still an error. An evolved
+        // store serves the LATEST era's struct.
+        liveReadSchema match {
           case Some(st) =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
@@ -1385,33 +1441,106 @@ final class TsStore(
       Write.pack(spark, path, Seq("__day"), targetFiles)
       onColdChange(TsStore.Compacted)
     } else cold.foreach { c =>
-      val tmp = path.stripSuffix("/") + "__packed"
-      packedLayout(tombFiltered(c).withColumn("__seq", lit(seq)),
-          targetFiles, zorderBy)
-        .write.mode("overwrite").partitionBy("__day").parquet(tmp)
-      // durable watermark BEFORE the swap: the rewrite stamped rows
-      // with the current sequence — a restart must never reload a
-      // lower one (see deleteWhere)
-      persistMeta()
-      // rename-aside swap: the live store is never deleted before its
-      // replacement is committed. A crash at ANY point here leaves a
-      // marker state [[recoverSwaps]] finishes or rolls back — the
-      // reference's safe-dir save (sisdb.h:184-189).
-      val f = fs
-      val p = new org.apache.hadoop.fs.Path(path)
-      val oldP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
-      f.delete(oldP, true)
-      if (!f.rename(p, oldP))
-        throw new java.io.IOException(s"could not stage swap of $p")
-      if (!f.rename(new org.apache.hadoop.fs.Path(tmp), p))
-        throw new java.io.IOException(s"could not commit packed store $p")
-      f.delete(oldP, true)
+      flatRewriteSwap(tombFiltered(c).withColumn("__seq", lit(seq)),
+        targetFiles, zorderBy)
       tombstones = Map.empty
       persistMeta()
       // materializing tombstones may have removed whole days → full
       // partition re-list for any mirrored catalogs
       onColdChange(TsStore.Rewritten)
     }
+  }
+
+  /** Whole-store rename-aside rewrite shared by the flat pack branch
+    * and the flat-mode schema migration ([[evolveSchema]]): write the
+    * replacement under `__packed`, then swap it in. The live store is
+    * never deleted before its replacement is committed; a crash at
+    * ANY point leaves a marker state [[recoverSwaps]] finishes or
+    * rolls back — the reference's safe-dir save (sisdb.h:184-189). */
+  private def flatRewriteSwap(rows: DataFrame, targetFiles: Int,
+      zorderBy: Option[(String, String)]): Unit = {
+    val tmp = path.stripSuffix("/") + "__packed"
+    packedLayout(rows, targetFiles, zorderBy)
+      .write.mode("overwrite").partitionBy("__day").parquet(tmp)
+    // durable watermark BEFORE the swap: a rewrite that stamped rows
+    // with the current sequence must never restart into a lower
+    // watermark (see deleteWhere)
+    persistMeta()
+    val f = fs
+    val p = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    f.delete(oldP, true)
+    if (!f.rename(p, oldP))
+      throw new java.io.IOException(s"could not stage swap of $p")
+    if (!f.rename(new org.apache.hadoop.fs.Path(tmp), p))
+      throw new java.io.IOException(s"could not commit packed store $p")
+    f.delete(oldP, true)
+  }
+
+  /** Evolve the table to a NEW schema version, preserving history —
+    * the store face of the reference's version-tolerant convert
+    * (sis_dynamic.h:12-51; the field-by-field bridge rule is
+    * [[graft.ops.Convert.align]]'s). `from` must be the schema the
+    * store currently writes (the latest recorded era, or the declared
+    * schema of a never-evolved store); the caller (the engine)
+    * guarantees the main index and solely fields are unchanged — the
+    * store's keys, day partitioning and upsert identity do not move.
+    *
+    * SNAPSHOT mode is lazy: the hot tail is flushed (committing a
+    * final old-era generation), then the new era is recorded with
+    * `fromGeneration = live generation + 1` — one tiny sidecar write,
+    * no data rewrite. Old-era day dirs stay on disk as written and
+    * every read aligns them on the fly; time travel to a pre-evolve
+    * generation serves the OLD schema exactly ([[TsStore
+    * .openSnapshotAt]] aligns to the era live at that generation).
+    *
+    * FLAT mode migrates eagerly: one aligned whole-store rewrite
+    * through the pack swap. Flat commits can't bind "these files
+    * changed era" to a metadata record atomically (data dirs and
+    * sidecars land in separate renames, and there is no manifest
+    * generation to derive an era from), so keeping flat stores
+    * single-era is the correct trade — the rewrite preserves each
+    * row's `__seq` (tombstones keep ranking exactly as before) and
+    * is crash-safe via [[recoverSwaps]]'s `__packed`/`__old`
+    * protocol. A crash between the migration swap and the era-record
+    * write is healed by re-running evolve before the next write
+    * (align is idempotent on already-aligned rows).
+    *
+    * The era-record write (tmp + atomic rename, first-writer-wins) is
+    * the commit point; [[latestEraSdb]] is how an owning engine
+    * re-derives the live declaration after any crash. */
+  def evolveSchema(from: graft.schema.SdbSchema.Sdb,
+      to: graft.schema.SdbSchema.Sdb): Unit = synchronized {
+    checkFence()
+    eraRecords.lastOption.foreach { last =>
+      require(last.sdb == from,
+        s"evolveSchema: 'from' does not match the store's latest " +
+          s"recorded era (${last.era}) — evolve from the live schema")
+    }
+    require(from != to, "evolveSchema: schemas are identical")
+    // flush first: hot rows were typed under the old schema and must
+    // land in old-era files (snapshot mode) or be part of the
+    // migration input (flat mode)
+    save()
+    if (!snapshots && coldExists) cold.foreach { c =>
+      // flat migration: align every row to the new schema, carrying
+      // the system columns (incl. each row's own __seq) unchanged
+      val system = c.columns.filter(cn =>
+        !from.fields.exists(_.name == cn) && !to.fields.exists(_.name == cn))
+      flatRewriteSwap(
+        graft.ops.Convert.alignKeeping(c, from, to, system.toSeq),
+        TsStore.MigrateTargetFiles, None)
+      onColdChange(TsStore.Rewritten)
+    }
+    val f = fs
+    if (eraRecords.isEmpty)
+      TsStore.writeEraRecord(f, path, TsStore.EraRecord(0, 0L, from))
+    val nextEra = eraRecords.lastOption.map(_.era).getOrElse(0) + 1
+    val fromGen = if (snapshots) loadSnapshot().v + 1 else 0L
+    TsStore.writeEraRecord(f, path,
+      TsStore.EraRecord(nextEra, fromGen, to))
+    eraRecords = TsStore.readEras(f, path)
+    liveReadSchema = Some(TsStore.withSystemCols(to))
   }
 
   /** Snapshot-mode pack: the full rewrite (compaction + tombstone
@@ -1564,6 +1693,114 @@ object TsStore {
         s"${path.stripSuffix("/")}/$d/__v=$v" }: _*)
       .drop("__v")
 
+  // ── schema-era records (see the instance-side `eraRecords` block):
+  // `<path>__schemas/e=N.json` = {era, fromGeneration, dsl}, one per
+  // schema version the store has ever written. Immutable once placed
+  // (first-writer-wins, tmp + atomic rename — the writeHistory
+  // protocol); the full set is tiny (one evolve each) and read once
+  // per open / per static time-travel call.
+
+  /** One recorded schema era: data committed at generations ≥
+    * `fromGeneration` (and < the next record's) was written under
+    * `sdb`. Era 0's record exists only once the store has evolved. */
+  private[graft] final case class EraRecord(era: Int, fromGeneration: Long,
+      sdb: graft.schema.SdbSchema.Sdb)
+
+  /** Per-day file-count dial for the flat-mode migration rewrite —
+    * the same default the engine's `pack` uses. */
+  private[store] val MigrateTargetFiles = 4
+
+  private val EraFile = "^e=(\\d+)\\.json$".r
+
+  private def schemasDir(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__schemas")
+
+  private[graft] def readEras(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[EraRecord] = {
+    val dir = schemasDir(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case EraFile(e) => e.toInt }.toSeq.sorted
+      .map { e =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readJsonBytes(f,
+            new org.apache.hadoop.fs.Path(dir, s"e=$e.json")))
+        EraRecord(e, node.path("fromGeneration").asLong(0L),
+          graft.schema.SdbSchema.parse(node.path("dsl").asText()))
+      }
+  }
+
+  private[graft] def writeEraRecord(f: org.apache.hadoop.fs.FileSystem,
+      path: String, rec: EraRecord): Unit = {
+    val dir = schemasDir(path)
+    f.mkdirs(dir)
+    val dest = new org.apache.hadoop.fs.Path(dir, s"e=${rec.era}.json")
+    if (f.exists(dest)) return // immutable: first writer wins
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("era", rec.era)
+    root.put("fromGeneration", rec.fromGeneration)
+    root.put("dsl", rec.sdb.toDsl)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"e=${rec.era}.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    if (!f.rename(tmp, dest)) f.delete(tmp, false) // lost the race: fine
+  }
+
+  /** The era a day-version dir `__v=v` was written under: the highest
+    * recorded era whose `fromGeneration` is ≤ v (version dirs are
+    * only ever created by the commit that advanced the manifest to
+    * that generation, and evolve flushes before recording the next
+    * era's boundary). 0 when the store never evolved. */
+  private[graft] def eraOfGen(eras: Seq[EraRecord], v: Long): Int =
+    eras.foldLeft(0)((acc, r) => if (r.fromGeneration <= v) r.era else acc)
+
+  /** A declared schema's read-view struct: the sdb fields plus the
+    * store's system columns in the engine's canonical order. */
+  private[graft] def withSystemCols(sdb: graft.schema.SdbSchema.Sdb)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sdb.structType.fields :+
+        org.apache.spark.sql.types.StructField("subject",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("__day",
+          org.apache.spark.sql.types.StringType))
+
+  /** [[readVersioned]] across schema eras: group the (day → version)
+    * map by each dir's writing era ([[eraOfGen]]), read every group
+    * self-described (uniform parquet schema within a group — no
+    * cross-type footer clash is possible), and align each non-target
+    * group to `targetEra`'s declared schema under the reference's
+    * never-cross-type rule ([[graft.ops.Convert.alignKeeping]] —
+    * system columns `subject`/`__day`/`__seq` carry unchanged).
+    * Column pruning and day pruning still fire per group (the align
+    * is a projection Catalyst pushes into each scan). Single-era
+    * stores (or calls without era records) take the plain
+    * [[readVersioned]] path byte-identically. */
+  private[store] def readVersionedAligned(spark: SparkSession, path: String,
+      days: Map[String, Long], eras: Seq[EraRecord], targetEra: Int)
+      : DataFrame = {
+    val groups = days.groupBy { case (_, v) => eraOfGen(eras, v) }
+    if (eras.size <= 1 || (groups.size == 1 && groups.contains(targetEra)))
+      return readVersioned(spark, path, days)
+    val byEra = eras.map(r => r.era -> r.sdb).toMap
+    val to = byEra.getOrElse(targetEra, throw new IllegalStateException(
+      s"$path: no schema record for era $targetEra — __schemas sidecar " +
+        "is incomplete"))
+    groups.toSeq.sortBy(_._1).map { case (e, groupDays) =>
+      val df = readVersioned(spark, path, groupDays)
+      if (e == targetEra) df
+      else {
+        val from = byEra.getOrElse(e, throw new IllegalStateException(
+          s"$path: no schema record for era $e — __schemas sidecar is " +
+            "incomplete"))
+        val system = df.columns.filter(cn =>
+          !from.fields.exists(_.name == cn) && !to.fields.exists(_.name == cn))
+        graft.ops.Convert.alignKeeping(df, from, to, system.toSeq)
+      }
+    }.reduce(_.unionByName(_))
+  }
+
   /** The delete tmp's commit-point manifest (see
     * [[TsStore.deleteWhere]] / swap recovery): which affected days the
     * tmp REPLACES and which the delete EMPTIED. */
@@ -1658,8 +1895,12 @@ object TsStore {
     // tombstones are a (subject, sequence) predicate and the manifest
     // does not record the subject column name — this raw variant
     // returns all physical rows; use the `subject` overload to apply
-    // live tombstones exactly as the owning store's reads do
-    Some(readVersioned(spark, path, snap.days))
+    // live tombstones exactly as the owning store's reads do. An
+    // evolved store's days are aligned to the LATEST era, exactly as
+    // the owning store's own cold reads.
+    val eras = readEras(f, path)
+    Some(readVersionedAligned(spark, path, snap.days, eras,
+      eras.lastOption.map(_.era).getOrElse(0)))
   }
 
   /** [[openSnapshot]] with the store's subject column, applying live
@@ -1719,7 +1960,13 @@ object TsStore {
     readHistRecord(f, path, v).flatMap { case (days, tombstones) =>
       if (days.isEmpty) None
       else {
-        val df = readVersioned(spark, path, days)
+        // time travel serves the schema that was LIVE at generation v
+        // — a later evolve must not rewrite what a pinned reader saw
+        // (the same no-history-rewrite contract as tombstones). Days
+        // written under even older eras align forward to v's era.
+        val eras = readEras(f, path)
+        val df = readVersionedAligned(spark, path, days, eras,
+          eraOfGen(eras, v))
         Some(tombstoneFilter(tombstones, subject)
           .fold(df)(dead => df.filter(!dead))
           .drop("__seq"))

@@ -845,6 +845,41 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { e.openSnapshotAllAt(cut) }
   }
 
+  test("listCuts audits age + pinned generations; cutMaxAgeMs flags forgotten cuts") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day")
+    val cut = e.snapshotAll(Seq("stk_day"))
+    val infos = e.listCuts()
+    assert(infos.map(_.id) == Seq(cut))
+    val info = infos.head
+    assert(info.at > 0L && info.ageMs >= 0L)
+    assert(info.tables == Map("stk_day" -> 1L),
+      "listCuts must surface exactly the pinned {table -> generation}")
+    // within the horizon: no warning; disabled dial (default): none
+    assert(e.vacuum("stk_day", cutMaxAgeMs = 3600000L).isEmpty)
+    assert(e.vacuum("stk_day").isEmpty)
+    // past the horizon the SAME vacuum flags it, naming the cut, its
+    // pins, and the release action — warnings only, nothing dropped
+    Thread.sleep(5)
+    val warns = e.vacuum("stk_day", cutMaxAgeMs = 1L)
+    assert(warns.size == 1 && warns.head.contains(s"cut $cut") &&
+      warns.head.contains("stk_day@1") &&
+      warns.head.contains("dropSnapshotCut"))
+    assert(e.openSnapshotAllAt(cut)("stk_day").nonEmpty,
+      "an age warning must never drop the cut itself")
+    // deterministic age math via the supplied clock
+    assert(e.staleCutWarnings(1000L, now = info.at + 5000L).size == 1)
+    assert(e.staleCutWarnings(10000L, now = info.at + 5000L).isEmpty)
+    // dropping releases: audit empties, warnings stop
+    e.dropSnapshotCut(cut)
+    assert(e.listCuts().isEmpty)
+    assert(e.vacuum("stk_day", cutMaxAgeMs = 1L).isEmpty)
+  }
+
   test("snapshotAll after a tombstone-only drop mints a generation: the cut never resurrects the dropped subject") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)

@@ -1,0 +1,219 @@
+package graft
+
+import graft.schema.SdbSchema
+import graft.store.TsStore
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema evolution wired into the store — the reference's
+  * version-tolerant convert (sis_dynamic.h:12-51) as a first-class
+  * engine operation. The contract under test:
+  *
+  *  - live reads after `evolve` serve the union of all eras aligned
+  *    to the NEW schema, with the reference's never-cross-type rule
+  *    (sis_dynamic.h:110-117): same style carries (widening is a
+  *    cast), different style → 0/"" — never a best-effort coercion;
+  *  - time travel to a pre-evolve generation serves the OLD schema
+  *    exactly as committed (no history rewrite);
+  *  - the evolved declaration survives an engine restart (rehydrated
+  *    from the catalog sidecar) AND a crash between the store-side
+  *    commit and the catalog persist (healed from the store's own
+  *    era records);
+  *  - identity invariants (main index, solely set) are refused;
+  *  - flat mode migrates once through the crash-safe pack swap,
+  *    preserving tombstone ranking.
+  */
+class EvolveSpec extends SparkSpec {
+
+  private val V0 =
+    "{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],qty:[I,4]," +
+      "flag:[I,4],extra:[I,4]}}}"
+  // qty widened I4→I8 (same style: cast), flag crossed I→C (→ ""),
+  // score added (→ 0.0 on old rows), extra dropped
+  private val V1 =
+    "{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],qty:[I,8]," +
+      "flag:[C,8],score:[F,8]}}}"
+
+  private def jrow(t: String, etype: String, value: Double, rest: String) =
+    s"""{"t":"$t","etype":"$etype","value":$value,$rest}"""
+
+  private def seedOldRows(eng: graft.api.Engine): Unit = {
+    eng.set("u1.ev", jrow("2024-01-08T10:00:00Z", "view", 1.5,
+      """"qty":7,"flag":3,"extra":9"""))
+    eng.set("u1.ev", jrow("2024-01-09T10:00:00Z", "buy", 2.5,
+      """"qty":8,"flag":4,"extra":9"""))
+    eng.set("u2.ev", jrow("2024-01-08T11:00:00Z", "view", 3.5,
+      """"qty":9,"flag":5,"extra":9"""))
+  }
+
+  private def seedNewRows(eng: graft.api.Engine): Unit = {
+    eng.set("u1.ev", jrow("2024-02-01T10:00:00Z", "view", 10.0,
+      """"qty":100,"flag":"fA","score":0.9"""))
+    eng.set("u3.ev", jrow("2024-02-02T10:00:00Z", "sell", 20.0,
+      """"qty":200,"flag":"fB","score":0.8"""))
+  }
+
+  private def fieldTypes(df: org.apache.spark.sql.DataFrame) =
+    df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  test("snapshot mode: evolve aligns live reads, time travel serves the old schema") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/e"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    val genOld = eng.snapshotVersions("ev").last
+    eng.evolve(V1)
+    seedNewRows(eng)
+    eng.save("ev")
+
+    // live read: new schema, all eras
+    val live = eng.get("*.ev", "{}")
+    val ft = fieldTypes(live)
+    assert(ft("qty") == LongType, "qty must widen I4→I8")
+    assert(ft("flag") == StringType, "flag must be the new C style")
+    assert(ft("score") == DoubleType)
+    assert(!ft.contains("extra"), "dropped source-only field must vanish")
+    val rows = live.select("subject", "etype", "qty", "flag", "score")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSet
+    // old-era rows: qty carried via cast, flag zeroed to "" (cross
+    // type, never coerced to "3"), score zeroed to 0.0
+    assert(rows.contains(("u1", "view", 7L, "", 0.0)))
+    assert(rows.contains(("u1", "buy", 8L, "", 0.0)))
+    assert(rows.contains(("u2", "view", 9L, "", 0.0)))
+    // new-era rows intact
+    assert(rows.contains(("u1", "view", 100L, "fA", 0.9)))
+    assert(rows.contains(("u3", "sell", 200L, "fB", 0.8)))
+    assert(rows.size == 5)
+
+    // time travel to the pre-evolve generation: OLD schema, old values
+    val at = eng.openSnapshotAt("ev", genOld).get
+    val ftOld = fieldTypes(at)
+    assert(ftOld("qty") == IntegerType, "gen-1 must serve the old I4 qty")
+    assert(ftOld("flag") == IntegerType, "gen-1 must serve the old I4 flag")
+    assert(ftOld.contains("extra") && !ftOld.contains("score"))
+    val oldRows = at.select("subject", "qty", "flag", "extra")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSet
+    assert(oldRows == Set(("u1", 7, 3, 9), ("u1", 8, 4, 9), ("u2", 9, 5, 9)))
+  }
+
+  test("evolved declaration survives restart and heals a torn catalog") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/r"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    eng.evolve(V1)
+    // plain restart: catalog sidecar carries the evolved DSL
+    val eng2 = new graft.api.Engine(spark, root, snapshots = true)
+    assert(eng2.catalog.get("ev").map(_.toDsl) ==
+      Some(SdbSchema.parse(V1).toDsl))
+    seedNewRows(eng2)
+    eng2.save("ev")
+    assert(eng2.get("*.ev", "{}").count() == 5)
+
+    // torn catalog: simulate a crash between the store-side evolve
+    // commit (the era record) and persistEngineCatalog by rewriting
+    // the engine sidecar back to the OLD declaration
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val catFile = new org.apache.hadoop.fs.Path(s"$root/__catalog.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(TsStore.readJsonBytes(f, catFile))
+    node.path("tables").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("ev", SdbSchema.parse(V0, "ev").toDsl)
+    val out = f.create(catFile, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    val eng3 = new graft.api.Engine(spark, root, snapshots = true)
+    assert(eng3.catalog.get("ev").map(_.toDsl) ==
+      Some(SdbSchema.parse(V0).toDsl), "precondition: sidecar is stale")
+    // a write heals the catalog from the store's era records BEFORE
+    // typing the rows — it lands under the live (evolved) schema
+    eng3.set("u4.ev", jrow("2024-02-03T10:00:00Z", "view", 30.0,
+      """"qty":300,"flag":"fC","score":0.7"""))
+    assert(eng3.catalog.get("ev").map(_.toDsl) ==
+      Some(SdbSchema.parse(V1).toDsl), "store-side era record must win")
+    eng3.save("ev")
+    val healed = eng3.get("u4.ev", "{}")
+      .select("qty", "flag", "score").collect()
+    assert(healed.length == 1 && healed(0).getLong(0) == 300L &&
+      healed(0).getString(1) == "fC" && healed(0).getDouble(2) == 0.7)
+  }
+
+  test("identity invariants and SQL exposure are refused; unexpose+pack unblocks") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/g"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    // main index change refused
+    val reKey = intercept[IllegalArgumentException](eng.evolve(
+      "{ev:{fields:{t2:[T,8],etype:[C,16],value:[F,8]}}}"))
+    assert(reKey.getMessage.contains("main index"))
+    // unknown table refused
+    assert(intercept[IllegalArgumentException](eng.evolve(
+      "{nope:{fields:{t:[T,8],v:[F,8]}}}")).getMessage.contains("unknown"))
+    // exposed table refused until unexposed
+    eng.exposeSql("ev", "evdb")
+    val exposed = intercept[IllegalArgumentException](eng.evolve(V1))
+    assert(exposed.getMessage.contains("exposed"))
+    eng.unexposeSql("ev")
+    assert(!spark.catalog.tableExists("evdb.ev"))
+    eng.evolve(V1)
+    // re-exposing with old-era dirs still on disk is refused with the
+    // pack remedy; pack rewrites them into the live era and unblocks
+    val mixed = intercept[IllegalArgumentException](
+      eng.exposeSql("ev", "evdb"))
+    assert(mixed.getMessage.contains("pack"))
+    eng.pack("ev")
+    val qn = eng.exposeSql("ev", "evdb")
+    val viaSql = spark.sql(
+      s"SELECT subject, qty, flag, score FROM $qn ORDER BY subject, qty")
+    assert(fieldTypes(viaSql)("qty") == LongType)
+    val got = viaSql.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("u1", 7L, "", 0.0), ("u1", 8L, "", 0.0),
+      ("u2", 9L, "", 0.0)))
+    eng.unexposeSql("ev")
+  }
+
+  test("flat mode: evolve migrates once, preserves tombstone ranking") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/f"
+    val eng = new graft.api.Engine(spark, root) // flat
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    eng.drop("u2.ev") // tombstone BEFORE the migration
+    eng.evolve(V1)
+    seedNewRows(eng)
+    eng.save("ev")
+    val live = eng.get("*.ev", "{}")
+    assert(fieldTypes(live)("qty") == LongType)
+    val subjects = live.select("subject").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(subjects == Set("u1", "u3"),
+      "the pre-evolve tombstone must keep ranking after the migration")
+    assert(live.count() == 4)
+    // the migration rewrote the store to a single (new) era: every
+    // data file self-describes the new layout
+    val raw = spark.read.parquet(s"$root/ev")
+    assert(fieldTypes(raw)("qty") == LongType &&
+      fieldTypes(raw)("flag") == StringType)
+  }
+
+  test("empty evolved store serves the new struct; evolve is idempotent") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/m"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    eng.evolve(V1)
+    eng.evolve(V1) // no-op, not an error
+    val empty = eng.get("*.ev", "{}")
+    assert(empty.count() == 0)
+    assert(fieldTypes(empty)("flag") == StringType &&
+      fieldTypes(empty)("score") == DoubleType)
+  }
+}

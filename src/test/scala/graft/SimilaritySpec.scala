@@ -177,6 +177,73 @@ class SimilaritySpec extends SparkSpec {
       math.abs(st.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("retrain cutover: stamps swap atomically, post-cutover recall >= pre-drift recall") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_cut")
+      .toString + "/ix"
+    // base corpus: clusters 0-9; the drifted batch moves clusters
+    // 10-19 into a genuinely new region (+4 per coordinate clears
+    // every cluster radius), so stamp-a centroids never saw it
+    val base = emb.filter(col("vec_id") < 60)
+    val drift = emb.filter(col("vec_id") >= 60).withColumn("embedding",
+      transform(col("embedding"), x => x + lit(4.0d)))
+    def recallOf(idx: org.apache.spark.sql.DataFrame,
+        cents: Array[Array[Double]],
+        corpus: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.probeIvfIndex(idx, queries,
+          "vec_id", "embedding", 5, cents)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    // before the first cutover nothing serves; flipping to an unbuilt
+    // stamp is refused (no sidecar = torn or absent tree)
+    intercept[IllegalStateException](Similarity.openCurrentIvf(spark, root))
+    intercept[IllegalArgumentException](
+      Similarity.ivfCutover(spark, root, "a"))
+    Similarity.ivfRebuildStamp(base, root, "a", "vec_id", "embedding",
+      nlist = 10)
+    Similarity.ivfCutover(spark, root, "a")
+    val (sA, idxA, centsA) = Similarity.openCurrentIvf(spark, root)
+    assert(sA == "a")
+    val qBase = base.filter(col("vec_id") % 6 === 0)
+    val rPreDrift = recallOf(idxA, centsA, base, qBase)
+    // drift lands via the O(batch) append path into the serving stamp
+    Similarity.ivfAppendBatch(drift, Similarity.ivfStampPath(root, "a"),
+      1L, "vec_id", "embedding")
+    val union = base.unionByName(drift)
+    val qAll = union.filter(col("vec_id") % 6 === 0)
+    // rebuild the retrained index aside; the marker must not move and
+    // rebuild-onto-serving / drop-serving are refused
+    intercept[IllegalArgumentException](Similarity.ivfRebuildStamp(
+      union, root, "a", "vec_id", "embedding"))
+    intercept[IllegalArgumentException](
+      Similarity.dropIvfStamp(spark, root, "a"))
+    Similarity.ivfRebuildStamp(union, root, "b", "vec_id", "embedding",
+      nlist = 20)
+    assert(Similarity.currentIvfStamp(spark, root).contains("a"),
+      "a rebuild must not move the cutover marker")
+    Similarity.ivfCutover(spark, root, "b")
+    val (sB, idxB, centsB) = Similarity.openCurrentIvf(spark, root)
+    assert(sB == "b")
+    // the retrained index serves the drifted union at least as well
+    // as the old index served the world before the drift
+    val rPost = recallOf(idxB, centsB, union, qAll)
+    assert(rPost >= rPreDrift,
+      s"post-cutover recall $rPost < pre-drift recall $rPreDrift")
+    // a probe session resolves ONE stamp: every file it reads is b's
+    val files = idxB.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("stamp=b")))
+    // the retired stamp reclaims; the serving one still refuses
+    Similarity.dropIvfStamp(spark, root, "a")
+    assert(!new java.io.File(Similarity.ivfStampPath(root, "a")).exists())
+    intercept[IllegalArgumentException](
+      Similarity.dropIvfStamp(spark, root, "b"))
+  }
+
   test("quantized top-k with exact rerank recovers brute-force top-k") {
     val queries = emb.filter(col("vec_id") % 6 === 0)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

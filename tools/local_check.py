@@ -78,6 +78,23 @@ def main(sf_dir, out_dir):
             bad += 1
         print(f"{flag} {n:<{width}}  {r}")
     print(f"\n{len(results)} queries, {bad} failing")
+    # engineless manifest consumer: if e16 ran, its exported cut
+    # manifest must reproduce the cut with plain pyarrow (no JVM) —
+    # the portability claim behind Engine.exportCutManifest
+    if "e16_cut_manifest" in results and results["e16_cut_manifest"] == "OK":
+        import re, subprocess, os
+        san = re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+        mans = sorted(glob.glob(f"/tmp/graft_cutman/{san}/cut_*.json"))
+        if mans:
+            rc = subprocess.call(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "read_cut_manifest.py"),
+                 mans[-1], "--expect", f"{out_dir}/e16_cut_manifest"],
+                stdout=subprocess.DEVNULL)
+            print("pyarrow manifest reader:", "OK" if rc == 0 else "FAILED")
+            if rc != 0:
+                bad += 1
     return 1 if bad else 0
 
 if __name__ == "__main__":
