@@ -2548,15 +2548,33 @@ object SparkEntry {
   private def qAutoVacuum(s: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_autovac/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // phase-stamped trace: the e-family dominates the bench tail and
+    // is engine-plumbing-bounded by construction — these stderr lines
+    // ride every Verify/Bench run so a regression names its PHASE
+    // (payload prep vs per-generation ingest+commit[+auto-vacuum] vs
+    // audit) instead of re-adjudicating the total. The committed
+    // reference trace is in PLANS.md ("e14 phase trace").
+    val tq0 = System.nanoTime
+    var tqLast = tq0
+    def phase(name: String): Unit = {
+      val now = System.nanoTime
+      System.err.println(f"[e14] phase $name: ${(now - tqLast) / 1e9}%.2fs" +
+        f" (total ${(now - tq0) / 1e9}%.2fs)")
+      tqLast = now
+    }
     val eng = new graft.api.Engine(s, root, snapshots = true)
     eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
     eng.autoVacuum(everyGenerations = 2, keepSuperseded = 0,
       removedDayGraceMs = 0L, supersededGraceMs = 0L)
+    phase("open+create")
     val ev = t(s, dir, "events").filter(col("user_id") < 6)
     val payloads = clientEventPayloads(ev)
-    (1 to 4).foreach { _ =>
+    phase("payload-prep")
+    (1 to 4).foreach { g =>
       payloads.foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
       eng.save("ev") // every day advances a generation each save
+      phase(s"ingest+commit gen $g" +
+        (if (g % 2 == 0) " (+auto-vacuum)" else ""))
     }
     // boundedness, the claim itself: 4 generations committed, yet each
     // day dir holds exactly its ONE live version
@@ -2571,6 +2589,8 @@ object SparkEntry {
       require(vs == 1,
         s"auto-vacuum did not bound versions: ${d.getPath.getName} holds $vs")
     }
+    phase("boundedness-audit") // the returned read+agg runs lazily at
+    // the harness's collect — its cost is the bench total minus these
     eng.get("*.ev", "{}")
       .groupBy("subject")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))

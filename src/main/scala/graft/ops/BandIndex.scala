@@ -112,7 +112,16 @@ object BandIndex {
   private[graft] final case class FileEntry(file: String, mn: Long,
       mx: Long, run: Long)
 
-  private def entriesNode(key: String, entries: Seq[FileEntry])
+  /** A merged-away original kept on disk through a reader-grace
+    * window (see [[compactTiered]]'s `retireGraceMs`): `file` stays
+    * readable at its original path until `at + grace` passes, then
+    * the next compact reaps it. Retired files are excluded from
+    * every tail discovery — they are neither probed nor re-merged
+    * (their rows already live in the spliced run). */
+  private[graft] final case class RetiredEntry(file: String, at: Long)
+
+  private def entriesNode(key: String, entries: Seq[FileEntry],
+      retired: Seq[RetiredEntry] = Nil)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
@@ -125,12 +134,30 @@ object BandIndex {
       e.put("max", fe.mx)
       e.put("run", fe.run)
     }
+    if (retired.nonEmpty) {
+      val ret = node.putArray("retired")
+      retired.foreach { re =>
+        val e = ret.addObject()
+        e.put("file", re.file)
+        e.put("at", re.at)
+      }
+    }
     node
   }
 
-  private def entriesJson(key: String, entries: Seq[FileEntry]): Array[Byte] =
+  private def entriesJson(key: String, entries: Seq[FileEntry],
+      retired: Seq[RetiredEntry] = Nil): Array[Byte] =
     new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsBytes(entriesNode(key, entries))
+      .writeValueAsBytes(entriesNode(key, entries, retired))
+
+  private def parseRetired(node: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[RetiredEntry] = {
+    val ret = node.path("retired")
+    (0 until ret.size()).map { i =>
+      val e = ret.get(i)
+      RetiredEntry(e.path("file").asText(), e.path("at").asLong(0L))
+    }
+  }
 
   private def parseEntries(bytes: Array[Byte], key: String)
       : Seq[FileEntry] =
@@ -160,17 +187,34 @@ object BandIndex {
     } finally in.close()
   }
 
-  /** Atomically commit `entries` as the manifest (tmp + rename). */
+  /** Atomically commit `entries` (+ the retired list) as the
+    * manifest (tmp + rename). */
   private[graft] def commitManifest(ss: SparkSession, root: String,
-      key: String, entries: Seq[FileEntry]): Unit = {
+      key: String, entries: Seq[FileEntry],
+      retired: Seq[RetiredEntry] = Nil): Unit = {
     val f = fs(ss)
     val tmp = new org.apache.hadoop.fs.Path(root, ManifestFile + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(entriesJson(key, entries)) finally out.close()
+    try out.write(entriesJson(key, entries, retired)) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(root, ManifestFile)
     f.delete(dest, false)
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  /** The manifest's retired list; empty when absent/unreadable.
+    * Parsed key-independently: a retired file is index garbage held
+    * for readers regardless of which key column the live entries
+    * describe. */
+  private[graft] def readRetired(ss: SparkSession, root: String)
+      : Seq[RetiredEntry] = {
+    val f = fs(ss)
+    val p = new org.apache.hadoop.fs.Path(root, ManifestFile)
+    if (!f.exists(p)) return Nil
+    try parseRetired(
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readFully(f, p)))
+    catch { case _: java.io.IOException => Nil }
   }
 
   /** Per-file (min, max) of the `key` column for exactly `paths` —
@@ -241,7 +285,10 @@ object BandIndex {
       recover(ss, root) // a compact may have died mid-swap
     val sorted = keys.sorted
     val manifest = readManifest(ss, root, key)
-    val all = dataFiles(ss, root)
+    // retired originals (grace-held for pinned readers) are neither
+    // base nor tail — their rows already live in the spliced run
+    val retired = readRetired(ss, root).map(_.file).toSet
+    val all = dataFiles(ss, root).filterNot(s => retired(s.getPath.getName))
     val (base, tail) = all.partition(s => manifest.contains(s.getPath.getName))
     val selected = base.filter { s =>
       val (mn, mx) = manifest(s.getPath.getName)
@@ -368,12 +415,18 @@ object BandIndex {
     * `minTailFiles`. Returns the merge's cost evidence, None if it
     * no-opped. */
   def compactTiered(ss: SparkSession, root: String, key: String = "bucket",
-      targetRowsPerFile: Long = 1L << 22, minTailFiles: Int = 8)
+      targetRowsPerFile: Long = 1L << 22, minTailFiles: Int = 8,
+      retireGraceMs: Long = 0L)
       : Option[CompactStats] = {
     recover(ss, root)
     val entries = readEntries(ss, root, key)
     val byName = entries.map(e => e.file -> e).toMap
-    val all = dataFiles(ss, root)
+    // grace-held originals from PRIOR compacts are invisible to this
+    // one (their rows live in a spliced run — re-merging them would
+    // double data); those past their grace are reaped by this plan
+    val prevRetired = readRetired(ss, root)
+    val retiredNames = prevRetired.map(_.file).toSet
+    val all = dataFiles(ss, root).filterNot(s => retiredNames(s.getPath.getName))
     val lens = all.map(s => s.getPath.getName -> s.getLen).toMap
     val tail = all.filter(s => !byName.contains(s.getPath.getName))
     if (tail.length < minTailFiles) return None
@@ -428,11 +481,27 @@ object BandIndex {
       FileEntry(renames(file), mn, mx, newRun)
     }
     val spliced = entries.filterNot(e => mergeRuns(e.run)) ++ newEntries
+    // retireGraceMs > 0 closes the documented cross-process window
+    // (a reader that loaded the pre-merge manifest just before the
+    // swap): merged-away originals are RETIRED — kept on disk at
+    // their paths, listed (with this plan's stamp) in the committed
+    // manifest so no probe or later merge touches them — and only a
+    // compact running after the grace has passed deletes them. The
+    // TsStore vacuum pattern: set the grace ≥ the longest reader
+    // runtime. 0 (default) deletes inline — correct under the
+    // in-process single-writer contract, zero held garbage.
+    val now = System.currentTimeMillis()
+    val (reapable, heldRetired) =
+      prevRetired.partition(_.at + retireGraceMs <= now)
+    val (deleteNow, newlyRetired) =
+      if (retireGraceMs <= 0L) (mergeNames.toSeq.sorted, Nil)
+      else (Nil, mergeNames.toSeq.sorted.map(RetiredEntry(_, now)))
     // only parts with stats are placed — a 0-row part would otherwise
     // land unmanifested and ride every future merge as phantom tail
     writePlan(ss, tmpDir, key,
       renames.toSeq.filter(r => ranges.contains(r._1)),
-      mergeNames.toSeq.sorted, spliced)
+      deleteNow ++ reapable.map(_.file).sorted, spliced,
+      heldRetired ++ newlyRetired)
     applyPlan(ss, root, tmpDir)
     Some(CompactStats(mergePaths.length, mergedBytes,
       all.map(_.getLen).sum, runBytes.size, spliced.map(_.run).distinct.size))
@@ -445,7 +514,8 @@ object BandIndex {
 
   private[graft] def writePlan(ss: SparkSession, tmpDir: String, key: String,
       adds: Seq[(String, String)], deletes: Seq[String],
-      manifest: Seq[FileEntry]): Unit = {
+      manifest: Seq[FileEntry],
+      retired: Seq[RetiredEntry] = Nil): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.createObjectNode()
     node.put("key", key)
@@ -455,8 +525,10 @@ object BandIndex {
     }
     val delArr = node.putArray("deletes")
     deletes.foreach(delArr.add)
+    // the retired list rides inside the manifest node: one commit
+    // carries both what is live and what is grace-held
     node.set[com.fasterxml.jackson.databind.JsonNode]("manifest",
-      entriesNode(key, manifest))
+      entriesNode(key, manifest, retired))
     val f = fs(ss)
     val tmp = new org.apache.hadoop.fs.Path(tmpDir, PlanFile + ".tmp")
     val out = f.create(tmp, true)
@@ -492,15 +564,18 @@ object BandIndex {
     // deleting first would leave the still-live OLD manifest naming
     // files that no longer exist — a pruned probe would select them
     // and die on FileNotFound instead of just deduplicating.
-    // CROSS-PROCESS caveat: a reader that loaded the PRE-merge
-    // manifest just before this swap can still hold the merged-away
-    // originals in its pruned file set and hit FileNotFound when the
-    // deletes below land. In-process callers are serialized by the
-    // single-writer contract, so the window is unreachable today; if
-    // cross-process readers are ever supported, defer the original-
-    // file deletes by a grace period (the TsStore vacuum pattern)
-    // instead of deleting inline here.
-    commitManifest(ss, root, key, parseEntries(node.path("manifest"), key))
+    // CROSS-PROCESS window, and its remedy: a reader that loaded the
+    // PRE-merge manifest just before this swap can still hold the
+    // merged-away originals in its pruned file set — with
+    // `retireGraceMs = 0` (the in-process default, where the
+    // single-writer contract makes the window unreachable) the
+    // deletes below would break it; a multi-reader deployment sets
+    // the grace dial and this plan's "deletes" then contains only
+    // PRIOR retirees whose grace has passed, while this merge's own
+    // originals ride the manifest's retired list, still readable at
+    // their paths until a post-grace compact reaps them.
+    commitManifest(ss, root, key, parseEntries(node.path("manifest"), key),
+      parseRetired(node.path("manifest")))
     val dels = node.path("deletes")
     (0 until dels.size()).foreach { i =>
       f.delete(new org.apache.hadoop.fs.Path(root, dels.get(i).asText()),

@@ -167,6 +167,65 @@ class BandIndexSpec extends SparkSpec {
       full.orderBy("new_id", "index_id").collect().toSeq)
   }
 
+  test("retireGraceMs: a reader pinned on pre-merge files survives the compact; expired retirees reap") {
+    val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
+    BandIndex.write(Dedup.bandBuckets(sigs(corpus), "doc_id", 16, 32,
+      as = "index_id"), root, "bucket", targetRowsPerFile = 64)
+    // the cross-process reader: it resolved the PRE-merge manifest
+    // and holds concrete file paths
+    val preFiles = hfs.listStatus(hp(root))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).toSeq
+    val pinnedCount = spark.read.parquet(preFiles: _*).count()
+    def appendBatch(id: Long): Unit =
+      Dedup.bandBuckets(sigs(Seq((id, (1 to 40).map(j => s"g${id}_$j")
+          .mkString(" "))).toDF("doc_id", "text")),
+        "doc_id", 16, 32, as = "index_id")
+        .write.mode("append").parquet(root)
+    appendBatch(900L)
+    val inc = sigs(incoming)
+    val before = BandIndex.probe(root, inc, "doc_id", 16, 32)._1
+      .orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(BandIndex.compactTiered(spark, root, "bucket",
+      targetRowsPerFile = 64, minTailFiles = 1,
+      retireGraceMs = 3600000L).isDefined)
+    // the merge retired (not deleted) its originals: the pinned
+    // reader re-reads its exact paths, zero FileNotFound
+    assert(spark.read.parquet(preFiles: _*).count() == pinnedCount,
+      "grace-held originals must stay readable at their paths")
+    val retired = BandIndex.readRetired(spark, root)
+    assert(retired.nonEmpty && retired.forall(_.at > 0L))
+    // new probes are blind to the retirees: no duplicate candidates,
+    // results identical, nothing counted as tail
+    val (after, st) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    assert(st.tailFiles == 0, s"retired files surfaced as tail: $st")
+    assert(after.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == before,
+      "grace-held compaction changed probe results")
+    // a further compact INSIDE the grace keeps holding them (and must
+    // not re-merge them — the index would silently double)
+    appendBatch(901L)
+    assert(BandIndex.compactTiered(spark, root, "bucket",
+      targetRowsPerFile = 64, minTailFiles = 1,
+      retireGraceMs = 3600000L).isDefined)
+    assert(retired.map(_.file).forall(n => hfs.exists(hp(s"$root/$n"))),
+      "a within-grace compact deleted held retirees")
+    // once the grace has passed (grace 0 here: every stamp is due),
+    // the next compact's plan reaps them and empties the list
+    appendBatch(902L)
+    assert(BandIndex.compactTiered(spark, root, "bucket",
+      targetRowsPerFile = 64, minTailFiles = 1).isDefined)
+    assert(BandIndex.readRetired(spark, root).isEmpty,
+      "post-grace compact must clear the retired list")
+    assert(retired.map(_.file).forall(n => !hfs.exists(hp(s"$root/$n"))),
+      "post-grace compact left reaped files on disk")
+    val (fin, st2) = BandIndex.probe(root, inc, "doc_id", 16, 32)
+    assert(st2.tailFiles == 0)
+    assert(fin.orderBy("new_id", "index_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == before)
+  }
+
   test("planned merge crash mid-commit: recover rolls forward, no loss, no duplicates") {
     def crashCase(applyOneRename: Boolean): Unit = {
       val root = Files.createTempDirectory("graft_bandidx").toString + "/idx"
