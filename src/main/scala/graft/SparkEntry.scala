@@ -1062,6 +1062,38 @@ object SparkEntry {
         length(col("text")).as("n_chars_total"))
       .orderBy("doc_id")
 
+  /** SP1 — SEQUENCE PACKING ([[graft.ops.SeqPack.pack]]): the
+    * concat-and-chunk sample packing between curation and training —
+    * documents concatenated in doc_id order, the token stream cut
+    * every 512 tokens, each document's spans mapped to (sequence,
+    * offset). Token counts are tx3's BPE-ish pre-tokenizer, so the
+    * whole placement is integer arithmetic over one prefix sum and
+    * reproduces bit-for-bit in SQL. Scale shape: the prefix sum is
+    * the range-partition + per-partition-offsets pattern (no stage
+    * sees more than one partition's rows); output is O(tokens/budget
+    * + docs) rows. REQUIREd in-query: every sequence except the last
+    * fills to EXACTLY the budget, and the spans conserve every input
+    * token (no loss, no duplication). */
+  private def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCountBpeish(col("text")).cast("long").as("tokens"))
+    val packed = SeqPack.pack(docs, "tokens", 512L, Seq(col("doc_id")))
+      .localCheckpoint() // consumed 3x below (2 REQUIRE aggs + return)
+    val fills = SeqPack.fillStats(packed).collect()
+    require(fills.nonEmpty, "sequence packing emitted nothing")
+    val lastSeq = fills.map(_.getLong(0)).max
+    require(fills.filter(_.getLong(0) != lastSeq).forall(_.getLong(2) == 512L),
+      "a non-final training sequence is not filled to the exact budget")
+    val totTok = docs.filter(col("tokens") > 0)
+      .agg(sum("tokens")).head.getLong(0)
+    val totLen = packed.agg(sum("len")).head.getLong(0)
+    require(totTok == totLen,
+      s"packing lost or duplicated tokens: corpus $totTok vs spans $totLen")
+    packed.select("doc_id", "seq", "off", "doc_off", "len")
+      .orderBy("doc_id", "seq")
+  }
+
   /** Language ID (function-word evidence argmax) — oracle-checked
     * (the tokenizer, 9-digit ratio rounding, and (score, lang) argmax
     * all reproduce in SQL); accuracy additionally asserted in ScalaTest
@@ -3625,6 +3657,7 @@ object SparkEntry {
     "tx7_unigram_nll" -> qUnigramNll _,
     "tok1_bpe_pairs" -> qBpePairs _,
     "tx3_token_count" -> qTokenCount _,
+    "sp1_sequence_pack" -> qSequencePack _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _,
@@ -4690,6 +4723,31 @@ object SparkEntry {
                / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) * 5.0, 1.0) * 0.2
            ) * 1e6 + 0.5) / 1e6 AS quality
          FROM documents ORDER BY doc_id""",
+    // sp1: the same BPE-ish token counts, one ordered prefix sum, and
+    // pure integer chunk arithmetic — the whole placement map
+    // reproduces relationally. `//` truncates toward zero in DuckDB
+    // but every operand here is non-negative, so it IS floor.
+    "sp1_sequence_pack" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS tokens
+           FROM documents),
+         pos AS (
+           SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+           FROM tok WHERE tokens > 0),
+         ch AS (
+           SELECT doc_id, tokens, strt,
+             unnest(generate_series(strt // 512,
+               (strt + tokens - 1) // 512))::BIGINT AS seq
+           FROM pos)
+         SELECT doc_id, seq,
+           (greatest(strt, seq * 512) - seq * 512)::BIGINT AS off,
+           (greatest(strt, seq * 512) - strt)::BIGINT AS doc_off,
+           (least(strt + tokens, (seq + 1) * 512)
+             - greatest(strt, seq * 512))::BIGINT AS len
+         FROM ch ORDER BY doc_id, seq""",
     "tx3_token_count" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok_ws,
