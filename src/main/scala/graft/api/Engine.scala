@@ -845,6 +845,21 @@ final class Engine(val spark: SparkSession, rootPath: String,
             s"cut $cut references generation $v of '$t' whose record " +
               "was vacuumed — drop the cut instead of exporting a " +
               "different corpus"))
+        // the manifest contract hands an engineless reader RAW files;
+        // it has no align rule, so every pinned dir must self-describe
+        // ONE schema. Cross-era pins stay readable via the aligned
+        // openSnapshotAllAt; exportable cuts of an evolved table are
+        // those taken after a pack (which rewrites every day into the
+        // live era).
+        val eras = graft.store.TsStore.readEras(f, tablePath)
+        if (eras.size > 1) {
+          val spanned = days.values
+            .map(dv => graft.store.TsStore.eraOfGen(eras, dv)).toSet
+          require(spanned.size <= 1,
+            s"cut $cut pins day dirs of '$t' from ${spanned.size} schema " +
+              "eras — a raw-file manifest cannot align eras; read the cut " +
+              "via openSnapshotAllAt, or pack + re-cut to export")
+        }
         tombs.toSeq.sortBy(_._1).foreach { case (s, g) => tb.put(s, g) }
         days.toSeq.sortBy(_._1).foreach { case (day, ver) =>
           val dir = new org.apache.hadoop.fs.Path(

@@ -205,6 +205,77 @@ class EvolveSpec extends SparkSpec {
       fieldTypes(raw)("flag") == StringType)
   }
 
+  test("three eras: groups align DIRECTLY to the target era, not through intermediates") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/c"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    // qty: I in v0 -> C in vMid -> I back in vEnd. The reference's
+    // converter bridges a stored record's schema and the LIVE schema
+    // pairwise (sis_dynamic.h:12-51 — no chaining through versions a
+    // reader never saw), so era-0 qty must CARRY into vEnd (I->I),
+    // not zero through the I->C->I chain.
+    val vMid =
+      "{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],qty:[C,8]," +
+        "flag:[I,4],extra:[I,4]}}}"
+    val vEnd =
+      "{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],qty:[I,4]," +
+        "flag:[I,4],extra:[I,4]}}}"
+    eng.create(V0)
+    seedOldRows(eng) // era 0: int qty 7/8/9
+    eng.save("ev")
+    val gen0 = eng.snapshotVersions("ev").last
+    eng.evolve(vMid)
+    eng.set("u4.ev", jrow("2024-03-01T10:00:00Z", "view", 5.0,
+      """"qty":"q-mid","flag":6,"extra":9""")) // era 1: string qty
+    eng.save("ev")
+    val gen1 = eng.snapshotVersions("ev").last
+    eng.evolve(vEnd)
+    eng.set("u5.ev", jrow("2024-04-01T10:00:00Z", "buy", 6.0,
+      """"qty":11,"flag":7,"extra":9""")) // era 2: int qty again
+    eng.save("ev")
+    val live = eng.get("*.ev", "{}")
+    assert(fieldTypes(live)("qty") == IntegerType)
+    val got = live.select("subject", "qty").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    // era-0 ints carry (direct I->I); era-1 strings zero (C->I)
+    assert(got == Seq(("u1", 7), ("u1", 8), ("u2", 9), ("u4", 0),
+      ("u5", 11)), s"got $got")
+    // time travel to the MIDDLE era serves its own schema, with the
+    // era-0 group aligned to IT (int qty -> "" under I->C)
+    val mid = eng.openSnapshotAt("ev", gen1).get
+    assert(fieldTypes(mid)("qty") == StringType)
+    val midQ = mid.select("subject", "qty").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(midQ == Seq(("u1", ""), ("u1", ""), ("u2", ""),
+      ("u4", "q-mid")), s"got $midQ")
+    // and the first era still reads exactly as committed
+    val first = eng.openSnapshotAt("ev", gen0).get
+    assert(fieldTypes(first)("qty") == IntegerType &&
+      first.count() == 3)
+  }
+
+  test("a cross-era cut stays readable via openSnapshotAllAt but refuses raw manifest export") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/x"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    eng.evolve(V1)
+    seedNewRows(eng)
+    eng.save("ev")
+    val cut = eng.snapshotAll(Seq("ev"))
+    // the engine-side read aligns eras — the cut serves normally
+    assert(eng.openSnapshotAllAt(cut)("ev").get.count() == 5)
+    // the raw-file export cannot: refused with the pack remedy
+    val ex = intercept[IllegalArgumentException](
+      eng.exportCutManifest(cut, s"$root/cut.json"))
+    assert(ex.getMessage.contains("eras") && ex.getMessage.contains("pack"))
+    // pack rewrites every day into the live era; a fresh cut exports
+    eng.pack("ev")
+    val cut2 = eng.snapshotAll(Seq("ev"))
+    val man = eng.exportCutManifest(cut2, s"$root/cut2.json")
+    assert(new java.io.File(man).exists())
+  }
+
   test("empty evolved store serves the new struct; evolve is idempotent") {
     val root = Files.createTempDirectory("graft_evolve").toString + "/m"
     val eng = new graft.api.Engine(spark, root, snapshots = true)
