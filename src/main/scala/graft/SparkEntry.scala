@@ -1050,6 +1050,23 @@ object SparkEntry {
         col("punct_ratio"), col("en_stopword_ratio"), col("quality"))
       .orderBy("doc_id")
 
+  /** D13 — segment-level (paragraph) dedup, CCNet-style
+    * ([[graft.ops.Dedup.segmentDedup]]): drop every later corpus-wide
+    * occurrence of a repeated 8-word segment and reassemble the
+    * survivors — the span-granular sibling of d1's whole-document
+    * dedup. See the operator scaladoc for the slim-shuffle shape. */
+  private def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text", w = 8)
+      .orderBy("doc_id")
+
+  /** TX8 — Gopher-rules quality gate ([[graft.ops.Text.gopherGate]]):
+    * the published admit/drop ruleset (Rae et al. 2021 §A1.1) as
+    * auditable per-rule flags plus the conjunctive keep — the stage
+    * that turns tx2's signals into a curation decision. */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    Text.gopherGate(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Token counting for pretraining budgets: whitespace tokens and the
     * BPE-ish pre-tokenizer split (letter runs / digit runs / single
     * symbols), plus chars — the columns a data pipeline sums into
@@ -2347,6 +2364,47 @@ object SparkEntry {
     q
   }
 
+  /** IX2 — BM25 RANKED RETRIEVAL over the stored postings index: ix1
+    * answers boolean AND; this is the scored top-k a retrieval stage
+    * (or a decontamination audit) actually runs. Okapi BM25 with the
+    * textbook constants k1=1.2, b=0.75:
+    *
+    *   idf(t)     = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *   s(d,t)     = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Engine shape: the SAME range-partitioned postings layout as ix1,
+    * with the document length DENORMALIZED into each posting row at
+    * index-build time (the classic search-index trade: one long per
+    * posting buys probe-time independence from any doc-side table)
+    * plus a one-row (N, avgdl) stats sidecar. A probe reads ONLY the
+    * queried terms' postings (the `In` pushdown is REQUIREd in-plan,
+    * as in ix1); df per term comes from the pruned postings
+    * themselves (one tiny agg), N/avgdl from the sidecar (one-row
+    * broadcast), so probe cost is O(matching postings) — independent
+    * of corpus size. Scores are summed as integer MICROS
+    * (floor(s·1e6 + 0.5) per (doc, term), then an exact integer sum)
+    * — addition order can't wobble a double, so the ranking and the
+    * cross-engine oracle are bit-stable by construction. */
+  private def qBm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_bm25/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val post = Search.postings(t(s, dir, "documents"), "doc_id", "text")
+    post.repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$base/ix")
+    Search.corpusStats(post, "doc_id")
+      .write.mode("overwrite").parquet(s"$base/stats")
+
+    val terms = Seq("spark", "vector", "window")
+    val q = Search.bm25Rank(
+      s.read.parquet(s"$base/ix").filter(col("term").isin(terms: _*)),
+      "doc_id", s.read.parquet(s"$base/stats"), k = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term[^\\]]*\\].*"),
+      s"term IN predicate did not push into the postings scan:\n$plan")
+    q
+  }
+
   /** HLL1 — cardinality two ways, completing the sketch trio
     * (hh1 frequency, qs1 quantiles): exact per-group distinct counts
     * (the answer that ships) next to HyperLogLog++
@@ -3639,6 +3697,7 @@ object SparkEntry {
     "d10_quality_reps" -> qQualityReps _,
     "d11_incremental_dedup" -> qIncrementalDedup _,
     "d12_stored_index" -> qStoredIndex _,
+    "d13_segment_dedup" -> qSegmentDedup _,
     "x1_ann_topk" -> qAnnTopK _,
     "x2_ann_lsh" -> qAnnLsh _,
     "x3_ann_ivf" -> qAnnIvf _,
@@ -3657,6 +3716,7 @@ object SparkEntry {
     "tx7_unigram_nll" -> qUnigramNll _,
     "tok1_bpe_pairs" -> qBpePairs _,
     "tx3_token_count" -> qTokenCount _,
+    "tx8_quality_gate" -> qQualityGate _,
     "sp1_sequence_pack" -> qSequencePack _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
@@ -3671,6 +3731,7 @@ object SparkEntry {
     "hh1_heavy_hitters" -> qHeavyHitters _,
     "qs1_quantile_sketch" -> qQuantileSketch _,
     "ix1_inverted_search" -> qInvertedSearch _,
+    "ix2_bm25_rank" -> qBm25Rank _,
     "hll1_distinct_sketch" -> qDistinctSketch _,
     "sks1_stored_sketches" -> qStoredSketches _,
     "e12_time_travel" -> qTimeTravel _,
@@ -4031,6 +4092,35 @@ object SparkEntry {
            FROM p GROUP BY 1)
          SELECT doc_id, score FROM m WHERE nt = 3
          ORDER BY score DESC, doc_id LIMIT 20""",
+    // ix2: BM25 (k1=1.2, b=0.75) with the identical expression tree on
+    // both engines; per-(doc,term) scores land as integer micros
+    // (floor(s*1e6 + 0.5)) and SUM exactly, so addition order is moot.
+    // Constants appear pre-folded (2.2, 0.25) so the two engines run
+    // the same IEEE ops in the same order.
+    "ix2_bm25_rank" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0)) AS term
+           FROM documents),
+         dlt AS (SELECT doc_id, count(*)::BIGINT AS dl FROM w GROUP BY 1),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dlt),
+         p AS (
+           SELECT term, doc_id, count(*)::BIGINT AS tf FROM w
+           WHERE term IN ('spark', 'vector', 'window') GROUP BY 1, 2),
+         dft AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         sc AS (
+           SELECT p.doc_id,
+             floor(
+               (ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * (p.tf::DOUBLE * 2.2) /
+                (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * ((dlt.dl)::DOUBLE / st.avgdl))))
+               * 1e6 + 0.5)::BIGINT AS micro
+           FROM p JOIN dft USING (term) JOIN dlt ON p.doc_id = dlt.doc_id
+           CROSS JOIN st)
+         SELECT doc_id, count(*)::BIGINT AS n_terms,
+           sum(micro)::BIGINT AS score_1e6
+         FROM sc GROUP BY doc_id
+         ORDER BY score_1e6 DESC, doc_id LIMIT 20""",
     // exact rank-⌈q·n⌉ values; both engines compute the identical IEEE
     // product q*n, so the selected ranks agree. The in-query sketch
     // rank-error REQUIRE is extra.
@@ -4754,6 +4844,81 @@ object SparkEntry {
          len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS n_tok_bpe,
          len(text) AS n_chars_total
          FROM documents ORDER BY doc_id""",
+    // d13: corpus-first ownership per distinct 8-word segment. The
+    // owner key packs (doc_id, seg) into one BIGINT (seg < 1e6 always:
+    // it's bounded by words-per-doc / 8) so min() gives the
+    // lexicographic first occurrence; survivors re-glue with a single
+    // space, matching Spark's array_join over the seg-sorted structs.
+    "d13_segment_dedup" ->
+      """WITH ws AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0) AS w
+           FROM documents),
+         idx AS (
+           SELECT doc_id, w,
+             unnest(generate_series(0, (len(w) - 1) // 8)) AS seg
+           FROM ws WHERE len(w) > 0),
+         seg AS (
+           SELECT doc_id, seg,
+             array_to_string(w[seg * 8 + 1 : seg * 8 + 8], ' ') AS s
+           FROM idx),
+         own AS (
+           SELECT s, min(doc_id * 1000000 + seg) AS firstk
+           FROM seg GROUP BY s),
+         kept AS (
+           SELECT seg.doc_id, seg.seg, seg.s
+           FROM seg JOIN own USING (s)
+           WHERE seg.doc_id * 1000000 + seg.seg = own.firstk)
+         SELECT a.doc_id, a.n_segs,
+           coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+           coalesce(k.text_dedup, '') AS text_dedup
+         FROM (SELECT doc_id, count(*)::BIGINT AS n_segs FROM seg GROUP BY 1) a
+         LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                      string_agg(s, ' ' ORDER BY seg) AS text_dedup
+                    FROM kept GROUP BY doc_id) k USING (doc_id)
+         ORDER BY a.doc_id""",
+    // tx8: the Gopher gate re-derived relationally — same counting
+    // definitions as tx2 (non-space chars / ws tokens for mean word
+    // length, punct-class chars / chars, en stop-list hits), plus the
+    // alpha-word count; thresholds are the published constants.
+    "tx8_quality_gate" ->
+      """WITH b AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_words,
+             len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+             len(text) AS n_chars,
+             len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             len(list_filter(string_split_regex(text, '\s+'),
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+               AS n_stop_hits
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE n_nonspace::DOUBLE / n_words::DOUBLE END AS mean_raw,
+             CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE n_punct::DOUBLE / n_chars::DOUBLE END AS punct_raw,
+             CASE WHEN n_words = 0 THEN 0.0
+                  ELSE n_alpha::DOUBLE / n_words::DOUBLE END AS alpha_raw,
+             n_stop_hits
+           FROM b)
+         SELECT doc_id, n_words,
+           round(mean_raw, 6) AS mean_word_len,
+           round(punct_raw, 6) AS punct_ratio,
+           round(alpha_raw, 6) AS frac_alpha_words,
+           n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS f_words,
+           (mean_raw >= 3.0 AND mean_raw <= 10.0) AS f_meanlen,
+           (punct_raw <= 0.1) AS f_punct,
+           (alpha_raw >= 0.8) AS f_alpha,
+           (n_stop_hits >= 2) AS f_stops,
+           ((n_words >= 50 AND n_words <= 100000)
+             AND (mean_raw >= 3.0 AND mean_raw <= 10.0)
+             AND (punct_raw <= 0.1) AND (alpha_raw >= 0.8)
+             AND (n_stop_hits >= 2)) AS keep
+         FROM r ORDER BY doc_id""",
     "mm1_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
          FROM documents ORDER BY doc_id""",

@@ -531,6 +531,61 @@ object Dedup {
     labels.select(col("__id").as(id), col("__lbl").as("cluster_id"))
   }
 
+  /** Segment-level (paragraph) dedup, CCNet-style: split each document
+    * into consecutive `w`-word segments, keep only the corpus-FIRST
+    * occurrence (minimal (doc, seg) coordinate) of each distinct
+    * segment, and reassemble the survivors per document. In production
+    * corpora the split unit is the newline paragraph; this corpus is
+    * newline-free, so the splitter is a fixed word window — the dedup
+    * mechanics (corpus-wide ownership by content key, first-occurrence
+    * tie-break, in-order reassembly) are identical and that is the
+    * engine part.
+    *
+    * Scale shape, in shuffle order:
+    *  1. segmentation is per-row array arithmetic — zero shuffle;
+    *  2. ownership groups a SLIM projection keyed by
+    *     (xxhash64(segment), length) — the wide shuffle moves two
+    *     longs + two coordinates per segment, never the text (at a
+    *     10^10-segment corpus a 64-bit key sees a handful of birthday
+    *     collisions; production widens the key with a second
+    *     independent hash — the length column here marks the slot);
+    *  3. only the DROP list (dup coordinates — dup-rate × corpus,
+    *     two longs each) flows into the anti-join, which AQE
+    *     broadcasts at realistic dup rates;
+    *  4. the one unavoidable text shuffle is reassembly groupBy(doc)
+    *     — inherent to re-gluing a document.
+    * Output keeps every non-empty document: `n_segs`, `n_kept`
+    * (0 when everything was someone else's copy), `text_dedup`. */
+  def segmentDedup(df: DataFrame, id: String, text: String,
+      w: Int = 8): DataFrame = {
+    val words = filter(split(col(text), "\\s+"), x => length(x) > 0)
+    val seged = df
+      .select(col(id), words.as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col(id), posexplode(transform(
+        sequence(lit(0), floor((size(col("__w")) - 1) / lit(w)).cast("int")),
+        i => array_join(slice(col("__w"), i * w + 1, lit(w)), " "))))
+      .toDF(id, "seg", "s")
+    val slim = seged.select(col(id), col("seg"),
+      xxhash64(col("s")).as("__h"), length(col("s")).as("__l"))
+    val winners = slim.groupBy("__h", "__l")
+      .agg(min(struct(col(id), col("seg"))).as("__first"))
+    val drops = slim.join(winners, Seq("__h", "__l"))
+      .filter(col(id) =!= col("__first").getField(id) ||
+        col("seg") =!= col("__first").getField("seg"))
+      .select(col(id), col("seg"))
+    val kept = seged.join(drops, Seq(id, "seg"), "left_anti")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(array_sort(collect_list(struct(col("seg"), col("s")))),
+          x => x.getField("s")), " ").as("__td"))
+    seged.groupBy(col(id)).agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_segs"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__td"), lit("")).as("text_dedup"))
+  }
+
   /** SimHash near-dup candidate pairs within `maxDist` Hamming bits:
     * pigeonhole banding — split the 64-bit signature into `maxDist+1`
     * chunks; any pair within maxDist bits agrees exactly on at least one

@@ -116,6 +116,54 @@ object Text {
           col("n_chars").cast("double")).as("top_trigram_char_frac"))
   }
 
+  /** Gopher-rules quality GATE (Rae et al. 2021 §A1.1) — tx2 scores
+    * documents; this is the downstream pipeline stage that actually
+    * admits or drops them, each published rule as an auditable flag
+    * plus the conjunctive `keep`:
+    *
+    *  - 50 ≤ word count ≤ 100,000;
+    *  - 3 ≤ mean word length ≤ 10;
+    *  - symbol/punctuation character ratio ≤ 0.1 (the corpus has no
+    *    `#`/`...` runs, so the punctuation-char ratio carries
+    *    Gopher's symbol-to-word screen);
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 hits from the English stop-word list.
+    *
+    * Per-document column arithmetic only — the counting is the same
+    * fused one-pass [[graft.functions.TextStatsExpr]] kernel tx2 uses
+    * (identical operation order → bit-identical ratios → one oracle
+    * serves both), plus one per-token regex for the alpha-word count.
+    * No shuffle: the gate rides the scan, so at 100 TB it is a free
+    * passenger on whatever pass reads the text anyway. */
+  def gopherGate(df: DataFrame, id: String, text: String): DataFrame = {
+    val d = df.withColumn("__ts",
+      graft.functions.TextStatsExpr(col(text), stopwords("en")))
+    val nTok = col("__ts.nTok")
+    val mean = when(nTok === 0, 0.0)
+      .otherwise(col("__ts.sumTokLen").cast("double") / nTok.cast("double"))
+    val punctR = when(col("__ts.nChars") === 0, 0.0)
+      .otherwise(col("__ts.punct").cast("double") / col("__ts.nChars").cast("double"))
+    val nAlpha = size(filter(
+      filter(split(col(text), "\\s+"), x => length(x) > 0),
+      x => x.rlike("[A-Za-z]")))
+    val fracAlpha = when(nTok === 0, 0.0)
+      .otherwise(nAlpha.cast("double") / nTok.cast("double"))
+    val fWords = nTok >= 50 && nTok <= 100000
+    val fMean = mean >= 3.0 && mean <= 10.0
+    val fPunct = punctR <= 0.1
+    val fAlpha = fracAlpha >= 0.8
+    val fStops = col("__ts.hits") >= 2
+    d.select(col(id),
+        nTok.as("n_words"),
+        round(mean, 6).as("mean_word_len"),
+        round(punctR, 6).as("punct_ratio"),
+        round(fracAlpha, 6).as("frac_alpha_words"),
+        col("__ts.hits").as("n_stop_hits"),
+        fWords.as("f_words"), fMean.as("f_meanlen"),
+        fPunct.as("f_punct"), fAlpha.as("f_alpha"), fStops.as("f_stops"),
+        (fWords && fMean && fPunct && fAlpha && fStops).as("keep"))
+  }
+
   /** Exact-dup fingerprint (normalized FNV-1a, custom codegen'd expr;
     * normalization fused, == regexp_replace(lower(trim), "\\s+", " ")). */
   def withFingerprint(df: DataFrame, text: String): DataFrame =

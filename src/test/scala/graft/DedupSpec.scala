@@ -294,4 +294,41 @@ class DedupSpec extends SparkSpec {
     assert(pinnedRate > bigRate * 2,
       s"pinned config should degrade vs solved at 10x: $pinnedRate vs $bigRate")
   }
+
+  test("segmentDedup: first occurrence survives, later copies drop, order holds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),       // segs (w=2): "a b", "c d"
+      (2L, "a b x y"),       // "a b" is doc 1's — dropped; "x y" kept
+      (3L, "a b c d"),       // everything already owned — emptied
+      (4L, "c d a b e")      // both owned by doc 1; tail "e" is new
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", w = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, "a b c d")))
+    assert(out(1) == ((2L, 2L, 1L, "x y")))
+    assert(out(2) == ((3L, 2L, 0L, "")))
+    // doc 4's segments are "c d", "a b", "e": the first two are owned
+    // by doc 1 (by SEGMENT CONTENT, position-independent), "e" survives
+    assert(out(3) == ((4L, 3L, 1L, "e")))
+  }
+
+  test("segmentDedup: unique corpus is identity; rerun is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "q w e r t y u i o p"),
+      (11L, "z x c v b n m k l j")
+    ).toDF("doc_id", "text")
+    val once = Dedup.segmentDedup(docs, "doc_id", "text", w = 3)
+    val o = once.orderBy("doc_id").collect()
+    assert(o.map(_.getString(3)).toSeq ==
+      Seq("q w e r t y u i o p", "z x c v b n m k l j"))
+    assert(o.forall(r => r.getLong(1) == r.getLong(2)))
+    val twice = Dedup.segmentDedup(
+      once.select(col("doc_id"), col("text_dedup").as("text")),
+      "doc_id", "text", w = 3).orderBy("doc_id").collect()
+    assert(twice.map(_.getString(3)).toSeq == o.map(_.getString(3)).toSeq,
+      "second pass must be a no-op on already-deduped text")
+  }
 }

@@ -39,6 +39,31 @@ class TextSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("gopherGate: each published rule trips on its own violation") {
+    import spark.implicits._
+    // 60 tokens, mean len in [3,10], no punctuation, stopwords present
+    val good = (Seq.fill(29)("the data") :+ "value row").mkString(" ")
+    val short = "the a short doc here"                   // < 50 words
+    val thin = (Seq.fill(30)("a it") :+ "x y").mkString(" ") // mean len < 3
+    val symbols = (Seq.fill(25)("the !!! data ###")).mkString(" ") // punct
+    val numeric = (Seq.fill(25)("the 42 11 99")).mkString(" ")     // alpha<0.8
+    val noStops = (1 to 60).map(i => s"tok$i").mkString(" ")       // 0 stops
+    val out = Seq(
+      (1L, good), (2L, short), (3L, thin),
+      (4L, symbols), (5L, numeric), (6L, noStops)
+    ).toDF("doc_id", "text")
+    val g = graft.ops.Text.gopherGate(out, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def row(i: Int) = g(i)
+    assert(row(0).getAs[Boolean]("keep"), "good doc must pass every rule")
+    assert(!row(1).getAs[Boolean]("f_words") && !row(1).getAs[Boolean]("keep"))
+    assert(!row(2).getAs[Boolean]("f_meanlen"))
+    assert(!row(3).getAs[Boolean]("f_punct"))
+    assert(!row(4).getAs[Boolean]("f_alpha"))
+    assert(!row(5).getAs[Boolean]("f_stops") &&
+      row(5).getAs[Int]("n_stop_hits") == 0)
+  }
+
   test("fingerprint diverges from code-point fold only on non-ASCII") {
     // the codegen expr folds UTF-8 bytes (canonical FNV); the column
     // formulation folds code points — documents the known difference
