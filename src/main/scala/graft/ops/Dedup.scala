@@ -550,10 +550,12 @@ object Dedup {
     *     collisions; production widens the key with a second
     *     independent hash — the length column here marks the slot);
     *  3. only the DROP list (dup coordinates — dup-rate × corpus,
-    *     two longs each) flows into the anti-join, which AQE
-    *     broadcasts at realistic dup rates;
+    *     two longs each) flows back as a keep FLAG (left join, AQE
+    *     broadcasts it at realistic dup rates), so counting and
+    *     reassembly share one aggregate over one pass;
     *  4. the one unavoidable text shuffle is reassembly groupBy(doc)
-    *     — inherent to re-gluing a document.
+    *     — inherent to re-gluing a document. Net: two corpus scans
+    *     (ownership, reassembly), text shuffled exactly once.
     * Output keeps every non-empty document: `n_segs`, `n_kept`
     * (0 when everything was someone else's copy), `text_dedup`. */
   def segmentDedup(df: DataFrame, id: String, text: String,
@@ -568,22 +570,22 @@ object Dedup {
       .toDF(id, "seg", "s")
     val slim = seged.select(col(id), col("seg"),
       xxhash64(col("s")).as("__h"), length(col("s")).as("__l"))
-    val winners = slim.groupBy("__h", "__l")
-      .agg(min(struct(col(id), col("seg"))).as("__first"))
-    val drops = slim.join(winners, Seq("__h", "__l"))
+    // one pass over the slim projection: the min-(doc, seg) owner per
+    // content key via a window, so the ownership branch costs a single
+    // scan + one slim exchange (vs groupBy + self-join = two scans)
+    val drops = slim.withColumn("__first",
+        min(struct(col(id), col("seg"))).over(
+          Window.partitionBy(col("__h"), col("__l"))))
       .filter(col(id) =!= col("__first").getField(id) ||
         col("seg") =!= col("__first").getField("seg"))
-      .select(col(id), col("seg"))
-    val kept = seged.join(drops, Seq(id, "seg"), "left_anti")
+      .select(col(id), col("seg"), lit(true).as("__drop"))
+    seged.join(drops, Seq(id, "seg"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("__nk"),
-        array_join(transform(array_sort(collect_list(struct(col("seg"), col("s")))),
-          x => x.getField("s")), " ").as("__td"))
-    seged.groupBy(col(id)).agg(count(lit(1)).as("n_segs"))
-      .join(kept, Seq(id), "left")
-      .select(col(id), col("n_segs"),
-        coalesce(col("__nk"), lit(0L)).as("n_kept"),
-        coalesce(col("__td"), lit("")).as("text_dedup"))
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("__drop").isNull, 1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("__drop").isNull, struct(col("seg"), col("s"))))),
+          x => x.getField("s")), " ").as("text_dedup"))
   }
 
   /** SimHash near-dup candidate pairs within `maxDist` Hamming bits:
