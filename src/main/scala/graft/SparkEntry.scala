@@ -1296,6 +1296,22 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TOK2 — BPE tokenizer TRAINING ([[graft.ops.Bpe.train]]): three
+    * full merge rounds of the loop tok1 takes one step of — count
+    * pairs, merge the argmax everywhere, recount on the MERGED
+    * symbols. Output is the merge table itself (the training
+    * artifact), hash-checked against a relational re-derivation that
+    * unrolls the rounds with recursive-CTE greedy merging — the
+    * argmax order (count desc, pair asc) is total, so both engines
+    * pick identical merges. */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", rounds = 3)
+    merges.map(m => (m.round, m.left, m.right, m.left + m.right, m.n))
+      .toDF("round", "left_sym", "right_sym", "merged", "n")
+      .orderBy("round")
+  }
+
   /** D8 corpus-boilerplate spans (C4/RefinedWeb-style span dedup,
     * adapted to word grams): a 3-gram occurring in ≥ 10 distinct
     * documents is boilerplate (≥ 4 here — the synthetic corpus tops
@@ -3715,6 +3731,7 @@ object SparkEntry {
     "d8_boilerplate_spans" -> qBoilerplateSpans _,
     "tx7_unigram_nll" -> qUnigramNll _,
     "tok1_bpe_pairs" -> qBpePairs _,
+    "tok2_bpe_train" -> qBpeTrain _,
     "tx3_token_count" -> qTokenCount _,
     "tx8_quality_gate" -> qQualityGate _,
     "sp1_sequence_pack" -> qSequencePack _,
@@ -4778,6 +4795,67 @@ object SparkEntry {
            FROM tk)
          SELECT pair, count(*) AS n FROM p
          GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
+    // tok2: three unrolled BPE rounds. Greedy one-pass merging equals
+    // repeat-leftmost (a merged symbol is strictly longer than either
+    // side, so it can never re-match the pair within the round) — the
+    // recursive CTEs iterate leftmost replacement per word until no
+    // occurrence remains; rows already merge-free pass through the
+    // base case. Argmax is total-ordered (n DESC, a, b).
+    "tok2_bpe_train" ->
+      """WITH RECURSIVE
+         words AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                     x -> len(x) > 0)) AS w FROM documents),
+         s1 AS (SELECT list_transform(generate_series(1, len(w)),
+                  i -> w[i:i]) AS syms FROM words),
+         p1 AS (SELECT syms, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM s1 WHERE len(syms) >= 2),
+         c1 AS (SELECT syms[i] AS a, syms[i+1] AS b, count(*)::BIGINT AS n
+                FROM p1 GROUP BY 1, 2),
+         m1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
+         mg1(syms) AS (
+           SELECT s1.syms FROM s1
+           UNION ALL
+           SELECT list_concat(list_concat(syms[1:j-1], [a||b]),
+                    syms[j+2:len(syms)])
+           FROM (SELECT syms,
+                   list_min(list_filter(generate_series(1, len(syms)-1),
+                     i -> syms[i] = m1.a AND syms[i+1] = m1.b)) AS j,
+                   m1.a AS a, m1.b AS b
+                 FROM mg1, m1) t
+           WHERE j IS NOT NULL),
+         s2 AS (
+           SELECT syms FROM mg1, m1
+           WHERE list_min(list_filter(generate_series(1, len(syms)-1),
+                   i -> syms[i] = m1.a AND syms[i+1] = m1.b)) IS NULL),
+         p2 AS (SELECT syms, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM s2 WHERE len(syms) >= 2),
+         c2 AS (SELECT syms[i] AS a, syms[i+1] AS b, count(*)::BIGINT AS n
+                FROM p2 GROUP BY 1, 2),
+         m2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
+         mg2(syms) AS (
+           SELECT s2.syms FROM s2
+           UNION ALL
+           SELECT list_concat(list_concat(syms[1:j-1], [a||b]),
+                    syms[j+2:len(syms)])
+           FROM (SELECT syms,
+                   list_min(list_filter(generate_series(1, len(syms)-1),
+                     i -> syms[i] = m2.a AND syms[i+1] = m2.b)) AS j,
+                   m2.a AS a, m2.b AS b
+                 FROM mg2, m2) t
+           WHERE j IS NOT NULL),
+         s3 AS (
+           SELECT syms FROM mg2, m2
+           WHERE list_min(list_filter(generate_series(1, len(syms)-1),
+                   i -> syms[i] = m2.a AND syms[i+1] = m2.b)) IS NULL),
+         p3 AS (SELECT syms, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM s3 WHERE len(syms) >= 2),
+         c3 AS (SELECT syms[i] AS a, syms[i+1] AS b, count(*)::BIGINT AS n
+                FROM p3 GROUP BY 1, 2),
+         m3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1)
+         SELECT 1 AS round, a AS left_sym, b AS right_sym, a||b AS merged, n FROM m1
+         UNION ALL SELECT 2, a, b, a||b, n FROM m2
+         UNION ALL SELECT 3, a, b, a||b, n FROM m3
+         ORDER BY round""",
     "tx7_unigram_nll" ->
       """WITH tk AS (
            SELECT doc_id, unnest(list_filter(
