@@ -558,6 +558,51 @@ object SparkEntry {
     * time; `oracleSql` (evaluated by Verify AFTER the queries run)
     * inlines them. Empty stash → no x3 entry → rows-only check, the
     * pre-round-4 behavior. */
+  private[graft] object RpOracle {
+    @volatile var planes: Option[Seq[Array[Double]]] = None
+  }
+
+  /** X11 — Johnson–Lindenstrauss RANDOM PROJECTION
+    * ([[graft.ops.Similarity.randomProjection]]): 64-d → 16-d before
+    * indexing, the standard compression that cuts the ANN index and
+    * every downstream dot product 4×. Per-row fused-loop arithmetic
+    * riding the scan — no shuffle, no UDF. The JL distance-preserving
+    * contract (E‖y_u−y_v‖² = ‖u−v‖², ratio concentration ~χ²₁₆/16) is
+    * REQUIREd in-query over a bounded pair sample: mean distortion
+    * within ±30%, every pair within [0.1, 3.0] — generous vs the
+    * ~0.35 χ² std (the sf0.01 draw's worst pair sits at 2.52) so the
+    * gate is a contract, not a flake. */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val dim = emb.limit(1).select(size(col("embedding")))
+      .collect()(0).getInt(0)
+    val planes = VectorFunctions.randomPlanes(16, dim, seed = 42L)
+    RpOracle.planes = Some(planes)
+    val proj = Similarity.randomProjection(emb, "vec_id", "embedding", planes)
+    val sample = emb.filter(col("vec_id") < 20)
+      .join(proj.filter(col("vec_id") < 20), "vec_id")
+    val a = sample.select(col("vec_id").as("ia"),
+      col("embedding").as("va"), col("proj").as("pa"))
+    val b = sample.select(col("vec_id").as("ib"),
+      col("embedding").as("vb"), col("proj").as("pb"))
+    val ratios = a.join(b, col("ia") < col("ib"))
+      .select((VectorFunctions.l2sq(col("pa"), col("pb")) /
+        VectorFunctions.l2sq(col("va"), col("vb"))).as("r"))
+      .collect().map(_.getDouble(0))
+    require(ratios.nonEmpty, "JL audit sample is empty")
+    val mean = ratios.sum / ratios.length
+    require(mean > 0.7 && mean < 1.3,
+      f"JL mean distortion $mean%.3f outside [0.7, 1.3]")
+    require(ratios.forall(r => r > 0.1 && r < 3.0),
+      s"JL pairwise distortion escaped [0.1, 3.0]: " +
+        s"min=${ratios.min} max=${ratios.max}")
+    proj.select(col("vec_id"), posexplode(col("proj")))
+      .toDF("vec_id", "dim", "v")
+      .select(col("vec_id"), col("dim"), round(col("v"), 6).as("v"))
+      .orderBy("vec_id", "dim")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -3722,6 +3767,7 @@ object SparkEntry {
     "x9_ivf_drift" -> qIvfDrift _,
     "x10_ivf_cutover" -> qIvfCutover _,
     "x6_ann_quantized" -> qAnnQuantized _,
+    "x11_random_projection" -> qRandomProjection _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -5915,7 +5961,25 @@ object SparkEntry {
              UNION ALL
              SELECT vec_id,
                list_transform(embedding::DOUBLE[], x -> x + 1.0) AS v
-               FROM embeddings WHERE vec_id % 2 = 1""")).toMap
+               FROM embeddings WHERE vec_id % 2 = 1""")).toMap ++
+      // x11: the projection matrix is the frozen constant (same
+      // freeze-the-planes trick as x2/x3); list_inner_product is the
+      // proven bit-parity twin of DotProductExpr
+      RpOracle.planes.map(p => "x11_random_projection" ->
+        rpOracleSqlFor(p)).toMap
+
+  private def rpOracleSqlFor(planes: Seq[Array[Double]]): String = {
+    val rows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, ${p.map(_.toString).mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n             ")
+    val scale = (1.0 / math.sqrt(planes.size.toDouble)).toString
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           p AS (SELECT * FROM (VALUES
+             $rows) AS t(dim, pv))
+         SELECT e.vec_id, p.dim,
+           round(list_inner_product(e.v, p.pv) * $scale, 6) AS v
+         FROM e CROSS JOIN p ORDER BY e.vec_id, p.dim"""
+  }
 
   private def ivfDriftOracleSqlFor(cents: Array[Array[Double]]): String = {
     val centRows = cents.zipWithIndex.map { case (c, i) =>

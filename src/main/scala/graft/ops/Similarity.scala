@@ -605,4 +605,25 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Johnson–Lindenstrauss random projection: y = (1/√k)·P·v with a
+    * seeded Gaussian plane matrix P (k × dim) — the standard
+    * compression step BEFORE similarity search (64-d → 16-d cuts the
+    * index and every downstream dot product 4×, with pairwise
+    * distances preserved in expectation: E‖y_u−y_v‖² = ‖u−v‖²).
+    * Per-row column arithmetic riding the scan — k fused
+    * [[graft.functions.DotProductExpr]] loops per vector, no shuffle,
+    * no UDF; the planes are frozen constants (same seed → same
+    * matrix), so results are deterministic and any engine that inlines
+    * the same doubles reproduces them bit-for-bit. */
+  def randomProjection(df: DataFrame, id: String, vec: String,
+      planes: Seq[Array[Double]]): DataFrame = {
+    require(planes.nonEmpty)
+    val scale = 1.0 / math.sqrt(planes.size.toDouble)
+    val proj = array(planes.map { p =>
+      graft.functions.DotProductExpr(col(vec),
+        array(p.toSeq.map(lit): _*)) * scale
+    }: _*)
+    df.select(col(id), proj.as("proj"))
+  }
 }

@@ -273,4 +273,34 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count(blocked.contains).toDouble / exact.size
     assert(recall >= 0.9, s"blocked recall $recall over ${exact.size} pairs")
   }
+
+  test("randomProjection: bit-equal to a driver-side matrix multiply; JL holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian())))
+    val planes = graft.functions.VectorFunctions.randomPlanes(8, 32, seed = 42L)
+    val scale = 1.0 / math.sqrt(8.0)
+    val got = Similarity.randomProjection(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", planes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { case (id, v) =>
+      planes.zipWithIndex.foreach { case (p, j) =>
+        // same op order as the expression: left-to-right dot, then *scale
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * p(i); i += 1 }
+        assert(got(id)(j) == d * scale,
+          s"vec $id dim $j: ${got(id)(j)} != ${d * scale}")
+      }
+    }
+    // JL expectation on this corpus: mean pairwise distortion near 1
+    val ratios = for (a <- rows; b <- rows if a._1 < b._1) yield {
+      val orig = a._2.zip(b._2).map { case (x, y) => (x - y) * (x - y) }.sum
+      val pa = got(a._1); val pb = got(b._1)
+      val proj = pa.zip(pb).map { case (x, y) => (x - y) * (x - y) }.sum
+      proj / orig
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion $mean")
+  }
 }
