@@ -1156,6 +1156,37 @@ object SparkEntry {
       .orderBy("doc_id", "seq")
   }
 
+  /** PL1 — the END-TO-END curation pipeline, the composition a real
+    * pretraining run executes and the proof the operators compose:
+    * tx8's Gopher gate admits documents → d13's segment dedup strips
+    * corpus-duplicated spans from the survivors → tx3's BPE-ish
+    * counter prices what remains → sp1's packer cuts the final
+    * 512-token training sequences. One declarative plan end-to-end
+    * (Catalyst sees the whole pipeline — the gate's flags prune before
+    * the dedup's explode ever runs), REQUIREd token conservation over
+    * the CURATED corpus, and the full placement map hash-checked
+    * against an oracle that composes the tx8 + d13 + sp1 relational
+    * blocks over the same literal thresholds. */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Text.gopherGate(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val curated = Dedup.segmentDedup(docs.join(kept, "doc_id"),
+        "doc_id", "text", w = 8)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), TextFunctions.tokenCountBpeish(
+        col("text_dedup")).cast("long").as("tokens"))
+    val packed = SeqPack.pack(curated, "tokens", 512L, Seq(col("doc_id")))
+      .localCheckpoint() // consumed twice (REQUIRE agg + return)
+    val totTok = curated.filter(col("tokens") > 0)
+      .agg(sum("tokens")).head.getLong(0)
+    val totLen = packed.agg(sum("len")).head.getLong(0)
+    require(totTok == totLen,
+      s"curation pipeline lost or duplicated tokens: $totTok vs $totLen")
+    packed.select("doc_id", "seq", "off", "doc_off", "len")
+      .orderBy("doc_id", "seq")
+  }
+
   /** Language ID (function-word evidence argmax) — oracle-checked
     * (the tokenizer, 9-digit ratio rounding, and (score, lang) argmax
     * all reproduce in SQL); accuracy additionally asserted in ScalaTest
@@ -3781,6 +3812,7 @@ object SparkEntry {
     "tx3_token_count" -> qTokenCount _,
     "tx8_quality_gate" -> qQualityGate _,
     "sp1_sequence_pack" -> qSequencePack _,
+    "pl1_curation_pipeline" -> qCurationPipeline _,
     "tx4_fingerprint" -> qFingerprint _,
     "mm1_multimodal_meta" -> qMultimodalMeta _,
     "st1_stream_window" -> qStreamWindow _,
@@ -4946,6 +4978,74 @@ object SparkEntry {
            SELECT doc_id,
              len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS tokens
            FROM documents),
+         pos AS (
+           SELECT doc_id, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+           FROM tok WHERE tokens > 0),
+         ch AS (
+           SELECT doc_id, tokens, strt,
+             unnest(generate_series(strt // 512,
+               (strt + tokens - 1) // 512))::BIGINT AS seq
+           FROM pos)
+         SELECT doc_id, seq,
+           (greatest(strt, seq * 512) - seq * 512)::BIGINT AS off,
+           (greatest(strt, seq * 512) - strt)::BIGINT AS doc_off,
+           (least(strt + tokens, (seq + 1) * 512)
+             - greatest(strt, seq * 512))::BIGINT AS len
+         FROM ch ORDER BY doc_id, seq""",
+    // pl1: the tx8 gate, d13 segment dedup, tx3 token pricing and sp1
+    // packing blocks composed verbatim — the pipeline a pretraining
+    // run executes, end-to-end, on the same literal thresholds
+    "pl1_curation_pipeline" ->
+      """WITH g AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_words,
+               len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(text, '\s+'),
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                 AS n_stop_hits
+             FROM documents) b
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) >= 3.0
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) <= 10.0
+             AND (CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE n_punct::DOUBLE / n_chars::DOUBLE END) <= 0.1
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_alpha::DOUBLE / n_words::DOUBLE END) >= 0.8
+             AND n_stop_hits >= 2),
+         ws AS (
+           SELECT d.doc_id, list_filter(string_split_regex(d.text, '\s+'),
+                    x -> len(x) > 0) AS w
+           FROM documents d JOIN g USING (doc_id)),
+         idx AS (
+           SELECT doc_id, w,
+             unnest(generate_series(0, (len(w) - 1) // 8)) AS seg
+           FROM ws WHERE len(w) > 0),
+         seg AS (
+           SELECT doc_id, seg,
+             array_to_string(w[seg * 8 + 1 : seg * 8 + 8], ' ') AS s
+           FROM idx),
+         own AS (
+           SELECT s, min(doc_id * 1000000 + seg) AS firstk
+           FROM seg GROUP BY s),
+         re AS (
+           SELECT seg.doc_id,
+             string_agg(seg.s, ' ' ORDER BY seg.seg) AS text
+           FROM seg JOIN own USING (s)
+           WHERE seg.doc_id * 1000000 + seg.seg = own.firstk
+           GROUP BY seg.doc_id),
+         tok AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]'))::BIGINT AS tokens
+           FROM re),
          pos AS (
            SELECT doc_id, tokens,
              coalesce(sum(tokens) OVER (ORDER BY doc_id
