@@ -1651,6 +1651,55 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** ST9 — streaming CURATION admission: st6's near-dup admission
+    * with the tx8 Gopher gate composed IN FRONT of the screen — the
+    * continuous form of pl1's batch pipeline. A gate-rejected document
+    * is never fingerprinted and never enters the index; batch N+1 is
+    * screened against the seed corpus plus every GATED-AND-CLEAN
+    * admission through batch N. The gate is a pure per-row predicate,
+    * so it shrinks every downstream probe and replays identically
+    * (the st6 anti-join replay guards engage unchanged behind it).
+    * REQUIREd in-query: every admitted doc passes the gate, and the
+    * fixture actually exercises it (≥ 1 feed doc gate-fails). */
+  private def qStreamAdmitGated(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streamgate/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    graft.stream.StreamAdmit.seedIndex(
+      graft.ops.Dedup.minhash(d.filter(col("doc_id") % 10 =!= 0),
+        "text", shingleK = 3, numHashes = 32),
+      "doc_id", s"$base/index", bands = 16, sigLen = 32)
+    def feedFile(cond: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val tmp = s"$base/tmp_$name"
+      d.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$base/feed/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    val now = System.currentTimeMillis()
+    feedFile(col("doc_id") % 20 === 0, "b0", now - 120000L)
+    feedFile(col("doc_id") % 20 === 10, "b1", now - 60000L)
+    val q = graft.stream.StreamAdmit.start(s, s"$base/feed", d.schema,
+      "doc_id", "text", s"$base/index", s"$base/admitted", s"$base/ckpt",
+      gate = Some(Text.gopherKeep(col("text"))))
+    q.awaitTermination()
+    val admitted = s.read.parquet(s"$base/admitted")
+    val nBad = admitted.join(d, "doc_id")
+      .filter(!Text.gopherKeep(col("text"))).count()
+    require(nBad == 0, s"$nBad admitted docs fail the quality gate")
+    val nGateFailed = d
+      .filter(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 10)
+      .filter(!Text.gopherKeep(col("text"))).count()
+    require(nGateFailed > 0, "fixture never exercises the gate")
+    admitted.select(col("doc_id"), col("batch").cast("int").as("batch"))
+      .orderBy("doc_id")
+  }
+
   /** W10 rolling z-score per series (20-row trailing window): the
     * outlier-scoring stage of sensor/market data cleaning — one
     * shuffle per subject, window math inside the stage. Ordered by the
@@ -3819,6 +3868,7 @@ object SparkEntry {
     "st3_session_window" -> qSessionWindow _,
     "st4_stream_dedup" -> qStreamDedup _,
     "st6_stream_admit" -> qStreamAdmit _,
+    "st9_stream_gate" -> qStreamAdmitGated _,
     "st5_stream_sessions" -> qStreamSessions _,
     "st7_stream_join" -> qStreamJoin _,
     "e11_snapshot_sql" -> qSnapshotSql _,
@@ -5604,6 +5654,72 @@ object SparkEntry {
            WHERE len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 >= 0.5),
          adm1 AS (
            SELECT doc_id FROM sg WHERE doc_id % 20 = 10
+             AND doc_id NOT IN (SELECT nid FROM dup1))
+         SELECT doc_id, 0 AS batch FROM adm0
+         UNION ALL SELECT doc_id, 1 AS batch FROM adm1
+         ORDER BY doc_id"""
+    },
+    // st9: st6's admission blocks with the tx8 gate composed in front
+    // — batch docs must be in `gt` to be screened, admitted, or
+    // appended to the index; the seed corpus is unchanged
+    "st9_stream_gate" -> {
+      s"""$minhashSigCte,
+         gt AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_words,
+               len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                 AS n_stop_hits
+             FROM documents) b
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) >= 3.0
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) <= 10.0
+             AND (CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE n_punct::DOUBLE / n_chars::DOUBLE END) <= 0.1
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_alpha::DOUBLE / n_words::DOUBLE END) >= 0.8
+             AND n_stop_hits >= 2),
+         bkall AS (
+           SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
+           FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
+         bkx AS (SELECT * FROM bkall WHERE doc_id % 10 != 0),
+         cand0 AS (
+           SELECT DISTINCT n.doc_id AS nid, x.doc_id AS xid
+           FROM (SELECT * FROM bkall WHERE doc_id % 20 = 0
+                   AND doc_id IN (SELECT doc_id FROM gt)) n
+           JOIN bkx x ON n.b = x.b AND n.key = x.key),
+         dup0 AS (
+           SELECT DISTINCT c.nid FROM cand0 c
+           JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.xid
+           WHERE len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 >= 0.5),
+         adm0 AS (
+           SELECT doc_id FROM sg WHERE doc_id % 20 = 0
+             AND doc_id IN (SELECT doc_id FROM gt)
+             AND doc_id NOT IN (SELECT nid FROM dup0)),
+         bkidx1 AS (
+           SELECT * FROM bkx
+           UNION ALL
+           SELECT * FROM bkall WHERE doc_id IN (SELECT doc_id FROM adm0)),
+         cand1 AS (
+           SELECT DISTINCT n.doc_id AS nid, x.doc_id AS xid
+           FROM (SELECT * FROM bkall WHERE doc_id % 20 = 10
+                   AND doc_id IN (SELECT doc_id FROM gt)) n
+           JOIN bkidx1 x ON n.b = x.b AND n.key = x.key),
+         dup1 AS (
+           SELECT DISTINCT c.nid FROM cand1 c
+           JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.xid
+           WHERE len(list_filter(range(32), k -> sa.sig[k+1] = sb.sig[k+1])) / 32.0 >= 0.5),
+         adm1 AS (
+           SELECT doc_id FROM sg WHERE doc_id % 20 = 10
+             AND doc_id IN (SELECT doc_id FROM gt)
              AND doc_id NOT IN (SELECT nid FROM dup1))
          SELECT doc_id, 0 AS batch FROM adm0
          UNION ALL SELECT doc_id, 1 AS batch FROM adm1

@@ -135,16 +135,19 @@ object Text {
     * serves both), plus one per-token regex for the alpha-word count.
     * No shuffle: the gate rides the scan, so at 100 TB it is a free
     * passenger on whatever pass reads the text anyway. */
-  def gopherGate(df: DataFrame, id: String, text: String): DataFrame = {
-    val d = df.withColumn("__ts",
-      graft.functions.TextStatsExpr(col(text), stopwords("en")))
-    val nTok = col("__ts.nTok")
+  /** The five Gopher rules as Column predicates over a TextStatsExpr
+    * struct column — shared by the batch gate ([[gopherGate]]) and the
+    * streaming admission gate ([[gopherKeep]]). */
+  private def gopherFlags(ts: Column, text: Column):
+      (Column, Column, Column, Column, Column, Column, Column, Column) = {
+    val nTok = ts.getField("nTok")
     val mean = when(nTok === 0, 0.0)
-      .otherwise(col("__ts.sumTokLen").cast("double") / nTok.cast("double"))
-    val punctR = when(col("__ts.nChars") === 0, 0.0)
-      .otherwise(col("__ts.punct").cast("double") / col("__ts.nChars").cast("double"))
+      .otherwise(ts.getField("sumTokLen").cast("double") / nTok.cast("double"))
+    val punctR = when(ts.getField("nChars") === 0, 0.0)
+      .otherwise(ts.getField("punct").cast("double") /
+        ts.getField("nChars").cast("double"))
     val nAlpha = size(filter(
-      filter(split(col(text), "\\s+"), x => length(x) > 0),
+      filter(split(text, "\\s+"), x => length(x) > 0),
       x => x.rlike("[A-Za-z]")))
     val fracAlpha = when(nTok === 0, 0.0)
       .otherwise(nAlpha.cast("double") / nTok.cast("double"))
@@ -152,9 +155,27 @@ object Text {
     val fMean = mean >= 3.0 && mean <= 10.0
     val fPunct = punctR <= 0.1
     val fAlpha = fracAlpha >= 0.8
-    val fStops = col("__ts.hits") >= 2
+    val fStops = ts.getField("hits") >= 2
+    (mean, punctR, fracAlpha, fWords, fMean, fPunct, fAlpha, fStops)
+  }
+
+  /** The conjunctive Gopher keep decision as ONE Column — the form a
+    * streaming admission stage filters on. Same expression tree as
+    * [[gopherGate]]'s `keep`. */
+  def gopherKeep(text: Column): Column = {
+    val ts = graft.functions.TextStatsExpr(text, stopwords("en"))
+    val (_, _, _, fWords, fMean, fPunct, fAlpha, fStops) =
+      gopherFlags(ts, text)
+    fWords && fMean && fPunct && fAlpha && fStops
+  }
+
+  def gopherGate(df: DataFrame, id: String, text: String): DataFrame = {
+    val d = df.withColumn("__ts",
+      graft.functions.TextStatsExpr(col(text), stopwords("en")))
+    val (mean, punctR, fracAlpha, fWords, fMean, fPunct, fAlpha, fStops) =
+      gopherFlags(col("__ts"), col(text))
     d.select(col(id),
-        nTok.as("n_words"),
+        col("__ts.nTok").as("n_words"),
         round(mean, 6).as("mean_word_len"),
         round(punctR, 6).as("punct_ratio"),
         round(fracAlpha, 6).as("frac_alpha_words"),

@@ -163,11 +163,20 @@ object StreamAdmit {
     * admissions — the foreachBatch body, public so a batch pipeline
     * (or a spec) can drive it without a stream. Returns the admitted
     * (doc_id, batch) rows it wrote. */
-  def admitBatch(batch: DataFrame, id: String, text: String,
+  def admitBatch(batch0: DataFrame, id: String, text: String,
       indexRoot: String, admittedRoot: String, batchId: Long,
       bands: Int, sigLen: Int, shingleK: Int,
       minEstJaccard: Double, compactMinTailFiles: Int = 16,
-      maxProbeKeys: Long = 1L << 22): Unit = {
+      maxProbeKeys: Long = 1L << 22,
+      gate: Option[org.apache.spark.sql.Column] = None): Unit = {
+    // the optional QUALITY gate runs before any screening work: a
+    // gate-rejected document is not admitted, not fingerprinted, and
+    // never enters the index — the curated corpus contains only
+    // documents that passed both the gate and the dedup screen. The
+    // gate is a pure per-row predicate, so applying it first also
+    // shrinks every downstream probe (deterministic: replay re-gates
+    // identically).
+    val batch = gate.map(g => batch0.filter(g)).getOrElse(batch0)
     val ss = batch.sparkSession
     // persisted: the shingle+minhash pass over the batch text feeds
     // the dial's count, the probe, the replay anti-join, the verdict
@@ -286,14 +295,16 @@ object StreamAdmit {
       bands: Int = 16, sigLen: Int = 32, shingleK: Int = 3,
       minEstJaccard: Double = 0.5,
       maxFilesPerTrigger: Int = 1,
-      compactMinTailFiles: Int = 16): StreamingQuery =
+      compactMinTailFiles: Int = 16,
+      gate: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(feedDir)
       .writeStream
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
         admitBatch(b.toDF(), id, text, indexRoot, admittedRoot, batchId,
-          bands, sigLen, shingleK, minEstJaccard, compactMinTailFiles)
+          bands, sigLen, shingleK, minEstJaccard, compactMinTailFiles,
+          gate = gate)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -64,6 +64,23 @@ class TextSpec extends SparkSpec {
       row(5).getAs[Int]("n_stop_hits") == 0)
   }
 
+  test("gopherKeep column == gopherGate's keep flag row-for-row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (Seq.fill(29)("the data") :+ "value row").mkString(" ")),
+      (2L, "the a short doc"),
+      (3L, (Seq.fill(30)("a it") :+ "x y").mkString(" ")),
+      (4L, (1 to 60).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val viaGate = graft.ops.Text.gopherGate(docs, "doc_id", "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaKeep = docs.select(col("doc_id"),
+        graft.ops.Text.gopherKeep(col("text")).as("k")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaGate == viaKeep)
+  }
+
   test("fingerprint diverges from code-point fold only on non-ASCII") {
     // the codegen expr folds UTF-8 bytes (canonical FNV); the column
     // formulation folds code points — documents the known difference
