@@ -1388,6 +1388,30 @@ object SparkEntry {
       .orderBy("round")
   }
 
+  /** TOK3 — BPE ENCODE ([[graft.ops.Bpe.encode]]): apply tok2's
+    * trained merge table to every document — tokenizer INFERENCE,
+    * completing the tokenizer story (tok1 counts one step, tok2
+    * trains, tok3 encodes). The merge folds nest in merge order
+    * inside one projection, so encoding rides the scan with zero
+    * shuffle. Output: per-doc symbol counts before/after merging —
+    * what a token-budget planner prices. REQUIREd: the merges
+    * strictly compress. Oracle: the training re-derives relationally
+    * over DISTINCT words weighted by occurrence count (pair counts
+    * and merges are functions of the word multiset — same argmaxes,
+    * recursion over the vocabulary instead of the corpus), then joins
+    * encoded lengths back to per-doc occurrences. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", rounds = 3)
+    val out = Bpe.encode(t(s, dir, "documents").select("doc_id", "text"),
+        "text", merges)
+      .select(col("doc_id"), col("n_sym0"), col("n_sym"))
+      .filter(col("n_sym0") > 0) // wordless docs occupy no tokens
+    val tot = out.agg(sum("n_sym0").as("a"), sum("n_sym").as("b")).head()
+    require(tot.getLong(0) > tot.getLong(1),
+      s"BPE encode saved nothing: ${tot.getLong(0)} -> ${tot.getLong(1)}")
+    out.orderBy("doc_id")
+  }
+
   /** D8 corpus-boilerplate spans (C4/RefinedWeb-style span dedup,
     * adapted to word grams): a 3-gram occurring in ≥ 10 distinct
     * documents is boilerplate (≥ 4 here — the synthetic corpus tops
@@ -3874,6 +3898,7 @@ object SparkEntry {
     "tx7_unigram_nll" -> qUnigramNll _,
     "tok1_bpe_pairs" -> qBpePairs _,
     "tok2_bpe_train" -> qBpeTrain _,
+    "tok3_bpe_encode" -> qBpeEncode _,
     "tx3_token_count" -> qTokenCount _,
     "tx8_quality_gate" -> qQualityGate _,
     "sp1_sequence_pack" -> qSequencePack _,
@@ -5000,6 +5025,85 @@ object SparkEntry {
          UNION ALL SELECT 2, a, b, a||b, n FROM m2
          UNION ALL SELECT 3, a, b, a||b, n FROM m3
          ORDER BY round""",
+    // tok3: training re-derived over DISTINCT words weighted by
+    // occurrence count (pair counts and merges are functions of the
+    // word multiset — identical argmaxes, recursion over the
+    // vocabulary instead of the corpus), then encoded lengths join
+    // back to per-doc occurrences. Validated against an independent
+    // driver-side reference implementation.
+    "tok3_bpe_encode" ->
+      """WITH RECURSIVE
+         ws0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                   x -> len(x) > 0) AS ws FROM documents),
+         words AS (
+           SELECT doc_id, ws[wi] AS w FROM (
+             SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS wi
+             FROM ws0)),
+         wc AS (SELECT w, count(*)::BIGINT AS cnt FROM words GROUP BY w),
+         e1 AS (SELECT w, cnt, list_transform(generate_series(1, len(w)),
+                  i -> w[i:i]) AS syms FROM wc),
+         p1 AS (SELECT syms, cnt, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM e1 WHERE len(syms) >= 2),
+         c1 AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt)::BIGINT AS n
+                FROM p1 GROUP BY 1, 2),
+         m1 AS (SELECT a, b, n FROM c1 ORDER BY n DESC, a, b LIMIT 1),
+         mg1(w, cnt, syms) AS (
+           SELECT w, cnt, syms FROM e1
+           UNION ALL
+           SELECT w, cnt, list_concat(list_concat(syms[1:j-1], [a||b]),
+                    syms[j+2:len(syms)])
+           FROM (SELECT w, cnt, syms,
+                   list_min(list_filter(generate_series(1, len(syms)-1),
+                     i -> syms[i] = m1.a AND syms[i+1] = m1.b)) AS j,
+                   m1.a AS a, m1.b AS b
+                 FROM mg1, m1) t
+           WHERE j IS NOT NULL),
+         e2 AS (SELECT w, cnt, syms FROM mg1, m1
+                WHERE list_min(list_filter(generate_series(1, len(syms)-1),
+                        i -> syms[i] = m1.a AND syms[i+1] = m1.b)) IS NULL),
+         p2 AS (SELECT syms, cnt, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM e2 WHERE len(syms) >= 2),
+         c2 AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt)::BIGINT AS n
+                FROM p2 GROUP BY 1, 2),
+         m2 AS (SELECT a, b, n FROM c2 ORDER BY n DESC, a, b LIMIT 1),
+         mg2(w, cnt, syms) AS (
+           SELECT w, cnt, syms FROM e2
+           UNION ALL
+           SELECT w, cnt, list_concat(list_concat(syms[1:j-1], [a||b]),
+                    syms[j+2:len(syms)])
+           FROM (SELECT w, cnt, syms,
+                   list_min(list_filter(generate_series(1, len(syms)-1),
+                     i -> syms[i] = m2.a AND syms[i+1] = m2.b)) AS j,
+                   m2.a AS a, m2.b AS b
+                 FROM mg2, m2) t
+           WHERE j IS NOT NULL),
+         e3 AS (SELECT w, cnt, syms FROM mg2, m2
+                WHERE list_min(list_filter(generate_series(1, len(syms)-1),
+                        i -> syms[i] = m2.a AND syms[i+1] = m2.b)) IS NULL),
+         p3 AS (SELECT syms, cnt, unnest(generate_series(1, len(syms)-1)) AS i
+                FROM e3 WHERE len(syms) >= 2),
+         c3 AS (SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt)::BIGINT AS n
+                FROM p3 GROUP BY 1, 2),
+         m3 AS (SELECT a, b, n FROM c3 ORDER BY n DESC, a, b LIMIT 1),
+         mg3(w, cnt, syms) AS (
+           SELECT w, cnt, syms FROM e3
+           UNION ALL
+           SELECT w, cnt, list_concat(list_concat(syms[1:j-1], [a||b]),
+                    syms[j+2:len(syms)])
+           FROM (SELECT w, cnt, syms,
+                   list_min(list_filter(generate_series(1, len(syms)-1),
+                     i -> syms[i] = m3.a AND syms[i+1] = m3.b)) AS j,
+                   m3.a AS a, m3.b AS b
+                 FROM mg3, m3) t
+           WHERE j IS NOT NULL),
+         e4 AS (SELECT w, cnt, syms FROM mg3, m3
+                WHERE list_min(list_filter(generate_series(1, len(syms)-1),
+                        i -> syms[i] = m3.a AND syms[i+1] = m3.b)) IS NULL),
+         enc AS (SELECT w, len(w)::BIGINT AS s0, len(syms)::BIGINT AS s3 FROM e4)
+         SELECT wd.doc_id, sum(e.s0)::BIGINT AS n_sym0,
+           sum(e.s3)::BIGINT AS n_sym
+         FROM words wd JOIN enc e USING (w)
+         GROUP BY wd.doc_id ORDER BY wd.doc_id""",
     "tx7_unigram_nll" ->
       """WITH tk AS (
            SELECT doc_id, unnest(list_filter(

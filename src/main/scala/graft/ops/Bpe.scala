@@ -55,6 +55,28 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("__wt")).as("n"))
 
+  /** The ENCODE path: apply an ordered merge table to every document
+    * — tokenizer inference. Per-document column arithmetic only (the
+    * merge folds nest in merge order inside one projection, so the
+    * whole encode rides the scan with zero shuffle; at 100 TB it is a
+    * free passenger on whatever pass reads the text, like the quality
+    * gate). Output keeps `df`'s columns plus `n_sym0` (symbols before
+    * any merge = characters in words) and `n_sym` (symbols after all
+    * merges — the token count a budget planner prices). */
+  def encode(df: DataFrame, text: String, merges: Seq[Merge]): DataFrame = {
+    val words = filter(split(col(text), "\\s+"), w => length(w) > 0)
+    val sym0 = aggregate(transform(words, w => length(w)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val encoded = merges.foldLeft(
+      transform(words, w => transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1)))): Column) { (wsyms, m) =>
+      transform(wsyms, syms => applyMerge(syms, m.left, m.right))
+    }
+    val nSym = aggregate(transform(encoded, syms => size(syms)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    df.withColumn("n_sym0", sym0).withColumn("n_sym", nSym)
+  }
+
   /** `rounds` BPE merges over the whitespace words of `text`. Returns
     * the merge table and the post-merge symbol frame (for vocab /
     * continuation). */

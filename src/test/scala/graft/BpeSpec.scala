@@ -38,4 +38,16 @@ class BpeSpec extends SparkSpec {
       .map(_.getSeq[String](0)).sortBy(_.mkString)
     assert(finalSyms.toSeq == Seq(Seq("abab"), Seq("abab"), Seq("cd")))
   }
+
+  test("encode: applying the trained merges reproduces train's final state") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "ab cdcd")).toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, "text", rounds = 3)
+    val got = Bpe.encode(docs, "text", merges)
+      .select("doc_id", "n_sym0", "n_sym").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // merges (derived): (a,b) n=5, then (c,d) n=3, then (ab,ab) n=2
+    // doc 1: abab->1 sym, abab->1, cd->1; doc 2: ab->1, cdcd->cd,cd->2
+    assert(got(0) == ((1L, 10L, 3L)), s"doc1 ${got(0)}")
+    assert(got(1) == ((2L, 6L, 3L)), s"doc2 ${got(1)}")
+  }
 }
