@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *    plan nest).
   *
   * At 100 TB: rounds × (one corpus scan + one slim pair-count
-  * shuffle). Real trainers cache the word-frequency table instead of
-  * re-scanning raw text; `train` accepts any pre-aggregated frame via
-  * `weights` for exactly that (counts ride the fold unchanged).
+  * shuffle). Real trainers fold the corpus to a word-frequency table
+  * first and train on that; the loop here is already weight-carrying
+  * ([[pairCounts]] sums a `__wt` column that [[train]] seeds at 1 per
+  * occurrence), so the frequency-table variant is the same code path
+  * with `__wt` = word count — no change to the rounds.
   */
 object Bpe {
 
