@@ -42,7 +42,7 @@ class BpeSpec extends SparkSpec {
   test("encode: applying the trained merges reproduces train's final state") {
     val docs = Seq((1L, "abab abab cd"), (2L, "ab cdcd")).toDF("doc_id", "text")
     val (merges, _) = Bpe.train(docs, "text", rounds = 3)
-    val got = Bpe.encode(docs, "text", merges)
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
       .select("doc_id", "n_sym0", "n_sym").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // merges (derived): (a,b) n=5, then (c,d) n=3, then (ab,ab) n=2
