@@ -587,6 +587,10 @@ object SparkEntry {
     val b = sample.select(col("vec_id").as("ib"),
       col("embedding").as("vb"), col("proj").as("pb"))
     val ratios = a.join(b, col("ia") < col("ib"))
+      // duplicate vectors have zero original distance — no distortion
+      // to measure (0/0); the JL contract quantifies over DISTINCT
+      // points, so they drop from the audit, not fail it
+      .filter(VectorFunctions.l2sq(col("va"), col("vb")) > 0.0)
       .select((VectorFunctions.l2sq(col("pa"), col("pb")) /
         VectorFunctions.l2sq(col("va"), col("vb"))).as("r"))
       .collect().map(_.getDouble(0))
@@ -974,6 +978,23 @@ object SparkEntry {
     java.lang.Long.toHexString(h)
   }
 
+  /** Write `df` filtered by `cond` as a single parquet FILE at
+    * base/feed/<name>.parquet with a pinned mtime — deterministic
+    * batch ORDER for maxFilesPerTrigger=1 file-source streams (the
+    * st6/st8/st9 fixture pattern, one implementation). */
+  private def writeFeedFile(df: DataFrame, base: String, cond: Column,
+      name: String, mtime: Long): Unit = {
+    val tmp = s"$base/tmp_$name"
+    df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(s"$base/feed/$name.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   /** D11 incremental dedup — the STEADY-STATE production flow: the
     * corpus fingerprint index (banded buckets + signatures) persists
     * ONCE as parquet (the admission job), and every batch thereafter
@@ -1176,12 +1197,13 @@ object SparkEntry {
       .filter(col("n_kept") > 0)
       .select(col("doc_id"), TextFunctions.tokenCountBpeish(
         col("text_dedup")).cast("long").as("tokens"))
+      .localCheckpoint() // gate+dedup run ONCE: pack + totTok both read this
     val packed = SeqPack.pack(curated, "tokens", 512L, Seq(col("doc_id")))
       .localCheckpoint() // consumed twice (REQUIRE agg + return)
-    val totTok = curated.filter(col("tokens") > 0)
-      .agg(sum("tokens")).head.getLong(0)
-    val totLen = packed.agg(sum("len")).head.getLong(0)
-    require(totTok == totLen,
+    def agg0(r: org.apache.spark.sql.Row) = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val totTok = agg0(curated.filter(col("tokens") > 0).agg(sum("tokens")).head)
+    val totLen = agg0(packed.agg(sum("len")).head)
+    require(totTok == totLen && totTok > 0,
       s"curation pipeline lost or duplicated tokens: $totTok vs $totLen")
     packed.select("doc_id", "seq", "off", "doc_off", "len")
       .orderBy("doc_id", "seq")
@@ -1392,14 +1414,20 @@ object SparkEntry {
       s"_${sourceStamp(s, dir, "documents")}"
     val f = new java.io.File(s"$base/merges.tsv")
     if (f.exists()) {
-      scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq.map { line =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList.map { line =>
         val Array(r, a, b, n) = line.split("\t", -1)
         Bpe.Merge(r.toInt, a, b, n.toLong)
-      }
+      } finally src.close()
     } else {
       val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", rounds = 3)
       new java.io.File(base).mkdirs()
-      val tmp = new java.io.File(s"$base/merges.tsv.tmp")
+      // per-writer tmp name (the TsStore commit-path rule): two
+      // concurrent trainers must never interleave into one tmp file —
+      // each renames its own complete file, last atomic move wins,
+      // and both contents are identical (training is deterministic)
+      val tmp = new java.io.File(
+        s"$base/merges.tsv.tmp.${java.util.UUID.randomUUID()}")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
       try merges.foreach(m => w.println(s"${m.round}\t${m.left}\t${m.right}\t${m.n}"))
       finally w.close()
@@ -1437,9 +1465,12 @@ object SparkEntry {
     val out = Bpe.encode(t(s, dir, "documents").select("doc_id", "text"),
         "doc_id", "text", merges)
       .select(col("doc_id"), col("n_sym0"), col("n_sym"))
+    require(merges.size == 3,
+      s"tok3's oracle unrolls exactly 3 rounds; training exhausted at " +
+        s"${merges.size} - the fixture corpus is degenerate")
     val tot = out.agg(sum("n_sym0").as("a"), sum("n_sym").as("b")).head()
-    require(tot.getLong(0) > tot.getLong(1),
-      s"BPE encode saved nothing: ${tot.getLong(0)} -> ${tot.getLong(1)}")
+    require(!tot.isNullAt(0) && tot.getLong(0) > tot.getLong(1),
+      s"BPE encode saved nothing: $tot")
     out.orderBy("doc_id")
   }
 
@@ -1683,21 +1714,9 @@ object SparkEntry {
         "text", shingleK = 3, numHashes = 32),
       "doc_id", s"$base/index", bands = 16, sigLen = 32)
     // two feed files in pinned mtime order
-    def feedFile(cond: org.apache.spark.sql.Column, name: String,
-        mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      d.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$base/feed/$name.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
     val now = System.currentTimeMillis()
-    feedFile(col("doc_id") % 20 === 0, "b0", now - 120000L)
-    feedFile(col("doc_id") % 20 === 10, "b1", now - 60000L)
+    writeFeedFile(d, base, col("doc_id") % 20 === 0, "b0", now - 120000L)
+    writeFeedFile(d, base, col("doc_id") % 20 === 10, "b1", now - 60000L)
     val q = graft.stream.StreamAdmit.start(s, s"$base/feed", d.schema,
       "doc_id", "text", s"$base/index", s"$base/admitted", s"$base/ckpt")
     q.awaitTermination()
@@ -1724,21 +1743,9 @@ object SparkEntry {
       graft.ops.Dedup.minhash(d.filter(col("doc_id") % 10 =!= 0),
         "text", shingleK = 3, numHashes = 32),
       "doc_id", s"$base/index", bands = 16, sigLen = 32)
-    def feedFile(cond: org.apache.spark.sql.Column, name: String,
-        mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      d.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$base/feed/$name.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
     val now = System.currentTimeMillis()
-    feedFile(col("doc_id") % 20 === 0, "b0", now - 120000L)
-    feedFile(col("doc_id") % 20 === 10, "b1", now - 60000L)
+    writeFeedFile(d, base, col("doc_id") % 20 === 0, "b0", now - 120000L)
+    writeFeedFile(d, base, col("doc_id") % 20 === 10, "b1", now - 60000L)
     val q = graft.stream.StreamAdmit.start(s, s"$base/feed", d.schema,
       "doc_id", "text", s"$base/index", s"$base/admitted", s"$base/ckpt",
       gate = Some(Text.gopherKeep(col("text"))))
@@ -2599,7 +2606,12 @@ object SparkEntry {
       s"_${sourceStamp(s, dir, "documents")}"
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS"))) {
+    // BOTH artifacts must be complete (the d11 every-artifact guard):
+    // stats-last ordering makes stats/_SUCCESS the commit point for a
+    // clean build, but a partially cleaned dir (ix evicted, stats
+    // surviving) must rebuild rather than crash on every probe
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS")) ||
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$base/ix/_SUCCESS"))) {
       val post = Search.postings(t(s, dir, "documents"), "doc_id", "text")
       post.repartitionByRange(8, col("term"))
         .sortWithinPartitions("term", "doc_id")
@@ -3145,21 +3157,9 @@ object SparkEntry {
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     // two feed files in pinned mtime order (the st6 pattern)
-    def feedFile(cond: org.apache.spark.sql.Column, name: String,
-        mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$base/feed/$name.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
     val now = System.currentTimeMillis()
-    feedFile(col("event_id") % 2 === 0, "b0", now - 120000L)
-    feedFile(col("event_id") % 2 === 1, "b1", now - 60000L)
+    writeFeedFile(ev, base, col("event_id") % 2 === 0, "b0", now - 120000L)
+    writeFeedFile(ev, base, col("event_id") % 2 === 1, "b1", now - 60000L)
     val root = s"$base/sketch"
     val stamp = "evfeed"
     val (eps, conf, seed, k) = (0.001, 0.99, 42, 64)
@@ -4000,6 +4000,34 @@ object SparkEntry {
     * own asymmetric new×index banding. Built by CONCATENATION — never
     * by slicing a formatted string, which silently breaks on any
     * whitespace change. */
+  /** tx8's Gopher keep-set as ONE reusable oracle block — pl1 and st9
+    * interpolate it, so a threshold change lands everywhere at once
+    * (the minhashSigCte discipline applied to the gate). Raw string:
+    * backslashes stay literal. */
+  private lazy val gopherKeepSql: String =
+    """SELECT doc_id FROM (
+             SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_words,
+               len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+               len(list_filter(string_split_regex(text, '\s+'),
+                     x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                 AS n_stop_hits
+             FROM documents) b
+           WHERE n_words >= 50 AND n_words <= 100000
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) >= 3.0
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) <= 10.0
+             AND (CASE WHEN n_chars = 0 THEN 0.0
+                    ELSE n_punct::DOUBLE / n_chars::DOUBLE END) <= 0.1
+             AND (CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_alpha::DOUBLE / n_words::DOUBLE END) >= 0.8
+             AND n_stop_hits >= 2"""
+
   private lazy val minhashSigCte: String = {
       val coefList = Dedup.minhashCoefs(32)
         .map { case (a, b) => s"{'a': $a, 'b': $b}" }.mkString(", ")
@@ -5061,7 +5089,10 @@ object SparkEntry {
     // word multiset — identical argmaxes, recursion over the
     // vocabulary instead of the corpus), then encoded lengths join
     // back to per-doc occurrences. Validated against an independent
-    // driver-side reference implementation.
+    // driver-side reference implementation. NOTE: unrolls exactly 3
+    // rounds — an empty m2/m3 would annihilate downstream CTEs, so
+    // the query REQUIREs training did not exhaust early (it cannot on
+    // this corpus; a degenerate fixture fails loudly, not falsely).
     "tok3_bpe_encode" ->
       """WITH RECURSIVE
          ws0 AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
@@ -5199,29 +5230,7 @@ object SparkEntry {
     // packing blocks composed verbatim — the pipeline a pretraining
     // run executes, end-to-end, on the same literal thresholds
     "pl1_curation_pipeline" ->
-      """WITH g AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_words,
-               len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
-               len(text) AS n_chars,
-               len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
-               len(list_filter(string_split_regex(text, '\s+'),
-                     x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-               len(list_filter(string_split_regex(lower(text), '\s+'),
-                     x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
-                 AS n_stop_hits
-             FROM documents) b
-           WHERE n_words >= 50 AND n_words <= 100000
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) >= 3.0
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) <= 10.0
-             AND (CASE WHEN n_chars = 0 THEN 0.0
-                    ELSE n_punct::DOUBLE / n_chars::DOUBLE END) <= 0.1
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_alpha::DOUBLE / n_words::DOUBLE END) >= 0.8
-             AND n_stop_hits >= 2),
+      ("""WITH g AS (""" + gopherKeepSql + """),
          ws AS (
            SELECT d.doc_id, list_filter(string_split_regex(d.text, '\s+'),
                     x -> len(x) > 0) AS w
@@ -5262,7 +5271,7 @@ object SparkEntry {
            (greatest(strt, seq * 512) - strt)::BIGINT AS doc_off,
            (least(strt + tokens, (seq + 1) * 512)
              - greatest(strt, seq * 512))::BIGINT AS len
-         FROM ch ORDER BY doc_id, seq""",
+         FROM ch ORDER BY doc_id, seq"""),
     "tx3_token_count" ->
       """SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_tok_ws,
@@ -5815,29 +5824,7 @@ object SparkEntry {
     // appended to the index; the seed corpus is unchanged
     "st9_stream_gate" -> {
       s"""$minhashSigCte,
-         gt AS (
-           SELECT doc_id FROM (
-             SELECT doc_id,
-               len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS n_words,
-               len(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
-               len(text) AS n_chars,
-               len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
-               len(list_filter(string_split_regex(text, '\\s+'),
-                     x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-               len(list_filter(string_split_regex(lower(text), '\\s+'),
-                     x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
-                 AS n_stop_hits
-             FROM documents) b
-           WHERE n_words >= 50 AND n_words <= 100000
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) >= 3.0
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_nonspace::DOUBLE / n_words::DOUBLE END) <= 10.0
-             AND (CASE WHEN n_chars = 0 THEN 0.0
-                    ELSE n_punct::DOUBLE / n_chars::DOUBLE END) <= 0.1
-             AND (CASE WHEN n_words = 0 THEN 0.0
-                    ELSE n_alpha::DOUBLE / n_words::DOUBLE END) >= 0.8
-             AND n_stop_hits >= 2),
+         gt AS ($gopherKeepSql),
          bkall AS (
            SELECT doc_id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS key
            FROM (SELECT doc_id, unnest(range(16)) AS b, sig FROM sg)),
