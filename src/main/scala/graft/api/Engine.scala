@@ -185,9 +185,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * after evolving — the new DDL then carries the new columns). */
   def evolve(dsl: String): SdbSchema.Sdb = synchronized {
     val next = SdbSchema.parse(dsl)
-    val prev = catalog.get(next.name).getOrElse(
+    if (catalog.get(next.name).isEmpty)
       throw new IllegalArgumentException(
-        s"evolve: unknown table '${next.name}' — create it first"))
+        s"evolve: unknown table '${next.name}' — create it first")
+    // open the store BEFORE reading prev: opening heals a torn
+    // (post-crash) catalog from the store's recorded era history (see
+    // storeOf — the era-record write is the evolve commit point, so a
+    // crash between it and persistEngineCatalog leaves the sidecar one
+    // era behind). With prev healed, the FIRST retry of an interrupted
+    // evolve lands on the idempotent no-op path below instead of
+    // TsStore's "evolve from the live schema" require.
+    val store = storeOf(next.name)
+    val prev = catalog.get(next.name).get
     if (prev == next) return prev // idempotent no-op
     def idx(s: SdbSchema.Sdb) = s.mainIndex.map(f => (f.name, f.style))
     require(idx(prev) == idx(next),
@@ -201,7 +210,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       s"evolve: '${next.name}' is exposed to SQL — a parquet backing " +
         "table cannot span schema eras; drop the exposure, evolve, " +
         "then re-expose")
-    storeOf(next.name).evolveSchema(prev, next)
+    store.evolveSchema(prev, next)
     catalog.register(next)
     persistEngineCatalog()
     next

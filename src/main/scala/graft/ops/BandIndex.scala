@@ -114,11 +114,19 @@ object BandIndex {
 
   /** A merged-away original kept on disk through a reader-grace
     * window (see [[compactTiered]]'s `retireGraceMs`): `file` stays
-    * readable at its original path until `at + grace` passes, then
-    * the next compact reaps it. Retired files are excluded from
-    * every tail discovery — they are neither probed nor re-merged
-    * (their rows already live in the spliced run). */
-  private[graft] final case class RetiredEntry(file: String, at: Long)
+    * readable at its original path until its stored expiry `exp`
+    * (= retire time + the grace IN FORCE WHEN IT WAS RETIRED) passes,
+    * then the next compact reaps it. The expiry is persisted in the
+    * manifest so a LATER compact called with a shorter (or zero)
+    * grace dial — e.g. StreamAdmit's internal grace-0 compacts —
+    * cannot cut short a grace a prior compact promised its readers.
+    * Retired files are excluded from every tail discovery — they are
+    * neither probed nor re-merged (their rows already live in the
+    * spliced run). `exp < 0` marks a legacy entry written before the
+    * expiry rode the manifest; it falls back to `at + the reaping
+    * call's grace` (the old behavior). */
+  private[graft] final case class RetiredEntry(file: String, at: Long,
+      exp: Long = -1L)
 
   private def entriesNode(key: String, entries: Seq[FileEntry],
       retired: Seq[RetiredEntry] = Nil)
@@ -140,6 +148,7 @@ object BandIndex {
         val e = ret.addObject()
         e.put("file", re.file)
         e.put("at", re.at)
+        if (re.exp >= 0L) e.put("exp", re.exp)
       }
     }
     node
@@ -155,7 +164,8 @@ object BandIndex {
     val ret = node.path("retired")
     (0 until ret.size()).map { i =>
       val e = ret.get(i)
-      RetiredEntry(e.path("file").asText(), e.path("at").asLong(0L))
+      RetiredEntry(e.path("file").asText(), e.path("at").asLong(0L),
+        e.path("exp").asLong(-1L))
     }
   }
 
@@ -491,11 +501,17 @@ object BandIndex {
     // runtime. 0 (default) deletes inline — correct under the
     // in-process single-writer contract, zero held garbage.
     val now = System.currentTimeMillis()
-    val (reapable, heldRetired) =
-      prevRetired.partition(_.at + retireGraceMs <= now)
+    // reap on the expiry STORED when each file was retired, never this
+    // call's dial: a grace-0 compact (StreamAdmit's write-path default)
+    // running moments after a long-grace retire must hold those files,
+    // not delete them (legacy entries without a stored expiry fall
+    // back to this call's grace — the pre-expiry behavior)
+    val (reapable, heldRetired) = prevRetired.partition(re =>
+      (if (re.exp >= 0L) re.exp else re.at + retireGraceMs) <= now)
     val (deleteNow, newlyRetired) =
       if (retireGraceMs <= 0L) (mergeNames.toSeq.sorted, Nil)
-      else (Nil, mergeNames.toSeq.sorted.map(RetiredEntry(_, now)))
+      else (Nil, mergeNames.toSeq.sorted.map(
+        RetiredEntry(_, now, now + retireGraceMs)))
     // only parts with stats are placed — a 0-row part would otherwise
     // land unmanifested and ride every future merge as phantom tail
     writePlan(ss, tmpDir, key,

@@ -544,11 +544,13 @@ object Dedup {
     * Scale shape, in shuffle order:
     *  1. segmentation is per-row array arithmetic — zero shuffle;
     *  2. ownership groups a SLIM projection keyed by
-    *     (xxhash64(segment), length) — the wide shuffle moves two
-    *     longs + two coordinates per segment, never the text (at a
-    *     10^10-segment corpus a 64-bit key sees a handful of birthday
-    *     collisions; production widens the key with a second
-    *     independent hash — the length column here marks the slot);
+    *     (xxhash64(segment), fnv1a64(segment), length) — the wide
+    *     shuffle moves three longs + two coordinates per segment,
+    *     never the text. The two hashes are independent (different
+    *     algorithms), so a silent segment drop needs a simultaneous
+    *     128-bit collision between equal-length segments —
+    *     birthday-implausible even at a 10^10-segment corpus, where
+    *     a single 64-bit key would already see collisions;
     *  3. only the DROP list (dup coordinates — dup-rate × corpus,
     *     two longs each) flows back as a keep FLAG (left join, AQE
     *     broadcasts it at realistic dup rates), so counting and
@@ -569,13 +571,15 @@ object Dedup {
         i => array_join(slice(col("__w"), i * w + 1, lit(w)), " "))))
       .toDF(id, "seg", "s")
     val slim = seged.select(col(id), col("seg"),
-      xxhash64(col("s")).as("__h"), length(col("s")).as("__l"))
+      xxhash64(col("s")).as("__h"),
+      graft.functions.Fnv1a64Expr(col("s")).as("__h2"),
+      length(col("s")).as("__l"))
     // one pass over the slim projection: the min-(doc, seg) owner per
     // content key via a window, so the ownership branch costs a single
     // scan + one slim exchange (vs groupBy + self-join = two scans)
     val drops = slim.withColumn("__first",
         min(struct(col(id), col("seg"))).over(
-          Window.partitionBy(col("__h"), col("__l"))))
+          Window.partitionBy(col("__h"), col("__h2"), col("__l"))))
       .filter(col(id) =!= col("__first").getField(id) ||
         col("seg") =!= col("__first").getField("seg"))
       .select(col(id), col("seg"), lit(true).as("__drop"))

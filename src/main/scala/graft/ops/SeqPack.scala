@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * O(corpus tokens / budget + docs), independent of partitioning.
   *
   * Determinism contract (what makes the DuckDB oracle exact): the
-  * order must be total (pass a unique key such as doc_id), token
+  * order must be total (pass a unique key such as doc_id — ENFORCED:
+  * a duplicate order key raises in-plan rather than silently
+  * overlapping placements), token
   * counts are exact integers, and every boundary is pure integer
   * arithmetic on the prefix sum — both engines reproduce identical
   * placements bit-for-bit. Zero-token documents occupy no span and
@@ -52,10 +54,20 @@ object SeqPack {
     val ranged = docs.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
     val localW = Window.partitionBy("__pid").orderBy(order: _*)
-    // inclusive local running sum; the doc's global start subtracts
-    // its own count back out
-    val local = ranged.withColumn("__lsum",
-      sum(col(tokens).cast("long")).over(localW))
+    // inclusive local running sum over an explicit ROWS frame (the
+    // default RANGE frame makes duplicate order keys frame PEERS —
+    // they would share one sum and silently overlap their spans); the
+    // doc's global start subtracts its own count back out
+    val okey = struct(order: _*)
+    val local = ranged
+      // enforce the totality contract in-plan instead of corrupting
+      // placements: equal keys land in one range partition, so a
+      // window lag sees every duplicate; the check rides the window
+      // the sum already pays for — no extra shuffle
+      .withColumn("__dup", lag(okey, 1).over(localW) === okey)
+      .withColumn("__lsum",
+        sum(col(tokens).cast("long")).over(localW
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offs = local.groupBy("__pid")
       .agg(sum(col(tokens).cast("long")).as("__psum"))
       .withColumn("__off", coalesce(sum("__psum").over(
@@ -64,7 +76,12 @@ object SeqPack {
       .select("__pid", "__off")
     val placed = local.join(broadcast(offs), "__pid")
       .withColumn("__start",
-        col("__off") + col("__lsum") - col(tokens).cast("long"))
+        when(col("__dup"), raise_error(concat(
+          lit("SeqPack.pack: duplicate order key "), to_json(okey),
+          lit(" — the order must be total (pass a unique key such " +
+            "as doc_id)"))))
+          .otherwise(
+            col("__off") + col("__lsum") - col(tokens).cast("long")))
       .withColumn("__end", col("__start") + col(tokens).cast("long"))
     val b = lit(budget)
     placed
@@ -77,7 +94,8 @@ object SeqPack {
       .withColumn("len",
         (least(col("__end"), (col("seq") + 1) * b) - col("__cut"))
           .cast("long"))
-      .drop("__pid", "__lsum", "__off", "__start", "__end", "__cut")
+      .drop("__pid", "__dup", "__lsum", "__off", "__start", "__end",
+        "__cut")
   }
 
   /** The packing's sequence-level contract, as a frame the caller can

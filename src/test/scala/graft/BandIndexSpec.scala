@@ -196,6 +196,8 @@ class BandIndexSpec extends SparkSpec {
       "grace-held originals must stay readable at their paths")
     val retired = BandIndex.readRetired(spark, root)
     assert(retired.nonEmpty && retired.forall(_.at > 0L))
+    assert(retired.forall(re => re.exp >= re.at + 3600000L),
+      "the retire must persist its own grace as an absolute expiry")
     // new probes are blind to the retirees: no duplicate candidates,
     // results identical, nothing counted as tail
     val (after, st) = BandIndex.probe(root, inc, "doc_id", 16, 32)
@@ -204,15 +206,25 @@ class BandIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == before,
       "grace-held compaction changed probe results")
     // a further compact INSIDE the grace keeps holding them (and must
-    // not re-merge them — the index would silently double)
+    // not re-merge them — the index would silently double). The dial
+    // here is 0 — StreamAdmit's write-path default — which is exactly
+    // the hazard: the reap clock is the expiry STORED at retire time,
+    // never the later call's (shorter) grace, so a routine grace-0
+    // compact cannot cut short a grace a prior compact promised.
     appendBatch(901L)
     assert(BandIndex.compactTiered(spark, root, "bucket",
-      targetRowsPerFile = 64, minTailFiles = 1,
-      retireGraceMs = 3600000L).isDefined)
+      targetRowsPerFile = 64, minTailFiles = 1).isDefined)
     assert(retired.map(_.file).forall(n => hfs.exists(hp(s"$root/$n"))),
-      "a within-grace compact deleted held retirees")
-    // once the grace has passed (grace 0 here: every stamp is due),
-    // the next compact's plan reaps them and empties the list
+      "a grace-0 compact reaped files still inside their stored grace")
+    assert(BandIndex.readRetired(spark, root).map(_.file).toSet ==
+      retired.map(_.file).toSet,
+      "a grace-0 compact dropped in-grace retirees from the manifest")
+    // once the STORED expiry passes (simulated by rewriting the
+    // stamps — the manifest is the clock), the next compact's plan
+    // reaps them and empties the list
+    BandIndex.commitManifest(spark, root, "bucket",
+      BandIndex.readEntries(spark, root, "bucket"),
+      BandIndex.readRetired(spark, root).map(_.copy(exp = 1L)))
     appendBatch(902L)
     assert(BandIndex.compactTiered(spark, root, "bucket",
       targetRowsPerFile = 64, minTailFiles = 1).isDefined)

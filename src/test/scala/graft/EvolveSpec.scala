@@ -144,6 +144,38 @@ class EvolveSpec extends SparkSpec {
       healed(0).getString(1) == "fC" && healed(0).getDouble(2) == 0.7)
   }
 
+  test("first retry of an interrupted evolve is an idempotent no-op") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/rt"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng)
+    eng.save("ev")
+    eng.evolve(V1)
+    // simulate the crash window: the store-side era record committed
+    // but the engine sidecar still carries the OLD declaration
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val catFile = new org.apache.hadoop.fs.Path(s"$root/__catalog.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.readTree(TsStore.readJsonBytes(f, catFile))
+    node.path("tables").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("ev", SdbSchema.parse(V0, "ev").toDsl)
+    val out = f.create(catFile, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    val eng2 = new graft.api.Engine(spark, root, snapshots = true)
+    assert(eng2.catalog.get("ev").map(_.toDsl) ==
+      Some(SdbSchema.parse(V0).toDsl), "precondition: sidecar is stale")
+    // the retry: evolve must heal the catalog from the store's era
+    // records BEFORE reading prev, so this FIRST call lands on the
+    // idempotent no-op path instead of TsStore's "evolve from the
+    // live schema" require
+    assert(eng2.evolve(V1).toDsl == SdbSchema.parse(V1).toDsl)
+    assert(eng2.catalog.get("ev").map(_.toDsl) ==
+      Some(SdbSchema.parse(V1).toDsl))
+    assert(eng2.get("*.ev", "{}").count() == 3)
+  }
+
   test("identity invariants and SQL exposure are refused; unexpose+pack unblocks") {
     val root = Files.createTempDirectory("graft_evolve").toString + "/g"
     val eng = new graft.api.Engine(spark, root, snapshots = true)

@@ -53,6 +53,17 @@ class SeqPackSpec extends SparkSpec {
     assert(collectPacked(docs.orderBy(col("doc_id").desc)) == base)
   }
 
+  test("duplicate order keys fail loudly instead of overlapping spans") {
+    val dup = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("doc_id", "tokens")
+    val ex = intercept[Exception] {
+      SeqPack.pack(dup, "tokens", 8L, Seq(col("doc_id"))).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(ex).contains("duplicate order key"),
+      s"expected the totality contract to raise, got: $ex")
+  }
+
   test("a single giant document chunks into ceil(n/budget) spans") {
     val one = Seq((42L, 100L)).toDF("doc_id", "tokens")
     val packed = collectPacked(one)
