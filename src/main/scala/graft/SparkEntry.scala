@@ -1133,6 +1133,64 @@ object SparkEntry {
     Text.gopherGate(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** TX9 — per-source document capping ([[graft.ops.Skew.saltedTopN]]):
+    * the curation step that keeps at most N documents per domain/source
+    * so no single crawl host dominates the training mix (the CCNet/
+    * RefinedWeb "domain cap"). Priority is deterministic
+    * (longest-first, doc_id tiebreak — any quality column slots in the
+    * same way). Engine shape: a naive `row_number over (partition by
+    * source)` pins each source to ONE reducer — at 100 TB a hot domain
+    * is exactly the key that needs capping and exactly the key that
+    * would pin it. saltedTopN two-phases the rank: local top-N per
+    * (source, salt) slice first, so the exact final rank sees ≤
+    * salt·N rows per source — a dial, not the data. Oracle = the
+    * plain one-window formulation, proving the two-phase plan exact. */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedTopN(t(s, dir, "documents"), Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id").asc), n = 10, salt = 4)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+      .orderBy("source", "rank")
+
+  /** HX1 — hybrid retrieval with reciprocal-rank fusion
+    * ([[graft.ops.Search.rrfFuse]]): the RAG-stack query shape —
+    * lexical BM25 (probing the SAME stamp-keyed stored postings index
+    * ix2 probes) and exact cosine ANN (the x1 baseline) retrieve
+    * top-20 lists independently, and RRF sums floor(10^12/(60+rank))
+    * per list — integer arithmetic end-to-end, so the fused ranking
+    * is bit-stable across engines. Probe cost is O(matching postings)
+    * + the ANN scan; fusion itself touches 40 rows. REQUIREd
+    * in-query: the fused entry count conserves BOTH full top-20
+    * lists (n₁ + 2·n₂ = 40) — a falsifiable fusion: an empty or
+    * short retriever list, or a fuse that drops/duplicates entries,
+    * breaks the equation. Whether the two views overlap (n₂ > 0) is
+    * data, not contract — the synthetic corpus's text topics and
+    * embedding geometry are independent, so the lists usually
+    * interleave rather than intersect; RRF handles both regimes by
+    * construction. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val (ixPath, statsPath) = bm25IndexPaths(s, dir)
+    val terms = Seq("spark", "vector", "window")
+    val text = Search.bm25Rank(
+        s.read.parquet(ixPath).filter(col("term").isin(terms: _*)),
+        "doc_id", s.read.parquet(statsPath), k = 20)
+      .withColumn("rank", row_number().over(
+        Analytics.tinySeqW.orderBy(col("score_1e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    val fused = Search.rrfFuse(Seq("text" -> text, "vec" -> vec), "doc_id")
+      .localCheckpoint() // consumed twice: the REQUIRE agg + the output
+    val byLists = fused.groupBy("n_lists").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(byLists.getOrElse(1L, 0L) + 2 * byLists.getOrElse(2L, 0L) == 40L,
+      s"fusion lost list entries: $byLists")
+    fused.orderBy(col("rrf_1e12").desc, col("doc_id")).limit(10)
+      .select("doc_id", "n_lists", "rank_text", "rank_vec", "rrf_1e12")
+  }
+
   /** Token counting for pretraining budgets: whitespace tokens and the
     * BPE-ish pre-tokenizer split (letter runs / digit runs / single
     * symbols), plus chars — the columns a data pipeline sums into
@@ -2596,12 +2654,14 @@ object SparkEntry {
     * (floor(s·1e6 + 0.5) per (doc, term), then an exact integer sum)
     * — addition order can't wobble a double, so the ranking and the
     * cross-engine oracle are bit-stable by construction. */
-  private def qBm25Rank(s: SparkSession, dir: String): DataFrame = {
-    // stamp-keyed stored index (d11/d12/x5 contract): build once per
-    // source content, probe forever. The stats sidecar is written
-    // LAST, so its _SUCCESS is the build's commit point — a crash
-    // between the postings and stats writes leaves no sidecar and the
-    // next call rebuilds both.
+  /** The stamp-keyed stored BM25 index (d11/d12/x5 contract): build
+    * once per source content, probe forever. Shared by ix2 (ranked
+    * retrieval) and hx1 (hybrid fusion) — one index, two consumers.
+    * The stats sidecar is written LAST, so its _SUCCESS is the
+    * build's commit point — a crash between the postings and stats
+    * writes leaves no sidecar and the next call rebuilds both.
+    * Returns (postings path, stats path). */
+  private def bm25IndexPaths(s: SparkSession, dir: String): (String, String) = {
     val base = s"/tmp/graft_bm25/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
       s"_${sourceStamp(s, dir, "documents")}"
     val fsys = org.apache.hadoop.fs.FileSystem.get(
@@ -2619,10 +2679,15 @@ object SparkEntry {
       Search.corpusStats(post, "doc_id")
         .write.mode("overwrite").parquet(s"$base/stats")
     }
+    (s"$base/ix", s"$base/stats")
+  }
+
+  private def qBm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val (ixPath, statsPath) = bm25IndexPaths(s, dir)
     val terms = Seq("spark", "vector", "window")
     val q = Search.bm25Rank(
-      s.read.parquet(s"$base/ix").filter(col("term").isin(terms: _*)),
-      "doc_id", s.read.parquet(s"$base/stats"), k = 20)
+      s.read.parquet(ixPath).filter(col("term").isin(terms: _*)),
+      "doc_id", s.read.parquet(statsPath), k = 20)
     val plan = q.queryExecution.executedPlan.toString
     require(plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term[^\\]]*\\].*"),
       s"term IN predicate did not push into the postings scan:\n$plan")
@@ -3932,6 +3997,8 @@ object SparkEntry {
     "tok3_bpe_encode" -> qBpeEncode _,
     "tx3_token_count" -> qTokenCount _,
     "tx8_quality_gate" -> qQualityGate _,
+    "tx9_source_cap" -> qSourceCap _,
+    "hx1_hybrid_rrf" -> qHybridRrf _,
     "sp1_sequence_pack" -> qSequencePack _,
     "pl1_curation_pipeline" -> qCurationPipeline _,
     "tx4_fingerprint" -> qFingerprint _,
@@ -5315,6 +5382,69 @@ object SparkEntry {
     // definitions as tx2 (non-space chars / ws tokens for mean word
     // length, punct-class chars / chars, en stop-list hits), plus the
     // alpha-word count; thresholds are the published constants.
+    // tx9: the capped set from the plain one-window formulation —
+    // proving saltedTopN's two-phase rank exact, slice by slice
+    "tx9_source_cap" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id)::INT AS rank
+           FROM documents)
+         WHERE rank <= 10 ORDER BY source, rank""",
+    // hx1: both retrieval lists rebuilt relationally (the ix2 BM25
+    // block + the x1 cosine block), then the same integer-quotient
+    // RRF fold; `//` on BIGINT truncates toward zero == Spark's `div`
+    // on the positive quotients
+    "hx1_hybrid_rrf" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                    x -> len(x) > 0)) AS term
+           FROM documents),
+         dlt AS (SELECT doc_id, count(*)::BIGINT AS dl FROM w GROUP BY 1),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dlt),
+         p AS (
+           SELECT term, doc_id, count(*)::BIGINT AS tf FROM w
+           WHERE term IN ('spark', 'vector', 'window') GROUP BY 1, 2),
+         dft AS (SELECT term, count(*)::DOUBLE AS df FROM p GROUP BY 1),
+         sc AS (
+           SELECT p.doc_id,
+             floor(
+               (ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * (p.tf::DOUBLE * 2.2) /
+                (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * ((dlt.dl)::DOUBLE / st.avgdl))))
+               * 1e6 + 0.5)::BIGINT AS micro
+           FROM p JOIN dft USING (term) JOIN dlt ON p.doc_id = dlt.doc_id
+           CROSS JOIN st),
+         txt AS (
+           SELECT doc_id, row_number() OVER (
+               ORDER BY score_1e6 DESC, doc_id)::INT AS rank
+           FROM (SELECT doc_id, sum(micro)::BIGINT AS score_1e6
+                 FROM sc GROUP BY doc_id)
+           QUALIFY rank <= 20),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         vs AS (
+           SELECT c.vec_id AS doc_id,
+             list_inner_product(q.v, c.v) /
+               (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v)))
+               AS cos_raw
+           FROM e c CROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q
+           WHERE c.vec_id != 0),
+         vec AS (
+           SELECT doc_id, row_number() OVER (
+               ORDER BY cos_raw DESC, doc_id)::INT AS rank
+           FROM vs QUALIFY rank <= 20),
+         u AS (
+           SELECT doc_id, 'text' AS sys, rank FROM txt
+           UNION ALL
+           SELECT doc_id, 'vec' AS sys, rank FROM vec),
+         f AS (
+           SELECT doc_id, count(*)::BIGINT AS n_lists,
+             max(CASE WHEN sys = 'text' THEN rank END)::INT AS rank_text,
+             max(CASE WHEN sys = 'vec' THEN rank END)::INT AS rank_vec,
+             sum(1000000000000 // (60 + rank))::BIGINT AS rrf_1e12
+           FROM u GROUP BY doc_id)
+         SELECT doc_id, n_lists, rank_text, rank_vec, rrf_1e12
+         FROM f ORDER BY rrf_1e12 DESC, doc_id LIMIT 10""",
     "tx8_quality_gate" ->
       """WITH b AS (
            SELECT doc_id,

@@ -68,4 +68,44 @@ object Search {
       .agg(count(lit(1)).as("n_terms"), sum(col("__micro")).as("score_1e6"))
       .orderBy(col("score_1e6").desc, col(id)).limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher's RRF) of
+    * independently ranked retrieval lists — the standard way a RAG
+    * stack combines lexical (BM25) and vector (ANN) retrieval without
+    * calibrating their incommensurable scores: each list contributes
+    * 1/(k0 + rank) per document and the contributions sum. Every list
+    * df must carry (`id`, `rank`) with rank 1-based.
+    *
+    * Determinism contract: the textbook 1/(k0+rank) is summed here as
+    * EXACT integer quotients — floor(10^12/(k0+rank)) per entry, then
+    * a BIGINT sum — so neither float division nor addition order can
+    * wobble the fused ranking between engines (the ix2 score-micros
+    * discipline applied to fusion). At 10^12 the floor loses relative
+    * precision ~10^-10 per term: fusion ties it could create simply
+    * do not occur at real list depths, and the id tiebreak would
+    * break them identically in both engines anyway.
+    *
+    * Scale shape: the inputs are top-K lists — K·#lists rows per
+    * query, a dial — so the union + one map-side-combinable groupBy
+    * is O(K) per query regardless of corpus size; fusion never
+    * re-touches the indexes that produced the lists. Output per id:
+    * `n_lists` (how many retrievers returned it), one nullable
+    * `rank_<name>` per input list, and the fused `rrf_1e12`. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], id: String,
+      k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "rrfFuse list names must be unique")
+    val contrib = lists.map { case (name, df) =>
+      df.select(col(id), lit(name).as("__sys"),
+        col("rank").cast("int").as("__r"))
+    }.reduce(_.unionByName(_))
+      .withColumn("__c",
+        expr(s"CAST(1000000000000 AS BIGINT) div ($k0 + __r)"))
+    val aggs = Seq(count(lit(1)).as("n_lists")) ++
+      lists.map { case (name, _) =>
+        max(when(col("__sys") === name, col("__r"))).as(s"rank_$name")
+      } :+ sum(col("__c")).as("rrf_1e12")
+    contrib.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
 }

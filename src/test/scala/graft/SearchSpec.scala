@@ -64,4 +64,25 @@ class SearchSpec extends SparkSpec {
     assert(scores(3L) > scores(2L),
       s"rarer-term doc should outrank: ${scores(3L)} vs ${scores(2L)}")
   }
+
+  test("rrfFuse: exact integer contributions, overlap sums, nulls for absent") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4)))
+      .toMap
+    def c(r: Int) = 1000000000000L / (60L + r) // exact integer quotient
+    assert(out(10L) == ((1L, Some(1), None, c(1))))
+    assert(out(20L) == ((2L, Some(2), Some(1), c(2) + c(1))),
+      "overlapping doc must sum both lists' contributions")
+    assert(out(30L) == ((1L, Some(3), None, c(3))))
+    assert(out(40L) == ((1L, None, Some(2), c(2))))
+    // fused order: the doc both retrievers agree on wins
+    val top = Search.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id")
+      .orderBy(col("rrf_1e12").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(top.head == 20L)
+  }
 }

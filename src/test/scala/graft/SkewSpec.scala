@@ -26,6 +26,32 @@ class SkewSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("saltedTopN == plain per-key window rank, hot key included") {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("v").desc, col("seq").asc)
+    val salted = Skew.saltedTopN(skewed, Seq("key"), order, n = 5, salt = 8)
+      .select("key", "seq", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = skewed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("key").orderBy(order: _*)))
+      .filter(col("rank") <= 5)
+      .select("key", "seq", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == plain && salted.nonEmpty)
+    // the hot key is capped to exactly n with exact ranks 1..n
+    assert(salted.filter(_._1 == "HOT").map(_._3) == Set(1, 2, 3, 4, 5))
+  }
+
+  test("saltedTopN keeps keys with fewer than n rows intact") {
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("key", "seq")
+    val out = Skew.saltedTopN(tiny, Seq("key"),
+        Seq(col("seq").asc), n = 5, salt = 4)
+      .select("key", "seq", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 3L, 1)))
+  }
+
   test("saltedJoin == plain equi-join") {
     val dim = Seq(("HOT", "hot name"), ("k1", "one"), ("k2", "two"))
       .toDF("key", "name")
