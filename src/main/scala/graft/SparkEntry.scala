@@ -2912,6 +2912,59 @@ object SparkEntry {
     q
   }
 
+  /** E18 — GENERATION CHANGE FEED
+    * ([[graft.api.Engine.changesBetween]] / [[graft.ops.Cdc.diff]]):
+    * the store's time-travel history turned into CDC. Three commits
+    * land — generation 1 (odd event-ids), generation 2 (evens
+    * inserted, u3's odds re-slotted with value+1 = updates), then a
+    * range delete on u2 as its own generation — and the feed between
+    * the first and last generations must report exactly the inserts,
+    * updates, and deletes that a downstream incremental consumer
+    * (index maintenance, sketch append, training-mix refresh) would
+    * apply instead of re-reading the table. REQUIREd in-query: the
+    * feed's arithmetic closes — |gen₁| + inserts − deletes = |genₙ|
+    * (updates cancel), the incremental-consumer contract. Output:
+    * per (subject, op) counts and net value delta (insert adds its
+    * value, delete subtracts, update contributes the difference) —
+    * every op class lands in the hash. */
+  private def qChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_changes/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+    clientEventPayloads(ev.filter(col("event_id") % 2 === 1))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 1: odd event-ids
+    clientEventPayloads(ev.filter(col("event_id") % 2 === 1 &&
+        col("user_id") === 3)
+        .withColumn("value", col("value") + 1))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    clientEventPayloads(ev.filter(col("event_id") % 2 === 0))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // generation 2: evens inserted, u3 odds updated
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""") // generation 3
+    val vs = eng.snapshotVersions("ev")
+    val feed = eng.changesBetween("ev", vs.min, vs.max)
+      .localCheckpoint() // consumed twice: the REQUIRE agg + the output
+    val ops = feed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ops.keySet == Set("insert", "update", "delete"),
+      s"the scenario must exercise every op class, got $ops")
+    val n1 = eng.openSnapshotAt("ev", vs.min).get.count()
+    val nN = eng.openSnapshotAt("ev", vs.max).get.count()
+    require(n1 + ops("insert") - ops("delete") == nN,
+      s"change feed does not close: $n1 + ${ops("insert")} - " +
+        s"${ops("delete")} != $nN")
+    feed.groupBy(col("subject"), col("op"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("new").getField("value"), lit(0.0)) -
+          coalesce(col("old").getField("value"), lit(0.0))), 2).as("delta"))
+      .orderBy("subject", "op")
+  }
+
   /** E14 — SCHEDULED vacuum on the commit path
     * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
     * that never calls vacuum() accumulates superseded version dirs
@@ -4024,6 +4077,7 @@ object SparkEntry {
     "e15_snapshot_cut" -> qSnapshotCut _,
     "e16_cut_manifest" -> qCutManifest _,
     "e17_schema_evolve" -> qSchemaEvolve _,
+    "e18_change_feed" -> qChangeFeed _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -5382,6 +5436,40 @@ object SparkEntry {
     // definitions as tx2 (non-space chars / ws tokens for mean word
     // length, punct-class chars / chars, en stop-list hits), plus the
     // alpha-word count; thresholds are the published constants.
+    // e18: both generation states rebuilt relationally (g1 = odds;
+    // gN = all minus u2's deleted slice, u3's odds re-valued), then
+    // the same keyed full-outer diff; the day predicate is e10's
+    // proven range mapping
+    "e18_change_feed" ->
+      """WITH ev AS (
+           SELECT 'u' || user_id AS subject, user_id, event_id, ts,
+             event_type, value
+           FROM events WHERE user_id < 10),
+         g1 AS (
+           SELECT subject, ts, event_type, value FROM ev
+           WHERE event_id % 2 = 1),
+         g2 AS (
+           SELECT subject, ts, event_type,
+             CASE WHEN user_id = 3 AND event_id % 2 = 1
+               THEN value + 1 ELSE value END AS value
+           FROM ev
+           WHERE NOT (user_id = 2
+             AND strftime(ts, '%Y-%m-%d')
+               BETWEEN '2024-01-10' AND '2024-01-20')),
+         d AS (
+           SELECT coalesce(g1.subject, g2.subject) AS subject,
+             CASE WHEN g2.subject IS NULL THEN 'delete'
+                  WHEN g1.subject IS NULL THEN 'insert'
+                  WHEN g1.value != g2.value
+                    OR g1.event_type != g2.event_type THEN 'update'
+                  END AS op,
+             coalesce(g2.value, 0) - coalesce(g1.value, 0) AS dv
+           FROM g1 FULL OUTER JOIN g2
+             ON g1.subject = g2.subject AND g1.ts = g2.ts)
+         SELECT subject, op, count(*)::BIGINT AS n,
+           round(sum(dv), 2) AS delta
+         FROM d WHERE op IS NOT NULL
+         GROUP BY subject, op ORDER BY subject, op""",
     // tx9: the capped set from the plain one-window formulation —
     // proving saltedTopN's two-phase rank exact, slice by slice
     "tx9_source_cap" ->

@@ -615,6 +615,32 @@ final class Engine(val spark: SparkSession, rootPath: String,
     TsStore.openSnapshotAt(spark, s"$rootPath/$table", v, "subject")
   }
 
+  /** Row-level change feed between two committed generations — the
+    * store's time-travel history turned into CDC
+    * ([[graft.ops.Cdc.diff]]): one row per upsert key (subject +
+    * main-index time) that `vTo` inserted, deleted, or changed
+    * relative to `vFrom`, with the old/new payload structs carried.
+    * The incremental-consumer contract: applying the feed to the
+    * `vFrom` state reproduces `vTo` exactly, so a downstream pipeline
+    * (index maintenance, sketch append, training-mix refresh)
+    * processes O(changes) instead of re-reading the table. Both
+    * pins are era-exact; a diff ACROSS a schema-evolve boundary is
+    * refused by the shared-schema require (align eras first). Cost:
+    * two pinned snapshot reads + one full-outer join on the upsert
+    * key — day-partitioned on both sides, nothing but changed rows
+    * survive the join. */
+  def changesBetween(table: String, vFrom: Long, vTo: Long): DataFrame = {
+    def pin(v: Long) = openSnapshotAt(table, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"changesBetween: generation $v of '$table' is unknown or " +
+          "vacuumed"))
+    val timeField = catalog.get(table).flatMap(_.mainIndex.map(_.name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"changesBetween: table '$table' has no main index"))
+    graft.ops.Cdc.diff(pin(vFrom).drop("__day"), pin(vTo).drop("__day"),
+      Seq("subject", timeField))
+  }
+
   /** The out-of-process reader contract through the engine surface:
     * pin the table's current committed snapshot and read it whole for
     * as long as the frame lives, regardless of concurrent
