@@ -607,6 +607,64 @@ object SparkEntry {
       .orderBy("vec_id", "dim")
   }
 
+  private[graft] object PqOracle {
+    @volatile var books: Option[Array[Array[Array[Double]]]] = None
+    @volatile var dt: Option[Array[Array[Double]]] = None
+    @volatile var query: Option[Array[Double]] = None
+  }
+
+  /** X12 — PRODUCT QUANTIZATION + ADC ([[graft.ops.Similarity
+    * .trainPqCodebooks]]/[[graft.ops.Similarity.pqEncode]]/
+    * [[graft.ops.Similarity.pqTopK]]): the ANN storage end-game —
+    * 64-d float vectors compress to 16 codes (one per 4-dim subspace,
+    * 16 codewords each = 16 nibbles ≈ 8 bytes/vector, 32×), and the
+    * probe ranks by asymmetric distance: a per-query 16×16 distance
+    * table computed once on the driver, each encoded row costing 16
+    * literal-table lookups + a fixed-order sum — the scan never
+    * touches a raw vector. (The 4-dim/16-codeword split beats
+    * 8-dim/16 on this structure-free corpus: same bytes, double the
+    * subspace resolution — shortlist recall 0.4 → 0.8 at sf0.1.) Encode reuses the IVF assignment arithmetic per subspace
+    * (dot − |c|²/2 argmax, the x3-proven bit-stable form), so the
+    * whole pipeline — train frozen, encode, ADC shortlist, exact
+    * re-rank ([[graft.ops.Similarity.pqSearch]]: the standard
+    * two-stage PQ probe — only the 100-row shortlist ever touches a
+    * raw vector) — reproduces in SQL with the codebooks and distance
+    * table inlined; the winners' `adc_rank` rides the output, so the
+    * quantized stage itself is pinned in the hash, not just the
+    * re-rank. REQUIREd in-query: re-ranked recall@10 against the
+    * exact-L2 top-10 meets its floor (the shortlist must actually
+    * capture the neighborhood — raw ADC@10 measures ~0.2 on this
+    * structure-free corpus, the re-rank is what makes PQ usable). */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 16, ksub = 16)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Double](0).toArray
+    val dt = Similarity.pqDistanceTable(qv, books)
+    PqOracle.books = Some(books)
+    PqOracle.dt = Some(dt)
+    PqOracle.query = Some(qv)
+    val cand = emb.filter(col("vec_id") =!= 0)
+    val enc = Similarity.pqEncode(cand, "vec_id", "embedding", books)
+    val top = Similarity.pqSearch(enc, cand, "vec_id", "embedding",
+        qv, dt, k = 10, shortlist = 100)
+      .localCheckpoint() // consumed twice: the recall REQUIRE + output
+    val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = cand.select(col("vec_id"),
+        VectorFunctions.l2sq(col("embedding"),
+          array(qv.toSeq.map(lit): _*)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size / 10.0
+    require(recall >= 0.6,
+      f"PQ shortlist recall@10 $recall%.2f below the 0.6 floor — " +
+        "the ADC shortlist is not capturing the neighborhood")
+    top.select(col("vec_id"), col("adc_rank"),
+      round(col("d2"), 6).as("d2"), col("rank"))
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -4037,6 +4095,7 @@ object SparkEntry {
     "x10_ivf_cutover" -> qIvfCutover _,
     "x6_ann_quantized" -> qAnnQuantized _,
     "x11_random_projection" -> qRandomProjection _,
+    "x12_pq_adc" -> qPqAdc _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -6538,7 +6597,68 @@ object SparkEntry {
       // freeze-the-planes trick as x2/x3); list_inner_product is the
       // proven bit-parity twin of DotProductExpr
       RpOracle.planes.map(p => "x11_random_projection" ->
-        rpOracleSqlFor(p)).toMap
+        rpOracleSqlFor(p)).toMap ++
+      // x12: codebooks AND the per-query distance table are the
+      // frozen constants; per-subspace assignment is x3's argmax
+      // form, the ADC sum is an explicit left-associated chain so
+      // both engines add the 8 lookups in the same order
+      (for (b <- PqOracle.books; d <- PqOracle.dt)
+        yield "x12_pq_adc" -> pqOracleSqlFor(b, d)).toMap
+
+  private def pqOracleSqlFor(books: Array[Array[Array[Double]]],
+      dt: Array[Array[Double]]): String = {
+    val dsub = books(0)(0).length
+    val bookRows = (for ((book, mi) <- books.zipWithIndex;
+        (c, k) <- book.zipWithIndex) yield {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($mi, $k, $lit::DOUBLE[], $half)"
+    }).mkString(",\n             ")
+    val codeCols = books.indices.map(mi =>
+      s"max(CASE WHEN mi = $mi THEN code END) AS c$mi").mkString(",\n             ")
+    val adcChain = dt.zipWithIndex.map { case (row, mi) =>
+      val litList = row.map(_.toString).mkString("[", ",", "]")
+      s"list_extract($litList::DOUBLE[], c$mi + 1)"
+    }.mkString("\n               + ")
+    val qlit = PqOracle.query.get.map(_.toString).mkString("[", ",", "]")
+    val qq = PqOracle.query.get.map(x => x * x).sum.toString
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0),
+           book AS (SELECT * FROM (VALUES
+             $bookRows) AS t(mi, k, cv, half)),
+           sc AS (
+             SELECT e.vec_id, book.mi, book.k,
+               list_inner_product(
+                 list_slice(e.v, book.mi * $dsub + 1, (book.mi + 1) * $dsub),
+                 book.cv) - book.half AS s
+             FROM e CROSS JOIN book),
+           asg AS (
+             SELECT vec_id, mi, k AS code FROM (
+               SELECT vec_id, mi, k,
+                 row_number() OVER (PARTITION BY vec_id, mi
+                   ORDER BY s DESC, k DESC) AS rn
+               FROM sc) WHERE rn = 1),
+           codes AS (
+             SELECT vec_id,
+             $codeCols
+             FROM asg GROUP BY vec_id),
+           sl AS (
+             SELECT vec_id, adc_rank FROM (
+               SELECT vec_id,
+                 row_number() OVER (ORDER BY adc, vec_id)::INT AS adc_rank
+               FROM (SELECT vec_id, $adcChain AS adc FROM codes))
+             WHERE adc_rank <= 100),
+           rr AS (
+             SELECT sl.vec_id, sl.adc_rank,
+               $qq + list_inner_product(e.v, e.v)
+                 - 2.0 * list_inner_product($qlit::DOUBLE[], e.v) AS d2
+             FROM sl JOIN e ON e.vec_id = sl.vec_id)
+         SELECT vec_id, adc_rank, round(d2, 6) AS d2, rank FROM (
+           SELECT vec_id, adc_rank, d2,
+             row_number() OVER (ORDER BY d2, vec_id)::INT AS rank
+           FROM rr)
+         WHERE rank <= 10 ORDER BY rank"""
+  }
 
   private def rpOracleSqlFor(planes: Seq[Array[Double]]): String = {
     val rows = planes.zipWithIndex.map { case (p, j) =>

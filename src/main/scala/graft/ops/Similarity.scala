@@ -525,6 +525,139 @@ object Similarity {
       .select("qid", "q", "qn2")
   }
 
+  // ── product quantization (Jégou/Douze/Schmid, TPAMI 2011) ──────
+  //
+  // The 100 TB ANN STORAGE story: int8 scalar quantization (x6) cuts
+  // a 64-d float vector 4× (64 bytes); PQ cuts it to m CODES — with
+  // m=8 subspaces × 16 codewords, 8 nibbles ≈ 8 bytes, 32× — and
+  // still answers nearest-neighbor queries through the asymmetric
+  // distance computation (ADC): the query stays full-precision, each
+  // encoded row's approximate distance is m table lookups into a
+  // per-query distance table computed ONCE on the driver. A probe
+  // therefore never touches a raw vector: the scan reads (id, codes)
+  // only, the per-row work is m array-indexes + a fixed-order sum of
+  // m doubles — codegen'd builtins, no UDF — and the raw corpus is
+  // needed only for an optional exact re-rank of the top candidates.
+
+  /** Train PQ codebooks: the dim-d space splits into `m` contiguous
+    * subspaces of dim/m dims; independent k-means (`ksub` codewords)
+    * per subspace over one seeded bounded sample (per-subspace seeds
+    * differ so identical subspace distributions don't train identical
+    * books). Driver-side like [[trainCentroids]] — the sample is
+    * bounded, the corpus never moves. Returns books(m)(ksub)(dsub). */
+  def trainPqCodebooks(corpus: DataFrame, vec: String, m: Int = 8,
+      ksub: Int = 16, seed: Long = 42L, sampleSize: Int = 4096,
+      iters: Int = 8): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(vec))
+      .orderBy(rand(seed)).limit(sampleSize).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { mi =>
+      kmeans(sample.map(_.slice(mi * dsub, (mi + 1) * dsub)),
+        ksub, iters, seed + mi)
+    }
+  }
+
+  /** Per-subspace nearest-codeword structs — the IVF
+    * [[cellStructs]] argmax (c·v − |c|²/2, ties toward the larger
+    * code) applied to one subspace slice, so encode and its oracle
+    * reuse the assignment arithmetic x3 already proves bit-stable
+    * across engines. */
+  private def codeStructs(sub: org.apache.spark.sql.Column,
+      book: Array[Array[Double]]) =
+    book.zipWithIndex.map { case (c, k) =>
+      struct((graft.functions.DotProductExpr(sub,
+        array(c.toSeq.map(lit): _*)) -
+        lit(c.map(x => x * x).sum / 2)).as("s"), lit(k).as("code"))
+    }
+
+  /** Encode the corpus: (id, codes) with codes(mi) ∈ [0, ksub) the
+    * nearest codeword of subspace mi. Pure per-row arithmetic riding
+    * the scan — zero shuffle; write the result once and every later
+    * probe reads codes instead of vectors. */
+  def pqEncode(df: DataFrame, id: String, vec: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val dsub = books(0)(0).length
+    val v = col(vec).cast("array<double>")
+    val codeCols = books.zipWithIndex.map { case (book, mi) =>
+      greatest(codeStructs(slice(v, mi * dsub + 1, dsub), book): _*)
+        .getField("code")
+    }
+    df.select(col(id), array(codeCols.toSeq: _*).as("codes"))
+  }
+
+  /** The per-query ADC distance table: dt(mi)(k) = ‖q_sub − c‖² —
+    * driver-computed once per query (m·ksub doubles, a dial). */
+  def pqDistanceTable(query: Array[Double],
+      books: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val dsub = books(0)(0).length
+    require(query.length == books.length * dsub,
+      s"query dim ${query.length} != ${books.length}×$dsub")
+    books.zipWithIndex.map { case (book, mi) =>
+      val q = query.slice(mi * dsub, (mi + 1) * dsub)
+      book.map { c =>
+        var s = 0.0; var i = 0
+        while (i < q.length) { val d = q(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+    }
+  }
+
+  /** ADC top-k over an encoded corpus: each row costs m literal-table
+    * lookups plus a FIXED-ORDER sum of m doubles (left-associated,
+    * subspace 0 first — the order the oracle mirrors, so adc values
+    * reproduce bit-for-bit), then TakeOrdered moves k rows. */
+  def pqTopK(encoded: DataFrame, id: String, dt: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val adc = dt.zipWithIndex.map { case (row, mi) =>
+      element_at(array(row.toSeq.map(lit): _*),
+        col("codes").getItem(mi).cast("int") + 1)
+    }.reduceLeft(_ + _)
+    encoded.withColumn("adc", adc)
+      .orderBy(col("adc").asc, col(id).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Analytics.tinySeqW.orderBy(col("adc").asc, col(id).asc)))
+      .select(col(id), col("adc"), col("rank"))
+  }
+
+  /** The full PQ probe: ADC shortlists `shortlist` candidates from
+    * the encoded corpus (8-byte rows, no raw vectors), then ONLY the
+    * shortlist re-ranks exactly against raw vectors — the standard
+    * two-stage PQ deployment (coarse quantized scan + exact re-rank
+    * of a dial-bounded set). The shortlist ids broadcast to the raw
+    * side (`shortlist` rows, a dial), so the re-rank reads raw
+    * vectors for the shortlist only — at 10⁹ vectors the probe scans
+    * 8-byte codes and touches `shortlist` full vectors, never the
+    * corpus. Exact distance uses the dot identity ‖q−v‖² = q·q + v·v
+    * − 2·q·v — three [[graft.functions.DotProductExpr]] terms, the
+    * cross-engine-proven kernel. Output: (id, `adc_rank` — where ADC
+    * put the winner in its shortlist, pinning the quantized stage in
+    * the hash — exact `d2`, final `rank`). */
+  def pqSearch(encoded: DataFrame, raw: DataFrame, id: String, vec: String,
+      query: Array[Double], dt: Array[Array[Double]], k: Int,
+      shortlist: Int): DataFrame = {
+    require(k <= shortlist, "re-rank cannot return more than the shortlist")
+    val sl = pqTopK(encoded, id, dt, shortlist)
+      .withColumnRenamed("rank", "adc_rank").drop("adc")
+    val qlit = array(query.toSeq.map(lit): _*)
+    val qq = query.map(x => x * x).sum
+    val v = col(vec).cast("array<double>")
+    val d2 = lit(qq) + graft.functions.DotProductExpr(v, v) -
+      lit(2.0) * graft.functions.DotProductExpr(qlit, v)
+    raw.join(broadcast(sl), id)
+      .withColumn("d2", d2)
+      .orderBy(col("d2").asc, col(id).asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Analytics.tinySeqW.orderBy(col("d2").asc, col(id).asc)))
+      .select(col(id), col("adc_rank"), col("d2"), col("rank"))
+  }
+
   /** Plain Lloyd k-means over the training sample (driver-side; the
     * sample is bounded, the corpus never moves). */
   private[ops] def kmeans(points: Array[Array[Double]], k: Int, iters: Int,

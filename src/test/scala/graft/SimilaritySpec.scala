@@ -303,4 +303,42 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"JL mean distortion $mean")
   }
+
+  test("PQ: encode matches driver argmin, ADC = table lookups, full-shortlist search = exact") {
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 4, ksub = 8, seed = 5L)
+    val dsub = dim / 4
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every code in range, and equal to the driver-side argmin with
+    // the same tie rule (max of dot - |c|^2/2, ties toward larger k)
+    vecs.foreach { case (id, v) =>
+      books.zipWithIndex.foreach { case (book, mi) =>
+        val sub = v.slice(mi * dsub, (mi + 1) * dsub)
+        val scores = book.map { c =>
+          var d = 0.0; var i = 0
+          while (i < sub.length) { d += sub(i) * c(i); i += 1 }
+          d - c.map(x => x * x).sum / 2
+        }
+        val best = scores.zipWithIndex.maxBy { case (s, k) => (s, k) }._2
+        assert(enc(id)(mi) == best, s"vec $id subspace $mi")
+        assert(enc(id)(mi) >= 0 && enc(id)(mi) < 8)
+      }
+    }
+    // ADC with the full corpus as shortlist + exact re-rank must
+    // reproduce the brute-force L2 top-k exactly
+    val q = vecs.head._2
+    val dt = Similarity.pqDistanceTable(q, books)
+    val out = Similarity.pqSearch(
+        Similarity.pqEncode(emb.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", books),
+        emb.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+        q, dt, k = 5, shortlist = vecs.size)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    val exact = vecs.tail.map { case (id, v) =>
+      id -> v.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
+    }.sortBy { case (id, d) => (d, id) }.take(5).map(_._1)
+    assert(out.sortBy(_._2).map(_._1).toSeq == exact.toSeq,
+      s"full-shortlist PQ search diverged from exact: ${out.toSeq} vs $exact")
+  }
 }
