@@ -1491,6 +1491,36 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TX10 — BIGRAM-INTERPOLATED LM SCORING
+    * ([[graft.ops.Text.bigramInterpolatedNll]]), the CCNet/
+    * Wikipedia-LM perplexity filter completing tx7's unigram NLL: a
+    * bigram model
+    * trains on one split (even doc_ids — score with an LM trained
+    * ELSEWHERE, never on the documents being judged) and every odd
+    * document is scored by the interpolated token probability
+    * p = 0.7·p_bi + 0.3·p_uni, with p_bi = c(prev,tok)/c(prev)
+    * (0 when the context is unseen) and p_uni add-1-smoothed over the
+    * training vocabulary so p is never 0 for out-of-vocabulary
+    * tokens. Output: per-document bigram count and average NLL — the
+    * number a curation pipeline thresholds on ("keep what the clean
+    * LM finds unsurprising").
+    *
+    * Scale shape: bigram extraction is per-row array arithmetic
+    * riding the scan (zero shuffle); the model tables are bounded by
+    * CONTENT (vocabulary and bigram types, not corpus rows) and join
+    * by equi-key — the two one-row total frames broadcast
+    * explicitly, the model joins are left equi-joins AQE broadcasts
+    * when they fit and shuffles when they don't. Nothing in the
+    * score path is quadratic in anything. */
+  private def qBigramNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Text.bigramInterpolatedNll(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** TOK1 — the first BPE merge step of tokenizer training: count
     * adjacent character pairs inside every whitespace token across the
     * corpus and rank the merge candidates. One explode to (pair) —
@@ -4110,6 +4140,7 @@ object SparkEntry {
     "tx3_token_count" -> qTokenCount _,
     "tx8_quality_gate" -> qQualityGate _,
     "tx9_source_cap" -> qSourceCap _,
+    "tx10_bigram_nll" -> qBigramNll _,
     "hx1_hybrid_rrf" -> qHybridRrf _,
     "sp1_sequence_pack" -> qSequencePack _,
     "pl1_curation_pipeline" -> qCurationPipeline _,
@@ -5529,6 +5560,47 @@ object SparkEntry {
            round(sum(dv), 2) AS delta
          FROM d WHERE op IS NOT NULL
          GROUP BY subject, op ORDER BY subject, op""",
+    // tx10: model tables rebuilt relationally from the even split,
+    // the same interpolation arithmetic (0.7*pbi + 0.3*puni, add-1
+    // unigram smoothing) per odd-split bigram; avg + round(6) is
+    // tx7's proven tolerance discipline
+    "tx10_bigram_nll" ->
+      """WITH w AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+             x -> len(x) > 0) AS w
+           FROM documents),
+         trn AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+         uni AS (
+           SELECT tok, count(*)::BIGINT AS tf FROM (
+             SELECT unnest(w) AS tok FROM trn) GROUP BY 1),
+         tot AS (SELECT sum(tf)::BIGINT AS total, count(*)::BIGINT AS v
+                 FROM uni),
+         tb AS (
+           SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+             i -> struct_pack(prev := w[i-1], tok := w[i]))) AS b
+           FROM trn WHERE len(w) >= 2),
+         bi AS (
+           SELECT b.prev AS prev, b.tok AS tok, count(*)::BIGINT AS cb
+           FROM tb GROUP BY 1, 2),
+         ctx AS (SELECT prev, sum(cb)::BIGINT AS cc FROM bi GROUP BY 1),
+         sb AS (
+           SELECT doc_id, unnest(list_transform(range(2, len(w) + 1),
+             i -> struct_pack(prev := w[i-1], tok := w[i]))) AS b
+           FROM w WHERE doc_id % 2 = 1 AND len(w) >= 2),
+         scored AS (
+           SELECT sb.doc_id,
+             0.7 * (CASE WHEN ctx.cc IS NULL THEN 0.0
+               ELSE coalesce(bi.cb, 0)::DOUBLE / ctx.cc::DOUBLE END)
+             + 0.3 * ((coalesce(uni.tf, 0) + 1)::DOUBLE
+               / (tot.total + tot.v)::DOUBLE) AS p
+           FROM sb
+           LEFT JOIN bi ON bi.prev = sb.b.prev AND bi.tok = sb.b.tok
+           LEFT JOIN ctx ON ctx.prev = sb.b.prev
+           LEFT JOIN uni ON uni.tok = sb.b.tok
+           CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(p)), 6) AS avg_nll2
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // tx9: the capped set from the plain one-window formulation —
     // proving saltedTopN's two-phase rank exact, slice by slice
     "tx9_source_cap" ->

@@ -191,4 +191,59 @@ object Text {
     df.withColumn("fingerprint",
       graft.functions.Fnv1a64Expr(
         graft.functions.NormalizeTextExpr(col(text))))
+
+  /** Bigram-interpolated LM scoring (the CCNet/Wikipedia-LM
+    * perplexity filter): a bigram model trains on `train` and every
+    * `score` document gets the average negative log of the
+    * interpolated token probability
+    * p = `lBi`·p_bi + (1−`lBi`)·p_uni, with
+    * p_bi = c(prev,tok)/c(prev·) (0 when the context is unseen) and
+    * p_uni add-1-smoothed over the training vocabulary, so p > 0 for
+    * out-of-vocabulary tokens. Train and score MUST be disjoint in a
+    * curation pipeline — score with a model trained elsewhere, never
+    * on the documents being judged. Output: (id, n_bigrams,
+    * avg_nll2), documents with < 2 tokens dropped (no bigram to
+    * score).
+    *
+    * Scale: bigram extraction is per-row array arithmetic riding the
+    * scan; model tables are bounded by CONTENT (vocab / bigram
+    * types), joined by equi-key — AQE broadcasts them when they fit;
+    * the two one-row totals broadcast explicitly. */
+  def bigramInterpolatedNll(train: DataFrame, score: DataFrame,
+      id: String, text: String, lBi: Double = 0.7,
+      lUni: Double = 0.3): DataFrame = {
+    // both weights are EXPLICIT literals (not 1−lBi: the float
+    // subtraction would perturb the default to 0.30000000000000004
+    // and quietly diverge from an oracle's written constant)
+    def words(df: DataFrame) = df.select(col(id),
+      filter(split(col(text), "\\s+"), x => length(x) > 0).as("__w"))
+    def bigrams(df: DataFrame) = words(df)
+      .filter(size(col("__w")) >= 2)
+      .select(col(id), explode(transform(
+        sequence(lit(2), size(col("__w"))),
+        i => struct(element_at(col("__w"), i - 1).as("prev"),
+          element_at(col("__w"), i).as("tok")))).as("__b"))
+      .select(col(id), col("__b.prev").as("prev"), col("__b.tok").as("tok"))
+    val uni = words(train)
+      .select(explode(col("__w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val uniTot = uni.agg(sum("tf").as("total"), count(lit(1)).as("v"))
+    val bi = bigrams(train).groupBy("prev", "tok")
+      .agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("prev").agg(sum("cb").as("cc"))
+    val pBi = when(col("cc").isNull, lit(0.0))
+      .otherwise(coalesce(col("cb"), lit(0L)).cast("double") /
+        col("cc").cast("double"))
+    val pUni = (coalesce(col("tf"), lit(0L)) + lit(1L)).cast("double") /
+      (col("total") + col("v")).cast("double")
+    bigrams(score)
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uni, Seq("tok"), "left")
+      .crossJoin(broadcast(uniTot)) // bounded: exactly one row
+      .withColumn("__p", lit(lBi) * pBi + lit(lUni) * pUni)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("__p"))), 6).as("avg_nll2"))
+  }
 }

@@ -164,4 +164,28 @@ class TextSpec extends SparkSpec {
     // doc 5: tokenizer drops empties → 3 words, all distinct
     assert(got(4)._2 == 3 && got(4)._3 == 0.0)
   }
+
+  test("bigramInterpolatedNll: hand-computed probabilities on a tiny model") {
+    // train: "a b" x2 and "a c" → uni: a=3 b=2 c=1 (total 6, V=3);
+    //        bigrams: (a,b)=2, (a,c)=1 → ctx a=3
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),   // seen bigram: .7*(2/3) + .3*(3/9)
+      (3L, "a z"),   // seen ctx, unseen tok: .7*0... cb null → 0 + .3*(1/9)
+      (5L, "z a"),   // unseen ctx: 0 + .3*(4/9)
+      (7L, "b"))     // single token → dropped
+      .toDF("doc_id", "text")
+    val got = Text.bigramInterpolatedNll(train, score, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // Spark's round() is BigDecimal HALF_UP, not the micros floor
+    def nll(p: Double) = java.math.BigDecimal.valueOf(-math.log(p))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.map(_._1) == List(1L, 3L, 5L), "doc 7 must drop (no bigram)")
+    assert(got.forall(_._2 == 1L))
+    assert(got(0)._3 == nll(0.7 * (2.0 / 3.0) + 0.3 * ((2 + 1.0) / 9.0)))
+    assert(got(1)._3 == nll(0.3 * ((0 + 1.0) / 9.0)))
+    assert(got(2)._3 == nll(0.3 * ((3 + 1.0) / 9.0)))
+  }
 }
