@@ -665,6 +665,67 @@ object SparkEntry {
       round(col("d2"), 6).as("d2"), col("rank"))
   }
 
+  private[graft] object IvfPqOracle {
+    @volatile var cents: Option[Array[Array[Double]]] = None
+    @volatile var books: Option[Array[Array[Array[Double]]]] = None
+    @volatile var dt: Option[Array[Array[Double]]] = None
+    @volatile var query: Option[Array[Double]] = None
+    @volatile var probed: Option[Seq[Int]] = None
+  }
+
+  /** X13 — IVFADC ([[graft.ops.Similarity.ivfPqSearch]]): the
+    * composed production ANN probe — x3's IVF cell pruning feeds
+    * x12's PQ ADC scan feeds the exact re-rank. Each stage's cost is
+    * its own dial, independent of corpus size: nprobe/nlist bounds
+    * the fraction scanned at all (here 4/16), the ADC stage reads
+    * 8-byte codes for the survivors only, and `shortlist` bounds the
+    * raw vectors ever touched. All constants (centroids, codebooks,
+    * distance table, probed cells) freeze into the oracle, so cell
+    * assignment → pruning → ADC ranking → re-rank reproduce
+    * bit-for-bit in SQL. REQUIREd in-query: the cell filter actually
+    * prunes (strict subset, non-empty), and re-ranked recall@10 vs
+    * the exact-L2 top-10 OVER THE PROBED SUBSET meets the x12 floor —
+    * the IVF stage's global loss is the user's nprobe dial, the PQ
+    * stage's loss is the thing gated. */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 16)
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 16, ksub = 16)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Double](0).toArray
+    val dt = Similarity.pqDistanceTable(qv, books)
+    val probed = Similarity.queryCells(qv, cents, nprobe = 4)
+    IvfPqOracle.cents = Some(cents); IvfPqOracle.books = Some(books)
+    IvfPqOracle.dt = Some(dt); IvfPqOracle.query = Some(qv)
+    IvfPqOracle.probed = Some(probed)
+    val top = Similarity.ivfPqSearch(cand, "vec_id", "embedding", qv,
+        cents, books, dt, k = 10, nprobe = 4, shortlist = 100)
+      .localCheckpoint() // consumed twice: the recall REQUIRE + output
+    // the probed subset (one bounded assignment pass — the audit's
+    // ground truth, not part of the probe's cost model)
+    val prunedIds = Similarity
+      .ivfAssignments(cand, "vec_id", "embedding", cents)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("neighbor_id").as("vec_id"))
+    val prunedN = prunedIds.count(); val candN = cand.count()
+    require(prunedN > 0 && prunedN < candN,
+      s"IVF pruning did not prune: $prunedN of $candN survived")
+    val exact = cand.join(prunedIds, "vec_id")
+      .select(col("vec_id"), VectorFunctions.l2sq(col("embedding"),
+        array(qv.toSeq.map(lit): _*)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    require(recall >= 0.6,
+      f"IVFADC probed-subset recall@10 $recall%.2f below the 0.6 floor")
+    top.select(col("vec_id"), col("cell"), col("adc_rank"),
+      round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -4126,6 +4187,7 @@ object SparkEntry {
     "x6_ann_quantized" -> qAnnQuantized _,
     "x11_random_projection" -> qRandomProjection _,
     "x12_pq_adc" -> qPqAdc _,
+    "x13_ivfpq" -> qIvfPq _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -6675,7 +6737,14 @@ object SparkEntry {
       // form, the ADC sum is an explicit left-associated chain so
       // both engines add the 8 lookups in the same order
       (for (b <- PqOracle.books; d <- PqOracle.dt)
-        yield "x12_pq_adc" -> pqOracleSqlFor(b, d)).toMap
+        yield "x12_pq_adc" -> pqOracleSqlFor(b, d)).toMap ++
+      // x13: every frozen constant of x3 AND x12 plus the driver-side
+      // probed-cell list; the SQL composes x3's assignment CTE (as a
+      // pruning filter) with x12's encode/ADC/re-rank chain
+      (for (c <- IvfPqOracle.cents; b <- IvfPqOracle.books;
+            d <- IvfPqOracle.dt; q <- IvfPqOracle.query;
+            p <- IvfPqOracle.probed)
+        yield "x13_ivfpq" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap
 
   private def pqOracleSqlFor(books: Array[Array[Array[Double]]],
       dt: Array[Array[Double]]): String = {
@@ -6727,6 +6796,82 @@ object SparkEntry {
              FROM sl JOIN e ON e.vec_id = sl.vec_id)
          SELECT vec_id, adc_rank, round(d2, 6) AS d2, rank FROM (
            SELECT vec_id, adc_rank, d2,
+             row_number() OVER (ORDER BY d2, vec_id)::INT AS rank
+           FROM rr)
+         WHERE rank <= 10 ORDER BY rank"""
+  }
+
+  private def ivfPqOracleSqlFor(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
+      query: Array[Double], probed: Seq[Int]): String = {
+    val dsub = books(0)(0).length
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($i, $lit::DOUBLE[], $half)"
+    }.mkString(",\n             ")
+    val bookRows = (for ((book, mi) <- books.zipWithIndex;
+        (c, k) <- book.zipWithIndex) yield {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($mi, $k, $lit::DOUBLE[], $half)"
+    }).mkString(",\n             ")
+    val codeCols = books.indices.map(mi =>
+      s"max(CASE WHEN mi = $mi THEN code END) AS c$mi").mkString(",\n             ")
+    val adcChain = dt.zipWithIndex.map { case (row, mi) =>
+      val litList = row.map(_.toString).mkString("[", ",", "]")
+      s"list_extract($litList::DOUBLE[], c$mi + 1)"
+    }.mkString("\n               + ")
+    val qlit = query.map(_.toString).mkString("[", ",", "]")
+    val qq = query.map(x => x * x).sum.toString
+    val probedList = probed.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0),
+           cent AS (SELECT * FROM (VALUES
+             $centRows) AS t(cell, cv, half)),
+           asgc AS (
+             SELECT vec_id, cell FROM (
+               SELECT e.vec_id, cent.cell, row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY (list_inner_product(e.v, cent.cv) - cent.half)
+                     DESC, cent.cell DESC) AS rn
+               FROM e CROSS JOIN cent) WHERE rn = 1),
+           pruned AS (
+             SELECT e.vec_id, e.v, asgc.cell
+             FROM e JOIN asgc ON e.vec_id = asgc.vec_id
+             WHERE asgc.cell IN ($probedList)),
+           book AS (SELECT * FROM (VALUES
+             $bookRows) AS t(mi, k, cv, half)),
+           sc AS (
+             SELECT pruned.vec_id, book.mi, book.k,
+               list_inner_product(
+                 list_slice(pruned.v, book.mi * $dsub + 1,
+                   (book.mi + 1) * $dsub),
+                 book.cv) - book.half AS s
+             FROM pruned CROSS JOIN book),
+           asg AS (
+             SELECT vec_id, mi, k AS code FROM (
+               SELECT vec_id, mi, k,
+                 row_number() OVER (PARTITION BY vec_id, mi
+                   ORDER BY s DESC, k DESC) AS rn
+               FROM sc) WHERE rn = 1),
+           codes AS (
+             SELECT vec_id,
+             $codeCols
+             FROM asg GROUP BY vec_id),
+           sl AS (
+             SELECT vec_id, adc_rank FROM (
+               SELECT vec_id,
+                 row_number() OVER (ORDER BY adc, vec_id)::INT AS adc_rank
+               FROM (SELECT vec_id, $adcChain AS adc FROM codes))
+             WHERE adc_rank <= 100),
+           rr AS (
+             SELECT sl.vec_id, pruned.cell, sl.adc_rank,
+               $qq + list_inner_product(pruned.v, pruned.v)
+                 - 2.0 * list_inner_product($qlit::DOUBLE[], pruned.v) AS d2
+             FROM sl JOIN pruned ON pruned.vec_id = sl.vec_id)
+         SELECT vec_id, cell, adc_rank, round(d2, 6) AS d2, rank FROM (
+           SELECT vec_id, cell, adc_rank, d2,
              row_number() OVER (ORDER BY d2, vec_id)::INT AS rank
            FROM rr)
          WHERE rank <= 10 ORDER BY rank"""

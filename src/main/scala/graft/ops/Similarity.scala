@@ -658,6 +658,46 @@ object Similarity {
       .select(col(id), col("adc_rank"), col("d2"), col("rank"))
   }
 
+  /** The query's `nprobe` nearest IVF cells, driver-side — the same
+    * argmax arithmetic as [[cellStructs]] (c·q − |c|²/2, ties toward
+    * the larger cell), computed once per query on m·nlist doubles. */
+  def queryCells(query: Array[Double], cents: Array[Array[Double]],
+      nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * query(j); j += 1 }
+      (s - c.map(x => x * x).sum / 2, i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2).toSeq
+
+  /** IVFADC — the composed 100 TB ANN architecture (FAISS's
+    * production shape): IVF cell assignment PARTITION-PRUNES the
+    * corpus to `nprobe` cells, PQ ADC ranks the survivors reading
+    * codes only, and exact re-rank touches just the shortlist. The
+    * three dials (nprobe/nlist fraction probed, 8-byte codes scanned,
+    * `shortlist` raw vectors read) bound every stage independently of
+    * corpus size; on a stored layout the cell filter is directory
+    * pruning (`partitionBy("cell")`, the x5 contract) and the encoded
+    * columns are the only thing the ADC scan deserializes. Output:
+    * (id, cell, adc_rank, d2, rank). */
+  def ivfPqSearch(corpus: DataFrame, id: String, vec: String,
+      query: Array[Double], cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
+      k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val probed = queryCells(query, cents, nprobe)
+    val bestCell = greatest(cellStructs(col(vec), cents): _*)
+      .getField("cell")
+    val pruned = corpus.withColumn("cell", bestCell)
+      .filter(col("cell").isin(probed: _*))
+    val winners = pqSearch(pqEncode(pruned, id, vec, books), pruned,
+      id, vec, query, dt, k, shortlist)
+    // the winner set is k rows — broadcast it back over the pruned
+    // frame to attach each winner's cell (one scan, no shuffle)
+    pruned.select(col(id), col("cell"))
+      .join(broadcast(winners), id)
+      .select(col(id), col("cell"), col("adc_rank"), col("d2"),
+        col("rank"))
+  }
+
   /** Plain Lloyd k-means over the training sample (driver-side; the
     * sample is bounded, the corpus never moves). */
   private[ops] def kmeans(points: Array[Array[Double]], k: Int, iters: Int,

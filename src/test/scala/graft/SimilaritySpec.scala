@@ -341,4 +341,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out.sortBy(_._2).map(_._1).toSeq == exact.toSeq,
       s"full-shortlist PQ search diverged from exact: ${out.toSeq} vs $exact")
   }
+
+  test("IVFADC: cell-pruned PQ probe finds the query's cluster") {
+    val q = vecs.head._2 // vec_id 0, cluster 0
+    val cand = emb.filter(col("vec_id") =!= 0L)
+    val cents = Similarity.trainCentroids(emb, "embedding", nlist = 12)
+    val books = Similarity.trainPqCodebooks(emb, "embedding",
+      m = 4, ksub = 8, seed = 5L)
+    val dt = Similarity.pqDistanceTable(q, books)
+    val probed = Similarity.queryCells(q, cents, nprobe = 3)
+    assert(probed.size == 3 && probed.distinct.size == 3)
+    // the query's own assigned cell must be probed FIRST — same
+    // argmax arithmetic, so the nearest cell is its own
+    val ownCell = cents.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * q(j); j += 1 }
+      (s - c.map(x => x * x).sum / 2, i)
+    }.maxBy { case (s, i) => (s, i) }._2
+    assert(probed.head == ownCell, s"probed $probed, own cell $ownCell")
+    val out = Similarity.ivfPqSearch(cand, "vec_id", "embedding", q,
+        cents, books, dt, k = 5, nprobe = 3, shortlist = vecs.size)
+      .collect()
+    assert(out.length == 5)
+    // every winner's cell is a probed cell, and with a full-corpus
+    // shortlist the re-rank is exact over the pruned set — the tight
+    // cluster 0 members (ids 1-5) are the neighbors
+    out.foreach(r => assert(probed.contains(r.getInt(1)),
+      s"winner cell ${r.getInt(1)} not probed ($probed)"))
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L),
+      s"IVFADC winners: ${out.map(_.getLong(0)).toSeq}")
+  }
 }
