@@ -1582,6 +1582,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** TX11 — DSIR data selection ([[graft.ops.Text.dsirWeights]]):
+    * target-domain selection by importance weight over hashed n-gram
+    * features — the target model fits on the `en` documents, the pool
+    * model on the whole corpus, and the non-en candidates rank by
+    * Σ n_b·(ln p_b − ln q_b); the top 50 are what DSIR admits. The
+    * weight sum is exact BIGINT micros (per-bucket log-ratios
+    * quantized once), so ranking reproduces bit-for-bit cross-engine
+    * with no float-order ambiguity. REQUIREd in-query: the model
+    * discriminates (weight spread nonzero) — a constant-weight model
+    * means featurization broke, not that the corpus is uniform. */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Text.dsirWeights(
+        docs.filter(col("lang") === "en"), docs,
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text", buckets = 4096)
+      .localCheckpoint() // consumed twice: the spread REQUIRE + output
+    val spread = w.agg((max("logw_micros") - min("logw_micros")).as("d"))
+      .head.getLong(0)
+    require(spread > 0L,
+      "DSIR weight spread is zero - the feature models do not discriminate")
+    w.orderBy(col("logw_micros").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(Analytics.tinySeqW
+        .orderBy(col("logw_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_grams"), col("logw_micros"),
+        round(col("logw_micros") / lit(1e6), 6).as("logw"), col("rank"))
+  }
+
   /** TOK1 — the first BPE merge step of tokenizer training: count
     * adjacent character pairs inside every whitespace token across the
     * corpus and rank the merge candidates. One explode to (pair) —
@@ -4203,6 +4231,7 @@ object SparkEntry {
     "tx8_quality_gate" -> qQualityGate _,
     "tx9_source_cap" -> qSourceCap _,
     "tx10_bigram_nll" -> qBigramNll _,
+    "tx11_dsir_select" -> qDsirSelect _,
     "hx1_hybrid_rrf" -> qHybridRrf _,
     "sp1_sequence_pack" -> qSequencePack _,
     "pl1_curation_pipeline" -> qCurationPipeline _,
@@ -5663,6 +5692,47 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
            round(avg(-ln(p)), 6) AS avg_nll2
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    // tx11: hashed-n-gram featurization re-derived from the same FNV
+    // fold; per-bucket log-ratios quantize to micros BEFORE the
+    // per-doc sum, so the rank key is exact integer arithmetic
+    "tx11_dsir_select" ->
+      s"""WITH w AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0) AS w
+           FROM documents),
+         uni AS (SELECT doc_id, lang, unnest(w) AS g FROM w),
+         bi AS (
+           SELECT doc_id, lang, unnest(list_transform(range(2, len(w) + 1),
+             i -> w[i-1] || ' ' || w[i])) AS g
+           FROM w WHERE len(w) >= 2),
+         g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         hb AS (SELECT doc_id, lang,
+           ((${toSigned(fnvU("g"))} % 4096) + 4096) % 4096 AS b FROM g),
+         tm AS (SELECT b, count(*)::BIGINT AS tc FROM hb
+                WHERE lang = 'en' GROUP BY b),
+         rm AS (SELECT b, count(*)::BIGINT AS rc FROM hb GROUP BY b),
+         tt AS (SELECT count(*)::BIGINT AS T FROM hb WHERE lang = 'en'),
+         rt AS (SELECT count(*)::BIGINT AS R FROM hb),
+         sb AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM hb
+                WHERE lang != 'en' GROUP BY doc_id, b),
+         term AS (
+           SELECT sb.doc_id, sb.n,
+             floor((ln((coalesce(tc, 0) + 1)::DOUBLE / (T + 4096)::DOUBLE)
+                  - ln((coalesce(rc, 0) + 1)::DOUBLE / (R + 4096)::DOUBLE))
+               * 1e6 + 0.5)::BIGINT AS mic
+           FROM sb LEFT JOIN tm USING (b) LEFT JOIN rm USING (b)
+           CROSS JOIN tt CROSS JOIN rt),
+         dw AS (
+           SELECT doc_id, sum(n)::BIGINT AS n_grams,
+             sum(n * mic)::BIGINT AS logw_micros
+           FROM term GROUP BY doc_id)
+         SELECT doc_id, n_grams, logw_micros,
+           round(logw_micros / 1e6, 6) AS logw, rank
+         FROM (
+           SELECT *, row_number() OVER (
+             ORDER BY logw_micros DESC, doc_id)::INT AS rank
+           FROM dw)
+         WHERE rank <= 50 ORDER BY rank""",
     // tx9: the capped set from the plain one-window formulation —
     // proving saltedTopN's two-phase rank exact, slice by slice
     "tx9_source_cap" ->

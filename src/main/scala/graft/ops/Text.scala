@@ -246,4 +246,63 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("__p"))), 6).as("avg_nll2"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document is a
+    * bag of HASHED n-grams — unigrams and bigrams FNV-folded into
+    * `buckets` buckets — and two add-1-smoothed bag-of-buckets models
+    * fit on the target-domain sample (p) and the raw pool (q). A
+    * scored document's importance log-weight is
+    * Σ_b n_b·(ln p_b − ln q_b): how much more target-like than
+    * pool-like its feature mass is. Selection = rank by the weight
+    * (production resampling adds per-doc Gumbel noise to the key —
+    * hash-seeded when determinism matters; the ranking arithmetic is
+    * unchanged).
+    *
+    * The per-bucket log-ratio quantizes to integer MICROS before the
+    * per-document sum, so the sum is exact BIGINT arithmetic —
+    * addition order (and engine) stop mattering, the ix2 BM25
+    * technique. Output: (id, n_grams, logw_micros).
+    *
+    * Scale: featurization is a per-row explode riding the scan; both
+    * models are groupBys bounded by `buckets` (a dial, not the
+    * corpus) and broadcast to the scored side; one exact integer agg
+    * per document ends it — no stage is ever corpus × corpus. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, score: DataFrame,
+      id: String, text: String, buckets: Int = 4096): DataFrame = {
+    def gramBuckets(df: DataFrame) = {
+      val w = filter(split(col(text), "\\s+"), x => length(x) > 0)
+      val bi = when(size(w) >= 2, transform(
+        sequence(lit(2), size(w)),
+        i => concat_ws(" ", element_at(w, i - 1), element_at(w, i))))
+        .otherwise(typedLit(Seq.empty[String]))
+      df.select(col(id), explode(concat(w, bi)).as("__g"))
+        .select(col(id), pmod(graft.functions.Fnv1a64Expr(col("__g")),
+          lit(buckets.toLong)).as("__b"))
+    }
+    def model(df: DataFrame, cnt: String) =
+      gramBuckets(df).groupBy("__b").agg(count(lit(1)).as(cnt))
+    val tm = model(target, "__tc")
+    val rm = model(raw, "__rc")
+    val totals = tm.agg(sum("__tc").as("__T"))
+      .crossJoin(rm.agg(sum("__rc").as("__R"))) // 1 row × 1 row
+    // ln of the same double bits reproduces across engines (the
+    // tx7/tx10-proven kernel); quantize the per-BUCKET ratio once,
+    // then only exact integer arithmetic touches per-document state
+    val micros = floor(
+      (log((coalesce(col("__tc"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__T") + lit(buckets.toLong)).cast("double")) -
+       log((coalesce(col("__rc"), lit(0L)) + lit(1L)).cast("double") /
+        (col("__R") + lit(buckets.toLong)).cast("double"))) *
+      lit(1e6) + lit(0.5)).cast("long")
+    gramBuckets(score).groupBy(col(id), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(tm), Seq("__b"), "left")
+      .join(broadcast(rm), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__mic", micros)
+      .groupBy(col(id))
+      .agg(sum("__n").as("n_grams"),
+        sum(col("__n") * col("__mic")).as("logw_micros"))
+  }
 }

@@ -188,4 +188,45 @@ class TextSpec extends SparkSpec {
     assert(got(1)._3 == nll(0.3 * ((0 + 1.0) / 9.0)))
     assert(got(2)._3 == nll(0.3 * ((3 + 1.0) / 9.0)))
   }
+
+  test("dsirWeights: target-like docs outweigh pool-only; micros exact") {
+    val target = Seq((0L, "aa bb"), (1L, "aa cc")).toDF("doc_id", "text")
+    val pool = Seq((0L, "aa bb"), (1L, "aa cc"),
+      (2L, "zz yy"), (3L, "zz xx")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa bb aa"), (11L, "zz yy zz"))
+      .toDF("doc_id", "text")
+    val B = 64
+    val got = graft.ops.Text
+      .dsirWeights(target, pool, score, "doc_id", "text", buckets = B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent re-derivation: same featurization and hash, but the
+    // model math in plain driver-side Scala
+    def grams(t: String): Seq[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val tDocs = Seq("aa bb", "aa cc")
+    val pDocs = tDocs ++ Seq("zz yy", "zz xx")
+    val sDocs = Map(10L -> "aa bb aa", 11L -> "zz yy zz")
+    val all = (tDocs ++ pDocs ++ sDocs.values).flatMap(grams).distinct
+    val bucketOf: Map[String, Long] = all.map(_ -> 0L).toDF("g", "z")
+      .select(col("g"), pmod(Fnv1a64Expr(col("g")), lit(B.toLong)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def counts(docs: Seq[String]) = docs.flatMap(grams)
+      .groupBy(bucketOf).map { case (b, gs) => b -> gs.size.toLong }
+    val tc = counts(tDocs); val rc = counts(pDocs)
+    val tT = tDocs.flatMap(grams).size; val rT = pDocs.flatMap(grams).size
+    def micros(b: Long): Long = math.floor(
+      (math.log((tc.getOrElse(b, 0L) + 1.0) / (tT + B)) -
+       math.log((rc.getOrElse(b, 0L) + 1.0) / (rT + B))) * 1e6 + 0.5).toLong
+    sDocs.foreach { case (id, t) =>
+      val gs = grams(t)
+      assert(got(id)._1 == gs.size, s"doc $id n_grams")
+      assert(got(id)._2 == gs.map(g => micros(bucketOf(g))).sum,
+        s"doc $id logw_micros")
+    }
+    assert(got(10L)._2 > got(11L)._2,
+      s"target-like doc must outweigh pool-only doc: $got")
+  }
 }
