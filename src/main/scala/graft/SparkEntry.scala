@@ -280,6 +280,69 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** A10 — INCREMENTAL ROLLUP maintenance ([[graft.ops.Rollup
+    * .ohlcPartials]]/[[graft.ops.Rollup.mergeBarPartials]]): the
+    * stored daily rollup is maintained under ingest without ever
+    * recomputing from scratch — per-batch OHLCV partials carry their
+    * first/last order keys, making bars CLOSED under merge, and land
+    * in replay-idempotent batch slots (the st8/x7 contract applied to
+    * the reference's bread-and-butter aggregate: O(batch) work per
+    * arrival). Slot accretion is bounded by the stage→marker→apply
+    * compactor, and merge-of-merges equals the one-shot merge, so
+    * compaction costs zero accuracy. REQUIREd in-query: a replayed
+    * ingest batch does not grow the stored state, compaction folds
+    * exactly the in-scope slots, and the merged bars equal the
+    * from-scratch rollup of the union — picked fields and counts
+    * EXACTLY, the float volume within 1e-6 (sums reassociate). The
+    * oracle is a1's relational contract over the whole table. */
+  private def qRollupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_a10_rollup/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val e = t(s, dir, "events")
+    val grp = Seq(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    def partials(df: DataFrame) =
+      Rollup.ohlcPartials(df, grp, evKey, col("value"), col("value"))
+    // base corpus vs two later ingest batches — modulo split so the
+    // shape survives SfScale's id-shifted replicas
+    val base = e.filter(pmod(col("event_id"), lit(4)) < 2)
+    val b1 = e.filter(pmod(col("event_id"), lit(4)) === 2)
+    val b2 = e.filter(pmod(col("event_id"), lit(4)) === 3)
+    Sketches.appendBatch(partials(base), root, "ohlc", "live", 0L)
+    Sketches.appendBatch(partials(b1), root, "ohlc", "live", 1L)
+    Sketches.appendBatch(partials(b2), root, "ohlc", "live", 2L)
+    val stored = s"$root/ohlc_live"
+    val rowsAfter = s.read.parquet(stored).count()
+    // replayed ingest batch: the slot overwrite keeps the state flat
+    Sketches.appendBatch(partials(b2), root, "ohlc", "live", 2L)
+    require(s.read.parquet(stored).count() == rowsAfter,
+      "replayed batch grew the stored rollup state")
+    val folded = Rollup.compactBarPartialBatches(s, root, "live", upTo = 1L)
+    require(folded == 2, s"expected to fold 2 slots, folded $folded")
+    val merged = Rollup.finalizeBars(
+      s.read.parquet(stored).drop("batch"), Seq("event_type", "day"))
+      .localCheckpoint() // consumed twice: the cross-check + output
+    val fresh = Rollup.ohlc(e, grp, evKey, col("value"),
+      volume = Some(col("value")))
+    val bad = merged.alias("m")
+      .join(fresh.alias("f"), Seq("event_type", "day"), "full")
+      .filter(col("m.open").isNull || col("f.open").isNull ||
+        col("m.open") =!= col("f.open") ||
+        col("m.high") =!= col("f.high") ||
+        col("m.low") =!= col("f.low") ||
+        col("m.close") =!= col("f.close") ||
+        col("m.cnt") =!= col("f.cnt") ||
+        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
+      .count()
+    require(bad == 0,
+      s"incremental rollup diverged from from-scratch on $bad bars")
+    merged.select(col("event_type"), col("day"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      col("cnt"), round(col("volume"), 2).as("volume"))
+      .orderBy("event_type", "day")
+  }
+
   /** A1 hierarchy: day bars roll up to month bars (fine feeds coarse —
     * the reference's 数据层级 cascade). */
   private def qRollupMonth(s: SparkSession, dir: String): DataFrame = {
@@ -4169,6 +4232,7 @@ object SparkEntry {
     "a9_profile_stats" -> qProfileStats _,
     "a0_pricing_summary" -> qPricingSummary _,
     "a1_rollup_ohlc" -> qRollupOhlc _,
+    "a10_rollup_incr" -> qRollupIncremental _,
     "a1_rollup_month" -> qRollupMonth _,
     "a4_stats" -> qStats _,
     "a5_damped_avg" -> qDampedAvg _,
@@ -4862,6 +4926,17 @@ object SparkEntry {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "a1_rollup_ohlc" ->
+      s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+          round(arg_min(value, $evKeySql), 6) AS open,
+          round(max(value), 6) AS high,
+          round(min(value), 6) AS low,
+          round(arg_max(value, $evKeySql), 6) AS close,
+          count(*) AS cnt, round(sum(value), 2) AS volume
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // a10 maintains the SAME bars incrementally (batch slots + merge +
+    // compaction), so its relational contract is a1's over the union —
+    // a maintenance bug shows up as an a10-only mismatch
+    "a10_rollup_incr" ->
       s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
           round(arg_min(value, $evKeySql), 6) AS open,
           round(max(value), 6) AS high,

@@ -50,4 +50,69 @@ object Rollup {
       min(col("low")).as("low"),
       max_by(col("close"), orderKey).as("close"),
       sum(col("volume")).as("volume"))
+
+  // ── incremental rollup maintenance ─────────────────────────────
+  //
+  // A stored daily rollup over a 100 TB event stream cannot be
+  // recomputed from scratch per ingest batch. OHLCV partials are
+  // CLOSED under merge once each bar carries the order keys of its
+  // first and last row: open-of-min-first-key, max-high, min-low,
+  // close-of-max-last-key, sums — so per-batch partials land in
+  // replay-idempotent batch slots ([[Sketches.appendBatch]], the
+  // st8/x7 contract: O(batch) work per arrival, the stored state
+  // never rewrites) and any read merges the slots. Slot accretion is
+  // bounded by [[compactBarPartialBatches]]: merge-of-merges equals
+  // the one-shot merge (the carried keys make it associative), so
+  // compaction is exact, not an approximation.
+
+  /** Mergeable OHLCV partials per (groupCols, batch): the [[ohlc]]
+    * aggregate plus the first/last order keys that make bars
+    * re-mergeable. Schema: groups..., first_k, open, high, low,
+    * close, last_k, cnt, volume. */
+  def ohlcPartials(df: DataFrame, groupCols: Seq[Column],
+      orderKey: Column, value: Column, volume: Column): DataFrame =
+    df.groupBy(groupCols: _*).agg(
+      min(orderKey).as("first_k"),
+      min_by(value, orderKey).as("open"),
+      max(value).as("high"),
+      min(value).as("low"),
+      max_by(value, orderKey).as("close"),
+      max(orderKey).as("last_k"),
+      count(lit(1)).as("cnt"),
+      sum(volume).as("volume"))
+
+  /** Merge partials (across batch slots or shards) into partials of
+    * the union — same schema in and out, so merge composes. */
+  def mergeBarPartials(partials: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(col): _*).agg(
+      min(col("first_k")).as("first_k"),
+      min_by(col("open"), col("first_k")).as("open"),
+      max(col("high")).as("high"),
+      min(col("low")).as("low"),
+      max_by(col("close"), col("last_k")).as("close"),
+      max(col("last_k")).as("last_k"),
+      sum(col("cnt")).as("cnt"),
+      sum(col("volume")).as("volume"))
+
+  /** Read-side finalize: merge the stored slots and drop the
+    * maintenance keys — the result is [[ohlc]]'s bar schema. */
+  def finalizeBars(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    mergeBarPartials(partials, groupCols)
+      .drop("first_k", "last_k")
+
+  /** Fold rollup-partial batch slots ≤ `upTo` into one (the
+    * [[Sketches]] stage→marker→apply compactor): the consolidated
+    * slot is [[mergeBarPartials]] of the in-scope slots, which the
+    * carried order keys make EXACTLY equal to partials built from the
+    * union — compaction costs zero accuracy, picked fields are
+    * bit-identical and sums reassociate within float ulps. */
+  def compactBarPartialBatches(ss: org.apache.spark.sql.SparkSession,
+      root: String, stamp: String, upTo: Long,
+      kind: String = "ohlc"): Int =
+    Sketches.compactBatches(ss, root, kind, stamp, upTo) { src =>
+      val groups = src.columns.filterNot(Set("first_k", "open", "high",
+        "low", "close", "last_k", "cnt", "volume")).toSeq
+      mergeBarPartials(src, groups).select(src.columns.map(col): _*)
+    }
 }

@@ -270,8 +270,9 @@ object Sketches {
     * (which sees the folded slots' raw partial rows and must return
     * rows in the SAME partial schema). Returns the number of slots
     * folded (0 = nothing to do). */
-  private def compactBatches(ss: SparkSession, root: String, kind: String,
-      stamp: String, upTo: Long)(consolidate: DataFrame => DataFrame): Int = {
+  private[ops] def compactBatches(ss: SparkSession, root: String,
+      kind: String, stamp: String, upTo: Long)(
+      consolidate: DataFrame => DataFrame): Int = {
     val dirStr = s"${root.stripSuffix("/")}/${kind}_$stamp"
     val dir = new org.apache.hadoop.fs.Path(dirStr)
     val f = hfs(ss)

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Rollup, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Incremental rollup maintenance: partials are closed under merge,
+  * batch slots replay idempotently, compaction is exact. */
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, orderKey, value): bar "a" deliberately has its FIRST row in
+  // the last batch and its LAST row in the first batch, so any
+  // implementation that uses batch arrival order instead of the
+  // carried order keys gets open/close wrong
+  private val rows = Seq(
+    ("a", 30L, 3.0), ("a", 40L, 4.0), // batch 0 (holds the close, 40)
+    ("a", 20L, 9.0), ("b", 10L, 5.0), // batch 1
+    ("a", 5L, 7.0), ("b", 20L, 1.0))  // batch 2 (holds the open, 5)
+  private def batch(i: Int) = rows.slice(i * 2, i * 2 + 2)
+    .toDF("key", "k", "v")
+  private def all = rows.toDF("key", "k", "v")
+
+  private def partials(df: org.apache.spark.sql.DataFrame) =
+    Rollup.ohlcPartials(df, Seq(col("key")), col("k"), col("v"), col("v"))
+
+  test("merged per-batch partials == one-shot ohlc, across batch order") {
+    val merged = Rollup.finalizeBars(
+      (0 to 2).map(i => partials(batch(i))).reduce(_ unionByName _),
+      Seq("key"))
+    val oneShot = Rollup.ohlc(all, Seq(col("key")), col("k"), col("v"),
+      volume = Some(col("v")))
+    val m = merged.collect().map(r => r.getString(0) -> r).toMap
+    val o = oneShot.collect().map(r => r.getString(0) -> r).toMap
+    assert(m.keySet == o.keySet)
+    // a: open=7.0 (k=5, batch 2), close=4.0 (k=40, batch 0)
+    assert(m("a").getDouble(m("a").fieldIndex("open")) == 7.0)
+    assert(m("a").getDouble(m("a").fieldIndex("close")) == 4.0)
+    m.keys.foreach { k =>
+      Seq("open", "high", "low", "close", "cnt").foreach { f =>
+        assert(m(k).get(m(k).fieldIndex(f)) == o(k).get(o(k).fieldIndex(f)),
+          s"bar $k field $f")
+      }
+      assert(math.abs(m(k).getDouble(m(k).fieldIndex("volume")) -
+        o(k).getDouble(o(k).fieldIndex("volume"))) < 1e-12)
+    }
+  }
+
+  test("slot replay is idempotent; compaction folds exactly and reads equal") {
+    val root = java.nio.file.Files
+      .createTempDirectory("rollup_spec").toString
+    (0 to 2).foreach(i =>
+      Sketches.appendBatch(partials(batch(i)), root, "ohlc", "t", i.toLong))
+    val stored = s"$root/ohlc_t"
+    val before = spark.read.parquet(stored)
+      .orderBy("key", "batch").collect().toSeq
+    Sketches.appendBatch(partials(batch(1)), root, "ohlc", "t", 1L)
+    val replayed = spark.read.parquet(stored)
+      .orderBy("key", "batch").collect().toSeq
+    assert(replayed == before, "replayed slot changed the stored state")
+    val preMerge = Rollup.finalizeBars(
+      spark.read.parquet(stored).drop("batch"), Seq("key"))
+      .orderBy("key").collect().toSeq
+    assert(Rollup.compactBarPartialBatches(spark, root, "t", upTo = 1L) == 2)
+    val slots = new java.io.File(stored).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(slots == Seq("batch=1", "batch=2"), s"slots after compact: $slots")
+    val postMerge = Rollup.finalizeBars(
+      spark.read.parquet(stored).drop("batch"), Seq("key"))
+      .orderBy("key").collect().toSeq
+    assert(postMerge == preMerge, "compaction changed the merged bars")
+  }
+}
