@@ -3340,6 +3340,82 @@ object SparkEntry {
     * manifest read row-matches `openSnapshotAllAt` exactly, after
     * post-cut drift moved the live tables. Oracle-checked against
     * the same aggregate recomputed from the source events. */
+  /** E19 — RESTORE TO CUT ([[graft.api.Engine.restoreToCut]]): the
+    * rollback half of the cut lifecycle — e15 records the point, e19
+    * returns the live corpus to it after post-cut damage (a bad full
+    * re-ingest, a range delete, a subject drop, and an un-flushed hot
+    * tail). Each table restore is a metadata-only roll-forward commit
+    * ([[graft.store.TsStore.restoreTo]]: the new manifest re-points
+    * at the cut's pinned version dirs — no data file moves at any
+    * corpus size), and the cut's own vacuum pins are what guarantee
+    * the targets still exist. REQUIREd in-query: (1) the restored
+    * live reads row-match the cut reads EXACTLY on both tables — the
+    * dropped subject resurrected, the poisoned hot tail discarded,
+    * (2) history is NOT rewritten: the post-cut bad generation still
+    * time-travels whole, (3) the restores minted NEW generations
+    * (roll-forward, not pointer rewind). Oracle = e15's relational
+    * contract (the cut state re-derived from the source events). */
+  private def qRestoreCut(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_restore/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    eng.create("{fx:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 8)
+    val odds = ev.filter(col("event_id") % 2 === 1)
+    clientEventPayloads(odds)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev") // ev generation 1: the good corpus
+    clientEventPayloads(odds.withColumn("value", col("value") * 2))
+      .foreach { case (u, arr) => eng.set(s"u$u.fx", arr) }
+    eng.save("fx") // fx generation 1
+    val cut = eng.snapshotAll(Seq("ev", "fx"))
+    // post-cut damage: a bad full re-ingest (ev gen 2), a range
+    // delete (fx gen 2), a subject drop (fx tombstone), and a
+    // poisoned UN-FLUSHED hot tail (ev) the restore must discard
+    clientEventPayloads(ev)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val badEvRows = eng.get("*.ev", "{}").count()
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u2.fx", s"""{range:{start:$lo,stop:$hi}}""")
+    eng.drop("u3.fx")
+    clientEventPayloads(
+        odds.filter(col("user_id") === 1)
+          .withColumn("value", col("value") * 100))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    val gens = eng.restoreToCut(cut)
+    require(gens == Map("ev" -> 3L, "fx" -> 3L),
+      s"restore must mint NEW generations (roll-forward), got $gens")
+    // (1) live == the cut view, exactly, on both tables
+    val pinned = eng.openSnapshotAllAt(cut)
+    Seq("ev", "fx").foreach { tbl =>
+      val want = pinned(tbl).getOrElse(throw new IllegalStateException(
+        s"cut lost $tbl's pinned generation"))
+        .select("subject", "t", "etype", "value")
+      val got = eng.get(s"*.$tbl", "{}")
+        .select("subject", "t", "etype", "value")
+      require(got.count() == want.count() &&
+        got.except(want).isEmpty && want.except(got).isEmpty,
+        s"restored live state of '$tbl' diverged from the cut view")
+    }
+    // (2) the bad generation still time-travels whole — restore is
+    // roll-forward, never history rewrite
+    val badAt = eng.openSnapshotAt("ev", 2L).getOrElse(
+      throw new IllegalStateException(
+        "restore rewrote history: ev generation 2 vanished")).count()
+    require(badAt == badEvRows,
+      s"restore rewrote history: ev@2 has $badAt rows, expected $badEvRows")
+    eng.get("*.ev", "{}")
+      .select(lit("ev").as("tbl"), col("subject"), col("value"))
+      .unionByName(eng.get("*.fx", "{}")
+        .select(lit("fx").as("tbl"), col("subject"), col("value")))
+      .groupBy("tbl", "subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("tbl", "subject")
+  }
+
   private def qCutManifest(s: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_cutman/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -4323,6 +4399,7 @@ object SparkEntry {
     "e16_cut_manifest" -> qCutManifest _,
     "e17_schema_evolve" -> qSchemaEvolve _,
     "e18_change_feed" -> qChangeFeed _,
+    "e19_restore_cut" -> qRestoreCut _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -4593,6 +4670,18 @@ object SparkEntry {
     // that leaked the post-cut re-ingest on ev, the post-cut delete on
     // fx, or lost a vacuum-pinned generation would hash-mismatch
     "e15_snapshot_cut" ->
+      """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
+         FROM (
+           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1
+           UNION ALL
+           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1)
+         GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // e19 restores the live corpus TO the e15-style cut, so its
+    // relational contract is the cut state itself, re-derived from
+    // the source events (post-cut damage restored away by REQUIRE)
+    "e19_restore_cut" ->
       """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
          FROM (
            SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v

@@ -832,6 +832,32 @@ final class Engine(val spark: SparkSession, rootPath: String,
     }
   }
 
+  /** ROLLBACK: restore every table of a recorded cut to its pinned
+    * generation — the recovery half of the cut lifecycle
+    * ([[snapshotAll]] records the point; this returns the live corpus
+    * to it after a bad ingest/delete/drop). Each table restore is a
+    * [[graft.store.TsStore.restoreTo]] roll-forward commit:
+    * metadata-only (the new manifest re-points at the cut's pinned
+    * version dirs — no data moves at any corpus size), hot tails are
+    * discarded, tombstones revert to the cut's as-of records, and
+    * history is never rewritten — post-cut generations stay
+    * time-travelable and a mistaken rollback is undone by another
+    * cut/restore. The cut's own pins are exactly what guarantee the
+    * restore targets still exist, however aggressive vacuum has been
+    * since. The cut stays retained afterwards (it now pins the very
+    * generations the live manifests point at); drop it only once the
+    * restored state has itself been superseded. Tables recorded at
+    * generation 0 (no corpus at cut time) are skipped — restore
+    * cannot reconstruct "never committed". Returns table → new live
+    * generation. */
+  def restoreToCut(cut: Long): Map[String, Long] = synchronized {
+    val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
+      s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
+    rec.collect { case (t, v) if v > 0L =>
+      t -> storeOf(t).restoreTo(v)
+    }
+  }
+
   /** Register the whole cut as frozen SQL views — [[exposeSqlAt]] per
     * recorded (table, generation), `<db>.<table>__v<v>` each. Returns
     * table → qualified view name (tables with generation 0 at cut

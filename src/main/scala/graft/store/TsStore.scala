@@ -518,6 +518,59 @@ final class TsStore(
     }
   }
 
+  /** RESTORE the live table to committed generation `g`, as a NEW
+    * generation (roll-forward — the Delta/Iceberg RESTORE shape): the
+    * new manifest re-points every day at g's recorded version dirs
+    * (METADATA-ONLY: no data file is read, copied, or moved, so
+    * restore is O(days) at any corpus size), the live tombstones
+    * revert to g's as-of record, and the un-flushed hot tail is
+    * discarded (restore means "the corpus as of g"; rows set() after
+    * the target are post-g by definition). Days committed after g
+    * leave the manifest through the `removed` bookkeeping, so vacuum
+    * reclaims their version dirs after the reader grace like any
+    * other removal. History is never rewritten: generations after g
+    * stay time-travelable, and the restore itself is just the next
+    * generation — a mistaken restore is undone by restoring again.
+    *
+    * Refused when g's history record or any version dir it references
+    * was already vacuumed (restore cannot re-materialize reclaimed
+    * data) — pin the generation with a cut first if restore-ability
+    * matters; a cut's pins make its generations restorable forever.
+    *
+    * Commit order: in-memory tombstones revert BEFORE the manifest
+    * commit so the restore generation's history record carries g's
+    * map; the meta sidecar persists after the swap (a crash between
+    * re-loads pre-restore tombstones under a manifest already at g's
+    * days — re-running the restore converges, like every interrupted
+    * commit here). Returns the new live generation. */
+  def restoreTo(g: Long): Long = synchronized {
+    require(snapshots, s"$path: restoreTo requires snapshot mode")
+    val (daysG, tombsG) = TsStore.readHistRecord(fs, path, g).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path: generation $g is unknown or its history record was " +
+          "vacuumed — cannot restore"))
+    daysG.foreach { case (day, ver) =>
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, day), s"__v=$ver")
+      require(fs.exists(p),
+        s"$path: restoreTo($g): $day version $ver was vacuumed — " +
+          "cannot restore (cuts pin generations against this)")
+    }
+    val snap = loadSnapshot()
+    require(g <= snap.v,
+      s"$path: restoreTo($g): generation is ahead of the live manifest " +
+        s"(${snap.v})")
+    val now = System.currentTimeMillis()
+    val removed = (snap.removed -- daysG.keySet) ++
+      (snap.days.keySet -- daysG.keySet).map(_ -> now).toMap
+    clearHot()
+    tombstones = tombsG
+    commitSnapshot(TsStore.Snapshot(snap.v + 1, daysG, removed))
+    persistMeta()
+    onColdChange(TsStore.Rewritten)
+    snap.v + 1
+  }
+
   /** Committed generations available for time travel, ascending. */
   def snapshotVersions: Seq[Long] = synchronized {
     val f = fs

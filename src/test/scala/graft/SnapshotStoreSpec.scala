@@ -660,4 +660,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!hfs.exists(hp(v1)),
       "an expired stamp did not release the version")
   }
+
+  test("restoreTo: rollback is roll-forward, discards hot, survives restart, refuses vacuumed targets") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // gen 1: the good corpus
+    val gen1 = st.read().select("code", "t", "v", "day")
+      .orderBy("code", "t").collect().toSeq
+    // post-cut damage: a bad upsert (gen 2), a drop, a poisoned hot tail
+    st.set(Seq(("A", 1L, -99.0, "d1"), ("Z", 9L, 1.0, "d3"))
+      .toDF("code", "t", "v", "day"))
+    st.save() // gen 2
+    st.dropSubject("B")
+    st.set(Seq(("A", 3L, -1.0, "d2")).toDF("code", "t", "v", "day"))
+    assert(st.restoreTo(1L) == 3L, "restore must mint the NEXT generation")
+    // live == gen 1 exactly: bad rows gone, B resurrected, hot discarded
+    assert(st.read().select("code", "t", "v", "day")
+      .orderBy("code", "t").collect().toSeq == gen1)
+    // history intact: gen 2 still serves the damage
+    val at2 = TsStore.openSnapshotAt(spark, root, 2L, "code").get
+    assert(at2.filter(col("code") === "Z").count() == 1,
+      "restore rewrote generation 2's history")
+    // restart: the restored state rehydrates from disk
+    val st2 = mkStore(root)
+    assert(st2.read().select("code", "t", "v", "day")
+      .orderBy("code", "t").collect().toSeq == gen1,
+      "restored state did not survive a restart")
+    // restore-of-restore: rolling forward again to gen 2 re-serves the
+    // damage (the undo of a mistaken rollback)
+    assert(st2.restoreTo(2L) == 4L)
+    assert(st2.read().filter(col("code") === "Z").count() == 1)
+    // a vacuumed generation refuses to restore rather than serving a
+    // silently different corpus (keepHistory=0 reclaims records)
+    st2.vacuum(keepSuperseded = 0, keepHistory = 0)
+    val err = intercept[IllegalArgumentException](st2.restoreTo(1L))
+    assert(err.getMessage.contains("cannot restore"))
+  }
 }
