@@ -6980,70 +6980,16 @@ object SparkEntry {
             p <- IvfPqOracle.probed)
         yield "x13_ivfpq" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap
 
-  private def pqOracleSqlFor(books: Array[Array[Array[Double]]],
-      dt: Array[Array[Double]]): String = {
+  /** The shared PQ encode→ADC→re-rank SQL chain over a source CTE
+    * named `src` with columns (vec_id, v[, cell]) — x12 and x13
+    * differ ONLY in the prologue producing `src` and in whether
+    * `cell` rides the output, so the assignment tie-rule, the slice
+    * arithmetic, and the left-associated ADC sum exist exactly once
+    * and cannot silently diverge between the two oracles. */
+  private def pqSqlChain(books: Array[Array[Array[Double]]],
+      dt: Array[Array[Double]], query: Array[Double],
+      srcCtes: String, carryCell: Boolean): String = {
     val dsub = books(0)(0).length
-    val bookRows = (for ((book, mi) <- books.zipWithIndex;
-        (c, k) <- book.zipWithIndex) yield {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      val half = (c.map(x => x * x).sum / 2).toString
-      s"($mi, $k, $lit::DOUBLE[], $half)"
-    }).mkString(",\n             ")
-    val codeCols = books.indices.map(mi =>
-      s"max(CASE WHEN mi = $mi THEN code END) AS c$mi").mkString(",\n             ")
-    val adcChain = dt.zipWithIndex.map { case (row, mi) =>
-      val litList = row.map(_.toString).mkString("[", ",", "]")
-      s"list_extract($litList::DOUBLE[], c$mi + 1)"
-    }.mkString("\n               + ")
-    val qlit = PqOracle.query.get.map(_.toString).mkString("[", ",", "]")
-    val qq = PqOracle.query.get.map(x => x * x).sum.toString
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             FROM embeddings WHERE vec_id != 0),
-           book AS (SELECT * FROM (VALUES
-             $bookRows) AS t(mi, k, cv, half)),
-           sc AS (
-             SELECT e.vec_id, book.mi, book.k,
-               list_inner_product(
-                 list_slice(e.v, book.mi * $dsub + 1, (book.mi + 1) * $dsub),
-                 book.cv) - book.half AS s
-             FROM e CROSS JOIN book),
-           asg AS (
-             SELECT vec_id, mi, k AS code FROM (
-               SELECT vec_id, mi, k,
-                 row_number() OVER (PARTITION BY vec_id, mi
-                   ORDER BY s DESC, k DESC) AS rn
-               FROM sc) WHERE rn = 1),
-           codes AS (
-             SELECT vec_id,
-             $codeCols
-             FROM asg GROUP BY vec_id),
-           sl AS (
-             SELECT vec_id, adc_rank FROM (
-               SELECT vec_id,
-                 row_number() OVER (ORDER BY adc, vec_id)::INT AS adc_rank
-               FROM (SELECT vec_id, $adcChain AS adc FROM codes))
-             WHERE adc_rank <= 100),
-           rr AS (
-             SELECT sl.vec_id, sl.adc_rank,
-               $qq + list_inner_product(e.v, e.v)
-                 - 2.0 * list_inner_product($qlit::DOUBLE[], e.v) AS d2
-             FROM sl JOIN e ON e.vec_id = sl.vec_id)
-         SELECT vec_id, adc_rank, round(d2, 6) AS d2, rank FROM (
-           SELECT vec_id, adc_rank, d2,
-             row_number() OVER (ORDER BY d2, vec_id)::INT AS rank
-           FROM rr)
-         WHERE rank <= 10 ORDER BY rank"""
-  }
-
-  private def ivfPqOracleSqlFor(cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
-      query: Array[Double], probed: Seq[Int]): String = {
-    val dsub = books(0)(0).length
-    val centRows = cents.zipWithIndex.map { case (c, i) =>
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      val half = (c.map(x => x * x).sum / 2).toString
-      s"($i, $lit::DOUBLE[], $half)"
-    }.mkString(",\n             ")
     val bookRows = (for ((book, mi) <- books.zipWithIndex;
         (c, k) <- book.zipWithIndex) yield {
       val lit = c.map(_.toString).mkString("[", ",", "]")
@@ -7058,31 +7004,18 @@ object SparkEntry {
     }.mkString("\n               + ")
     val qlit = query.map(_.toString).mkString("[", ",", "]")
     val qq = query.map(x => x * x).sum.toString
-    val probedList = probed.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             FROM embeddings WHERE vec_id != 0),
-           cent AS (SELECT * FROM (VALUES
-             $centRows) AS t(cell, cv, half)),
-           asgc AS (
-             SELECT vec_id, cell FROM (
-               SELECT e.vec_id, cent.cell, row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY (list_inner_product(e.v, cent.cv) - cent.half)
-                     DESC, cent.cell DESC) AS rn
-               FROM e CROSS JOIN cent) WHERE rn = 1),
-           pruned AS (
-             SELECT e.vec_id, e.v, asgc.cell
-             FROM e JOIN asgc ON e.vec_id = asgc.vec_id
-             WHERE asgc.cell IN ($probedList)),
+    val cellRr = if (carryCell) "src.cell, " else ""
+    val cellOut = if (carryCell) "cell, " else ""
+    s"""WITH $srcCtes,
            book AS (SELECT * FROM (VALUES
              $bookRows) AS t(mi, k, cv, half)),
            sc AS (
-             SELECT pruned.vec_id, book.mi, book.k,
+             SELECT src.vec_id, book.mi, book.k,
                list_inner_product(
-                 list_slice(pruned.v, book.mi * $dsub + 1,
+                 list_slice(src.v, book.mi * $dsub + 1,
                    (book.mi + 1) * $dsub),
                  book.cv) - book.half AS s
-             FROM pruned CROSS JOIN book),
+             FROM src CROSS JOIN book),
            asg AS (
              SELECT vec_id, mi, k AS code FROM (
                SELECT vec_id, mi, k,
@@ -7100,15 +7033,51 @@ object SparkEntry {
                FROM (SELECT vec_id, $adcChain AS adc FROM codes))
              WHERE adc_rank <= 100),
            rr AS (
-             SELECT sl.vec_id, pruned.cell, sl.adc_rank,
-               $qq + list_inner_product(pruned.v, pruned.v)
-                 - 2.0 * list_inner_product($qlit::DOUBLE[], pruned.v) AS d2
-             FROM sl JOIN pruned ON pruned.vec_id = sl.vec_id)
-         SELECT vec_id, cell, adc_rank, round(d2, 6) AS d2, rank FROM (
-           SELECT vec_id, cell, adc_rank, d2,
+             SELECT sl.vec_id, ${cellRr}sl.adc_rank,
+               $qq + list_inner_product(src.v, src.v)
+                 - 2.0 * list_inner_product($qlit::DOUBLE[], src.v) AS d2
+             FROM sl JOIN src ON src.vec_id = sl.vec_id)
+         SELECT vec_id, ${cellOut}adc_rank, round(d2, 6) AS d2, rank FROM (
+           SELECT vec_id, ${cellOut}adc_rank, d2,
              row_number() OVER (ORDER BY d2, vec_id)::INT AS rank
            FROM rr)
          WHERE rank <= 10 ORDER BY rank"""
+  }
+
+  private def pqOracleSqlFor(books: Array[Array[Array[Double]]],
+      dt: Array[Array[Double]]): String =
+    pqSqlChain(books, dt, PqOracle.query.get,
+      srcCtes = """src AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0)""",
+      carryCell = false)
+
+  private def ivfPqOracleSqlFor(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
+      query: Array[Double], probed: Seq[Int]): String = {
+    val centRows = cents.zipWithIndex.map { case (c, i) =>
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      val half = (c.map(x => x * x).sum / 2).toString
+      s"($i, $lit::DOUBLE[], $half)"
+    }.mkString(",\n             ")
+    // x3's assignment CTE as a pruning prologue; the PQ chain itself
+    // is pqSqlChain, shared verbatim with x12
+    pqSqlChain(books, dt, query,
+      srcCtes = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0),
+           cent AS (SELECT * FROM (VALUES
+             $centRows) AS t(cell, cv, half)),
+           asgc AS (
+             SELECT vec_id, cell FROM (
+               SELECT e.vec_id, cent.cell, row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY (list_inner_product(e.v, cent.cv) - cent.half)
+                     DESC, cent.cell DESC) AS rn
+               FROM e CROSS JOIN cent) WHERE rn = 1),
+           src AS (
+             SELECT e.vec_id, e.v, asgc.cell
+             FROM e JOIN asgc ON e.vec_id = asgc.vec_id
+             WHERE asgc.cell IN (${probed.mkString(", ")}))""",
+      carryCell = true)
   }
 
   private def rpOracleSqlFor(planes: Seq[Array[Double]]): String = {

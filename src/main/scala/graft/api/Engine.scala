@@ -853,9 +853,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
   def restoreToCut(cut: Long): Map[String, Long] = synchronized {
     val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
       s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
-    rec.collect { case (t, v) if v > 0L =>
-      t -> storeOf(t).restoreTo(v)
-    }
+    val targets = rec.toSeq.sortBy(_._1).collect { case (t, v) if v > 0L =>
+      (t, v, storeOf(t)) // storeOf throws on an unknown table — before
+    }                    // any restore commits, not between two
+    // validate EVERY target before the first commit: a cut with one
+    // unrestorable table must fail fast, never fail-partial (half the
+    // corpus at the cut, half live — a state no cut ever recorded).
+    // A fence/IO failure mid-loop can still land partial (each table
+    // commit is independent by design); re-running the restore after
+    // fixing the cause converges — every per-table restore is just
+    // another roll-forward commit.
+    targets.foreach { case (_, v, st) => st.validateRestore(v) }
+    targets.map { case (t, v, st) => t -> st.restoreTo(v) }.toMap
   }
 
   /** Register the whole cut as frozen SQL views — [[exposeSqlAt]] per

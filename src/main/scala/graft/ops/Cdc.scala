@@ -39,15 +39,23 @@ object Cdc {
         "schemas first (Convert.align) for a cross-era diff")
     require(payload.nonEmpty, "diff needs at least one payload column")
     val o = oldDf.select(keys.map(col) :+
-      struct(payload.map(col): _*).as("old"): _*)
+      struct(payload.map(col): _*).as("old"): _*).alias("__o")
     val n = newDf.select(keys.map(col) :+
-      struct(payload.map(col): _*).as("new"): _*)
-    o.join(n, keys, "full_outer")
+      struct(payload.map(col): _*).as("new"): _*).alias("__n")
+    // NULL-SAFE key equality (still a hash-joinable equi-key): a
+    // plain equi-join never matches null keys, so a null-keyed update
+    // would surface as a spurious delete+insert pair — here it
+    // matches and classifies like any other key
+    val on = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k"))
+      .reduce(_ && _)
+    o.join(n, on, "full_outer")
       .withColumn("op",
         when(col("new").isNull, lit("delete"))
           .when(col("old").isNull, lit("insert"))
           .when(!(col("old") <=> col("new")), lit("update")))
       .filter(col("op").isNotNull)
-      .select((keys.map(col) :+ col("op") :+ col("old") :+ col("new")): _*)
+      .select(keys.map(k =>
+        coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)) ++
+        Seq(col("op"), col("old"), col("new")): _*)
   }
 }

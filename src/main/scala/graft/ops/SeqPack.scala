@@ -58,7 +58,14 @@ object SeqPack {
     // default RANGE frame makes duplicate order keys frame PEERS —
     // they would share one sum and silently overlap their spans); the
     // doc's global start subtracts its own count back out
-    val okey = struct(order: _*)
+    // the guard key strips sort direction: `order` may legitimately
+    // carry `.desc`/`.asc_nulls_last` wrappers (repartitionByRange and
+    // Window.orderBy accept them), but SortOrder inside a projection
+    // is an analysis error — struct() over the CHILD expressions keys
+    // the duplicate check on the values themselves, which is exactly
+    // the totality the contract requires
+    val okey = struct(order.map(
+      org.apache.spark.sql.graftbridge.ColumnBridge.stripSortOrder): _*)
     val local = ranged
       // enforce the totality contract in-plan instead of corrupting
       // placements: equal keys land in one range partition, so a

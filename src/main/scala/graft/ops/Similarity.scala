@@ -110,15 +110,21 @@ object Similarity {
   def trainCentroids(
       corpus: DataFrame, vec: String,
       nlist: Int = 16, seed: Long = 42L,
-      sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] = {
-    val sample = corpus.select(col(vec))
+      sampleSize: Int = 4096, iters: Int = 8): Array[Array[Double]] =
+    kmeans(sampleVectors(corpus, vec, seed, sampleSize), nlist, iters, seed)
+
+  /** The one seeded bounded-sample discipline every trainer here
+    * uses (IVF centroids, PQ codebooks): TakeOrdered-by-rand draw,
+    * Float/Double normalized — shared so two trainers can never
+    * silently draw differently-disciplined samples. */
+  private def sampleVectors(corpus: DataFrame, vec: String, seed: Long,
+      sampleSize: Int): Array[Array[Double]] =
+    corpus.select(col(vec))
       .orderBy(rand(seed)).limit(sampleSize).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toArray)
-    kmeans(sample, nlist, iters, seed)
-  }
 
   /** `_`-prefixed so parquet readers of the index dir skip it. */
   private[graft] val CentroidsFile = "_centroids.json"
@@ -548,12 +554,7 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, vec: String, m: Int = 8,
       ksub: Int = 16, seed: Long = 42L, sampleSize: Int = 4096,
       iters: Int = 8): Array[Array[Array[Double]]] = {
-    val sample = corpus.select(col(vec))
-      .orderBy(rand(seed)).limit(sampleSize).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-      }.toArray)
+    val sample = sampleVectors(corpus, vec, seed, sampleSize)
     require(sample.nonEmpty, "PQ training sample is empty")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
@@ -641,7 +642,7 @@ object Similarity {
     * the hash — exact `d2`, final `rank`). */
   def pqSearch(encoded: DataFrame, raw: DataFrame, id: String, vec: String,
       query: Array[Double], dt: Array[Array[Double]], k: Int,
-      shortlist: Int): DataFrame = {
+      shortlist: Int, keep: Seq[String] = Nil): DataFrame = {
     require(k <= shortlist, "re-rank cannot return more than the shortlist")
     val sl = pqTopK(encoded, id, dt, shortlist)
       .withColumnRenamed("rank", "adc_rank").drop("adc")
@@ -655,7 +656,8 @@ object Similarity {
       .orderBy(col("d2").asc, col(id).asc).limit(k)
       .withColumn("rank", row_number().over(
         Analytics.tinySeqW.orderBy(col("d2").asc, col(id).asc)))
-      .select(col(id), col("adc_rank"), col("d2"), col("rank"))
+      .select(col(id) +: keep.map(col) :+
+        col("adc_rank") :+ col("d2") :+ col("rank"): _*)
   }
 
   /** The query's `nprobe` nearest IVF cells, driver-side — the same
@@ -688,14 +690,11 @@ object Similarity {
       .getField("cell")
     val pruned = corpus.withColumn("cell", bestCell)
       .filter(col("cell").isin(probed: _*))
-    val winners = pqSearch(pqEncode(pruned, id, vec, books), pruned,
-      id, vec, query, dt, k, shortlist)
-    // the winner set is k rows — broadcast it back over the pruned
-    // frame to attach each winner's cell (one scan, no shuffle)
-    pruned.select(col(id), col("cell"))
-      .join(broadcast(winners), id)
-      .select(col(id), col("cell"), col("adc_rank"), col("d2"),
-        col("rank"))
+    // `cell` rides the re-rank as a pass-through column — the raw
+    // side already carries it, so no extra assignment pass runs to
+    // recover it for the k winners
+    pqSearch(pqEncode(pruned, id, vec, books), pruned,
+      id, vec, query, dt, k, shortlist, keep = Seq("cell"))
   }
 
   /** Plain Lloyd k-means over the training sample (driver-side; the

@@ -544,8 +544,39 @@ final class TsStore(
     * days — re-running the restore converges, like every interrupted
     * commit here). Returns the new live generation. */
   def restoreTo(g: Long): Long = synchronized {
+    validateRestore(g)
+    val (daysG, tombsG) = TsStore.readHistRecord(fs, path, g).get
+    val snap = loadSnapshot()
+    val now = System.currentTimeMillis()
+    val removed = (snap.removed -- daysG.keySet) ++
+      (snap.days.keySet -- daysG.keySet).map(_ -> now).toMap
+    // tombstones revert in-memory BEFORE the commit (the restore
+    // generation's history record must carry g's map) but are put
+    // back if the commit throws (fence, IO): a failed restore must
+    // leave this handle serving the pre-restore state, not a chimera
+    // of old days under restored tombstones. The hot tail is likewise
+    // discarded only once the restore has actually committed.
+    val prevTombstones = tombstones
+    tombstones = tombsG
+    try commitSnapshot(TsStore.Snapshot(snap.v + 1, daysG, removed))
+    catch { case e: Throwable => tombstones = prevTombstones; throw e }
+    clearHot()
+    persistMeta()
+    // restore re-points/removes arbitrary days — feed the scoped
+    // auto-vacuum like every other commit path, or the superseded
+    // dirs and removal records it produced are never revisited
+    fullVacuumNeeded = true
+    onColdChange(TsStore.Rewritten)
+    snap.v + 1
+  }
+
+  /** Validation half of [[restoreTo]] — every check, no mutation.
+    * [[graft.api.Engine.restoreToCut]] runs it across ALL tables
+    * before the first restore commits, so a cut with one
+    * unrestorable table fails fast instead of fail-partial. */
+  private[graft] def validateRestore(g: Long): Unit = synchronized {
     require(snapshots, s"$path: restoreTo requires snapshot mode")
-    val (daysG, tombsG) = TsStore.readHistRecord(fs, path, g).getOrElse(
+    val (daysG, _) = TsStore.readHistRecord(fs, path, g).getOrElse(
       throw new IllegalArgumentException(
         s"$path: generation $g is unknown or its history record was " +
           "vacuumed — cannot restore"))
@@ -556,19 +587,8 @@ final class TsStore(
         s"$path: restoreTo($g): $day version $ver was vacuumed — " +
           "cannot restore (cuts pin generations against this)")
     }
-    val snap = loadSnapshot()
-    require(g <= snap.v,
-      s"$path: restoreTo($g): generation is ahead of the live manifest " +
-        s"(${snap.v})")
-    val now = System.currentTimeMillis()
-    val removed = (snap.removed -- daysG.keySet) ++
-      (snap.days.keySet -- daysG.keySet).map(_ -> now).toMap
-    clearHot()
-    tombstones = tombsG
-    commitSnapshot(TsStore.Snapshot(snap.v + 1, daysG, removed))
-    persistMeta()
-    onColdChange(TsStore.Rewritten)
-    snap.v + 1
+    require(g <= loadSnapshot().v,
+      s"$path: restoreTo($g): generation is ahead of the live manifest")
   }
 
   /** Committed generations available for time travel, ascending. */

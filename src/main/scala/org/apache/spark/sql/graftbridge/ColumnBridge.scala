@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Strip a sort-direction wrapper (`.desc`, `.asc_nulls_last`, …)
+    * down to the ordered VALUE, if present. Spark 4 keeps the
+    * direction as a `private[sql]` ColumnNode, so callers that accept
+    * user order columns but also need the key inside a projection
+    * (where SortOrder is an analysis error) route through here. */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => new Column(so.child)
+    case _ => c
+  }
 }

@@ -27,6 +27,22 @@ class CdcSpec extends SparkSpec {
       4L -> "delete", 5L -> "insert"))
   }
 
+  test("null keys match null-safely: an update is never a delete+insert pair") {
+    val o = Seq((Option.empty[java.lang.Long], "a", 1.0),
+      (Some(java.lang.Long.valueOf(1L)), "b", 2.0))
+      .map { case (k, e, v) => (k.map(Long2long).getOrElse(-1L), e, v) }
+      .toDF("k", "etype", "v")
+      .withColumn("k", when(col("k") === -1L, lit(null)).otherwise(col("k")))
+    val n = o.withColumn("v",
+      when(col("k").isNull, lit(9.0)).otherwise(col("v")))
+    val out = Cdc.diff(o, n, Seq("k")).collect()
+    assert(out.length == 1 && out.head.getString(1) == "update" &&
+      out.head.isNullAt(0),
+      s"null-keyed update misclassified: ${out.toSeq}")
+    // unchanged null-keyed rows are dropped like any other
+    assert(Cdc.diff(o, o, Seq("k")).isEmpty)
+  }
+
   test("old/new payload structs carried, null on the absent side") {
     val newDf = Seq((2L, "b", 25.0), (5L, "e", 50.0)).toDF("k", "etype", "v")
     val rows = Cdc.diff(oldDf.filter(col("k").isin(2L, 4L)), newDf, Seq("k"))

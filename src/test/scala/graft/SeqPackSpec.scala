@@ -64,6 +64,22 @@ class SeqPackSpec extends SparkSpec {
       s"expected the totality contract to raise, got: $ex")
   }
 
+  test("sort-direction order columns (.desc) still pack; guard keys on values") {
+    // a descending total order is a legitimate contract use — the
+    // duplicate guard must strip the SortOrder wrapper, not crash
+    val out = SeqPack.pack(docs, "tokens", 8L, Seq(col("doc_id").desc))
+      .select("doc_id", "len").collect()
+    assert(out.map(_.getLong(1)).sum == 40L, "tokens must conserve")
+    // and the duplicate check still fires through the wrapper
+    val dup = Seq((1L, 5L), (1L, 7L)).toDF("doc_id", "tokens")
+    val ex = intercept[Exception] {
+      SeqPack.pack(dup, "tokens", 8L, Seq(col("doc_id").desc)).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(ex).contains("duplicate order key"))
+  }
+
   test("a single giant document chunks into ceil(n/budget) spans") {
     val one = Seq((42L, 100L)).toDF("doc_id", "tokens")
     val packed = collectPacked(one)
