@@ -974,4 +974,27 @@ class EngineSpec extends SparkSpec {
     assert(pair("stk_day").exists(_.count() == 1),
       "a restarted engine's vacuum retired a cut-pinned generation")
   }
+
+  test("restoreToCut: rolls every table back, skips never-committed tables, refuses unknown cuts") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.create("{stk_min:{fields:{time:[T,8],open:[F,8],close:[F,8],vol:[I,4]}}}")
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day") // generation 1; stk_min never commits
+    val cut = e.snapshotAll() // all declared tables → stk_min pinned at 0
+    e.set("SH600600.stk_day",
+      """{"time":"2021-02-01","open":10.40,"close":11.00,"vol":300}""")
+    e.save("stk_day") // post-cut damage
+    val gens = e.restoreToCut(cut)
+    // the never-committed table is SKIPPED (restore cannot
+    // reconstruct "nothing"), the committed one rolls forward
+    assert(gens.keySet == Set("stk_day"), s"restored: $gens")
+    assert(e.get("*.stk_day", "{}").count() == 1,
+      "restore did not return the live read to the cut state")
+    // history preserved: the damage generation still time-travels
+    assert(e.openSnapshotAt("stk_day", 2L).exists(_.count() == 2))
+    intercept[IllegalArgumentException](e.restoreToCut(99L))
+  }
 }
