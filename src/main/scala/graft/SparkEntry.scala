@@ -2351,6 +2351,19 @@ object SparkEntry {
     * array payloads exactly as a reference client would send them —
     * (user_id, "[{t,etype,value},…]") pairs, collected driver-side
     * because the COMMAND surface is what these queries exercise. */
+  /** The e15 cut state re-derived from the source events — shared
+    * verbatim by e15 (reads AT the cut) and e19 (restores live TO the
+    * cut): both queries' outputs are, by contract, this corpus. */
+  private val cutStateOracle: String =
+    """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
+         FROM (
+           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1
+           UNION ALL
+           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
+           FROM events WHERE user_id < 8 AND event_id % 2 = 1)
+         GROUP BY 1, 2 ORDER BY tbl, subject"""
+
   private def clientEventPayloads(rows: DataFrame): Array[(Long, String)] =
     rows.select(col("user_id"), to_json(struct(col("ts").as("t"),
         col("event_type").as("etype"), col("value").as("value"))).as("j"))
@@ -4669,27 +4682,11 @@ object SparkEntry {
     // fx carries doubled values so the pair is distinguishable): a cut
     // that leaked the post-cut re-ingest on ev, the post-cut delete on
     // fx, or lost a vacuum-pinned generation would hash-mismatch
-    "e15_snapshot_cut" ->
-      """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
-         FROM (
-           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
-           FROM events WHERE user_id < 8 AND event_id % 2 = 1
-           UNION ALL
-           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
-           FROM events WHERE user_id < 8 AND event_id % 2 = 1)
-         GROUP BY 1, 2 ORDER BY tbl, subject""",
+    "e15_snapshot_cut" -> cutStateOracle,
     // e19 restores the live corpus TO the e15-style cut, so its
-    // relational contract is the cut state itself, re-derived from
-    // the source events (post-cut damage restored away by REQUIRE)
-    "e19_restore_cut" ->
-      """SELECT tbl, subject, count(*) AS n, round(sum(v), 2) AS total
-         FROM (
-           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
-           FROM events WHERE user_id < 8 AND event_id % 2 = 1
-           UNION ALL
-           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 2 AS v
-           FROM events WHERE user_id < 8 AND event_id % 2 = 1)
-         GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // relational contract is e15's verbatim: the cut state re-derived
+    // from the source events (post-cut damage restored away, REQUIREd)
+    "e19_restore_cut" -> cutStateOracle,
     // e16's manifest read reproduces the cut exactly, so the oracle
     // recomputes the same aggregate from the source events — u9.fx is
     // dropped (tombstoned) BEFORE the cut, the post-cut re-ingest of
