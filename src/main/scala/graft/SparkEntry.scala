@@ -317,7 +317,8 @@ object SparkEntry {
     Sketches.appendBatch(partials(b2), root, "ohlc", "live", 2L)
     require(s.read.parquet(stored).count() == rowsAfter,
       "replayed batch grew the stored rollup state")
-    val folded = Rollup.compactBarPartialBatches(s, root, "live", upTo = 1L)
+    val folded = Rollup.compactBarPartialBatches(s, root, "live",
+      upTo = 1L, groupCols = Seq("event_type", "day"))
     require(folded == 2, s"expected to fold 2 slots, folded $folded")
     val merged = Rollup.finalizeBars(
       s.read.parquet(stored).drop("batch"), Seq("event_type", "day"))

@@ -637,8 +637,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val timeField = catalog.get(table).flatMap(_.mainIndex.map(_.name))
       .getOrElse(throw new IllegalArgumentException(
         s"changesBetween: table '$table' has no main index"))
+    // (subject, time) is the store's upsert key — uniqueness is
+    // guaranteed by construction on every committed generation, so the
+    // public op's duplicate-key guard (a window sort over the join
+    // output) would pay for a violation that cannot happen here
     graft.ops.Cdc.diff(pin(vFrom).drop("__day"), pin(vTo).drop("__day"),
-      Seq("subject", timeField))
+      Seq("subject", timeField), assertUniqueKeys = false)
   }
 
   /** The out-of-process reader contract through the engine surface:

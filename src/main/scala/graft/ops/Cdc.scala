@@ -28,9 +28,20 @@ object Cdc {
     * structs carried (null on the absent side). Unchanged keys are
     * dropped. Both sides must share one schema: a cross-era diff
     * aligns first ([[Convert.align]]) — refusing here beats silently
-    * diffing positionally-matched columns. */
-  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String])
-      : DataFrame = {
+    * diffing positionally-matched columns.
+    *
+    * PRECONDITION: `keys` must be unique on EACH side — a duplicate
+    * fans out m×n in the full-outer join and emits spurious update
+    * rows, silently breaking the "apply feed to old state reproduces
+    * new state" contract. The engine surface guarantees this
+    * ((subject, time) is the store's primary key); for the public op
+    * `assertUniqueKeys` (default on) raises in-plan on the first
+    * violation — the check is a window count over the join output's
+    * existing key partitioning, so it adds a per-partition sort but
+    * no extra shuffle. Pass `false` only when uniqueness is already
+    * guaranteed upstream and the sort matters. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      assertUniqueKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
     val payload = newDf.columns.filterNot(keys.contains).toSeq
     require(oldDf.columns.filterNot(keys.contains).toSeq == payload,
@@ -48,9 +59,27 @@ object Cdc {
     // matches and classifies like any other key
     val on = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k"))
       .reduce(_ && _)
-    o.join(n, on, "full_outer")
+    val joined = o.join(n, on, "full_outer")
+    // duplicate-key totality guard (SeqPack.pack's pattern): with
+    // unique keys each key yields EXACTLY one joined row, so any key
+    // seen twice post-join proves a duplicate on some side. The window
+    // partitions by the same key the join shuffled on, so
+    // EnsureRequirements reuses the exchange; the raise rides the
+    // `op` column, which is evaluated before the unchanged-row filter
+    // can drop the offending rows.
+    val keyStruct = struct(keys.map(k =>
+      coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)): _*)
+    val guarded =
+      if (!assertUniqueKeys) joined.withColumn("__kcnt", lit(1L))
+      else joined.withColumn("__kcnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyStruct)))
+    guarded
       .withColumn("op",
-        when(col("new").isNull, lit("delete"))
+        when(col("__kcnt") > 1, raise_error(concat(
+          lit("Cdc.diff: duplicate key "), to_json(keyStruct),
+          lit(" — keys must be unique on each side (a duplicate " +
+            "fans out in the full-outer join and corrupts the feed)"))))
+          .when(col("new").isNull, lit("delete"))
           .when(col("old").isNull, lit("insert"))
           .when(!(col("old") <=> col("new")), lit("update")))
       .filter(col("op").isNotNull)

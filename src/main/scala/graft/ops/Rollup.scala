@@ -108,11 +108,24 @@ object Rollup {
     * union — compaction costs zero accuracy, picked fields are
     * bit-identical and sums reassociate within float ulps. */
   def compactBarPartialBatches(ss: org.apache.spark.sql.SparkSession,
-      root: String, stamp: String, upTo: Long,
-      kind: String = "ohlc"): Int =
+      root: String, stamp: String, upTo: Long, groupCols: Seq[String],
+      kind: String = "ohlc"): Int = {
+    // explicit group columns: inferring them by excluding the reserved
+    // partial-field names would silently aggregate away a group column
+    // that happens to be NAMED e.g. "open" or "cnt" — the caller knows
+    // its grouping (finalizeBars already takes it), so require it here
+    // and refuse the ambiguous collision outright
+    val reserved = Set("first_k", "open", "high", "low", "close",
+      "last_k", "cnt", "volume")
+    val clash = groupCols.filter(reserved.contains)
+    require(clash.isEmpty, s"group columns ${clash.mkString(", ")} " +
+      "collide with reserved OHLC partial field names — rename them " +
+      "before storing partials")
     Sketches.compactBatches(ss, root, kind, stamp, upTo) { src =>
-      val groups = src.columns.filterNot(Set("first_k", "open", "high",
-        "low", "close", "last_k", "cnt", "volume")).toSeq
-      mergeBarPartials(src, groups).select(src.columns.map(col): _*)
+      val missing = groupCols.filterNot(src.columns.contains)
+      require(missing.isEmpty, s"stored partials lack group columns " +
+        s"${missing.mkString(", ")} (have ${src.columns.mkString(", ")})")
+      mergeBarPartials(src, groupCols).select(src.columns.map(col): _*)
     }
+  }
 }

@@ -71,7 +71,11 @@ object SeqPack {
       // placements: equal keys land in one range partition, so a
       // window lag sees every duplicate; the check rides the window
       // the sum already pays for — no extra shuffle
-      .withColumn("__dup", lag(okey, 1).over(localW) === okey)
+      // null-safe (`<=>`): with `===` a null order-key field makes the
+      // comparison null, the raise never fires, and duplicate
+      // null-keyed rows silently overlap — the corruption the guard
+      // exists to prevent; lag's first-row null still compares false
+      .withColumn("__dup", lag(okey, 1).over(localW) <=> okey)
       .withColumn("__lsum",
         sum(col(tokens).cast("long")).over(localW
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

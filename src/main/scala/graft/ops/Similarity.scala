@@ -535,7 +535,8 @@ object Similarity {
   //
   // The 100 TB ANN STORAGE story: int8 scalar quantization (x6) cuts
   // a 64-d float vector 4× (64 bytes); PQ cuts it to m CODES — with
-  // m=8 subspaces × 16 codewords, 8 nibbles ≈ 8 bytes, 32× — and
+  // m=16 subspaces × 16 codewords, 16 nibbles ≈ 8 bytes, 32× (the
+  // m/ksub the x12/x13 queries use; m=8 would be 4 bytes, 64×) — and
   // still answers nearest-neighbor queries through the asymmetric
   // distance computation (ADC): the query stays full-precision, each
   // encoded row's approximate distance is m table lookups into a

@@ -76,6 +76,20 @@ class CdcSpec extends SparkSpec {
     assert(ex.getMessage.contains("align"))
   }
 
+  test("duplicate keys raise in-plan instead of fanning out spurious rows") {
+    val dupNew = Seq((2L, "b", 25.0), (2L, "b2", 26.0), (5L, "e", 50.0))
+      .toDF("k", "etype", "v")
+    val ex = intercept[Exception] {
+      Cdc.diff(oldDf, dupNew, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate key"),
+      s"expected the in-plan duplicate-key raise, got: ${ex.getMessage}")
+    // opting out (uniqueness guaranteed upstream) skips the guard —
+    // the fan-out is then the caller's documented responsibility
+    assert(Cdc.diff(oldDf, dupNew, Seq("k"), assertUniqueKeys = false)
+      .count() >= 3)
+  }
+
   test("feed applied to the old state reproduces the new state") {
     val newDf = Seq((2L, "b", 25.0), (3L, "c", 30.0), (5L, "e", 50.0))
       .toDF("k", "etype", "v")

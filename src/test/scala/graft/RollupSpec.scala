@@ -60,7 +60,8 @@ class RollupSpec extends SparkSpec {
     val preMerge = Rollup.finalizeBars(
       spark.read.parquet(stored).drop("batch"), Seq("key"))
       .orderBy("key").collect().toSeq
-    assert(Rollup.compactBarPartialBatches(spark, root, "t", upTo = 1L) == 2)
+    assert(Rollup.compactBarPartialBatches(spark, root, "t", upTo = 1L,
+      groupCols = Seq("key")) == 2)
     val slots = new java.io.File(stored).listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
     assert(slots == Seq("batch=1", "batch=2"), s"slots after compact: $slots")

@@ -64,6 +64,20 @@ class SeqPackSpec extends SparkSpec {
       s"expected the totality contract to raise, got: $ex")
   }
 
+  test("duplicate NULL order keys also raise (null-safe guard)") {
+    // with plain `===` the lag comparison is null for null-keyed rows
+    // and the raise never fires — the `<=>` guard must catch them
+    val dup = Seq((Some(1L), 5L), (None, 7L), (None, 3L))
+      .toDF("doc_id", "tokens")
+    val ex = intercept[Exception] {
+      SeqPack.pack(dup, "tokens", 8L, Seq(col("doc_id"))).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(ex).contains("duplicate order key"),
+      s"expected the null-keyed duplicate to raise, got: $ex")
+  }
+
   test("sort-direction order columns (.desc) still pack; guard keys on values") {
     // a descending total order is a legitimate contract use — the
     // duplicate guard must strip the SortOrder wrapper, not crash
