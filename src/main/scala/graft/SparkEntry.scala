@@ -3219,6 +3219,101 @@ object SparkEntry {
       .orderBy("subject", "op")
   }
 
+  /** E20 — CROSS-ERA CHANGE FEED ([[graft.api.Engine.changesBetween]]
+    * across a schema-evolve boundary): the reference converts on
+    * EVERY read path (sis_dynamic.h:12-51), so its change consumers
+    * never see an era seam — here the feed aligns the older pin to
+    * the newer era ([[graft.ops.Convert.alignKeeping]], the same
+    * never-cross-type rule e17 proves for live reads) before the
+    * diff. The flow: ingest odds under schema v0 (qty I4, int flag),
+    * commit; `evolve` to v1 (qty widened I8, flag crossed to C,
+    * score added); ingest evens + re-value u5's odds under v1,
+    * commit; range-delete u6 as a third generation; feed between
+    * the first and last generations. REQUIREd in-query: (a) the feed
+    * closes (|g₁| + inserts − deletes = |gₙ|); (b) every op class
+    * appears; (c) NO phantom rows — a row untouched across the
+    * boundary must not surface (its old side zero-fills exactly like
+    * its era-1 rewrite), so every update is u5's; (d) an update's
+    * old-side score is the aligned 0.0, not null — added fields read
+    * as values under the convert rule. Output: per (subject, op)
+    * counts plus value and score deltas — the added-field column
+    * flows through the feed arithmetic into the hash. */
+  private def qCrossEraFeed(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_xera_feed/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,4],flag:[I,4]}}}")
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") >= 4 && col("user_id") <= 9)
+    def payloads(rows: DataFrame, fields: org.apache.spark.sql.Column*)
+        : Array[(Long, String)] =
+      rows.select(col("user_id"), to_json(struct(fields: _*)).as("j"))
+        .groupBy("user_id")
+        .agg(concat(lit("["), concat_ws(",", collect_list("j")),
+          lit("]")).as("arr"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // generation 1 — era 0: odd event-ids under the old layout
+    payloads(ev.filter(col("event_id") % 2 === 1),
+      col("ts").as("t"), col("event_type").as("etype"),
+      col("value").as("value"),
+      (col("event_id") % 100).cast("int").as("qty"),
+      col("user_id").cast("int").as("flag"))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    eng.evolve("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,8],flag:[C,8],score:[F,8]}}}")
+    // generation 2 — era 1: evens inserted; u16's odds re-valued
+    def v1Fields = Seq(
+      col("ts").as("t"), col("event_type").as("etype"),
+      col("value").as("value"),
+      (col("event_id") % 100).cast("long").as("qty"),
+      concat(lit("f"), col("user_id")).as("flag"),
+      (col("value") * 2).as("score"))
+    payloads(ev.filter(col("event_id") % 2 === 0), v1Fields: _*)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    payloads(ev.filter(col("event_id") % 2 === 1 &&
+        col("user_id") === 5).withColumn("value", col("value") + 1),
+        v1Fields: _*)
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-20T23:59:59.999Z").toEpochMilli
+    eng.del("u6.ev", s"""{range:{start:$lo,stop:$hi}}""") // generation 3
+    val vs = eng.snapshotVersions("ev")
+    val feed = eng.changesBetween("ev", vs.min, vs.max)
+      .localCheckpoint() // consumed by the REQUIRE aggs + the output
+    import org.apache.spark.sql.types.StructType
+    val oldFields = feed.schema("old").dataType
+      .asInstanceOf[StructType].fieldNames.toSet
+    require(oldFields.contains("score") && !oldFields.contains("extra"),
+      s"cross-era feed must carry the NEWER era's payload, got $oldFields")
+    val ops = feed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ops.keySet == Set("insert", "update", "delete"),
+      s"the scenario must exercise every op class, got $ops")
+    val n1 = eng.openSnapshotAt("ev", vs.min).get.count()
+    val nN = eng.openSnapshotAt("ev", vs.max).get.count()
+    require(n1 + ops("insert") - ops("delete") == nN,
+      s"cross-era feed does not close: $n1 + ${ops("insert")} - " +
+        s"${ops("delete")} != $nN")
+    val phantom = feed.filter(col("op") === "update" &&
+      col("subject") =!= "u5").count()
+    require(phantom == 0, s"$phantom rows untouched across the evolve " +
+      "boundary surfaced as updates — era alignment leaked a diff")
+    val badZero = feed.filter(col("op") === "update" &&
+      !(col("old").getField("score") <=> lit(0.0))).count()
+    require(badZero == 0, "an update's old-side score must be the " +
+      "aligned 0.0 (never-cross-type zero-fill), not null")
+    feed.groupBy(col("subject"), col("op"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("new").getField("value"), lit(0.0)) -
+          coalesce(col("old").getField("value"), lit(0.0))), 2).as("dv"),
+        round(sum(coalesce(col("new").getField("score"), lit(0.0)) -
+          coalesce(col("old").getField("score"), lit(0.0))), 2).as("ds"))
+      .orderBy("subject", "op")
+  }
+
   /** E14 — SCHEDULED vacuum on the commit path
     * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
     * that never calls vacuum() accumulates superseded version dirs
@@ -4414,6 +4509,7 @@ object SparkEntry {
     "e17_schema_evolve" -> qSchemaEvolve _,
     "e18_change_feed" -> qChangeFeed _,
     "e19_restore_cut" -> qRestoreCut _,
+    "e20_cross_era_feed" -> qCrossEraFeed _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -5811,6 +5907,49 @@ object SparkEntry {
              ON g1.subject = g2.subject AND g1.ts = g2.ts)
          SELECT subject, op, count(*)::BIGINT AS n,
            round(sum(dv), 2) AS delta
+         FROM d WHERE op IS NOT NULL
+         GROUP BY subject, op ORDER BY subject, op""",
+    // e20: e18's relational diff ACROSS the evolve boundary — g1 is
+    // the odd split ALIGNED to the new era (score reads the 0.0
+    // zero-fill, per e17's proven convert rules), gN is the final
+    // state (evens with score = 2·value; u5's odds re-valued with
+    // score = 2·(value+1); other odds carry the era-0 zero score;
+    // u6's deleted slice gone). A phantom delete+insert pair for an
+    // untouched row, or a null where the aligned 0.0 belongs, would
+    // change the (op, n, ds) rows and hash-mismatch.
+    "e20_cross_era_feed" ->
+      """WITH ev AS (
+           SELECT 'u' || user_id AS subject, user_id, event_id, ts,
+             event_type, value
+           FROM events WHERE user_id BETWEEN 4 AND 9),
+         g1 AS (
+           SELECT subject, ts, event_type, value, 0.0 AS score FROM ev
+           WHERE event_id % 2 = 1),
+         gn AS (
+           SELECT subject, ts, event_type,
+             CASE WHEN user_id = 5 AND event_id % 2 = 1
+               THEN value + 1 ELSE value END AS value,
+             CASE WHEN event_id % 2 = 0 THEN value * 2
+                  WHEN user_id = 5 THEN (value + 1) * 2
+                  ELSE 0.0 END AS score
+           FROM ev
+           WHERE NOT (user_id = 6
+             AND strftime(ts, '%Y-%m-%d')
+               BETWEEN '2024-01-10' AND '2024-01-20')),
+         d AS (
+           SELECT coalesce(g1.subject, gn.subject) AS subject,
+             CASE WHEN gn.subject IS NULL THEN 'delete'
+                  WHEN g1.subject IS NULL THEN 'insert'
+                  WHEN g1.value != gn.value
+                    OR g1.event_type != gn.event_type
+                    OR g1.score != gn.score THEN 'update'
+                  END AS op,
+             coalesce(gn.value, 0) - coalesce(g1.value, 0) AS dv,
+             coalesce(gn.score, 0) - coalesce(g1.score, 0) AS ds
+           FROM g1 FULL OUTER JOIN gn
+             ON g1.subject = gn.subject AND g1.ts = gn.ts)
+         SELECT subject, op, count(*)::BIGINT AS n,
+           round(sum(dv), 2) AS dv, round(sum(ds), 2) AS ds
          FROM d WHERE op IS NOT NULL
          GROUP BY subject, op ORDER BY subject, op""",
     // tx10: model tables rebuilt relationally from the even split,

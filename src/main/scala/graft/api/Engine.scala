@@ -623,13 +623,23 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * The incremental-consumer contract: applying the feed to the
     * `vFrom` state reproduces `vTo` exactly, so a downstream pipeline
     * (index maintenance, sketch append, training-mix refresh)
-    * processes O(changes) instead of re-reading the table. Both
-    * pins are era-exact; a diff ACROSS a schema-evolve boundary is
-    * refused by the shared-schema require (align eras first). Cost:
-    * two pinned snapshot reads + one full-outer join on the upsert
-    * key — day-partitioned on both sides, nothing but changed rows
-    * survive the join. */
+    * processes O(changes) instead of re-reading the table.
+    *
+    * A diff ACROSS a schema-evolve boundary aligns the older pin to
+    * the NEWER pin's era first ([[graft.ops.Convert.alignKeeping]],
+    * the same never-cross-type rule every live read applies —
+    * sis_dynamic.h:12-51 converts on every read path for exactly
+    * this reason): an added field reads 0/"" on the old side, so a
+    * row untouched across the boundary compares UNCHANGED (its
+    * era-1 rewrite zero-fills identically) and a genuine change
+    * classifies as an update, never a phantom delete+insert pair.
+    * The upsert key survives alignment by construction — [[evolve]]
+    * refuses main-index changes. Cost: two pinned snapshot reads +
+    * one full-outer join on the upsert key — the align is a
+    * projection Catalyst pushes into the old pin's scan, nothing but
+    * changed rows survive the join. */
   def changesBetween(table: String, vFrom: Long, vTo: Long): DataFrame = {
+    val st = storeOf(table)
     def pin(v: Long) = openSnapshotAt(table, v).getOrElse(
       throw new IllegalArgumentException(
         s"changesBetween: generation $v of '$table' is unknown or " +
@@ -637,11 +647,21 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val timeField = catalog.get(table).flatMap(_.mainIndex.map(_.name))
       .getOrElse(throw new IllegalArgumentException(
         s"changesBetween: table '$table' has no main index"))
+    val from0 = pin(vFrom).drop("__day")
+    val to0 = pin(vTo).drop("__day")
+    // cross-era: each pin serves the schema live AT its generation, so
+    // a feed spanning an evolve aligns the older side to the newer era
+    // (old→new, mirroring how the evolve itself migrates forward)
+    val from = (st.eraSdbAt(vFrom), st.eraSdbAt(vTo)) match {
+      case (Some(f), Some(t)) if f != t =>
+        graft.ops.Convert.alignKeeping(from0, f, t, Seq("subject"))
+      case _ => from0
+    }
     // (subject, time) is the store's upsert key — uniqueness is
     // guaranteed by construction on every committed generation, so the
     // public op's duplicate-key guard (a window sort over the join
     // output) would pay for a violation that cannot happen here
-    graft.ops.Cdc.diff(pin(vFrom).drop("__day"), pin(vTo).drop("__day"),
+    graft.ops.Cdc.diff(from, to0,
       Seq("subject", timeField), assertUniqueKeys = false)
   }
 

@@ -257,6 +257,18 @@ final class TsStore(
   private[graft] def eraOfVersion(v: Long): Int =
     TsStore.eraOfGen(eraRecords, v)
 
+  /** The declared schema LIVE at generation `v` — what a time-travel
+    * pin of that generation serves. None for a never-evolved store
+    * (whose reads have no era machinery at all). The cross-era face
+    * of [[eraOfVersion]]: an engine diffing two pins across an evolve
+    * boundary aligns the older era to the newer with this. */
+  private[graft] def eraSdbAt(v: Long): Option[graft.schema.SdbSchema.Sdb] =
+    if (eraRecords.isEmpty) None
+    else {
+      val e = TsStore.eraOfGen(eraRecords, v)
+      eraRecords.find(_.era == e).map(_.sdb)
+    }
+
   // the read-view schema of the LATEST era (empty-store reads must
   // serve the evolved struct after a restart, not the constructor's)
   private var liveReadSchema: Option[org.apache.spark.sql.types.StructType] =

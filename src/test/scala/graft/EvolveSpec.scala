@@ -100,6 +100,48 @@ class EvolveSpec extends SparkSpec {
     assert(oldRows == Set(("u1", 7, 3, 9), ("u1", 8, 4, 9), ("u2", 9, 5, 9)))
   }
 
+  test("changesBetween spans the evolve boundary: aligned, no phantom ops") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/e"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create(V0)
+    seedOldRows(eng) // u1@01-08, u1@01-09, u2@01-08
+    eng.save("ev")
+    val g1 = eng.snapshotVersions("ev").last
+    eng.evolve(V1)
+    seedNewRows(eng) // u1@02-01 and u3@02-02: inserts
+    // update u2's era-0 row in place: same (subject, t), new payload —
+    // this rewrites day 01-08, which ALSO holds u1's untouched row
+    eng.set("u2.ev", jrow("2024-01-08T11:00:00Z", "view", 4.5,
+      """"qty":9,"flag":"fB","score":1.0"""))
+    eng.save("ev")
+    // delete u1's 01-09 row as a third generation
+    val t9 = java.time.Instant.parse("2024-01-09T10:00:00Z").toEpochMilli
+    eng.del("u1.ev", s"{range:{start:$t9,stop:$t9}}")
+    val vs = eng.snapshotVersions("ev")
+    val feed = eng.changesBetween("ev", g1, vs.max)
+    val byKey = feed.collect().map { r =>
+      (r.getAs[String]("subject"), r.getAs[String]("op")) -> r
+    }.toMap
+    assert(byKey.keySet == Set(("u1", "insert"), ("u3", "insert"),
+      ("u2", "update"), ("u1", "delete")),
+      s"wrong op set: ${byKey.keySet} — u1@01-08 is untouched across " +
+        "the boundary and must NOT surface (its era-1 rewrite " +
+        "zero-fills exactly like the aligned old pin)")
+    // the update's old side is the ALIGNED era-0 payload: score reads
+    // the 0.0 zero-fill (not null), flag the cross-type "", qty the
+    // widened carry
+    val o = byKey(("u2", "update")).getStruct(
+      byKey(("u2", "update")).fieldIndex("old"))
+    assert(o.getAs[Double]("score") == 0.0 && o.getAs[String]("flag") == ""
+      && o.getAs[Long]("qty") == 9L,
+      s"aligned old payload wrong: $o")
+    // feed payloads carry the NEWER era's schema on both sides
+    val oldT = feed.schema("old").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(oldT.fieldNames.contains("score") &&
+      !oldT.fieldNames.contains("extra"))
+  }
+
   test("evolved declaration survives restart and heals a torn catalog") {
     val root = Files.createTempDirectory("graft_evolve").toString + "/r"
     val eng = new graft.api.Engine(spark, root, snapshots = true)
