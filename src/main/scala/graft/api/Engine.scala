@@ -238,6 +238,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // any generation a retained cut record references must survive
       // this table's vacuum no matter how many newer generations land
       st.historyPins = () => cutPinsFor(table)
+      // cut staleness is engine knowledge (cuts span tables); the
+      // store's scheduled vacuum surfaces it when dialed
+      st.staleCutAuditor = ms => {
+        val w = staleCutWarnings(ms)
+        lastStaleCutWarnings = w
+        w
+      }
       // heal the declaration from the store's own schema history: the
       // era-record write is the evolve commit point, so a crash
       // between it and persistEngineCatalog leaves the engine sidecar
@@ -584,19 +591,35 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * already-open stores and to every store opened later; pass
     * `everyGenerations = 0` to disable. Readers pinned within the
     * grace dials are unaffected — the auto run reclaims exactly what
-    * a manual vacuum with these dials would. */
+    * a manual vacuum with these dials would.
+    *
+    * `cutMaxAgeMs > 0` additionally audits the engine's snapshot cuts
+    * on every auto run ([[staleCutWarnings]]) — cuts are the one pin
+    * no retention dial expires, so without this a forgotten cut pins
+    * its generations silently forever on a deployment that only ever
+    * vacuums through this scheduler. Warnings are logged by the store
+    * that triggered the run and kept in [[lastStaleCutWarnings]];
+    * nothing auto-drops ([[dropSnapshotCut]] stays the single release
+    * point). */
   def autoVacuum(everyGenerations: Int,
       keepSuperseded: Int = TsStore.DefaultKeepSuperseded,
       removedDayGraceMs: Long = TsStore.DefaultRemovedDayGraceMs,
       keepHistory: Int = TsStore.DefaultKeepHistory,
-      supersededGraceMs: Long = 0L): Unit = {
+      supersededGraceMs: Long = 0L,
+      cutMaxAgeMs: Long = 0L): Unit = {
     autoVacuumCfg =
       if (everyGenerations <= 0) None
       else Some(TsStore.AutoVacuum(everyGenerations, keepSuperseded,
-        removedDayGraceMs, keepHistory, supersededGraceMs))
+        removedDayGraceMs, keepHistory, supersededGraceMs, cutMaxAgeMs))
     stores.values.foreach(_.autoVacuum = autoVacuumCfg)
   }
   @volatile private var autoVacuumCfg: Option[TsStore.AutoVacuum] = None
+
+  /** The stale-cut warnings the most recent auto-vacuum audit emitted
+    * (empty until a `cutMaxAgeMs`-dialed auto run fires) — the
+    * programmatic face of the logged lines, so a deployment's own
+    * housekeeping can route them somewhere durable. */
+  @volatile var lastStaleCutWarnings: Seq[String] = Seq.empty
 
   /** Committed snapshot generations available for time travel on
     * `table`, ascending (empty outside snapshot mode). */

@@ -343,19 +343,32 @@ final class TsStore(
     * the reader-grace dials apply exactly as a manual vacuum's. */
   @volatile var autoVacuum: Option[TsStore.AutoVacuum] = None
 
+  /** Engine-wired cut-staleness audit ([[graft.api.Engine
+    * .staleCutWarnings]]): cuts live at the engine (they span tables),
+    * but the scheduled vacuum is where a deployment that never calls
+    * vacuum() manually would notice a forgotten cut — so when the
+    * [[TsStore.AutoVacuum]] dials carry a `cutMaxAgeMs`, each auto run
+    * invokes this and logs the warnings. Identity default: a store
+    * without an owning engine has no cuts to audit. */
+  @volatile var staleCutAuditor: Long => Seq[String] = _ => Seq.empty
+
   /** Run the configured auto-vacuum if the live generation hit the
     * cadence. Called at the END of the public mutators (never from
     * inside a commit — vacuum itself drains pending commits, and a
     * commit-path trigger would recurse). */
   private def maybeAutoVacuum(): Unit = autoVacuum.foreach { av =>
     if (snapshots && av.everyGenerations > 0 &&
-      loadSnapshot().v % av.everyGenerations == 0)
+      loadSnapshot().v % av.everyGenerations == 0) {
       // scoped: the scheduled path lists only the days commits touched
       // since the last vacuum (plus days a wall-clock grace left
       // pending) — O(touched), with the full sweep reserved for manual
       // vacuum() and the first run after a restart
       vacuumScoped(av.keepSuperseded, av.removedDayGraceMs, av.keepHistory,
         av.supersededGraceMs, scoped = true)
+      if (av.cutMaxAgeMs > 0L)
+        staleCutAuditor(av.cutMaxAgeMs).foreach(w =>
+          System.err.println(s"[graft] auto-vacuum $path: $w"))
+    }
   }
 
   /** Invoked after any operation that changes what cold reads see
@@ -1731,7 +1744,8 @@ object TsStore {
       keepSuperseded: Int = DefaultKeepSuperseded,
       removedDayGraceMs: Long = DefaultRemovedDayGraceMs,
       keepHistory: Int = DefaultKeepHistory,
-      supersededGraceMs: Long = 0L)
+      supersededGraceMs: Long = 0L,
+      cutMaxAgeMs: Long = 0L)
 
   private[store] val HistFile = "^v=(\\d+)\\.json$".r
 

@@ -722,6 +722,39 @@ class EngineSpec extends SparkSpec {
     assert(e.get("SH600600.stk_day", "{}").count() == 1)
   }
 
+  test("auto-vacuum with a cutMaxAgeMs dial surfaces stale-cut warnings") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    e.save("stk_day")
+    val cut = e.snapshotAll(Seq("stk_day")) // pins generation 1 forever
+    Thread.sleep(5)
+    // every generation auto-vacuums; the 1 ms staleness horizon makes
+    // the cut flagged on the very next scheduled run
+    e.autoVacuum(everyGenerations = 1, keepSuperseded = 0,
+      removedDayGraceMs = 0L, supersededGraceMs = 0L, cutMaxAgeMs = 1L)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.20,"close":10.60,"vol":120}""")
+    e.save("stk_day") // commit → scheduled vacuum → audit
+    val warns = e.lastStaleCutWarnings
+    assert(warns.size == 1 && warns.head.contains(s"cut $cut") &&
+      warns.head.contains("dropSnapshotCut"),
+      s"scheduled vacuum did not surface the forgotten cut: $warns")
+    // warnings never auto-drop — the cut still opens
+    assert(e.openSnapshotAllAt(cut)("stk_day").nonEmpty)
+    // without the dial (default 0) the audit stays silent
+    e.lastStaleCutWarnings = Seq.empty
+    e.autoVacuum(everyGenerations = 1, keepSuperseded = 0,
+      removedDayGraceMs = 0L, supersededGraceMs = 0L)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-06","open":10.30,"close":10.70,"vol":130}""")
+    e.save("stk_day")
+    assert(e.lastStaleCutWarnings.isEmpty,
+      "undialed auto-vacuum must not run the cut audit")
+  }
+
   test("exposeSqlAt: frozen time-travel view across later delete and pack; live view moves") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)
