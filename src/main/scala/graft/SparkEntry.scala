@@ -1674,6 +1674,47 @@ object SparkEntry {
         round(col("logw_micros") / lit(1e6), 6).as("logw"), col("rank"))
   }
 
+  /** TX12 — DSIR RESAMPLING ([[graft.ops.Text.gumbelMicros]]): the
+    * production selection step the published method actually runs —
+    * sample ∝ exp(logw) WITHOUT replacement rather than argmax-k,
+    * via the Gumbel-top-k trick: rank by logw + hash-seeded
+    * Gumbel(0,1) noise (seed 42 inlined in both engines). The noise
+    * quantizes to integer micros exactly like tx11's weight, so the
+    * resample key `logw_micros + gumbel_micros` is exact BIGINT
+    * arithmetic — deterministic, reproducible, and hash-checkable
+    * cross-engine, which is what "seeded sampling" must mean in a
+    * pipeline that re-runs. REQUIREd in-query: the noise generator
+    * honors its analytic range (g ∈ [−2.65, 13.18]) and actually
+    * varies (spread > 1, in micros) — a constant or out-of-range
+    * noise column means the hash→uniform→Gumbel plumbing broke.
+    * Scale shape: tx11's weight plan + one per-row expression; the
+    * top-k is a TakeOrdered, never a full sort. */
+  private def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Text.dsirWeights(
+        docs.filter(col("lang") === "en"), docs,
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text", buckets = 4096)
+      .withColumn("gumbel_micros",
+        Text.gumbelMicros(col("doc_id"), seed = 42L))
+      .withColumn("key_micros",
+        col("logw_micros") + col("gumbel_micros"))
+      .localCheckpoint() // consumed twice: the noise REQUIRE + output
+    val stats = w.agg(min("gumbel_micros").as("lo"),
+      max("gumbel_micros").as("hi")).head
+    val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+    require(lo >= -2650000L && hi <= 13180000L,
+      s"Gumbel noise outside its analytic range: [$lo, $hi] micros")
+    require(hi - lo > 1000000L,
+      s"Gumbel noise does not vary (spread ${hi - lo} micros) - the " +
+        "hash-seeded uniform grid collapsed")
+    w.orderBy(col("key_micros").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(Analytics.tinySeqW
+        .orderBy(col("key_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("n_grams"), col("logw_micros"),
+        col("gumbel_micros"), col("key_micros"), col("rank"))
+  }
+
   /** TOK1 — the first BPE merge step of tokenizer training: count
     * adjacent character pairs inside every whitespace token across the
     * corpus and rank the merge candidates. One explode to (pair) —
@@ -4481,6 +4522,7 @@ object SparkEntry {
     "tx9_source_cap" -> qSourceCap _,
     "tx10_bigram_nll" -> qBigramNll _,
     "tx11_dsir_select" -> qDsirSelect _,
+    "tx12_dsir_resample" -> qDsirResample _,
     "hx1_hybrid_rrf" -> qHybridRrf _,
     "sp1_sequence_pack" -> qSequencePack _,
     "pl1_curation_pipeline" -> qCurationPipeline _,
@@ -6033,6 +6075,54 @@ object SparkEntry {
            SELECT *, row_number() OVER (
              ORDER BY logw_micros DESC, doc_id)::INT AS rank
            FROM dw)
+         WHERE rank <= 50 ORDER BY rank""",
+    // tx12: tx11's weight CTEs + the same FNV→2²⁰-grid→Gumbel noise
+    // arithmetic (seed 42 inlined); the resample key is an exact
+    // BIGINT sum so the order is unambiguous in both engines
+    "tx12_dsir_resample" ->
+      s"""WITH w AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0) AS w
+           FROM documents),
+         uni AS (SELECT doc_id, lang, unnest(w) AS g FROM w),
+         bi AS (
+           SELECT doc_id, lang, unnest(list_transform(range(2, len(w) + 1),
+             i -> w[i-1] || ' ' || w[i])) AS g
+           FROM w WHERE len(w) >= 2),
+         g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         hb AS (SELECT doc_id, lang,
+           ((${toSigned(fnvU("g"))} % 4096) + 4096) % 4096 AS b FROM g),
+         tm AS (SELECT b, count(*)::BIGINT AS tc FROM hb
+                WHERE lang = 'en' GROUP BY b),
+         rm AS (SELECT b, count(*)::BIGINT AS rc FROM hb GROUP BY b),
+         tt AS (SELECT count(*)::BIGINT AS T FROM hb WHERE lang = 'en'),
+         rt AS (SELECT count(*)::BIGINT AS R FROM hb),
+         sb AS (SELECT doc_id, b, count(*)::BIGINT AS n FROM hb
+                WHERE lang != 'en' GROUP BY doc_id, b),
+         term AS (
+           SELECT sb.doc_id, sb.n,
+             floor((ln((coalesce(tc, 0) + 1)::DOUBLE / (T + 4096)::DOUBLE)
+                  - ln((coalesce(rc, 0) + 1)::DOUBLE / (R + 4096)::DOUBLE))
+               * 1e6 + 0.5)::BIGINT AS mic
+           FROM sb LEFT JOIN tm USING (b) LEFT JOIN rm USING (b)
+           CROSS JOIN tt CROSS JOIN rt),
+         dw AS (
+           SELECT doc_id, sum(n)::BIGINT AS n_grams,
+             sum(n * mic)::BIGINT AS logw_micros
+           FROM term GROUP BY doc_id),
+         gk AS (
+           SELECT doc_id, n_grams, logw_micros,
+             floor(-ln(-ln(
+               ((((${toSigned(fnvU("doc_id::VARCHAR || ':42'"))} % 1048576)
+                  + 1048576) % 1048576) + 1)::DOUBLE / 1048578.0))
+               * 1e6 + 0.5)::BIGINT AS gumbel_micros
+           FROM dw)
+         SELECT doc_id, n_grams, logw_micros, gumbel_micros,
+           logw_micros + gumbel_micros AS key_micros, rank
+         FROM (
+           SELECT *, row_number() OVER (
+             ORDER BY (logw_micros + gumbel_micros) DESC, doc_id)::INT AS rank
+           FROM gk)
          WHERE rank <= 50 ORDER BY rank""",
     // tx9: the capped set from the plain one-window formulation —
     // proving saltedTopN's two-phase rank exact, slice by slice

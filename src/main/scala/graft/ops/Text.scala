@@ -305,4 +305,26 @@ object Text {
       .agg(sum("__n").as("n_grams"),
         sum(col("__n") * col("__mic")).as("logw_micros"))
   }
+
+  /** Hash-seeded Gumbel noise for DSIR RESAMPLING (Xie et al. 2023
+    * select by sampling ∝ exp(logw), not by argmax; the Gumbel-top-k
+    * trick [Vieira 2014] turns that into "rank by logw + Gumbel(0,1)
+    * noise" — one deterministic key, no sampling loop, no shuffle).
+    * The noise is a pure function of (id, seed): u derives from the
+    * FNV-1a hash of `"<id>:<seed>"` folded into 2²⁰ grid cells (never
+    * 0 or 1 — both log poles excluded by construction), and
+    * g = −ln(−ln u) quantizes to integer MICROS exactly like the
+    * weight itself, so `logw_micros + gumbelMicros` stays exact
+    * BIGINT arithmetic with no float-order ambiguity cross-engine.
+    * Range by construction: g ∈ [−ln(ln(M+2)), ln((M+2)/2)] ≈
+    * [−2.64, 13.17] for M = 2²⁰. Per-row compute riding the scan —
+    * no state, no model, O(rows). */
+  def gumbelMicros(idCol: Column, seed: Long): Column = {
+    val m = 1L << 20
+    val h = graft.functions.Fnv1a64Expr(
+      concat(idCol.cast("string"), lit(":" + seed)))
+    val u = (pmod(h, lit(m)) + lit(1L)).cast("double") /
+      lit((m + 2).toDouble)
+    floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+  }
 }

@@ -229,4 +229,26 @@ class TextSpec extends SparkSpec {
     assert(got(10L)._2 > got(11L)._2,
       s"target-like doc must outweigh pool-only doc: $got")
   }
+
+  test("gumbelMicros: deterministic, seed-sensitive, analytically bounded") {
+    val ids = (0L until 500L).toDF("id")
+    def keys(seed: Long) = ids
+      .select(col("id"), Text.gumbelMicros(col("id"), seed).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = keys(42L)
+    assert(a == keys(42L), "same (id, seed) must reproduce exactly")
+    val b = keys(43L)
+    assert(a != b, "a different seed must redraw the noise")
+    // analytic range for the 2^20 grid: g ∈ [−ln(ln(M+2)), ln((M+2)/2)]
+    val m = (1L << 20) + 2
+    val lo = -math.log(math.log(m.toDouble))
+    val hi = math.log(m / 2.0)
+    a.values.foreach(g => assert(g >= (lo * 1e6).floor.toLong &&
+      g <= (hi * 1e6 + 0.5).floor.toLong, s"noise $g outside [$lo,$hi]"))
+    // the noise varies (hash spreads the grid), and is centered
+    // roughly like Gumbel(0,1) (mean ≈ γ ≈ 0.577): crude sanity only
+    val mean = a.values.sum.toDouble / a.size / 1e6
+    assert(a.values.toSet.size > 400, "hash grid collapsed")
+    assert(mean > 0.2 && mean < 1.0, s"suspicious Gumbel mean $mean")
+  }
 }
