@@ -344,6 +344,153 @@ object SparkEntry {
       .orderBy("event_type", "day")
   }
 
+  /** A11 — CDC-DRIVEN ROLLUP MAINTENANCE
+    * ([[graft.ops.Rollup.maintainDayPartials]] fed by
+    * [[graft.api.Engine.changesBetween]]): the reference's headline
+    * cross-scale propagation of WRITES (workers/sisdb/sisdb.h:36-42;
+    * README1.MD "自动完成…数据聚合" — a tick write, or rewrite,
+    * propagates to the day bar) for a maintainer DOWNSTREAM of the
+    * store. a10 merges partials from ingest batches the maintainer
+    * itself observes; here the maintainer observes only the CHANGE
+    * FEED between two committed generations: feed inserts merge into
+    * new partial slots (closed under merge, O(inserts)); feed
+    * updates/deletes mark their days dirty, and ONLY those days
+    * recompute from the new pinned state (whose `__day` partition
+    * filter prunes the rebuild scan — REQUIREd in-plan). REQUIREd
+    * further: every op class fires; untouched days' stored files are
+    * byte-identical (listing compare); insert-only days gained
+    * exactly the one new slot; and the feed-maintained bars equal the
+    * from-scratch rollup of the final state bar-for-bar. Output: the
+    * final bars, hash-checked against the relational rebuild. */
+  private def qCdcRollup(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_a11_cdc/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, s"$root/eng", snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],eid:[I,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 10)
+    def payloads(rows: DataFrame): Array[(Long, String)] =
+      rows.select(col("user_id"), to_json(struct(
+          col("ts").as("t"), col("event_type").as("etype"),
+          col("value").as("value"), col("event_id").as("eid"))).as("j"))
+        .groupBy("user_id")
+        .agg(concat(lit("["), concat_ws(",", collect_list("j")),
+          lit("]")).as("arr"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // generation 1: three quarters of the stream
+    payloads(ev.filter(pmod(col("event_id"), lit(4)) < 3))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val g1 = eng.snapshotVersions("ev").last
+    val okey = unix_millis(col("t")) * 1000000L + col("eid")
+    val barRoot = s"$root/bars"
+    // bootstrap the stored bar partials from the gen-1 pin (one-time)
+    val s1 = eng.openSnapshotAt("ev", g1).get
+    Rollup.maintainDayPartials(s1, Seq.empty, s1, barRoot,
+      col("__day"), Seq(col("etype")), okey, col("value"), col("value"),
+      slot = 0L)
+    // changes: inserts (the last quarter), u3 re-valued on six days,
+    // u2 range-deleted — each its own committed generation class
+    payloads(ev.filter(pmod(col("event_id"), lit(4)) === 3))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    payloads(ev.filter(pmod(col("event_id"), lit(4)) < 3 &&
+        col("user_id") === 3 &&
+        date_format(col("ts"), "yyyy-MM-dd")
+          .between("2024-01-03", "2024-01-08"))
+        .withColumn("value", col("value") + 1))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.save("ev")
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-15T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    val gN = eng.snapshotVersions("ev").max
+    val feed = eng.changesBetween("ev", g1, gN).localCheckpoint()
+    val ops = feed.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ops.keySet == Set("insert", "update", "delete"),
+      s"the scenario must exercise every op class, got $ops")
+    // `t` is a diff KEY, so it rides top-level on every feed row;
+    // the payload structs carry only the non-key fields
+    val dirtyDays = feed.filter(col("op").isin("update", "delete"))
+      .select(date_format(col("t"), "yyyy-MM-dd").as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val inserts = feed.filter(col("op") === "insert")
+      .select(col("t"), col("new.etype").as("etype"),
+        col("new.value").as("value"), col("new.eid").as("eid"))
+      .withColumn("__day", date_format(col("t"), "yyyy-MM-dd"))
+    val sN = eng.openSnapshotAt("ev", gN).get
+    // the dirty-day rebuild must PRUNE the pinned read to those days —
+    // the maintenance cost is O(changed days) at any corpus size
+    val rbPlan = sN.filter(col("__day").isin(dirtyDays: _*))
+      .queryExecution.executedPlan.toString
+    require(rbPlan.contains("PartitionFilters: [") &&
+      rbPlan.replaceAll(
+        "(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("__day"),
+      s"dirty-day rebuild does not prune partitions:\n$rbPlan")
+    def listing(): Map[String, Set[String]] = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val base = new org.apache.hadoop.fs.Path(barRoot)
+      f.listStatus(base).filter(_.getPath.getName.startsWith("day="))
+        .map { d =>
+          val it = f.listFiles(d.getPath, true)
+          val files = scala.collection.mutable.Set.empty[String]
+          while (it.hasNext) files += it.next().getPath.toString
+          d.getPath.getName.stripPrefix("day=") -> files.toSet
+        }.toMap
+    }
+    val before = listing()
+    val (insDays, rebuilt) =
+      Rollup.maintainDayPartials(inserts, dirtyDays, sN, barRoot,
+        col("__day"), Seq(col("etype")), okey, col("value"), col("value"),
+        slot = 1L)
+    require(insDays.nonEmpty && rebuilt.nonEmpty,
+      s"degenerate scenario: insDays=$insDays rebuilt=$rebuilt")
+    require(insDays.toSet.intersect(rebuilt.toSet).isEmpty,
+      "insert slots must not land on rebuilt days")
+    val after = listing()
+    (before.keySet -- insDays -- rebuilt).foreach { d =>
+      require(after(d) == before(d),
+        s"untouched day $d was rewritten by the maintenance pass")
+    }
+    insDays.foreach { d =>
+      require(after(d).filterNot(_.contains("batch=1")) == before(d),
+        s"insert-only day $d changed beyond its appended slot")
+      require(after(d).exists(_.contains("batch=1")),
+        s"insert-only day $d did not gain its slot")
+    }
+    rebuilt.foreach { d =>
+      require(!after.contains(d) ||
+        after(d).intersect(before.getOrElse(d, Set.empty)).isEmpty,
+        s"dirty day $d kept stale partial files")
+    }
+    // the maintained store must equal the from-scratch rollup
+    val stored = s.read.parquet(barRoot)
+      .withColumn("day", col("day").cast("string")).drop("batch")
+    val merged = Rollup.finalizeBars(stored, Seq("etype", "day"))
+      .localCheckpoint() // consumed twice: the cross-check + output
+    val fresh = Rollup.ohlc(
+      sN.withColumn("day", col("__day")),
+      Seq(col("etype"), col("day")), okey, col("value"),
+      volume = Some(col("value")))
+    val bad = merged.alias("m")
+      .join(fresh.alias("f"), Seq("etype", "day"), "full")
+      .filter(col("m.open").isNull || col("f.open").isNull ||
+        col("m.open") =!= col("f.open") ||
+        col("m.high") =!= col("f.high") ||
+        col("m.low") =!= col("f.low") ||
+        col("m.close") =!= col("f.close") ||
+        col("m.cnt") =!= col("f.cnt") ||
+        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
+      .count()
+    require(bad == 0,
+      s"feed-maintained rollup diverged from from-scratch on $bad bars")
+    merged.select(col("etype"), col("day"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      col("cnt"), round(col("volume"), 2).as("volume"))
+      .orderBy("etype", "day")
+  }
+
   /** A1 hierarchy: day bars roll up to month bars (fine feeds coarse —
     * the reference's 数据层级 cascade). */
   private def qRollupMonth(s: SparkSession, dir: String): DataFrame = {
@@ -4459,6 +4606,7 @@ object SparkEntry {
     "a0_pricing_summary" -> qPricingSummary _,
     "a1_rollup_ohlc" -> qRollupOhlc _,
     "a10_rollup_incr" -> qRollupIncremental _,
+    "a11_cdc_rollup" -> qCdcRollup _,
     "a1_rollup_month" -> qRollupMonth _,
     "a4_stats" -> qStats _,
     "a5_damped_avg" -> qDampedAvg _,
@@ -5161,6 +5309,30 @@ object SparkEntry {
     // a10 maintains the SAME bars incrementally (batch slots + merge +
     // compaction), so its relational contract is a1's over the union —
     // a maintenance bug shows up as an a10-only mismatch
+    // a11: the final state rebuilt relationally (last quarter
+    // inserted, u3's two days re-valued, u2's range deleted), then
+    // a10's relational OHLC contract over it — a maintenance pass
+    // that missed a dirty day, double-counted an insert slot, or
+    // kept a stale partial would mismatch bar-for-bar
+    "a11_cdc_rollup" ->
+      s"""WITH fin AS (
+           SELECT event_type AS etype, strftime(ts, '%Y-%m-%d') AS day,
+             CASE WHEN user_id = 3 AND event_id % 4 < 3
+                    AND strftime(ts, '%Y-%m-%d')
+                      BETWEEN '2024-01-03' AND '2024-01-08'
+                  THEN value + 1 ELSE value END AS value,
+             $evKeySql AS k
+           FROM events
+           WHERE user_id < 10
+             AND NOT (user_id = 2 AND strftime(ts, '%Y-%m-%d')
+               BETWEEN '2024-01-10' AND '2024-01-15'))
+         SELECT etype, day,
+           round(arg_min(value, k), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, k), 6) AS close,
+           count(*) AS cnt, round(sum(value), 2) AS volume
+         FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
     "a10_rollup_incr" ->
       s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
           round(arg_min(value, $evKeySql), 6) AS open,

@@ -101,6 +101,99 @@ object Rollup {
     mergeBarPartials(partials, groupCols)
       .drop("first_k", "last_k")
 
+  // ── CDC-driven maintenance (change feed → stored rollup) ───────
+  //
+  // a10's slot machinery maintains bars from INGEST batches the
+  // maintainer itself observes; the reference's headline behavior is
+  // automatic cross-scale propagation of WRITES (workers/sisdb/
+  // sisdb.h:36-42; README1.MD "自动完成…数据聚合" — a tick write
+  // propagates to the day bar, including rewrites). Driving the
+  // stored rollup from [[graft.ops.Cdc]]'s change feed gives exactly
+  // that for a maintainer DOWNSTREAM of the store: inserts merge into
+  // partials (closed under merge — no recompute), while updates and
+  // deletes cannot be expressed as a partial merge (a bar cannot
+  // "subtract" its min/max), so their affected DAYS recompute from
+  // the new pinned state — and only those days, which the
+  // day-partitioned store layout makes a metadata-scoped rewrite.
+
+  /** Apply one change-feed round to a stored day-partitioned OHLCV
+    * partial store (layout `root/day=<D>/batch=<k>/`, read back with
+    * partition discovery):
+    *
+    *  - `insertRows` (the feed's op=insert payloads, raw row schema)
+    *    land as ONE new slot `batch=slot` under each insert-only
+    *    day — partials are closed under merge, so appending is exact
+    *    and O(inserts);
+    *  - `dirtyDays` (every day an update/delete touched) are rebuilt
+    *    from `rebuildState` (the feed's vTo pinned state — the day
+    *    filter prunes its partitions, so the rebuild reads ONLY the
+    *    dirty days at any corpus size) and REPLACE the day dir
+    *    wholesale;
+    *  - every other day's files are untouched — the caller can (and
+    *    the a11 query does) assert their listings byte-identical.
+    *
+    * Both writes stage once (one job each, `partitionBy` on the day)
+    * and move per-day dirs into place as metadata renames — O(changed
+    * days), never O(store). Replay converges: an insert slot re-lands
+    * in the SAME `batch=slot` (the a10/st8 idempotence contract) and
+    * a rebuild re-derives from state, so a crashed maintenance run is
+    * re-run, not repaired. Returns (insert-only days, rebuilt days). */
+  def maintainDayPartials(
+      insertRows: DataFrame, dirtyDays: Seq[String],
+      rebuildState: DataFrame, root: String, day: Column,
+      groupCols: Seq[Column], orderKey: Column, value: Column,
+      volume: Column, slot: Long): (Seq[String], Seq[String]) = {
+    val ss = insertRows.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dirty = dirtyDays.distinct.sorted
+    def stagePerDay(rows: DataFrame, tag: String): (String, Seq[String]) = {
+      val stage = s"${root.stripSuffix("/")}/__stage_$tag"
+      fs.delete(path(stage), true)
+      val p = ohlcPartials(rows, groupCols :+ col("__d"),
+        orderKey, value, volume)
+      p.write.partitionBy("__d").parquet(stage)
+      val days = fs.listStatus(path(stage)).map(_.getPath.getName)
+        .collect { case n if n.startsWith("__d=") => n.stripPrefix("__d=") }
+        .toSeq.sorted
+      (stage, days)
+    }
+    def move(stage: String, d: String, dest: String): Unit = {
+      fs.mkdirs(path(dest).getParent)
+      fs.delete(path(dest), true) // replay: the slot re-lands, never doubles
+      if (!fs.rename(path(s"$stage/__d=$d"), path(dest)))
+        throw new java.io.IOException(
+          s"maintainDayPartials: could not place $dest")
+    }
+    // inserts: one appended slot per insert-only day (dirty days are
+    // rebuilt below from state that already contains these inserts)
+    val insDf = insertRows.withColumn("__d", day)
+      .filter(if (dirty.isEmpty) lit(true) else !col("__d").isin(dirty: _*))
+    val (insStage, insDays) = stagePerDay(insDf, s"ins_$slot")
+    insDays.foreach(d => move(insStage, d, s"$root/day=$d/batch=$slot"))
+    fs.delete(path(insStage), true)
+    // dirty days: recompute from the new state, replace wholesale
+    val rebuilt =
+      if (dirty.isEmpty) Seq.empty[String]
+      else {
+        val rbDf = rebuildState.withColumn("__d", day)
+          .filter(col("__d").isin(dirty: _*))
+        val (rbStage, rbDays) = stagePerDay(rbDf, s"rb_$slot")
+        rbDays.foreach { d =>
+          fs.delete(path(s"$root/day=$d"), true)
+          move(rbStage, d, s"$root/day=$d/batch=0")
+        }
+        fs.delete(path(rbStage), true)
+        // a dirty day the new state no longer has ANY rows for (fully
+        // deleted) produced no staged dir — drop its store dir too
+        dirty.filterNot(rbDays.contains)
+          .foreach(d => fs.delete(path(s"$root/day=$d"), true))
+        dirty
+      }
+    (insDays, rebuilt)
+  }
+
   /** Fold rollup-partial batch slots ≤ `upTo` into one (the
     * [[Sketches]] stage→marker→apply compactor): the consolidated
     * slot is [[mergeBarPartials]] of the in-scope slots, which the

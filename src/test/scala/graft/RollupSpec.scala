@@ -45,6 +45,71 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("maintainDayPartials: inserts append, dirty days rebuild, others untouched") {
+    val root = java.nio.file.Files
+      .createTempDirectory("rollup_cdc").toString + "/bars"
+    // three days, one group each
+    val base = Seq(
+      ("g", "d1", 10L, 1.0), ("g", "d1", 20L, 3.0),
+      ("g", "d2", 10L, 5.0), ("g", "d3", 10L, 7.0))
+      .toDF("key", "day", "k", "v")
+    def maintain(ins: org.apache.spark.sql.DataFrame, dirty: Seq[String],
+        state: org.apache.spark.sql.DataFrame, slot: Long) =
+      Rollup.maintainDayPartials(ins, dirty, state, root, col("day"),
+        Seq(col("key")), col("k"), col("v"), col("v"), slot)
+    maintain(base, Seq.empty, base, 0L)
+    def files(): Map[String, Set[String]] = {
+      val f = new java.io.File(root)
+      f.listFiles().filter(_.getName.startsWith("day=")).map { d =>
+        def walk(x: java.io.File): Seq[String] =
+          if (x.isDirectory) x.listFiles().toSeq.flatMap(walk)
+          else Seq(x.getPath)
+        d.getName.stripPrefix("day=") -> walk(d).toSet
+      }.toMap
+    }
+    val before = files()
+    assert(before.keySet == Set("d1", "d2", "d3"))
+    // round 1: insert into d1 + a NEW day d4; d2 dirty (update to 6.0);
+    // d3 dirty and fully deleted
+    val ins = Seq(("g", "d1", 30L, 9.0), ("g", "d4", 10L, 2.0))
+      .toDF("key", "day", "k", "v")
+    val newState = Seq(
+      ("g", "d1", 10L, 1.0), ("g", "d1", 20L, 3.0), ("g", "d1", 30L, 9.0),
+      ("g", "d2", 10L, 6.0), ("g", "d4", 10L, 2.0))
+      .toDF("key", "day", "k", "v")
+    val (insDays, rebuilt) = maintain(ins, Seq("d2", "d3"), newState, 1L)
+    assert(insDays == Seq("d1", "d4") && rebuilt == Seq("d2", "d3"))
+    val after = files()
+    assert(after("d1").intersect(before("d1")) == before("d1"),
+      "insert-only day lost its existing slot files")
+    assert(after("d1").exists(_.contains("batch=1")))
+    assert(after.contains("d4"), "a brand-new day must appear")
+    assert(after("d2").intersect(before("d2")).isEmpty,
+      "dirty day kept stale files")
+    assert(!after.contains("d3"), "a fully-deleted dirty day must vanish")
+    // the maintained store equals the from-scratch rollup of newState
+    val merged = Rollup.finalizeBars(
+      spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("key", "day")).orderBy("day")
+      .select("day", "open", "high", "low", "close", "cnt", "volume")
+      .collect().toSeq
+    val fresh = Rollup.ohlc(newState, Seq(col("key"), col("day")),
+      col("k"), col("v"), volume = Some(col("v"))).orderBy("day")
+      .select("day", "open", "high", "low", "close", "cnt", "volume")
+      .collect().toSeq
+    assert(merged == fresh, s"maintained $merged != fresh $fresh")
+    // replay: re-running the SAME round converges to the same store
+    maintain(ins, Seq("d2", "d3"), newState, 1L)
+    val replayed = Rollup.finalizeBars(
+      spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("key", "day")).orderBy("day")
+      .select("day", "open", "high", "low", "close", "cnt", "volume")
+      .collect().toSeq
+    assert(replayed == fresh, "maintenance replay diverged")
+  }
+
   test("slot replay is idempotent; compaction folds exactly and reads equal") {
     val root = java.nio.file.Files
       .createTempDirectory("rollup_spec").toString
