@@ -937,6 +937,100 @@ object SparkEntry {
       round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
   }
 
+  private[graft] object StoredIvfPqOracle {
+    @volatile var cents: Option[Array[Array[Double]]] = None
+    @volatile var books: Option[Array[Array[Array[Double]]]] = None
+    @volatile var dt: Option[Array[Array[Double]]] = None
+    @volatile var query: Option[Array[Double]] = None
+    @volatile var probed: Option[Seq[Int]] = None
+  }
+
+  /** X14 — STORED IVFPQ ([[graft.ops.Similarity.ivfPqBuildStamp]] /
+    * [[graft.ops.Similarity.probeStoredIvfPq]]): x13's composed probe
+    * over a PERSISTED index — the production deployment at 10⁹
+    * vectors, where a probe must never recompute (or read) anything
+    * per-vector beyond the stored 8-byte codes. Build: one corpus
+    * pass fuses cell assignment and PQ encode into cell-partitioned
+    * codes parquet under a stamp dir, codebook sidecar then centroid
+    * sidecar LAST (the x10 commit point), [[graft.ops.Similarity
+    * .ivfCutover]] flips the marker — the reference's
+    * rebuild-then-swap lifecycle (workers/frwdb/frwdb.h:28-33)
+    * applied to the composed index (steady passes resolve the marker
+    * and probe; SimilaritySpec drives the full retrain→swap→drop
+    * cycle). Probe: nprobe cells driver-side from the sidecar → a
+    * DIRECTORY-PRUNED read of those cells' codes (REQUIREd in-plan:
+    * PartitionFilters on `cell`, ReadSchema free of any vector
+    * column) → ADC → exact re-rank joining raw vectors for the
+    * 100-row broadcast shortlist only. REQUIREd further: the stored
+    * probe EQUALS the in-query x13 formulation row-for-row (the tree
+    * only moves work to build time — zero drift through the parquet
+    * round-trip), pruning is strict and non-empty, and probed-subset
+    * recall@10 meets the x12/x13 floor. */
+  private def qStoredIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+    val root = s"/tmp/graft_x14_ivfpq/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${sourceStamp(s, dir, "embeddings")}"
+    // pass 1 (or regenerated source data): build aside + cut over;
+    // steady passes resolve the marker and probe the stored tree only
+    if (Similarity.currentIvfStamp(s, root).isEmpty) {
+      Similarity.ivfPqBuildStamp(cand, root, "g1", "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16)
+      Similarity.ivfCutover(s, root, "g1")
+    }
+    val (_, codes, cents, books) = Similarity.openCurrentIvfPq(s, root)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Double](0).toArray
+    val dt = Similarity.pqDistanceTable(qv, books)
+    val probed = Similarity.queryCells(qv, cents, nprobe = 4)
+    StoredIvfPqOracle.cents = Some(cents)
+    StoredIvfPqOracle.books = Some(books)
+    StoredIvfPqOracle.dt = Some(dt)
+    StoredIvfPqOracle.query = Some(qv)
+    StoredIvfPqOracle.probed = Some(probed)
+    // the probe's code scan must be directory-pruned to the nprobe
+    // cells and must deserialize codes, never a vector column
+    val pruned = codes.filter(col("cell").isin(probed: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+    require(plan.contains("PartitionFilters: [") && pf.contains("cell"),
+      s"stored-PQ probe does not prune cell directories:\n$plan")
+    require(plan.contains("codes") && !plan.contains("embedding"),
+      s"stored-PQ probe must read codes only:\n$plan")
+    val top = Similarity.probeStoredIvfPq(codes, cand, "vec_id",
+        "embedding", qv, cents, books, k = 10, nprobe = 4,
+        shortlist = 100)
+      .localCheckpoint() // consumed thrice: equality + recall + output
+    // the stored tree only moves assignment/encode to build time —
+    // the probe must equal the in-query x13 formulation row-for-row
+    val inQuery = Similarity.ivfPqSearch(cand, "vec_id", "embedding",
+        qv, cents, books, dt, k = 10, nprobe = 4, shortlist = 100)
+      .select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    val storedRows = top.select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    require(storedRows == inQuery,
+      s"stored probe diverged from the in-query formulation:\n" +
+        s"stored   $storedRows\nin-query $inQuery")
+    // pruning is strict; recall over the probed subset meets the floor
+    val prunedIds = pruned.select(col("vec_id"))
+    val prunedN = prunedIds.count(); val candN = cand.count()
+    require(prunedN > 0 && prunedN < candN,
+      s"IVF pruning did not prune: $prunedN of $candN survived")
+    val exact = cand.join(prunedIds, "vec_id")
+      .select(col("vec_id"), VectorFunctions.l2sq(col("embedding"),
+        array(qv.toSeq.map(lit): _*)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    require(recall >= 0.6,
+      f"stored IVFPQ probed-subset recall@10 $recall%.2f below the floor")
+    top.select(col("vec_id"), col("cell"), col("adc_rank"),
+      round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -4654,6 +4748,7 @@ object SparkEntry {
     "x11_random_projection" -> qRandomProjection _,
     "x12_pq_adc" -> qPqAdc _,
     "x13_ivfpq" -> qIvfPq _,
+    "x14_ivfpq_stored" -> qStoredIvfPq _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -7377,7 +7472,16 @@ object SparkEntry {
       (for (c <- IvfPqOracle.cents; b <- IvfPqOracle.books;
             d <- IvfPqOracle.dt; q <- IvfPqOracle.query;
             p <- IvfPqOracle.probed)
-        yield "x13_ivfpq" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap
+        yield "x13_ivfpq" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap ++
+      // x14: the stored probe is REQUIREd row-equal to x13's in-query
+      // formulation with x14's OWN frozen constants (trained on the
+      // candidate set at build time, read back from the sidecars), so
+      // the same composed SQL proves the whole persisted tree —
+      // sidecar round-trip, directory pruning, ADC, re-rank
+      (for (c <- StoredIvfPqOracle.cents; b <- StoredIvfPqOracle.books;
+            d <- StoredIvfPqOracle.dt; q <- StoredIvfPqOracle.query;
+            p <- StoredIvfPqOracle.probed)
+        yield "x14_ivfpq_stored" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap
 
   /** The shared PQ encode→ADC→re-rank SQL chain over a source CTE
     * named `src` with columns (vec_id, v[, cell]) — x12 and x13

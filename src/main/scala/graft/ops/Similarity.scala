@@ -579,20 +579,26 @@ object Similarity {
         lit(c.map(x => x * x).sum / 2)).as("s"), lit(k).as("code"))
     }
 
+  /** The per-row PQ code array for a vector column — the reusable
+    * half of [[pqEncode]], so the stored composed index can compute
+    * cell assignment AND codes in ONE corpus pass. */
+  private[ops] def pqCodeArray(vecCol: org.apache.spark.sql.Column,
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val dsub = books(0)(0).length
+    val v = vecCol.cast("array<double>")
+    array(books.zipWithIndex.map { case (book, mi) =>
+      greatest(codeStructs(slice(v, mi * dsub + 1, dsub), book): _*)
+        .getField("code")
+    }.toSeq: _*)
+  }
+
   /** Encode the corpus: (id, codes) with codes(mi) ∈ [0, ksub) the
     * nearest codeword of subspace mi. Pure per-row arithmetic riding
     * the scan — zero shuffle; write the result once and every later
     * probe reads codes instead of vectors. */
   def pqEncode(df: DataFrame, id: String, vec: String,
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val dsub = books(0)(0).length
-    val v = col(vec).cast("array<double>")
-    val codeCols = books.zipWithIndex.map { case (book, mi) =>
-      greatest(codeStructs(slice(v, mi * dsub + 1, dsub), book): _*)
-        .getField("code")
-    }
-    df.select(col(id), array(codeCols.toSeq: _*).as("codes"))
-  }
+      books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(id), pqCodeArray(col(vec), books).as("codes"))
 
   /** The per-query ADC distance table: dt(mi)(k) = ‖q_sub − c‖² —
     * driver-computed once per query (m·ksub doubles, a dial). */
@@ -616,7 +622,7 @@ object Similarity {
     * subspace 0 first — the order the oracle mirrors, so adc values
     * reproduce bit-for-bit), then TakeOrdered moves k rows. */
   def pqTopK(encoded: DataFrame, id: String, dt: Array[Array[Double]],
-      k: Int): DataFrame = {
+      k: Int, keep: Seq[String] = Nil): DataFrame = {
     val adc = dt.zipWithIndex.map { case (row, mi) =>
       element_at(array(row.toSeq.map(lit): _*),
         col("codes").getItem(mi).cast("int") + 1)
@@ -625,7 +631,7 @@ object Similarity {
       .orderBy(col("adc").asc, col(id).asc).limit(k)
       .withColumn("rank", row_number().over(
         Analytics.tinySeqW.orderBy(col("adc").asc, col(id).asc)))
-      .select(col(id), col("adc"), col("rank"))
+      .select(col(id) +: keep.map(col) :+ col("adc") :+ col("rank"): _*)
   }
 
   /** The full PQ probe: ADC shortlists `shortlist` candidates from
@@ -643,9 +649,14 @@ object Similarity {
     * the hash — exact `d2`, final `rank`). */
   def pqSearch(encoded: DataFrame, raw: DataFrame, id: String, vec: String,
       query: Array[Double], dt: Array[Array[Double]], k: Int,
-      shortlist: Int, keep: Seq[String] = Nil): DataFrame = {
+      shortlist: Int, keep: Seq[String] = Nil,
+      keepEncoded: Seq[String] = Nil): DataFrame = {
     require(k <= shortlist, "re-rank cannot return more than the shortlist")
-    val sl = pqTopK(encoded, id, dt, shortlist)
+    // `keep` reads pass-through columns from the RAW side (x13's raw
+    // frame carries its cell); `keepEncoded` rides them through the
+    // SHORTLIST instead — a stored-index probe's raw side is the bare
+    // corpus, the cell lives on the codes tree
+    val sl = pqTopK(encoded, id, dt, shortlist, keepEncoded)
       .withColumnRenamed("rank", "adc_rank").drop("adc")
     val qlit = array(query.toSeq.map(lit): _*)
     val qq = query.map(x => x * x).sum
@@ -657,7 +668,7 @@ object Similarity {
       .orderBy(col("d2").asc, col(id).asc).limit(k)
       .withColumn("rank", row_number().over(
         Analytics.tinySeqW.orderBy(col("d2").asc, col(id).asc)))
-      .select(col(id) +: keep.map(col) :+
+      .select(col(id) +: (keep ++ keepEncoded).map(col) :+
         col("adc_rank") :+ col("d2") :+ col("rank"): _*)
   }
 
@@ -696,6 +707,181 @@ object Similarity {
     // recover it for the k winners
     pqSearch(pqEncode(pruned, id, vec, books), pruned,
       id, vec, query, dt, k, shortlist, keep = Seq("cell"))
+  }
+
+  // ── stored IVFPQ (the PERSISTED composed index) ────────────────
+  //
+  // x13's formulation computes cells and codes in-query; at 10⁹
+  // vectors the entire point of PQ is that a probe never recomputes
+  // (or even reads) anything per-vector beyond the stored 8-byte
+  // codes. The production layout, composing the machinery already
+  // proven piecewise:
+  //
+  //   root/_current.json                — x10's cutover marker
+  //   root/stamp=<s>/batch=N/cell=M/    — (id, codes) parquet ONLY:
+  //                                       cell directories prune the
+  //                                       probe (x5), batch slots make
+  //                                       appends replay-idempotent (x7)
+  //   root/stamp=<s>/_pq_books.json     — frozen codebooks
+  //   root/stamp=<s>/_centroids.json    — frozen centroids, written
+  //                                       LAST: the x10 commit point
+  //                                       ([[ivfCutover]] gates on it)
+  //
+  // A probe = marker resolve → nprobe cells from the sidecar
+  // (driver-side, m·nlist doubles) → directory-pruned read of those
+  // cells' CODES → ADC → exact re-rank joining raw vectors for the
+  // shortlist ids only. Retrain lands a whole new stamp aside and
+  // [[ivfCutover]] flips the marker — the reference's
+  // rebuild-then-swap merge (workers/frwdb/frwdb.h:28-33) applied to
+  // the composed index.
+
+  /** `_`-prefixed so parquet readers of the index tree skip it. */
+  private[graft] val PqBooksFile = "_pq_books.json"
+
+  /** Persist PQ codebooks next to their codes tree ([[saveCentroids]]
+    * discipline: Double.toString round-trips bit-exactly, tmp+rename
+    * commit). NOT the tree's commit point — the centroid sidecar is
+    * written after this one and gates [[ivfCutover]]. */
+  def savePqBooks(ss: org.apache.spark.sql.SparkSession, indexRoot: String,
+      books: Array[Array[Array[Double]]]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    books.foreach { book =>
+      val b = arr.addArray()
+      book.foreach { c => val row = b.addArray(); c.foreach(row.add) }
+    }
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(arr)) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile)
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  /** The codebooks persisted by [[savePqBooks]], or None (absent →
+    * torn or non-PQ tree). */
+  def loadPqBooks(ss: org.apache.spark.sql.SparkSession, indexRoot: String)
+      : Option[Array[Array[Array[Double]]]] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Some((0 until node.size()).map { mi =>
+      val book = node.get(mi)
+      (0 until book.size()).map { k =>
+        val row = book.get(k)
+        (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+      }.toArray
+    }.toArray)
+  }
+
+  /** One corpus pass: (id, codes, cell) — cell assignment and PQ
+    * encode fused, so a build never scans the corpus twice. */
+  private def ivfPqAssignments(corpus: DataFrame, id: String, vec: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val bestCell = greatest(cellStructs(col(vec), cents): _*)
+      .getField("cell")
+    corpus.select(col(id), pqCodeArray(col(vec), books).as("codes"),
+      bestCell.as("cell"))
+  }
+
+  /** Build a COMPLETE composed index under `root/stamp=<stamp>` while
+    * whatever the marker names keeps serving: train centroids and
+    * codebooks (seeded bounded samples), assign + encode the corpus
+    * in ONE pass into cell-partitioned codes parquet (batch 0), then
+    * commit sidecars — books first, centroids LAST so [[ivfCutover]]'s
+    * existing completeness gate holds for PQ trees too. The marker is
+    * untouched; nothing serves until cutover. */
+  def ivfPqBuildStamp(corpus: DataFrame, root: String, stamp: String,
+      id: String, vec: String, nlist: Int = 16, m: Int = 16,
+      ksub: Int = 16, seed: Long = 42L, sampleSize: Int = 4096,
+      iters: Int = 8)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val ss = corpus.sparkSession
+    require(!currentIvfStamp(ss, root).contains(stamp),
+      s"stamp '$stamp' is the SERVING index — rebuild under a new stamp")
+    val path = ivfStampPath(root, stamp)
+    val cents = trainCentroids(corpus, vec, nlist, seed, sampleSize, iters)
+    val books = trainPqCodebooks(corpus, vec, m, ksub, seed,
+      sampleSize, iters)
+    ivfPqAssignments(corpus, id, vec, cents, books)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=0")
+    savePqBooks(ss, path, books)
+    saveCentroids(ss, path, cents) // LAST: the commit point
+    (cents, books)
+  }
+
+  /** Append one ingest batch to a stored composed index (x7's
+    * contract): assign + encode against the FROZEN sidecars, land
+    * under `batch=<batchId>` — O(batch), sidecars untouched,
+    * replay-idempotent (the slot is overwritten). */
+  def ivfPqAppendBatch(newVectors: DataFrame, indexPath: String,
+      batchId: Long, id: String, vec: String): Unit = {
+    require(batchId > 0, "batch 0 is the base build (ivfPqBuildStamp)")
+    val ss = newVectors.sparkSession
+    val cents = loadCentroids(ss, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath holds no centroid sidecar — build the base first"))
+    val books = loadPqBooks(ss, indexPath).getOrElse(
+      throw new IllegalStateException(
+        s"$indexPath holds no codebook sidecar — not a PQ tree"))
+    ivfPqAssignments(newVectors, id, vec, cents, books)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${indexPath.stripSuffix("/")}/batch=$batchId")
+  }
+
+  /** Resolve the marker once, open exactly that stamp's codes tree
+    * with BOTH sidecars: (stamp, codes frame, centroids, codebooks).
+    * Throws before the first cutover or on a torn tree — the
+    * never-mix and never-serve-half guarantees of [[openCurrentIvf]]
+    * extended to the composed index. */
+  def openCurrentIvfPq(ss: org.apache.spark.sql.SparkSession, root: String)
+      : (String, DataFrame, Array[Array[Double]],
+         Array[Array[Array[Double]]]) = {
+    val stamp = currentIvfStamp(ss, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no cutover marker — no index is serving"))
+    val path = ivfStampPath(root, stamp)
+    val cents = loadCentroids(ss, path).getOrElse(
+      throw new IllegalStateException(
+        s"serving stamp '$stamp' has no centroid sidecar — torn tree"))
+    val books = loadPqBooks(ss, path).getOrElse(
+      throw new IllegalStateException(
+        s"serving stamp '$stamp' has no codebook sidecar — not a PQ tree"))
+    (stamp, ss.read.parquet(path), cents, books)
+  }
+
+  /** Probe a stored composed index: `nprobe` cells from the sidecar
+    * centroids (driver-side), a DIRECTORY-PRUNED read of those cells'
+    * codes (the `cell` filter hits the partition columns — at 10⁹
+    * vectors the scan opens nprobe/nlist of the tree and
+    * deserializes codes only), ADC via the per-query distance table,
+    * exact re-rank joining `raw` vectors for the broadcast shortlist
+    * ids alone. Results are IDENTICAL to [[ivfPqSearch]] over the
+    * same corpus and constants — the stored tree only moves
+    * assignment and encode to build time. */
+  def probeStoredIvfPq(codes: DataFrame, raw: DataFrame, id: String,
+      vec: String, query: Array[Double], cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], k: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val dt = pqDistanceTable(query, books)
+    val probed = queryCells(query, cents, nprobe)
+    val pruned = codes.filter(col("cell").isin(probed: _*))
+    pqSearch(pruned, raw, id, vec, query, dt, k, shortlist,
+      keepEncoded = Seq("cell"))
   }
 
   /** Plain Lloyd k-means over the training sample (driver-side; the

@@ -371,4 +371,67 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L),
       s"IVFADC winners: ${out.map(_.getLong(0)).toSeq}")
   }
+
+  test("stored IVFPQ: build/append/probe == in-query; retrain swaps atomically") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .toString + "/ix"
+    val q = vecs.head._2
+    val cand = emb.filter(col("vec_id") =!= 0L)
+    // rebuild-then-swap: nothing serves before the first cutover
+    intercept[IllegalStateException] {
+      Similarity.openCurrentIvfPq(spark, root)
+    }
+    val base = cand.filter(col("vec_id") % 2 === 0)
+    val (cents, books) = Similarity.ivfPqBuildStamp(base, root, "g1",
+      "vec_id", "embedding", nlist = 12, m = 4, ksub = 8)
+    Similarity.ivfCutover(spark, root, "g1")
+    // O(batch) append against the FROZEN sidecars; replay idempotent
+    val b1 = cand.filter(col("vec_id") % 2 === 1)
+    val g1Path = Similarity.ivfStampPath(root, "g1")
+    Similarity.ivfPqAppendBatch(b1, g1Path, 1L, "vec_id", "embedding")
+    val n = spark.read.parquet(g1Path).count()
+    Similarity.ivfPqAppendBatch(b1, g1Path, 1L, "vec_id", "embedding")
+    assert(spark.read.parquet(g1Path).count() == n,
+      "replayed append grew the stored index")
+    // the stored probe equals the in-query formulation over the union
+    val (stamp, codes, c2, b2) = Similarity.openCurrentIvfPq(spark, root)
+    assert(stamp == "g1")
+    assert(c2.flatten.toSeq == cents.flatten.toSeq &&
+      b2.flatten.flatten.toSeq == books.flatten.flatten.toSeq,
+      "sidecars did not round-trip bit-exactly")
+    val dt = Similarity.pqDistanceTable(q, b2)
+    val stored = Similarity.probeStoredIvfPq(codes, cand, "vec_id",
+        "embedding", q, c2, b2, k = 5, nprobe = 3, shortlist = vecs.size)
+      .select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    val inQuery = Similarity.ivfPqSearch(cand, "vec_id", "embedding", q,
+        c2, b2, dt, k = 5, nprobe = 3, shortlist = vecs.size)
+      .select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    assert(stored == inQuery,
+      s"stored $stored != in-query $inQuery")
+    assert(stored.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // retrain aside under g2: the serving tree is untouched until the
+    // one-marker flip; after it, the probe serves g2; g1 then drops
+    Similarity.ivfPqBuildStamp(cand, root, "g2", "vec_id", "embedding",
+      nlist = 12, m = 4, ksub = 8, seed = 7L)
+    assert(Similarity.currentIvfStamp(spark, root).contains("g1"),
+      "a rebuild must not move the marker")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqBuildStamp(cand, root, "g1", "vec_id", "embedding")
+    }
+    Similarity.ivfCutover(spark, root, "g2")
+    val (s2, codes2, c3, b3) = Similarity.openCurrentIvfPq(spark, root)
+    assert(s2 == "g2")
+    val stored2 = Similarity.probeStoredIvfPq(codes2, cand, "vec_id",
+        "embedding", q, c3, b3, k = 5, nprobe = 3, shortlist = vecs.size)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(stored2 == Set(1L, 2L, 3L, 4L, 5L),
+      s"post-cutover probe lost the cluster: $stored2")
+    intercept[IllegalArgumentException] {
+      Similarity.dropIvfStamp(spark, root, "g2") // serving — refused
+    }
+    Similarity.dropIvfStamp(spark, root, "g1")
+    assert(!new java.io.File(g1Path).exists())
+  }
 }
