@@ -3596,6 +3596,97 @@ object SparkEntry {
       .orderBy("subject", "op")
   }
 
+  /** E21 — ATOMIC MULTI-TABLE COMMIT ([[graft.api.Engine.saveAll]] /
+    * [[graft.api.Engine.openAtomicSnapshot]]): the reference's serial
+    * dispatcher gives cross-key consistency implicitly
+    * (sisdb_server.c:474-476 — every write drains before the next
+    * command); here it is an explicit stage→marker→finalize protocol
+    * (stage every table's commit inertly, flip ONE marker naming the
+    * pre-commit generations, finalize each replayably). Three rounds
+    * land on two tables: round 1 commits both through saveAll; round
+    * 2 commits with a fault-injection probe INSIDE the second table's
+    * commit — at that instant the per-table views are provably MIXED
+    * (ev post, fx pre), and the marker-aware atomic view is REQUIREd
+    * to still serve BOTH tables at their pre-commit generations;
+    * round 3 crashes the saveAll mid-finalize (after the marker,
+    * after ev committed, before fx), and a NEW engine over the same
+    * root is REQUIREd to roll the commit FORWARD at open — marker
+    * released, both tables serving every round's rows. Output: per
+    * (table, subject) aggregates of the recovered atomic view,
+    * hash-checked against the full three-round relational rebuild —
+    * a lost fx round or a doubled replay would mismatch. */
+  private def qAtomicCommit(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_e21_atomic/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    eng.create("{fx:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 8)
+    def ingest(round: Int): Unit = {
+      clientEventPayloads(ev.filter(col("event_id") % 3 === round))
+        .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+      clientEventPayloads(ev.filter(col("event_id") % 3 === round)
+          .withColumn("value", col("value") * 3))
+        .foreach { case (u, arr) => eng.set(s"u$u.fx", arr) }
+    }
+    def counts(view: Map[String, Option[DataFrame]]): Map[String, Long] =
+      view.map { case (t, df) => t -> df.map(_.count()).getOrElse(0L) }
+    // round 1: both tables land as one atomic point
+    ingest(0)
+    val g1 = eng.saveAll(Seq("ev", "fx"))
+    require(g1.values.forall(_ >= 1L), s"saveAll committed nothing: $g1")
+    val pre = counts(eng.openAtomicSnapshot(Seq("ev", "fx")))
+    require(pre("ev") > 0 && pre("fx") > 0, s"round 1 ingested nothing: $pre")
+    // round 2: probe INSIDE fx's commit — ev is already finalized, fx
+    // is not; the naive per-table reads are mixed, the atomic view
+    // must still be all-pre (the never-mix contract)
+    ingest(1)
+    val fxStore = eng.storeHandle("fx")
+    var midMixed = Option.empty[(Long, Long)]
+    var midAtomic = Option.empty[Map[String, Long]]
+    fxStore.onBeforeSnapshotRename = () => if (midAtomic.isEmpty) {
+      midMixed = Some((eng.openSnapshot("ev").get.count(),
+        eng.openSnapshot("fx").get.count()))
+      midAtomic = Some(counts(eng.openAtomicSnapshot(Seq("ev", "fx"))))
+    }
+    eng.saveAll(Seq("ev", "fx"))
+    fxStore.onBeforeSnapshotRename = () => ()
+    val (midEv, midFx) = midMixed.getOrElse(
+      throw new IllegalStateException("mid-commit probe never fired"))
+    require(midEv > pre("ev") && midFx == pre("fx"),
+      s"the mid-commit window was not mixed (ev $midEv vs ${pre("ev")}, " +
+        s"fx $midFx vs ${pre("fx")}) — the probe missed the race")
+    require(midAtomic.get == pre,
+      s"mid-commit atomic view leaked the half-committed middle: " +
+        s"${midAtomic.get} != $pre")
+    // round 3: crash AFTER the marker and ev's finalize, BEFORE fx's —
+    // a new engine over the root must roll the commit forward at open
+    ingest(2)
+    var thrown = false
+    fxStore.onBeforeSnapshotRename = () => if (!thrown) {
+      thrown = true
+      throw new RuntimeException("injected crash mid-atomic-commit")
+    }
+    val died = scala.util.Try(eng.saveAll(Seq("ev", "fx")))
+    require(died.isFailure && thrown,
+      "the injected mid-commit crash did not fire")
+    require(eng.atomicMarker().nonEmpty,
+      "the crashed saveAll must leave its marker (the roll-forward claim)")
+    val eng2 = new graft.api.Engine(s, root, snapshots = true)
+    require(eng2.atomicMarker().isEmpty,
+      "open-time recovery did not release the atomic marker")
+    val post = eng2.openAtomicSnapshot(Seq("ev", "fx"))
+    val postN = counts(post)
+    require(postN("ev") > midEv && postN("fx") > pre("fx"),
+      s"roll-forward lost a table's round-3 rows: $postN")
+    post("ev").get.select(lit("ev").as("tbl"), col("subject"), col("value"))
+      .unionByName(post("fx").get.select(lit("fx").as("tbl"),
+        col("subject"), col("value")))
+      .groupBy("tbl", "subject")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("tbl", "subject")
+  }
+
   /** E14 — SCHEDULED vacuum on the commit path
     * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
     * that never calls vacuum() accumulates superseded version dirs
@@ -4795,6 +4886,7 @@ object SparkEntry {
     "e18_change_feed" -> qChangeFeed _,
     "e19_restore_cut" -> qRestoreCut _,
     "e20_cross_era_feed" -> qCrossEraFeed _,
+    "e21_atomic_commit" -> qAtomicCommit _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -6218,6 +6310,20 @@ object SparkEntry {
            round(sum(dv), 2) AS delta
          FROM d WHERE op IS NOT NULL
          GROUP BY subject, op ORDER BY subject, op""",
+    // e21: the recovered atomic view must hold EXACTLY the three
+    // rounds' rows in both tables (the %3 splits partition the
+    // stream) — a rolled-back fx round, a lost marker, or a doubled
+    // replay would change the (n, total) rows
+    "e21_atomic_commit" ->
+      """SELECT tbl, subject, count(*)::BIGINT AS n,
+           round(sum(v), 2) AS total
+         FROM (
+           SELECT 'ev' AS tbl, 'u' || user_id AS subject, value AS v
+           FROM events WHERE user_id < 8
+           UNION ALL
+           SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 3 AS v
+           FROM events WHERE user_id < 8)
+         GROUP BY 1, 2 ORDER BY tbl, subject""",
     // e20: e18's relational diff ACROSS the evolve boundary — g1 is
     // the odd split ALIGNED to the new era (score reads the 0.0
     // zero-fill, per e17's proven convert rules), gN is the final

@@ -89,6 +89,9 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // no-op; the on-disk sidecar already holds the complete state.
   private var rehydrating = false
   loadEngineCatalog()
+  // atomic-commit roll-forward runs at the END of the class body —
+  // it opens stores, which read engine fields (autoVacuumCfg, hooks)
+  // declared below this point
 
   private def persistEngineCatalog(): Unit = synchronized {
     if (rehydrating) return // sidecar is the source being replayed
@@ -216,6 +219,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
     next
   }
 
+  /** Test/instrumentation access to a table's store (fault-injection
+    * hooks, staged-commit drills) — not part of the command surface. */
+  private[graft] def storeHandle(table: String): TsStore = storeOf(table)
+
   private def storeOf(table: String): TsStore = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
@@ -255,6 +262,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
         catalog.register(evolved)
         persistEngineCatalog()
       }
+      // a staged-but-unmarked save is a saveAll that died BEFORE its
+      // commit point: roll it back (all-pre) — the marker-covered case
+      // is rolled forward by recoverAtomicCommit before any command
+      if (snapshots && !atomicMarker().exists(_.contains(table)))
+        st.discardStagedSave()
       st
     })
   }
@@ -557,6 +569,133 @@ final class Engine(val spark: SparkSession, rootPath: String,
 
   def save(table: String): Unit = storeOf(table).save()
   def pack(table: String, files: Int = 4): Unit = storeOf(table).pack(files)
+
+  // ── ATOMIC MULTI-TABLE COMMIT. Per-table saves are independent
+  // commits, so a reader between two of them sees table A new /
+  // table B old — a state no single point in time ever held. The
+  // reference gets cross-key consistency implicitly from its strictly
+  // serial dispatcher (sisdb_server.c:474-476 "必须堵塞处理" — every
+  // write drains before the next command); a distributed store needs
+  // an explicit protocol:
+  //
+  //   1. STAGE    every table's commit durably but inertly
+  //               (TsStore.stageSave: the save tmp + commit manifest,
+  //               live manifest untouched, ignored by the store's own
+  //               open-time recovery);
+  //   2. MARK     one marker file (tmp + atomic rename, the
+  //               snapshotAll discipline) naming every table and its
+  //               PRE-commit generation — THE commit point;
+  //   3. FINALIZE each table (TsStore.finalizeStagedSave — the save
+  //               commit over the staged instruction, idempotently
+  //               replayable);
+  //   4. RELEASE  the marker.
+  //
+  // Crash anywhere: before the marker, the staged tmps are rolled
+  // BACK at the next open (nothing ever served them — all-pre);
+  // after the marker, the next open rolls every staged table FORWARD
+  // and releases the marker (all-post). While the marker exists —
+  // in-flight or crashed — [[openAtomicSnapshot]] serves every listed
+  // table AT its recorded pre-commit generation, so no multi-table
+  // reader can observe the half-committed middle; the immutability of
+  // committed generations is what makes the pre view stay whole under
+  // the concurrent finalizes.
+
+  private def atomicMarkerFile = new org.apache.hadoop.fs.Path(
+    s"${rootPath.stripSuffix("/")}/__atomic_commit.json")
+
+  /** The in-flight (or crashed) saveAll's {table → pre-commit
+    * generation}, or None when no atomic commit is pending. */
+  private[graft] def atomicMarker(): Option[Map[String, Long]] = {
+    val f = hadoopFs
+    if (!f.exists(atomicMarkerFile)) None
+    else {
+      val node = mapper.readTree(
+        TsStore.readJsonBytes(f, atomicMarkerFile))
+      import scala.jdk.CollectionConverters._
+      Some(node.path("tables").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap)
+    }
+  }
+
+  private def writeAtomicMarker(pre: Seq[(String, Long)]): Unit = {
+    val f = hadoopFs
+    val root = mapper.createObjectNode()
+    root.put("at", System.currentTimeMillis())
+    val tn = root.putObject("tables")
+    pre.foreach { case (t, g) => tn.put(t, g) }
+    val tmp = new org.apache.hadoop.fs.Path(
+      atomicMarkerFile.toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(atomicMarkerFile.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, atomicMarkerFile,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def clearAtomicMarker(): Unit =
+    hadoopFs.delete(atomicMarkerFile, false)
+
+  /** Commit every table's hot tail as ONE atomic point (see the
+    * protocol block above). Returns table → committed generation.
+    * Tombstone drift (a drop on a fully-flushed table) commits with
+    * the same marker protection, so a cut-style reader never
+    * resurrects a dropped subject from half a saveAll. */
+  def saveAll(tables: Seq[String] = Seq.empty): Map[String, Long] =
+    synchronized {
+      require(snapshots,
+        "saveAll requires snapshot mode (committed generations are " +
+          "what gate multi-table visibility)")
+      val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
+      require(ts.nonEmpty, "saveAll: no tables declared")
+      val sts = ts.map(t => t -> storeOf(t))
+      sts.foreach { case (_, st) => st.stageSave() }
+      writeAtomicMarker(sts.map { case (t, st) =>
+        t -> st.currentGeneration })
+      sts.foreach { case (_, st) =>
+        st.finalizeStagedSave()
+        st.commitPendingTombstones()
+      }
+      clearAtomicMarker()
+      sts.map { case (t, st) => t -> st.currentGeneration }.toMap
+    }
+
+  /** Marker-aware multi-table read: while a [[saveAll]] is in flight
+    * (or died mid-finalize), every listed table serves AT its
+    * recorded pre-commit generation — all-pre; otherwise each table's
+    * current committed snapshot — all-post. Never a mix. Tables with
+    * no committed corpus map to None (the [[openSnapshotAllAt]]
+    * convention). */
+  def openAtomicSnapshot(tables: Seq[String] = Seq.empty)
+      : Map[String, Option[DataFrame]] = {
+    require(snapshots, "openAtomicSnapshot requires snapshot mode")
+    val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
+    val marker = atomicMarker()
+    ts.map { t =>
+      storeOf(t)
+      marker.flatMap(_.get(t)) match {
+        case Some(g) => t -> (if (g <= 0L) None else openSnapshotAt(t, g))
+        case None => t -> openSnapshot(t)
+      }
+    }.toMap
+  }
+
+  /** Open-time atomic-commit recovery: a surviving marker means a
+    * saveAll died after its commit point — roll every listed table
+    * forward (finalize is replayable; already-finalized tables are
+    * no-ops) and release the marker. Runs before any command can
+    * touch the tables. Staged tmps with NO marker (death before the
+    * commit point) are rolled back lazily by [[storeOf]]. */
+  private def recoverAtomicCommit(): Unit =
+    atomicMarker().foreach { m =>
+      m.keys.toSeq.sorted.foreach { t =>
+        val st = storeOf(t)
+        st.finalizeStagedSave()
+        st.commitPendingTombstones()
+      }
+      clearAtomicMarker()
+    }
 
   /** Snapshot-mode maintenance: reclaim version dirs no committed
     * manifest (inside the grace windows) can reference — see
@@ -1624,6 +1763,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     subs.publish(typed, "subject", table)
     rows.size.toLong
   }
+
+  // LAST constructor statement (the whole class body above is
+  // initialized by now): roll a crashed saveAll forward before any
+  // command can observe the half-committed middle.
+  recoverAtomicCommit()
 }
 
 object Engine {

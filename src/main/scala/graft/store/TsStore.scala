@@ -1416,6 +1416,99 @@ final class TsStore(
     }
   }
 
+  // ── staged commits (the multi-table atomic-commit primitive) ────
+  //
+  // [[save]] is write-tmp-then-commit in one call; an engine
+  // committing N tables as ONE atomic point needs the two halves
+  // apart: stage every table's commit DURABLY but INERTLY (live
+  // manifest, hot tail, and readers untouched — and the store's own
+  // open-time recovery ignores the staged tmp, so a crash before the
+  // engine's marker rolls BACK, never half-forward), then finalize
+  // each one (replayable from any crash point — finalize is exactly
+  // the [[save]] commit over the staged instruction). The engine's
+  // marker between the two halves is the commit point
+  // ([[graft.api.Engine.saveAll]]).
+
+  private def stagedSaveTmp =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__staged_save")
+
+  /** Stage the hot tail as a durable, inert commit instruction under
+    * `__staged_save` — everything [[save]] does up to (and including)
+    * the commit manifest, nothing after it. Returns false when there
+    * is nothing hot to stage (finalize is then a no-op). Snapshot
+    * mode only: without generations there is no inert staging point. */
+  private[graft] def stageSave(): Boolean = synchronized {
+    require(snapshots, "staged commits are a snapshot-mode primitive")
+    hotUnion match {
+      case None =>
+        fs.delete(stagedSaveTmp, true) // stale leftovers never linger
+        false
+      case Some(h) =>
+        val dirtyDays = h.select(col("__day").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val merged = cold match {
+          case Some(c) =>
+            Write.upsert(
+              tombFiltered(c).filter(col("__day").isin(dirtyDays: _*))
+                .drop("__seq"),
+              h, subject, soleCols :+ "__day", time, "__seq")
+          case None =>
+            Write.upsert(h.limit(0).drop("__seq"), h, subject,
+              soleCols :+ "__day", time, "__seq")
+        }
+        persistMeta() // durable watermark BEFORE the tmp (save's rule)
+        merged.withColumn("__seq", lit(seq))
+          .repartition(col("__day"))
+          .sortWithinPartitions(col(subject), col(time))
+          .write.mode("overwrite").partitionBy("__day")
+          .parquet(stagedSaveTmp.toString)
+        val f = fs
+        f.mkdirs(new org.apache.hadoop.fs.Path(path))
+        val dayDirs = f.listStatus(stagedSaveTmp)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+        require(dayDirs.length == dirtyDays.length,
+          s"stage produced ${dayDirs.length} day dirs for " +
+            s"${dirtyDays.length} dirty days")
+        // the commit manifest completes the instruction — staged-tmp
+        // completeness is exactly "manifest present" (written last)
+        TsStore.writeCommitDays(f,
+          new org.apache.hadoop.fs.Path(stagedSaveTmp,
+            TsStore.CommitManifest),
+          dayDirs.map(_.getPath.getName).toSeq, loadSnapshot().v + 1)
+        true
+    }
+  }
+
+  /** True when `__staged_save` holds a COMPLETE commit instruction
+    * (job `_SUCCESS` + commit manifest, both written before the
+    * engine's marker can exist). */
+  private[graft] def hasStagedSave: Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(stagedSaveTmp, "_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(stagedSaveTmp,
+        TsStore.CommitManifest))
+
+  /** Turn a staged instruction into the real commit — [[save]]'s
+    * second half over the staged tmp, idempotently replayable from
+    * any crash point exactly like open-time `__saving` recovery
+    * (placed days skip, the stored target generation pins the
+    * version). No-op when nothing (complete) is staged. */
+  private[graft] def finalizeStagedSave(): Unit = synchronized {
+    if (!hasStagedSave) return
+    val (days, _) = TsStore.readCommitDays(fs,
+      new org.apache.hadoop.fs.Path(stagedSaveTmp, TsStore.CommitManifest))
+    commitSavingSnapshot(stagedSaveTmp)
+    fs.delete(stagedSaveTmp, true)
+    clearHot()
+    onColdChange(TsStore.DaysUpserted(days.map(n =>
+      java.net.URLDecoder.decode(n.stripPrefix("__day="), "UTF-8"))))
+    maybeAutoVacuum()
+  }
+
+  /** Roll a staged-but-unmarked commit BACK (crash before the
+    * engine's marker): the tmp vanishes, nothing ever served it. */
+  private[graft] def discardStagedSave(): Unit =
+    fs.delete(stagedSaveTmp, true)
+
   /** M5 `del`: delete rows matching `cond`, rewriting ONLY the day
     * partitions `affectsDay` selects — O(days in range) exactly as
     * [[save]] is O(dirty days), never a whole-store rewrite (round 7's

@@ -722,6 +722,31 @@ class EngineSpec extends SparkSpec {
     assert(e.get("SH600600.stk_day", "{}").count() == 1)
   }
 
+  test("saveAll: staged-but-unmarked commits roll BACK at the next open") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-04","open":10.10,"close":10.50,"vol":100}""")
+    val g1 = e.saveAll(Seq("stk_day"))
+    assert(g1("stk_day") >= 1L)
+    // simulate a saveAll dying BEFORE its commit point: the stage is
+    // durable, but no marker ever lands
+    e.set("SH600600.stk_day",
+      """{"time":"2021-01-05","open":10.20,"close":10.60,"vol":120}""")
+    assert(e.storeHandle("stk_day").stageSave(),
+      "the hot tail must stage")
+    assert(new java.io.File(s"$root/stk_day__staged_save").exists())
+    val e2 = new Engine(spark, root, snapshots = true)
+    assert(e2.atomicMarker().isEmpty)
+    // all-pre: the staged round is invisible and its tmp discarded
+    assert(e2.get("SH600600.stk_day", "{}").count() == 1,
+      "a staged-but-unmarked commit leaked")
+    assert(e2.openAtomicSnapshot(Seq("stk_day"))("stk_day").get.count() == 1)
+    assert(!new java.io.File(s"$root/stk_day__staged_save").exists(),
+      "open did not roll the unmarked stage back")
+  }
+
   test("auto-vacuum with a cutMaxAgeMs dial surfaces stale-cut warnings") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)
