@@ -869,6 +869,9 @@ object SparkEntry {
       .orderBy(col("d").asc, col("vec_id").asc).limit(10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = got.intersect(exact).size / 10.0
+    // margin line rides every Verify/Bench run (any SF, incl. the
+    // SfScale sf1 corpus) so the dial headroom is visible per SF
+    System.err.println(f"[x12] recall@10 = $recall%.2f (floor 0.60)")
     require(recall >= 0.6,
       f"PQ shortlist recall@10 $recall%.2f below the 0.6 floor — " +
         "the ADC shortlist is not capturing the neighborhood")
@@ -931,6 +934,7 @@ object SparkEntry {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
+    System.err.println(f"[x13] recall@10 = $recall%.2f (floor 0.60)")
     require(recall >= 0.6,
       f"IVFADC probed-subset recall@10 $recall%.2f below the 0.6 floor")
     top.select(col("vec_id"), col("cell"), col("adc_rank"),
@@ -1025,6 +1029,7 @@ object SparkEntry {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
+    System.err.println(f"[x14] recall@10 = $recall%.2f (floor 0.60)")
     require(recall >= 0.6,
       f"stored IVFPQ probed-subset recall@10 $recall%.2f below the floor")
     top.select(col("vec_id"), col("cell"), col("adc_rank"),
