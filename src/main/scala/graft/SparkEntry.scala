@@ -453,7 +453,10 @@ object SparkEntry {
         s"untouched day $d was rewritten by the maintenance pass")
     }
     insDays.foreach { d =>
-      require(after(d).filterNot(_.contains("batch=1")) == before(d),
+      // getOrElse: a feed insert can land on a BRAND-NEW day (absent
+      // from the bootstrap store), whose expected "before" is empty
+      require(after(d).filterNot(_.contains("batch=1")) ==
+        before.getOrElse(d, Set.empty),
         s"insert-only day $d changed beyond its appended slot")
       require(after(d).exists(_.contains("batch=1")),
         s"insert-only day $d did not gain its slot")
@@ -3550,7 +3553,7 @@ object SparkEntry {
     eng.save("ev")
     eng.evolve("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
       "qty:[I,8],flag:[C,8],score:[F,8]}}}")
-    // generation 2 — era 1: evens inserted; u16's odds re-valued
+    // generation 2 — era 1: evens inserted; u5's odds re-valued
     def v1Fields = Seq(
       col("ts").as("t"), col("event_type").as("etype"),
       col("value").as("value"),

@@ -666,9 +666,17 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * recorded pre-commit generation — all-pre; otherwise each table's
     * current committed snapshot — all-post. Never a mix. Tables with
     * no committed corpus map to None (the [[openSnapshotAllAt]]
-    * convention). */
+    * convention).
+    *
+    * Synchronized with [[saveAll]] (which holds the engine lock for
+    * its whole stage→marker→finalize span): an unsynchronized reader
+    * could resolve the marker as absent, open table A pre-commit,
+    * lose the CPU for an entire saveAll, and then open table B
+    * post-commit — the exact mix this method exists to prevent.
+    * Out-of-process readers are serialized by the marker itself (it
+    * exists for the whole window in which any table is mid-commit). */
   def openAtomicSnapshot(tables: Seq[String] = Seq.empty)
-      : Map[String, Option[DataFrame]] = {
+      : Map[String, Option[DataFrame]] = synchronized {
     require(snapshots, "openAtomicSnapshot requires snapshot mode")
     val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
     val marker = atomicMarker()
@@ -1165,8 +1173,14 @@ final class Engine(val spark: SparkSession, rootPath: String,
       (cutRecordCache.keySet -- ids).toSeq
         .foreach(cutRecordCache.remove)
     }
+    // an in-flight (or crashed) saveAll's marker pins each listed
+    // table's PRE-commit generation too: openAtomicSnapshot serves AT
+    // that generation for as long as the marker exists, and a finalize
+    // of table A triggering auto-vacuum must not reclaim the pre
+    // history record the still-pending view of table A depends on
+    val markerPin = atomicMarker().flatMap(_.get(table)).filter(_ > 0L)
     ids.flatMap(c => cutRecord(c).flatMap(_.get(table)))
-      .filter(_ > 0L).toSet
+      .filter(_ > 0L).toSet ++ markerPin
   }
 
   /** M9 `update subject.table {search:{...}, val:{...}}`

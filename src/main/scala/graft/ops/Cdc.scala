@@ -36,10 +36,15 @@ object Cdc {
     * new state" contract. The engine surface guarantees this
     * ((subject, time) is the store's primary key); for the public op
     * `assertUniqueKeys` (default on) raises in-plan on the first
-    * violation — the check is a window count over the join output's
-    * existing key partitioning, so it adds a per-partition sort but
-    * no extra shuffle. Pass `false` only when uniqueness is already
-    * guaranteed upstream and the sort matters. */
+    * violation. The guard windows over the CHANGED rows only — the
+    * O(changes) set that survives the unchanged-row filter, so its
+    * exchange is change-sized, never corpus-sized. Residual blind
+    * spot, documented rather than paid for: duplicate keys whose
+    * payloads are ALL identical on both sides fan out to unchanged
+    * rows only (dropped before the guard) — the feed is then empty
+    * for that key, which reproduces the new state except for the
+    * rows' multiplicity. Pass `false` when uniqueness is already
+    * guaranteed upstream. */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       assertUniqueKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
@@ -59,32 +64,35 @@ object Cdc {
     // matches and classifies like any other key
     val on = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k"))
       .reduce(_ && _)
-    val joined = o.join(n, on, "full_outer")
-    // duplicate-key totality guard (SeqPack.pack's pattern): with
-    // unique keys each key yields EXACTLY one joined row, so any key
-    // seen twice post-join proves a duplicate on some side. The window
-    // partitions by the same key the join shuffled on, so
-    // EnsureRequirements reuses the exchange; the raise rides the
-    // `op` column, which is evaluated before the unchanged-row filter
-    // can drop the offending rows.
-    val keyStruct = struct(keys.map(k =>
-      coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)): _*)
-    val guarded =
-      if (!assertUniqueKeys) joined.withColumn("__kcnt", lit(1L))
-      else joined.withColumn("__kcnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(keyStruct)))
-    guarded
+    val changed = o.join(n, on, "full_outer")
       .withColumn("op",
-        when(col("__kcnt") > 1, raise_error(concat(
-          lit("Cdc.diff: duplicate key "), to_json(keyStruct),
-          lit(" — keys must be unique on each side (a duplicate " +
-            "fans out in the full-outer join and corrupts the feed)"))))
-          .when(col("new").isNull, lit("delete"))
+        when(col("new").isNull, lit("delete"))
           .when(col("old").isNull, lit("insert"))
           .when(!(col("old") <=> col("new")), lit("update")))
       .filter(col("op").isNotNull)
       .select(keys.map(k =>
         coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)) ++
         Seq(col("op"), col("old"), col("new")): _*)
+    if (!assertUniqueKeys) changed
+    else {
+      // duplicate-key totality guard (SeqPack.pack's pattern): with
+      // unique keys each key yields EXACTLY one joined row, so a key
+      // seen twice among the CHANGED rows proves a duplicate on some
+      // side. Guarding after the filter keeps the window's exchange
+      // O(changes) — a pre-filter window would re-shuffle the entire
+      // join output, unchanged majority included, since a full-outer
+      // join reports no output partitioning to reuse.
+      val keyStruct = struct(keys.map(col): _*)
+      changed
+        .withColumn("__kcnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyStruct)))
+        .withColumn("op",
+          when(col("__kcnt") > 1, raise_error(concat(
+            lit("Cdc.diff: duplicate key "), to_json(keyStruct),
+            lit(" — keys must be unique on each side (a duplicate " +
+              "fans out in the full-outer join and corrupts the feed)"))))
+            .otherwise(col("op")))
+        .drop("__kcnt")
+    }
   }
 }

@@ -129,6 +129,42 @@ object Similarity {
   /** `_`-prefixed so parquet readers of the index dir skip it. */
   private[graft] val CentroidsFile = "_centroids.json"
 
+  /** ONE sidecar commit discipline for every stored-index constant
+    * (centroids, PQ codebooks): tmp write + delete-dest +
+    * rename-or-throw, so a torn write is never visible — the crash
+    * behavior cannot silently diverge between sidecars. */
+  private def writeJsonSidecar(ss: org.apache.spark.sql.SparkSession,
+      indexRoot: String, name: String,
+      node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(indexRoot, name + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(node)) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(indexRoot, name)
+    f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  private def readJsonSidecar(ss: org.apache.spark.sql.SparkSession,
+      indexRoot: String, name: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(indexRoot, name)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+    Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes))
+  }
+
   /** Persist trained centroids NEXT TO their stored IVF index, so a
     * probe process needs no training data at all: it loads the sidecar
     * and probes the cell-partitioned parquet. Doubles are serialized
@@ -139,44 +175,25 @@ object Similarity {
     * exists" check on it, so a crash mid-build rebuilds. */
   def saveCentroids(ss: org.apache.spark.sql.SparkSession, indexRoot: String,
       centroids: Array[Array[Double]]): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = m.createArrayNode()
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createArrayNode()
     centroids.foreach { c =>
       val row = arr.addArray()
       c.foreach(row.add)
     }
-    val f = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(m.writeValueAsBytes(arr)) finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile)
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"could not commit $dest")
+    writeJsonSidecar(ss, indexRoot, CentroidsFile, arr)
   }
 
   /** The centroids persisted by [[saveCentroids]], or None if the
     * sidecar is absent (index missing or mid-build crash → rebuild). */
   def loadCentroids(ss: org.apache.spark.sql.SparkSession, indexRoot: String)
-      : Option[Array[Array[Double]]] = {
-    val f = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(indexRoot, CentroidsFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    Some((0 until node.size()).map { i =>
-      val row = node.get(i)
-      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
-    }.toArray)
-  }
+      : Option[Array[Array[Double]]] =
+    readJsonSidecar(ss, indexRoot, CentroidsFile).map { node =>
+      (0 until node.size()).map { i =>
+        val row = node.get(i)
+        (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+      }.toArray
+    }
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -738,53 +755,35 @@ object Similarity {
   /** `_`-prefixed so parquet readers of the index tree skip it. */
   private[graft] val PqBooksFile = "_pq_books.json"
 
-  /** Persist PQ codebooks next to their codes tree ([[saveCentroids]]
-    * discipline: Double.toString round-trips bit-exactly, tmp+rename
-    * commit). NOT the tree's commit point — the centroid sidecar is
-    * written after this one and gates [[ivfCutover]]. */
+  /** Persist PQ codebooks next to their codes tree (the shared
+    * [[writeJsonSidecar]] discipline: Double.toString round-trips
+    * bit-exactly, tmp+rename commit). NOT the tree's commit point —
+    * the centroid sidecar is written after this one and gates
+    * [[ivfCutover]]. */
   def savePqBooks(ss: org.apache.spark.sql.SparkSession, indexRoot: String,
       books: Array[Array[Array[Double]]]): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = m.createArrayNode()
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createArrayNode()
     books.foreach { book =>
       val b = arr.addArray()
       book.foreach { c => val row = b.addArray(); c.foreach(row.add) }
     }
-    val f = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile + ".tmp")
-    val out = f.create(tmp, true)
-    try out.write(m.writeValueAsBytes(arr)) finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile)
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"could not commit $dest")
+    writeJsonSidecar(ss, indexRoot, PqBooksFile, arr)
   }
 
   /** The codebooks persisted by [[savePqBooks]], or None (absent →
     * torn or non-PQ tree). */
   def loadPqBooks(ss: org.apache.spark.sql.SparkSession, indexRoot: String)
-      : Option[Array[Array[Array[Double]]]] = {
-    val f = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(indexRoot, PqBooksFile)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val bytes =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    Some((0 until node.size()).map { mi =>
-      val book = node.get(mi)
-      (0 until book.size()).map { k =>
-        val row = book.get(k)
-        (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+      : Option[Array[Array[Array[Double]]]] =
+    readJsonSidecar(ss, indexRoot, PqBooksFile).map { node =>
+      (0 until node.size()).map { mi =>
+        val book = node.get(mi)
+        (0 until book.size()).map { k =>
+          val row = book.get(k)
+          (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+        }.toArray
       }.toArray
-    }.toArray)
-  }
+    }
 
   /** One corpus pass: (id, codes, cell) — cell assignment and PQ
     * encode fused, so a build never scans the corpus twice. */

@@ -747,6 +747,41 @@ class EngineSpec extends SparkSpec {
       "open did not roll the unmarked stage back")
   }
 
+  test("atomic marker pins pre-commit generations past aggressive auto-vacuum") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create(stkDay)
+    e.create("{stk_two:{fields:{time:[D,4],open:[P,4,1,2]," +
+      "close:[P,4,1,2],vol:[U,4]}}}")
+    // harsh dials for a time-travel deployment: vacuum after EVERY
+    // generation, retaining only the single newest history record
+    // (keepHistory = 1) — without the marker pin, stk_day's finalize
+    // mints generation 2 and its own auto-vacuum immediately reclaims
+    // the v=1 record the in-flight marker still points at
+    e.autoVacuum(everyGenerations = 1, keepSuperseded = 0,
+      removedDayGraceMs = 0L, keepHistory = 1, supersededGraceMs = 0L)
+    def ingest(day: Int): Unit = {
+      e.set("SH600600.stk_day",
+        s"""{"time":"2021-01-0$day","open":10.10,"close":10.50,"vol":100}""")
+      e.set("SH600600.stk_two",
+        s"""{"time":"2021-01-0$day","open":20.10,"close":20.50,"vol":200}""")
+    }
+    ingest(4)
+    e.saveAll(Seq("stk_day", "stk_two"))
+    ingest(5)
+    // probe INSIDE stk_two's finalize: stk_day has already finalized
+    // AND auto-vacuumed under the marker — the atomic view must still
+    // serve its pinned pre-commit generation, not degrade to None
+    var midView = Option.empty[Map[String, Long]]
+    e.storeHandle("stk_two").onBeforeSnapshotRename = () =>
+      if (midView.isEmpty)
+        midView = Some(e.openAtomicSnapshot(Seq("stk_day", "stk_two"))
+          .map { case (t, df) => t -> df.map(_.count()).getOrElse(-1L) })
+    e.saveAll(Seq("stk_day", "stk_two"))
+    assert(midView.contains(Map("stk_day" -> 1L, "stk_two" -> 1L)),
+      s"mid-commit atomic view degraded under auto-vacuum: $midView")
+  }
+
   test("auto-vacuum with a cutMaxAgeMs dial surfaces stale-cut warnings") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)
