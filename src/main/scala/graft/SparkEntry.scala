@@ -1039,6 +1039,112 @@ object SparkEntry {
       round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
   }
 
+  private[graft] object StreamPqOracle {
+    @volatile var cents: Option[Array[Array[Double]]] = None
+    @volatile var books: Option[Array[Array[Array[Double]]]] = None
+    @volatile var dt: Option[Array[Array[Double]]] = None
+    @volatile var query: Option[Array[Double]] = None
+    @volatile var probed: Option[Seq[Int]] = None
+  }
+
+  /** ST10 — STREAMING vector-index maintenance
+    * ([[graft.ops.Similarity.ivfPqAppendBatch]] under a Structured
+    * Streaming sink): the stored IVFPQ index (x14) kept current by a
+    * live embedding feed — the shape a training-data pipeline
+    * actually runs, where vectors arrive continuously and the index
+    * must absorb them at O(batch) cost without retraining or
+    * rewriting. The base builds + cuts over (x14's lifecycle); a
+    * file-source stream then lands each micro-batch as one
+    * `batch=<id>` slot of assign+encode against the FROZEN sidecars.
+    * Batch-id slots make the ingest exactly-once under crash/replay:
+    * REQUIREd, a redelivered batch (the restarted-checkpoint path,
+    * st8's drill) re-lands in its slot and the index does not grow;
+    * REQUIREd further, the sidecars are bit-identical after the
+    * stream (no silent retrain — the x7 contract on the composed
+    * index), the streamed tree's probe EQUALS the in-query
+    * formulation over the union (assignment and encode are pure
+    * per-row functions of the frozen constants), and probed-subset
+    * recall@10 holds its floor. Output: the x13-shaped top-k, oracle
+    * = the shared composed SQL with THIS query's frozen constants
+    * (trained on the base split only). */
+  private def qStreamVectorIndex(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_streampq/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+    val baseSplit = cand.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val root = s"$base/index"
+    val (cents, books) = Similarity.ivfPqBuildStamp(baseSplit, root, "g1",
+      "vec_id", "embedding", nlist = 16, m = 16, ksub = 16)
+    Similarity.ivfCutover(s, root, "g1")
+    val g1Path = Similarity.ivfStampPath(root, "g1")
+    // two feed files in pinned mtime order (the st6/st8 fixture)
+    val feedDf = cand.select("vec_id", "embedding")
+    val now = System.currentTimeMillis()
+    writeFeedFile(feedDf, base, pmod(col("vec_id"), lit(4)) === 2,
+      "b0", now - 120000L)
+    writeFeedFile(feedDf, base, pmod(col("vec_id"), lit(4)) === 3,
+      "b1", now - 60000L)
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        Long) => Unit =
+      (b, id) => Similarity.ivfPqAppendBatch(b.toDF(), g1Path, id + 1,
+        "vec_id", "embedding")
+    val q = s.readStream.schema(feedDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/feed")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // CRASH REPLAY: redeliver batch 0 exactly as a restarted
+    // checkpoint would — the slot overwrite keeps the index flat
+    val nRows = s.read.parquet(g1Path).count()
+    sink(s.read.parquet(s"$base/feed/b0.parquet"), 0L)
+    require(s.read.parquet(g1Path).count() == nRows,
+      "replayed ingest batch grew the streamed vector index")
+    require(nRows == cand.count(),
+      s"streamed index holds $nRows codes for ${cand.count()} vectors")
+    // frozen sidecars: appends must never touch the trained constants
+    val (stamp, codes, c2, b2) = Similarity.openCurrentIvfPq(s, root)
+    require(stamp == "g1" &&
+      c2.flatten.toSeq == cents.flatten.toSeq &&
+      b2.flatten.flatten.toSeq == books.flatten.flatten.toSeq,
+      "streaming appends mutated the frozen sidecars")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Double](0).toArray
+    val dt = Similarity.pqDistanceTable(qv, b2)
+    val probed = Similarity.queryCells(qv, c2, nprobe = 4)
+    StreamPqOracle.cents = Some(c2); StreamPqOracle.books = Some(b2)
+    StreamPqOracle.dt = Some(dt); StreamPqOracle.query = Some(qv)
+    StreamPqOracle.probed = Some(probed)
+    val top = Similarity.probeStoredIvfPq(codes, cand, "vec_id",
+        "embedding", qv, c2, b2, k = 10, nprobe = 4, shortlist = 100)
+      .localCheckpoint() // consumed thrice: equality + recall + output
+    val inQuery = Similarity.ivfPqSearch(cand, "vec_id", "embedding",
+        qv, c2, b2, dt, k = 10, nprobe = 4, shortlist = 100)
+      .select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    val storedRows = top.select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    require(storedRows == inQuery,
+      s"streamed-index probe diverged from the in-query formulation:\n" +
+        s"stored   $storedRows\nin-query $inQuery")
+    val prunedIds = codes.filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"))
+    val exact = cand.join(prunedIds, "vec_id")
+      .select(col("vec_id"), VectorFunctions.l2sq(col("embedding"),
+        array(qv.toSeq.map(lit): _*)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = top.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    require(recall >= 0.6,
+      f"streamed IVFPQ probed-subset recall@10 $recall%.2f below the floor")
+    top.select(col("vec_id"), col("cell"), col("adc_rank"),
+      round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -4848,6 +4954,7 @@ object SparkEntry {
     "x12_pq_adc" -> qPqAdc _,
     "x13_ivfpq" -> qIvfPq _,
     "x14_ivfpq_stored" -> qStoredIvfPq _,
+    "st10_stream_vector_index" -> qStreamVectorIndex _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -7595,7 +7702,16 @@ object SparkEntry {
       (for (c <- StoredIvfPqOracle.cents; b <- StoredIvfPqOracle.books;
             d <- StoredIvfPqOracle.dt; q <- StoredIvfPqOracle.query;
             p <- StoredIvfPqOracle.probed)
-        yield "x14_ivfpq_stored" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap
+        yield "x14_ivfpq_stored" -> ivfPqOracleSqlFor(c, b, d, q, p)).toMap ++
+      // st10: the streamed tree's probe is REQUIREd row-equal to the
+      // in-query formulation over the union, with constants trained
+      // on the BASE split only (frozen through the streaming appends)
+      // — the same composed SQL proves it
+      (for (c <- StreamPqOracle.cents; b <- StreamPqOracle.books;
+            d <- StreamPqOracle.dt; q <- StreamPqOracle.query;
+            p <- StreamPqOracle.probed)
+        yield "st10_stream_vector_index" ->
+          ivfPqOracleSqlFor(c, b, d, q, p)).toMap
 
   /** The shared PQ encode→ADC→re-rank SQL chain over a source CTE
     * named `src` with columns (vec_id, v[, cell]) — x12 and x13
