@@ -445,6 +445,8 @@ object SparkEntry {
         slot = 1L)
     require(insDays.nonEmpty && rebuilt.nonEmpty,
       s"degenerate scenario: insDays=$insDays rebuilt=$rebuilt")
+    require(graft.ops.Rollup.pendingMaintenance(s, barRoot).isEmpty,
+      "a completed maintenance round left its in-flight marker")
     require(insDays.toSet.intersect(rebuilt.toSet).isEmpty,
       "insert slots must not land on rebuilt days")
     val after = listing()
@@ -1003,8 +1005,16 @@ object SparkEntry {
     val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
     require(plan.contains("PartitionFilters: [") && pf.contains("cell"),
       s"stored-PQ probe does not prune cell directories:\n$plan")
-    require(plan.contains("codes") && !plan.contains("embedding"),
-      s"stored-PQ probe must read codes only:\n$plan")
+    // assert on the scan's ReadSchema section, not the whole plan
+    // string — the plan also embeds file paths, and a data root whose
+    // PATH contains the substring "embedding" must not fail a correct
+    // codes-only scan
+    val readSchema = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    require(readSchema.contains("codes") &&
+      !readSchema.contains("embedding"),
+      s"stored-PQ probe must read codes only, got ReadSchema " +
+        s"'$readSchema':\n$plan")
     val top = Similarity.probeStoredIvfPq(codes, cand, "vec_id",
         "embedding", qv, cents, books, k = 10, nprobe = 4,
         shortlist = 100)

@@ -641,24 +641,43 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * protocol block above). Returns table → committed generation.
     * Tombstone drift (a drop on a fully-flushed table) commits with
     * the same marker protection, so a cut-style reader never
-    * resurrects a dropped subject from half a saveAll. */
+    * resurrects a dropped subject from half a saveAll.
+    *
+    * Every listed store's monitor is held for the WHOLE stage→marker→
+    * finalize span (acquired in sorted-table order — the one
+    * multi-monitor site, so the order is trivially consistent). The
+    * single-table [[save]] excludes concurrent `set()`s by being one
+    * synchronized body; splitting it into stage and finalize would
+    * otherwise open a window where a set() lands hot rows that
+    * finalize's clearHot() then discards uncommitted — silent loss —
+    * and a set() crossing maxHotRows would even nest a save() that
+    * makes the staged manifest's target generation stale. Holding the
+    * monitors makes a concurrent set() block for the saveAll span,
+    * exactly as it blocks for a save() on its own table. */
   def saveAll(tables: Seq[String] = Seq.empty): Map[String, Long] =
     synchronized {
       require(snapshots,
         "saveAll requires snapshot mode (committed generations are " +
           "what gate multi-table visibility)")
-      val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
+      val ts = (if (tables.nonEmpty) tables
+                else catalog.tables.toSeq).distinct.sorted
       require(ts.nonEmpty, "saveAll: no tables declared")
       val sts = ts.map(t => t -> storeOf(t))
-      sts.foreach { case (_, st) => st.stageSave() }
-      writeAtomicMarker(sts.map { case (t, st) =>
-        t -> st.currentGeneration })
-      sts.foreach { case (_, st) =>
-        st.finalizeStagedSave()
-        st.commitPendingTombstones()
+      def holding[A](rem: List[TsStore])(body: => A): A = rem match {
+        case Nil => body
+        case h :: rest => h.synchronized(holding(rest)(body))
       }
-      clearAtomicMarker()
-      sts.map { case (t, st) => t -> st.currentGeneration }.toMap
+      holding(sts.map(_._2).toList) {
+        sts.foreach { case (_, st) => st.stageSave() }
+        writeAtomicMarker(sts.map { case (t, st) =>
+          t -> st.currentGeneration })
+        sts.foreach { case (_, st) =>
+          st.finalizeStagedSave()
+          st.commitPendingTombstones()
+        }
+        clearAtomicMarker()
+        sts.map { case (t, st) => t -> st.currentGeneration }.toMap
+      }
     }
 
   /** Marker-aware multi-table read: while a [[saveAll]] is in flight
@@ -829,8 +848,8 @@ final class Engine(val spark: SparkSession, rootPath: String,
     }
     // (subject, time) is the store's upsert key — uniqueness is
     // guaranteed by construction on every committed generation, so the
-    // public op's duplicate-key guard (a window sort over the join
-    // output) would pay for a violation that cannot happen here
+    // public op's duplicate-key guard (a per-side keyed aggregation)
+    // would pay for a violation that cannot happen here
     graft.ops.Cdc.diff(from, to0,
       Seq("subject", timeField), assertUniqueKeys = false)
   }

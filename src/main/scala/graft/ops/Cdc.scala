@@ -36,15 +36,16 @@ object Cdc {
     * new state" contract. The engine surface guarantees this
     * ((subject, time) is the store's primary key); for the public op
     * `assertUniqueKeys` (default on) raises in-plan on the first
-    * violation. The guard windows over the CHANGED rows only — the
-    * O(changes) set that survives the unchanged-row filter, so its
-    * exchange is change-sized, never corpus-sized. Residual blind
-    * spot, documented rather than paid for: duplicate keys whose
-    * payloads are ALL identical on both sides fan out to unchanged
-    * rows only (dropped before the guard) — the feed is then empty
-    * for that key, which reproduces the new state except for the
-    * rows' multiplicity. Pass `false` when uniqueness is already
-    * guaranteed upstream. */
+    * violation, TOTALLY: each side pre-aggregates by key with a
+    * multiplicity count, so every duplicate is caught — including one
+    * whose payloads are identical (the feed cannot represent row
+    * multiplicity, so even an "all-unchanged" duplicate silently
+    * breaks apply-feed reproducibility and must raise). Cost: the
+    * per-side hash aggregation is map-side combinable and keyed
+    * exactly like the join, so its exchange replaces (not adds to)
+    * the key shuffle the full-outer join pays anyway. Pass `false`
+    * when uniqueness is already guaranteed upstream to skip the
+    * aggregation entirely. */
   def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       assertUniqueKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "diff needs at least one key column")
@@ -54,17 +55,37 @@ object Cdc {
         s"${oldDf.columns.toSeq} vs ${newDf.columns.toSeq} — align " +
         "schemas first (Convert.align) for a cross-era diff")
     require(payload.nonEmpty, "diff needs at least one payload column")
-    val o = oldDf.select(keys.map(col) :+
-      struct(payload.map(col): _*).as("old"): _*).alias("__o")
-    val n = newDf.select(keys.map(col) :+
-      struct(payload.map(col): _*).as("new"): _*).alias("__n")
+    // one side: (keys..., payload struct), optionally wrapped in the
+    // duplicate-multiplicity guard. `first` under __kcnt == 1 is THE
+    // row's payload (deterministic); under a violation the raise fires
+    // before the arbitrary pick could ever be observed.
+    def side(df: DataFrame, pname: String, label: String): DataFrame = {
+      val base = df.select(keys.map(col) :+
+        struct(payload.map(col): _*).as(pname): _*)
+      if (!assertUniqueKeys) base
+      else base
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__kcnt"), first(col(pname)).as(pname))
+        .withColumn(pname,
+          when(col("__kcnt") > 1, raise_error(concat(
+            lit("Cdc.diff: duplicate key "),
+            to_json(struct(keys.map(col): _*)),
+            lit(s" on the $label side — keys must be unique on each " +
+              "side (a duplicate fans out in the full-outer join and " +
+              "corrupts the feed)"))).cast(base.schema(pname).dataType))
+            .otherwise(col(pname)))
+        .drop("__kcnt")
+    }
+    val o = side(oldDf, "old", "old").alias("__o")
+    val n = side(newDf, "new", "new").alias("__n")
     // NULL-SAFE key equality (still a hash-joinable equi-key): a
     // plain equi-join never matches null keys, so a null-keyed update
     // would surface as a spurious delete+insert pair — here it
-    // matches and classifies like any other key
+    // matches and classifies like any other key (the guard's groupBy
+    // likewise pools null keys, matching <=> semantics)
     val on = keys.map(k => col(s"__o.$k") <=> col(s"__n.$k"))
       .reduce(_ && _)
-    val changed = o.join(n, on, "full_outer")
+    o.join(n, on, "full_outer")
       .withColumn("op",
         when(col("new").isNull, lit("delete"))
           .when(col("old").isNull, lit("insert"))
@@ -73,26 +94,5 @@ object Cdc {
       .select(keys.map(k =>
         coalesce(col(s"__o.$k"), col(s"__n.$k")).as(k)) ++
         Seq(col("op"), col("old"), col("new")): _*)
-    if (!assertUniqueKeys) changed
-    else {
-      // duplicate-key totality guard (SeqPack.pack's pattern): with
-      // unique keys each key yields EXACTLY one joined row, so a key
-      // seen twice among the CHANGED rows proves a duplicate on some
-      // side. Guarding after the filter keeps the window's exchange
-      // O(changes) — a pre-filter window would re-shuffle the entire
-      // join output, unchanged majority included, since a full-outer
-      // join reports no output partitioning to reuse.
-      val keyStruct = struct(keys.map(col): _*)
-      changed
-        .withColumn("__kcnt", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(keyStruct)))
-        .withColumn("op",
-          when(col("__kcnt") > 1, raise_error(concat(
-            lit("Cdc.diff: duplicate key "), to_json(keyStruct),
-            lit(" — keys must be unique on each side (a duplicate " +
-              "fans out in the full-outer join and corrupts the feed)"))))
-            .otherwise(col("op")))
-        .drop("__kcnt")
-    }
   }
 }

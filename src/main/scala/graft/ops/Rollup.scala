@@ -137,32 +137,50 @@ object Rollup {
     * days), never O(store). Replay converges: an insert slot re-lands
     * in the SAME `batch=slot` (the a10/st8 idempotence contract) and
     * a rebuild re-derives from state, so a crashed maintenance run is
-    * re-run, not repaired. Returns (insert-only days, rebuilt days). */
+    * re-run, not repaired — and an interrupted round is DETECTABLE:
+    * a `_maint_round.json` marker (tmp+rename) is written before the
+    * first destructive placement and removed only after the last, so
+    * a crash mid-round (e.g. between a dirty day's delete and its
+    * rename, which would otherwise silently serve bars missing that
+    * whole day) leaves the marker for [[pendingMaintenance]] to
+    * surface; the caller re-runs the round and the marker clears.
+    * Day dir names use Spark's own partition-path escaping
+    * (ExternalCatalogUtils) on compose AND decode on list, so a day
+    * key containing a space/`:`/`%` round-trips instead of landing
+    * under a mismatched raw-string path. Returns (insert-only days,
+    * rebuilt days). */
   def maintainDayPartials(
       insertRows: DataFrame, dirtyDays: Seq[String],
       rebuildState: DataFrame, root: String, day: Column,
       groupCols: Seq[Column], orderKey: Column, value: Column,
       volume: Column, slot: Long): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{
+      escapePathName, unescapePathName}
     val ss = insertRows.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       ss.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     val dirty = dirtyDays.distinct.sorted
-    def stagePerDay(rows: DataFrame, tag: String): (String, Seq[String]) = {
+    // staged dirs are listed by ESCAPED name (exactly what Spark's
+    // writer produced) and decoded only for the returned day values /
+    // dirty-day matching — paths always compose from the escaped form
+    def stagePerDay(rows: DataFrame, tag: String)
+        : (String, Seq[(String, String)]) = {
       val stage = s"${root.stripSuffix("/")}/__stage_$tag"
       fs.delete(path(stage), true)
       val p = ohlcPartials(rows, groupCols :+ col("__d"),
         orderKey, value, volume)
       p.write.partitionBy("__d").parquet(stage)
       val days = fs.listStatus(path(stage)).map(_.getPath.getName)
-        .collect { case n if n.startsWith("__d=") => n.stripPrefix("__d=") }
-        .toSeq.sorted
+        .collect { case n if n.startsWith("__d=") =>
+          val e = n.stripPrefix("__d="); (e, unescapePathName(e)) }
+        .toSeq.sortBy(_._1)
       (stage, days)
     }
-    def move(stage: String, d: String, dest: String): Unit = {
+    def move(stage: String, esc: String, dest: String): Unit = {
       fs.mkdirs(path(dest).getParent)
       fs.delete(path(dest), true) // replay: the slot re-lands, never doubles
-      if (!fs.rename(path(s"$stage/__d=$d"), path(dest)))
+      if (!fs.rename(path(s"$stage/__d=$esc"), path(dest)))
         throw new java.io.IOException(
           s"maintainDayPartials: could not place $dest")
     }
@@ -171,7 +189,12 @@ object Rollup {
     val insDf = insertRows.withColumn("__d", day)
       .filter(if (dirty.isEmpty) lit(true) else !col("__d").isin(dirty: _*))
     val (insStage, insDays) = stagePerDay(insDf, s"ins_$slot")
-    insDays.foreach(d => move(insStage, d, s"$root/day=$d/batch=$slot"))
+    // the round marker: durable BEFORE the first placement, removed
+    // after the last — while it exists the bar store may be missing a
+    // dirty day mid-swap, and a crashed round must not read as whole
+    writeMaintMarker(fs, root, slot, dirty)
+    insDays.foreach { case (e, _) =>
+      move(insStage, e, s"$root/day=$e/batch=$slot") }
     fs.delete(path(insStage), true)
     // dirty days: recompute from the new state, replace wholesale
     val rebuilt =
@@ -180,18 +203,72 @@ object Rollup {
         val rbDf = rebuildState.withColumn("__d", day)
           .filter(col("__d").isin(dirty: _*))
         val (rbStage, rbDays) = stagePerDay(rbDf, s"rb_$slot")
-        rbDays.foreach { d =>
-          fs.delete(path(s"$root/day=$d"), true)
-          move(rbStage, d, s"$root/day=$d/batch=0")
+        rbDays.foreach { case (e, _) =>
+          fs.delete(path(s"$root/day=$e"), true)
+          move(rbStage, e, s"$root/day=$e/batch=0")
         }
         fs.delete(path(rbStage), true)
         // a dirty day the new state no longer has ANY rows for (fully
         // deleted) produced no staged dir — drop its store dir too
-        dirty.filterNot(rbDays.contains)
-          .foreach(d => fs.delete(path(s"$root/day=$d"), true))
+        dirty.filterNot(rbDays.map(_._2).contains)
+          .foreach(d => fs.delete(path(s"$root/day=${escapePathName(d)}"),
+            true))
         dirty
       }
-    (insDays, rebuilt)
+    clearMaintMarker(fs, root)
+    (insDays.map(_._2), rebuilt)
+  }
+
+  private def maintMarkerPath(root: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}/_maint_round.json")
+
+  private def writeMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, slot: Long, dirty: Seq[String]): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("slot", slot)
+    val arr = node.putArray("dirtyDays")
+    dirty.foreach(arr.add)
+    val dest = maintMarkerPath(root)
+    fs.mkdirs(dest.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"maintainDayPartials: could not record round marker $dest")
+  }
+
+  private def clearMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit =
+    fs.delete(maintMarkerPath(root), false)
+
+  /** The interrupted-round detector: Some((slot, dirtyDays)) while a
+    * [[maintainDayPartials]] round is in flight OR died mid-placement
+    * (a crashed round may be serving bars missing a whole dirty day —
+    * re-run the round with the same inputs to converge, which clears
+    * the marker), None when the store is whole. */
+  def pendingMaintenance(ss: org.apache.spark.sql.SparkSession,
+      root: String): Option[(Long, Seq[String])] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = maintMarkerPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes)
+      val days = (0 until node.path("dirtyDays").size())
+        .map(i => node.path("dirtyDays").get(i).asText())
+      Some((node.path("slot").asLong(), days))
+    }
   }
 
   /** Fold rollup-partial batch slots ≤ `upTo` into one (the

@@ -90,6 +90,31 @@ class CdcSpec extends SparkSpec {
       .count() >= 3)
   }
 
+  test("the guard is total: partially- and fully-identical duplicates raise too") {
+    // old = (k,p), new = (k,p)+(k,p2): the joined pairs are one
+    // unchanged row and one update — a changed-rows-only guard passed
+    // this, yet the emitted 'update' feed cannot reproduce a new
+    // state that holds BOTH rows
+    val o = Seq((2L, "b", 20.0)).toDF("k", "etype", "v")
+    val partial = Seq((2L, "b", 20.0), (2L, "b", 21.0))
+      .toDF("k", "etype", "v")
+    val ex = intercept[Exception] {
+      Cdc.diff(o, partial, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate key"),
+      s"partially-identical duplicate escaped the guard: ${ex.getMessage}")
+    // fully-identical duplicates raise as well — the feed cannot
+    // represent row multiplicity, so 'empty feed' would still not
+    // reproduce the new state's two rows from the old state's one
+    val full = Seq((2L, "b", 20.0), (2L, "b", 20.0)).toDF("k", "etype", "v")
+    val ex2 = intercept[Exception] {
+      Cdc.diff(o, full, Seq("k")).collect()
+    }
+    assert(ex2.getMessage.contains("duplicate key"))
+    // the side is named so the caller knows where to look
+    assert(ex.getMessage.contains("new side"), ex.getMessage)
+  }
+
   test("feed applied to the old state reproduces the new state") {
     val newDf = Seq((2L, "b", 25.0), (3L, "c", 30.0), (5L, "e", 50.0))
       .toDF("k", "etype", "v")

@@ -1090,4 +1090,45 @@ class EngineSpec extends SparkSpec {
     assert(e.openSnapshotAt("stk_day", 2L).exists(_.count() == 2))
     intercept[IllegalArgumentException](e.restoreToCut(99L))
   }
+
+  test("saveAll holds store monitors: a concurrent set blocks for the span and is never lost") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{a:{fields:{t:[T,8],value:[F,8]}}}")
+    e.create("{b:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.a", """{"t":"2024-01-01T00:00:00Z","value":1.0}""")
+    e.set("u1.b", """{"t":"2024-01-01T00:00:00Z","value":2.0}""")
+    val stA = e.storeHandle("a")
+    // a set() racing the stage→marker→finalize window: pre-fix it
+    // appended hot rows that finalize's clearHot() discarded without
+    // committing (silent loss); now every listed store's monitor is
+    // held across the span, so the set BLOCKS until the commit is
+    // whole and lands in the post-commit hot tail
+    val setter = new Thread(() =>
+      e.set("u2.a", """{"t":"2024-01-02T00:00:00Z","value":3.0}"""))
+    @volatile var sawBlocked = false
+    stA.onBeforeSnapshotRename = () => {
+      if (!setter.isAlive && setter.getState == Thread.State.NEW)
+        setter.start()
+      val deadline = System.currentTimeMillis() + 30000
+      while (setter.getState != Thread.State.BLOCKED &&
+          setter.getState != Thread.State.TERMINATED &&
+          System.currentTimeMillis() < deadline) Thread.sleep(2)
+      sawBlocked = setter.getState == Thread.State.BLOCKED
+    }
+    e.saveAll(Seq("a", "b"))
+    stA.onBeforeSnapshotRename = () => ()
+    setter.join(30000)
+    assert(sawBlocked,
+      "the racing set() did not block on the store monitor mid-commit")
+    // the blocked set landed AFTER the atomic commit — in the hot
+    // tail, visible to reads, and committable by the next save
+    assert(e.get("u2.a", "{}").count() == 1,
+      "the racing set()'s row was lost")
+    e.save("a")
+    assert(e.openSnapshot("a").exists(
+      _.filter(org.apache.spark.sql.functions.col("subject") === "u2")
+        .count() == 1),
+      "the racing set()'s row did not survive to the next commit")
+  }
 }

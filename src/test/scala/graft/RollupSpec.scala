@@ -135,4 +135,56 @@ class RollupSpec extends SparkSpec {
       .orderBy("key").collect().toSeq
     assert(postMerge == preMerge, "compaction changed the merged bars")
   }
+
+  test("maintainDayPartials: hostile day keys round-trip; an interrupted round is detectable") {
+    val root = java.nio.file.Files
+      .createTempDirectory("rollup_esc").toString + "/bars"
+    // a day key Spark's writer must %-escape in the partition dir name:
+    // pre-fix, raw-string path composition would mismatch the escaped
+    // dir and land the rebuild under a wrong path
+    val hostile = "2024-01-03 10:30"
+    val base = Seq(("g", hostile, 10L, 1.0), ("g", hostile, 20L, 3.0),
+      ("g", "plain", 10L, 2.0)).toDF("key", "day", "k", "v")
+    def maintain(ins: org.apache.spark.sql.DataFrame, dirty: Seq[String],
+        state: org.apache.spark.sql.DataFrame, slot: Long) =
+      Rollup.maintainDayPartials(ins, dirty, state, root, col("day"),
+        Seq(col("key")), col("k"), col("v"), col("v"), slot)
+    maintain(base, Seq.empty, base, 0L)
+    assert(Rollup.pendingMaintenance(spark, root).isEmpty,
+      "a completed round must leave no marker")
+    // dirty rebuild of the hostile day: the new state re-values it
+    val newState = Seq(("g", hostile, 10L, 5.0), ("g", "plain", 10L, 2.0))
+      .toDF("key", "day", "k", "v")
+    val (_, rb) = maintain(base.limit(0), Seq(hostile), newState, 1L)
+    assert(rb == Seq(hostile))
+    val bars = Rollup.finalizeBars(
+      spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("key", "day"))
+    val got = bars.filter(col("day") === hostile).select("open", "cnt")
+      .collect().toSeq.map(r => (r.getDouble(0), r.getLong(1)))
+    assert(got == Seq((5.0, 1L)),
+      s"hostile day did not rebuild under its escaped dir: $got")
+    // fully-deleted hostile day: the delete path must compose the
+    // SAME escaped name the writer produced, or the dir survives
+    val finalState = Seq(("g", "plain", 10L, 2.0)).toDF("key", "day", "k", "v")
+    maintain(base.limit(0), Seq(hostile), finalState, 2L)
+    val days = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).toSet
+    assert(days.size == 1 && days.head.contains("plain"),
+      s"fully-deleted hostile day dir survived: $days")
+    assert(Rollup.pendingMaintenance(spark, root).isEmpty)
+    // a crashed round leaves its marker for the detector (hand-write
+    // the artifact a crash mid-placement would leave behind)
+    val mk = new java.io.File(s"$root/_maint_round.json")
+    java.nio.file.Files.write(mk.toPath,
+      """{"slot":7,"dirtyDays":["d9"]}""".getBytes)
+    assert(Rollup.pendingMaintenance(spark, root)
+      .contains((7L, Seq("d9"))),
+      "an interrupted round was not detected")
+    // re-running a round converges AND clears the marker
+    maintain(base.limit(0), Seq.empty, finalState, 3L)
+    assert(Rollup.pendingMaintenance(spark, root).isEmpty,
+      "a re-run round did not clear the stale marker")
+  }
 }
