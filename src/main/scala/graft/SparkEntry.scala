@@ -3811,6 +3811,101 @@ object SparkEntry {
       .orderBy("tbl", "subject")
   }
 
+  /** E22 — FACTOR/KV TABLES UNDER THE VERSIONED-COMMIT SURFACE: the
+    * reference gives factor tables the SAME cross-key consistency as
+    * structured sdb keys (one serial dispatcher,
+    * sisdb_server.c:474-476; frwdb is a single-writer store whose
+    * readers pin [start, stop] history, workers/frwdb/frwdb.h:28-33 +
+    * frwdb_reader.c:676-905), and a training run pinning "events +
+    * factors" reproducibly is exactly the multi-table read the cut
+    * machinery exists for. Here every table class — a structured sdb
+    * table (`set`), an auto-created factor table (`fset`,
+    * disk/readme.md's degenerate `factor {time:T, value:F8}`), and a
+    * ONE-style KV table (`kset`) — rides the SAME TsStore generation
+    * machinery, so ONE `saveAll` commits all three atomically, ONE
+    * `snapshotAll` cut pins all three, and a post-cut `fset`/`kset`
+    * never leaks into the pinned read. REQUIREd in-query: the atomic
+    * commit returns a generation for every class; the cut-pinned
+    * factor read has FEWER days than the live one (post-cut inserts
+    * excluded) and differs in value on at least one shared day
+    * (post-cut updates excluded); the pinned KV value is the pre-cut
+    * write while the live read serves the overwrite. Output: per-user
+    * factor aggregates of the pinned AND live reads plus the
+    * data-derived KV row, hash-checked against the relational rebuild
+    * of both factor states from the source events. */
+  private def qFactorVersioned(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_e22_fver/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 6)
+    def factorPayloads(rows: DataFrame): Array[(Long, String)] =
+      rows.groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(round(avg("value"), 6).as("factor"))
+        .select(col("user_id"), to_json(struct(
+          to_timestamp(col("day"), "yyyy-MM-dd").as("time"),
+          col("factor").as("value"))).as("j"))
+        .groupBy("user_id")
+        .agg(concat(lit("["), concat_ws(",", collect_list("j")),
+          lit("]")).as("arr"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // pre-cut state: factors over the ODD event-ids, one KV config,
+    // the ev rows — committed as ONE atomic point across all classes
+    val odds = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    factorPayloads(odds).foreach { case (u, arr) =>
+      eng.fset(s"u$u.macd", arr) }
+    eng.kset("cfg.mode", "A")
+    clientEventPayloads(odds).foreach { case (u, arr) =>
+      eng.set(s"u$u.ev", arr) }
+    val gens = eng.saveAll() // default = EVERY catalog table
+    require(Seq("ev", "macd", "__one").forall(t => gens.get(t).exists(_ >= 1L)),
+      s"saveAll must commit every table class (sdb + factor + KV): $gens")
+    val cut = eng.snapshotAll()
+    // post-cut drift on every class: factors recomputed over ALL
+    // events (updates shared days, inserts even-only days), the KV
+    // overwritten, more ev rows — committed atomically again
+    factorPayloads(ev).foreach { case (u, arr) =>
+      eng.fset(s"u$u.macd", arr) }
+    eng.kset("cfg.mode", "B")
+    clientEventPayloads(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      .foreach { case (u, arr) => eng.set(s"u$u.ev", arr) }
+    eng.saveAll()
+    // the pinned multi-table read: all classes AT the cut
+    val pin = eng.openSnapshotAllAt(cut)
+    val fxCut = pin("macd").getOrElse(
+      throw new IllegalStateException("factor table missing from the cut"))
+      .localCheckpoint() // consumed by REQUIREs + output
+    val fxLive = eng.openSnapshot("macd").get.localCheckpoint()
+    val nCut = fxCut.count(); val nLive = fxLive.count()
+    require(nCut > 0 && nCut < nLive,
+      s"post-cut factor inserts leaked into the pinned read " +
+        s"($nCut pinned vs $nLive live)")
+    val changed = fxCut.alias("c")
+      .join(fxLive.alias("l"), Seq("subject", "time"))
+      .filter(col("c.value") =!= col("l.value")).count()
+    require(changed > 0,
+      "post-cut factor updates did not change any shared day — the " +
+        "leak check is vacuous")
+    val kvCut = pin("__one").get.filter(col("subject") === "cfg.mode")
+      .select("value").head.getString(0)
+    val kvLive = eng.kget("cfg.mode").select("value").head.getString(0)
+    require(kvCut == "A" && kvLive == "B",
+      s"KV cut/live mismatch: pinned '$kvCut', live '$kvLive'")
+    def aggOf(df: DataFrame, tag: String) =
+      df.groupBy(col("subject")).agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("total"))
+        .select(lit(tag).as("src"), col("subject").as("key"),
+          col("n"), col("total"))
+    aggOf(fxCut, "fx_cut")
+      .unionByName(aggOf(fxLive, "fx_live"))
+      .unionByName(pin("__one").get.filter(col("subject") === "cfg.mode")
+        .select(lit("kv").as("src"),
+          concat(lit("mode="), col("value")).as("key"),
+          lit(1L).as("n"), lit(0.0).as("total")))
+      .orderBy("src", "key")
+  }
+
   /** E14 — SCHEDULED vacuum on the commit path
     * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
     * that never calls vacuum() accumulates superseded version dirs
@@ -5012,6 +5107,7 @@ object SparkEntry {
     "e19_restore_cut" -> qRestoreCut _,
     "e20_cross_era_feed" -> qCrossEraFeed _,
     "e21_atomic_commit" -> qAtomicCommit _,
+    "e22_factor_versioned" -> qFactorVersioned _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -6449,6 +6545,32 @@ object SparkEntry {
            SELECT 'fx' AS tbl, 'u' || user_id AS subject, value * 3 AS v
            FROM events WHERE user_id < 8)
          GROUP BY 1, 2 ORDER BY tbl, subject""",
+    // e22: the cut-pinned factor state is the odd-event-id per-day
+    // averages (post-cut fset excluded), the live state the all-event
+    // averages — a leaked post-cut insert/update or a lost pinned day
+    // changes (n, total); the KV row derives from the pinned read
+    "e22_factor_versioned" ->
+      """WITH fo AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS f
+           FROM events WHERE user_id < 6 AND event_id % 2 = 1
+           GROUP BY 1, 2),
+         fa AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS f
+           FROM events WHERE user_id < 6 GROUP BY 1, 2)
+         SELECT * FROM (
+           SELECT 'fx_cut' AS src, 'u' || user_id AS key,
+             count(*)::BIGINT AS n, round(sum(f), 4) AS total
+           FROM fo GROUP BY 2, user_id
+           UNION ALL
+           SELECT 'fx_live' AS src, 'u' || user_id AS key,
+             count(*)::BIGINT AS n, round(sum(f), 4) AS total
+           FROM fa GROUP BY 2, user_id
+           UNION ALL
+           SELECT 'kv' AS src, 'mode=A' AS key, 1::BIGINT AS n,
+             0.0 AS total)
+         ORDER BY src, key""",
     // e20: e18's relational diff ACROSS the evolve boundary — g1 is
     // the odd split ALIGNED to the new era (score reads the 0.0
     // zero-fill, per e17's proven convert rules), gN is the final
