@@ -1155,6 +1155,148 @@ object SparkEntry {
       round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
   }
 
+  /** ST11 — STREAM-WIRED CDC ROLLUP MAINTENANCE
+    * ([[graft.api.Engine.startIngestMaintained]] /
+    * [[graft.api.Engine.maintainRollup]]): the reference's headline
+    * write→bar cascade (workers/sisdb/sisdb.h:36-42; README1.MD — a
+    * tick write propagates automatically to the day bar) composed
+    * under a LIVE feed, the way st10 stream-wired the vector index.
+    * Each micro-batch lands in the store (set+save = one committed
+    * generation) and then runs one a11 maintenance round derived from
+    * the CHANGE FEED cursor→current ([[graft.ops.Rollup]] cursor
+    * protocol): feed inserts merge as the redelivery-stable slot
+    * batchId+1, update/delete days rebuild partition-pruned from the
+    * new pin, and the durable cursor advances only after the round
+    * completes. Drilled in-query: (1) full checkpoint-loss REPLAY —
+    * every batch redelivers, re-lands content-identically, diffs
+    * EMPTY, and the bar store's files stay byte-identical
+    * (exactly-once bars); (2) a batch whose maintenance DIED after
+    * the store commit — the bars provably miss it, and the
+    * redelivered round re-derives the same feed against the re-landed
+    * generation and converges; (3) a command-side `del` propagated
+    * through the SAME cursor protocol (disjoint slot). REQUIREd
+    * further: the cursor ends at the max generation, no in-flight
+    * maintenance marker survives, and the stream-maintained bars
+    * equal the from-scratch rollup of the final pinned state
+    * bar-for-bar. Output: the final bars, hash-checked against the
+    * relational rebuild. */
+  private def qStreamCdcRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_st11_cdcbar/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val eng = new graft.api.Engine(s, s"$base/eng", snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8],eid:[I,8]}}}")
+    val raw = t(s, dir, "events").filter(col("user_id") < 10)
+      .select(col("ts").as("t"), col("event_type").as("etype"),
+        col("value"), col("event_id").as("eid"),
+        concat(lit("u"), col("user_id")).as("subject"))
+    val okey = unix_millis(col("t")) * 1000000L + col("eid")
+    val grp = Seq(col("etype"))
+    val barRoot = s"$base/bars"
+    val now = System.currentTimeMillis()
+    def barMismatches(state: DataFrame): Long = {
+      val merged = Rollup.finalizeBars(
+        s.read.parquet(barRoot)
+          .withColumn("day", col("day").cast("string")).drop("batch"),
+        Seq("etype", "day"))
+      val fresh = Rollup.ohlc(state.withColumn("day", col("__day")),
+        Seq(col("etype"), col("day")), okey, col("value"),
+        volume = Some(col("value")))
+      merged.alias("m").join(fresh.alias("f"), Seq("etype", "day"), "full")
+        .filter(col("m.open").isNull || col("f.open").isNull ||
+          col("m.open") =!= col("f.open") ||
+          col("m.high") =!= col("f.high") ||
+          col("m.low") =!= col("f.low") ||
+          col("m.close") =!= col("f.close") ||
+          col("m.cnt") =!= col("f.cnt") ||
+          abs(col("m.volume") - col("f.volume")) > lit(1e-6))
+        .count()
+    }
+    def pinnedNow() = eng.openSnapshotAt("ev",
+      eng.snapshotVersions("ev").max).get
+    // bootstrap: the first half lands through the plain ingest stream,
+    // then the bar store bootstraps as slot 0 with the cursor set
+    writeFeedFile(raw, s"$base/s0", pmod(col("eid"), lit(4)) < 2,
+      "b_init", now - 300000L)
+    eng.startIngest("ev", s"$base/s0/feed", s"$base/ckpt0")
+      .awaitTermination()
+    eng.bootstrapRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // the maintained stream: b0 pure inserts, b1 pure updates (u3's
+    // bootstrap rows on six days re-valued — same upsert keys)
+    writeFeedFile(raw, s"$base/s1", pmod(col("eid"), lit(4)) === 2,
+      "b0", now - 120000L)
+    writeFeedFile(
+      raw.withColumn("value", col("value") + 1), s"$base/s1",
+      col("subject") === "u3" && pmod(col("eid"), lit(4)) < 2 &&
+        date_format(col("t"), "yyyy-MM-dd")
+          .between("2024-01-03", "2024-01-08"),
+      "b1", now - 60000L)
+    eng.startIngestMaintained("ev", s"$base/s1/feed", s"$base/ckpt1",
+      barRoot, grp, okey, col("value"), col("value"))
+      .awaitTermination()
+    require(barMismatches(pinnedNow()) == 0,
+      "stream-maintained bars diverged after the maintained stream")
+    // DRILL 1 — checkpoint loss: every batch redelivers; re-landed
+    // generations diff empty and the bar files stay byte-identical
+    def listBarFiles(): Set[String] = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(barRoot), true)
+      val files = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_"))
+          files += s"${st.getPath}#${st.getLen}#${st.getModificationTime}"
+      }
+      files.toSet
+    }
+    val beforeReplay = listBarFiles()
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$base/ckpt1"))
+    eng.startIngestMaintained("ev", s"$base/s1/feed", s"$base/ckpt1",
+      barRoot, grp, okey, col("value"), col("value"))
+      .awaitTermination()
+    require(listBarFiles() == beforeReplay,
+      "a full checkpoint-loss replay changed the bar store — " +
+        "the stream-maintained bars are not exactly-once")
+    // DRILL 2 — a batch commits to the store but its maintenance
+    // dies: bars provably miss it until the redelivered round
+    // re-derives the same feed against the re-landed generation
+    writeFeedFile(raw, s"$base/s2", pmod(col("eid"), lit(4)) === 3,
+      "b2", now - 30000L)
+    eng.startIngest("ev", s"$base/s2/feed", s"$base/ckpt2")
+      .awaitTermination() // store-commit only: the crash point
+    require(barMismatches(pinnedNow()) > 0,
+      "the died-mid-maintenance drill is vacuous — bars already match")
+    eng.maintainRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"), slot = 3L) // the redelivered round (batchId 2 + 1)
+    require(barMismatches(pinnedNow()) == 0,
+      "the recovered maintenance round did not converge")
+    // DRILL 3 — a command-side delete propagates through the SAME
+    // cursor protocol (disjoint slot range for command rounds)
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-15T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    eng.maintainRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"), slot = 1000L)
+    val sN = pinnedNow().localCheckpoint()
+    require(barMismatches(sN) == 0,
+      "the propagated delete did not converge bar-for-bar")
+    require(graft.ops.Rollup.readBarCursor(s, barRoot)
+      .contains(eng.snapshotVersions("ev").max),
+      "the cursor did not end at the max committed generation")
+    require(graft.ops.Rollup.pendingMaintenance(s, barRoot).isEmpty,
+      "an in-flight maintenance marker survived the stream")
+    Rollup.finalizeBars(
+        s.read.parquet(barRoot)
+          .withColumn("day", col("day").cast("string")).drop("batch"),
+        Seq("etype", "day"))
+      .select(col("etype"), col("day"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("cnt"), round(col("volume"), 2).as("volume"))
+      .orderBy("etype", "day")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -5060,6 +5202,7 @@ object SparkEntry {
     "x13_ivfpq" -> qIvfPq _,
     "x14_ivfpq_stored" -> qStoredIvfPq _,
     "st10_stream_vector_index" -> qStreamVectorIndex _,
+    "st11_stream_cdc_rollup" -> qStreamCdcRollup _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -5714,6 +5857,31 @@ object SparkEntry {
           round(arg_max(value, $evKeySql), 6) AS close,
           count(*) AS cnt, round(sum(value), 2) AS volume
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // st11: the final state rebuilt relationally (bootstrap pmod<2
+    // with u3's six days re-valued +1, the streamed/crash-drilled
+    // quarters inserted, u2's range deleted), then a1's relational
+    // OHLC contract over it — a replayed batch that doubled a slot, a
+    // died-mid-maintenance batch never recovered, or an unpropagated
+    // delete would mismatch bar-for-bar
+    "st11_stream_cdc_rollup" ->
+      s"""WITH fin AS (
+           SELECT event_type AS etype, strftime(ts, '%Y-%m-%d') AS day,
+             CASE WHEN user_id = 3 AND event_id % 4 < 2
+                    AND strftime(ts, '%Y-%m-%d')
+                      BETWEEN '2024-01-03' AND '2024-01-08'
+                  THEN value + 1 ELSE value END AS value,
+             $evKeySql AS k
+           FROM events
+           WHERE user_id < 10
+             AND NOT (user_id = 2 AND strftime(ts, '%Y-%m-%d')
+               BETWEEN '2024-01-10' AND '2024-01-15'))
+         SELECT etype, day,
+           round(arg_min(value, k), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(arg_max(value, k), 6) AS close,
+           count(*) AS cnt, round(sum(value), 2) AS volume
+         FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
     // a10 maintains the SAME bars incrementally (batch slots + merge +
     // compaction), so its relational contract is a1's over the union —
     // a maintenance bug shows up as an a10-only mismatch

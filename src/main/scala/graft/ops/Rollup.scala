@@ -271,6 +271,66 @@ object Rollup {
     }
   }
 
+  // ── maintenance cursor (the streaming-maintainer watermark) ────
+  //
+  // A maintainer driven by a LIVE feed (st11: foreachBatch lands each
+  // micro-batch in the store, then propagates the change feed into
+  // the bar partials) must survive a crash ANYWHERE between "batch
+  // committed to the store" and "bars maintained" — the store-side
+  // slot upsert makes the re-landed batch content-identical, so a
+  // per-batch delta computed implicitly ("what this batch carried")
+  // would REPLAY AS EMPTY and the bars would silently miss the batch
+  // forever. The cursor is the fix: the last store generation whose
+  // changes have been APPLIED to the bar store, written durably
+  // (tmp+rename) only AFTER the round completes. Every round derives
+  // its feed as changesBetween(cursor, current) — crash before the
+  // cursor write and the re-run re-derives the SAME feed against the
+  // re-landed generation and converges ([[maintainDayPartials]] is
+  // replay-convergent: slots overwrite, rebuilds re-derive).
+
+  private def cursorPath(root: String) = new org.apache.hadoop.fs.Path(
+    s"${root.stripSuffix("/")}/_maint_cursor.json")
+
+  /** The last store generation applied to the bar store at `root`,
+    * or None before the first round. */
+  def readBarCursor(ss: org.apache.spark.sql.SparkSession,
+      root: String): Option[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val p = cursorPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        buf.toByteArray
+      } finally in.close()
+      Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(bytes).path("generation").asLong())
+    }
+  }
+
+  /** Advance the cursor — call ONLY after the round's placements all
+    * landed (the crash-anywhere-else contract above). */
+  def writeBarCursor(ss: org.apache.spark.sql.SparkSession,
+      root: String, generation: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("generation", generation)
+    val dest = cursorPath(root)
+    fs.mkdirs(dest.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"writeBarCursor: could not advance the cursor at $dest")
+  }
+
   /** Fold rollup-partial batch slots ≤ `upTo` into one (the
     * [[Sketches]] stage→marker→apply compactor): the consolidated
     * slot is [[mergeBarPartials]] of the in-scope slots, which the

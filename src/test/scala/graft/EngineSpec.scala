@@ -1131,4 +1131,39 @@ class EngineSpec extends SparkSpec {
         .count() == 1),
       "the racing set()'s row did not survive to the next commit")
   }
+
+  test("maintainRollup: refuses without a bootstrap, no-ops when the store has not moved") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0},
+      {"t":"2024-01-02T01:00:00Z","value":3.0}]""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    intercept[IllegalStateException] {
+      e.maintainRollup("ev", barRoot, grp, okey, col("value"),
+        col("value"), slot = 1L)
+    }
+    val g = e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"))
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g))
+    // the store has not moved: the round is a no-op and the cursor holds
+    assert(e.maintainRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"), slot = 1L) == ((Seq.empty, Seq.empty)))
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g))
+    // a write moves the store; the round propagates it and advances
+    e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":5.0}""")
+    e.save("ev")
+    val (ins, rb) = e.maintainRollup("ev", barRoot, grp, okey,
+      col("value"), col("value"), slot = 1L)
+    assert(ins == Seq("2024-01-03") && rb.isEmpty, s"($ins, $rb)")
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot)
+      .exists(_ > g))
+    val bars = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+    assert(bars.count() == 3 &&
+      bars.agg(sum("volume")).head.getDouble(0) == 9.0)
+  }
 }
