@@ -1155,6 +1155,146 @@ object SparkEntry {
       round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
   }
 
+  private[graft] object PqDriftOracle {
+    @volatile var cents: Option[Array[Array[Double]]] = None
+    @volatile var books: Option[Array[Array[Array[Double]]]] = None
+    @volatile var dt: Option[Array[Array[Double]]] = None
+    @volatile var query: Option[Array[Double]] = None
+    @volatile var probed: Option[Seq[Int]] = None
+  }
+
+  /** X15 — DRIFT-DRIVEN RETRAIN of the STORED composed index
+    * ([[graft.ops.Similarity.pqCodeDriftStats]] /
+    * [[graft.ops.Similarity.pqCodeMaxTv]] + the x10 cutover on the
+    * x14 tree): the WHEN-to-retrain loop closed on the production
+    * index shape. x9's cell-share dial is proven on flat IVF; a
+    * composed IVFPQ tree needs a PQ-level signal too — a within-cell
+    * distribution shift can move the FINE codes while coarse cell
+    * counts hold — so the monitor watches BOTH, and both read the
+    * stored tree's 8-byte codes ONLY (batch=0 = the training
+    * distribution, batch=N = an append; REQUIREd in-plan: the
+    * monitor's scan deserializes codes, never a vector). Flow: g1
+    * builds on the base split and serves; an in-distribution batch
+    * appends (both dials REQUIREd quiet — append-don't-retrain); a
+    * shifted batch appends (x9's +1-per-coordinate covariate shift;
+    * both dials REQUIREd to FIRE, each ≥ 3× its quiet twin); the
+    * fired dial drives x10's lifecycle on the PQ tree — retrain on
+    * the live union under stamp g2, one marker flip, drop g1 —
+    * and the retrained probe's recall against the exact brute-force
+    * top-10 on the union is REQUIREd ≥ the stale tree's (retraining
+    * must not make search worse). Output: the post-cutover stored
+    * probe, REQUIREd row-equal to the in-query formulation with g2's
+    * constants and hash-checked against the composed relational
+    * oracle over the shifted-union corpus. */
+  private def qStoredPqDriftRetrain(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_x15_pqdrift/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val emb = t(s, dir, "embeddings").withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+    val base = cand.filter(pmod(col("vec_id"), lit(4)) < 2)
+    val held = cand.filter(pmod(col("vec_id"), lit(4)) === 2)
+    val drifted = cand.filter(pmod(col("vec_id"), lit(4)) === 3)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(1.0d)))
+    val union = base.unionByName(held).unionByName(drifted)
+    // epoch 1: the composed index builds on the base split and serves
+    Similarity.ivfPqBuildStamp(base, root, "g1", "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16)
+    Similarity.ivfCutover(s, root, "g1")
+    val g1Path = Similarity.ivfStampPath(root, "g1")
+    // appends against the frozen sidecars (x7's O(batch) contract)
+    Similarity.ivfPqAppendBatch(held, g1Path, 1L, "vec_id", "embedding")
+    Similarity.ivfPqAppendBatch(drifted, g1Path, 2L, "vec_id", "embedding")
+    val (_, codes1, c1, b1) = Similarity.openCurrentIvfPq(s, root)
+    val ref = codes1.filter(col("batch") === 0)
+    val fb1 = codes1.filter(col("batch") === 1)
+    val fb2 = codes1.filter(col("batch") === 2)
+    // the monitor reads the stored tree's codes only — never a vector
+    val monPlan = Similarity.pqCodeDriftStats(ref, fb2)
+      .queryExecution.executedPlan.toString
+    val monSchemas = "ReadSchema: ([^\\n]*)".r
+      .findAllMatchIn(monPlan).map(_.group(1)).toSeq
+    require(monSchemas.nonEmpty && monSchemas.forall(rs =>
+      rs.contains("codes") && !rs.contains("embedding")),
+      s"the drift monitor must read codes only, got $monSchemas")
+    val cellHeld = Similarity.totalVariation(
+      Similarity.ivfDriftStats(ref, fb1))
+    val cellDrift = Similarity.totalVariation(
+      Similarity.ivfDriftStats(ref, fb2))
+    val codeHeld = Similarity.pqCodeMaxTv(
+      Similarity.pqCodeDriftStats(ref, fb1))
+    val codeDrift = Similarity.pqCodeMaxTv(
+      Similarity.pqCodeDriftStats(ref, fb2))
+    System.err.println(f"[x15] dials: cell held=$cellHeld%.4f " +
+      f"drift=$cellDrift%.4f | code held=$codeHeld%.4f drift=$codeDrift%.4f")
+    // the quiet dials carry multinomial sampling noise that shrinks
+    // with batch size (sf0.01's batch is 125 vectors over 16 cells ≈
+    // 0.17 expected TV from noise alone, and max-over-m amplifies it
+    // for the code dial), so the bars sit wide apart: quiet < .25/.35,
+    // fired > .3/.6 AND ≥ 3× its quiet twin — the separation REQUIRE
+    // is what makes the dial a usable retrain trigger at any SF
+    require(cellHeld < 0.25 && codeHeld < 0.35,
+      f"in-distribution batch tripped a dial (cell=$cellHeld%.4f, " +
+        f"code=$codeHeld%.4f) — append-don't-retrain is broken")
+    require(cellDrift > 0.3 && cellDrift > 3 * cellHeld &&
+      codeDrift > 0.6 && codeDrift > 3 * codeHeld,
+      f"shifted batch did not trip both dials (cell=$cellDrift%.4f " +
+        f"vs $cellHeld%.4f, code=$codeDrift%.4f vs $codeHeld%.4f)")
+    // the recall bar is judged on a query that FOLLOWED the drift
+    // (the realistic post-shift workload — the monitor fired because
+    // the distribution moved, and retraining must serve the moved
+    // distribution at least as well as the stale tree does): vec 0
+    // translated by the same +1-per-coordinate shift
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Double](0).toArray.map(_ + 1.0)
+    val stale = Similarity.probeStoredIvfPq(codes1, union, "vec_id",
+        "embedding", qv, c1, b1, k = 10, nprobe = 4, shortlist = 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the FIRED dial drives x10's lifecycle on the composed tree:
+    // retrain on the live union aside, one marker flip, drop g1
+    val retrainWarranted = cellDrift > 0.3 || codeDrift > 0.3
+    require(retrainWarranted, "unreachable: dials checked above")
+    Similarity.ivfPqBuildStamp(union, root, "g2", "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16)
+    Similarity.ivfCutover(s, root, "g2")
+    Similarity.dropIvfStamp(s, root, "g1")
+    val (st2, codes2, c2, b2) = Similarity.openCurrentIvfPq(s, root)
+    require(st2 == "g2", "cutover must move the marker to the new stamp")
+    val dt = Similarity.pqDistanceTable(qv, b2)
+    val probed = Similarity.queryCells(qv, c2, nprobe = 4)
+    PqDriftOracle.cents = Some(c2); PqDriftOracle.books = Some(b2)
+    PqDriftOracle.dt = Some(dt); PqDriftOracle.query = Some(qv)
+    PqDriftOracle.probed = Some(probed)
+    val top = Similarity.probeStoredIvfPq(codes2, union, "vec_id",
+        "embedding", qv, c2, b2, k = 10, nprobe = 4, shortlist = 100)
+      .localCheckpoint() // consumed thrice: equality + recall + output
+    // retraining must not make search worse: recall vs the exact
+    // brute-force top-10 on the union, retrained ≥ stale
+    val truth = union
+      .select(col("vec_id"), VectorFunctions.l2sq(col("embedding"),
+        array(qv.toSeq.map(lit): _*)).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fresh = top.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rStale = stale.intersect(truth).size.toDouble / truth.size
+    val rNew = fresh.intersect(truth).size.toDouble / truth.size
+    System.err.println(f"[x15] recall@10: stale=$rStale%.2f retrained=$rNew%.2f")
+    require(rNew >= rStale,
+      f"retrained recall $rNew%.2f fell below the stale tree's " +
+        f"$rStale%.2f — the drift-driven retrain made search worse")
+    // the x14 contract on the retrained tree: stored == in-query
+    val inQuery = Similarity.ivfPqSearch(union, "vec_id", "embedding",
+        qv, c2, b2, dt, k = 10, nprobe = 4, shortlist = 100)
+      .select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    val storedRows = top.select("vec_id", "cell", "adc_rank", "d2", "rank")
+      .orderBy("rank").collect().toSeq
+    require(storedRows == inQuery,
+      s"retrained stored probe diverged from the in-query formulation")
+    top.select(col("vec_id"), col("cell"), col("adc_rank"),
+      round(col("d2"), 6).as("d2"), col("rank")).orderBy("rank")
+  }
+
   /** ST11 — STREAM-WIRED CDC ROLLUP MAINTENANCE
     * ([[graft.api.Engine.startIngestMaintained]] /
     * [[graft.api.Engine.maintainRollup]]): the reference's headline
@@ -5203,6 +5343,7 @@ object SparkEntry {
     "x14_ivfpq_stored" -> qStoredIvfPq _,
     "st10_stream_vector_index" -> qStreamVectorIndex _,
     "st11_stream_cdc_rollup" -> qStreamCdcRollup _,
+    "x15_pq_drift_retrain" -> qStoredPqDriftRetrain _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
     "tx5_repetition" -> qRepetition _,
@@ -8011,7 +8152,20 @@ object SparkEntry {
             d <- StreamPqOracle.dt; q <- StreamPqOracle.query;
             p <- StreamPqOracle.probed)
         yield "st10_stream_vector_index" ->
-          ivfPqOracleSqlFor(c, b, d, q, p)).toMap
+          ivfPqOracleSqlFor(c, b, d, q, p)).toMap ++
+      // x15: the post-cutover probe is x13's composed SQL with the
+      // RETRAINED (g2) constants over the shifted-union corpus
+      // (pmod-3 vec_ids translated +1 per coordinate, x9's shift)
+      (for (c <- PqDriftOracle.cents; b <- PqDriftOracle.books;
+            d <- PqDriftOracle.dt; q <- PqDriftOracle.query;
+            p <- PqDriftOracle.probed)
+        yield "x15_pq_drift_retrain" -> ivfPqOracleSqlFor(c, b, d, q, p,
+          corpusSql = """SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0 AND vec_id % 4 < 3
+             UNION ALL
+             SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> x + 1.0) AS v
+               FROM embeddings WHERE vec_id % 4 = 3""")).toMap
 
   /** The shared PQ encode→ADC→re-rank SQL chain over a source CTE
     * named `src` with columns (vec_id, v[, cell]) — x12 and x13
@@ -8086,7 +8240,9 @@ object SparkEntry {
 
   private def ivfPqOracleSqlFor(cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
-      query: Array[Double], probed: Seq[Int]): String = {
+      query: Array[Double], probed: Seq[Int],
+      corpusSql: String = """SELECT vec_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id != 0"""): String = {
     val centRows = cents.zipWithIndex.map { case (c, i) =>
       val lit = c.map(_.toString).mkString("[", ",", "]")
       val half = (c.map(x => x * x).sum / 2).toString
@@ -8095,8 +8251,7 @@ object SparkEntry {
     // x3's assignment CTE as a pruning prologue; the PQ chain itself
     // is pqSqlChain, shared verbatim with x12
     pqSqlChain(books, dt, query,
-      srcCtes = s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             FROM embeddings WHERE vec_id != 0),
+      srcCtes = s"""e AS ($corpusSql),
            cent AS (SELECT * FROM (VALUES
              $centRows) AS t(cell, cv, half)),
            asgc AS (

@@ -316,6 +316,37 @@ object Similarity {
     .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
     .head.getDouble(0)
 
+  /** PQ-CODE-usage drift — the composed-index signal cell shares can
+    * miss: a within-cell distribution shift moves the FINE codes
+    * while the coarse per-cell counts hold (and vice versa), so a
+    * stored IVFPQ tree monitors both. Inputs are slices of the stored
+    * codes tree (`batch=0` = the training distribution, `batch=N` =
+    * an append), so monitoring reads the 8-byte codes only — never a
+    * raw vector, never the corpus. Output: one row per (mi, code)
+    * with counts and per-subspace shares on each side. Cost: one
+    * map-side-combinable groupBy per side to ≤ m·ksub rows; the
+    * share window partitions by `mi` over that dial-bounded set. */
+  def pqCodeDriftStats(ref: DataFrame, fresh: DataFrame): DataFrame = {
+    def shares(df: DataFrame, n: String, s: String) = df
+      .select(posexplode(col("codes"))).toDF("mi", "code")
+      .groupBy("mi", "code").agg(count(lit(1)).as(n))
+      .withColumn(s, col(n) / sum(col(n)).over(Window.partitionBy("mi")))
+    shares(ref, "n_ref", "share_ref")
+      .join(shares(fresh, "n_new", "share_new"),
+        Seq("mi", "code"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_new"))
+      .na.fill(0.0, Seq("share_ref", "share_new"))
+  }
+
+  /** The scalar dial over [[pqCodeDriftStats]]: per-subspace total
+    * variation, MAX over subspaces — one drifted subspace must trip
+    * the dial even when the other m−1 hold. Driver-side scalar
+    * (≤ m·ksub input rows). */
+  def pqCodeMaxTv(drift: DataFrame): Double = drift
+    .groupBy("mi")
+    .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
+    .agg(max("tv")).head.getDouble(0)
+
   // ── retrain cutover (the HOW of "retrain offline when drift
   // warrants", closing the x7→x9 lifecycle) ─────────────────────
   //
