@@ -1132,6 +1132,61 @@ class EngineSpec extends SparkSpec {
       "the racing set()'s row did not survive to the next commit")
   }
 
+  test("saveAll x evolve: unmarked stages roll back before an evolve; a marker rolls forward under the pre-evolve era") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{a:{fields:{t:[T,8],value:[F,8]}}}")
+    e.create("{b:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.a", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e.set("u1.b", """{"t":"2024-01-01T01:00:00Z","value":2.0}""")
+    e.saveAll(Seq("a", "b"))
+    // CASE A — death BEFORE the commit point (staged tmp, no marker),
+    // then an evolve on the reopened engine: the stage was never
+    // acknowledged, so it must roll BACK at open (all-pre) and the
+    // evolve proceeds on the committed state
+    e.set("u2.a", """{"t":"2024-01-02T01:00:00Z","value":3.0}""")
+    assert(e.storeHandle("a").stageSave())
+    val e2 = new Engine(spark, root, snapshots = true)
+    e2.evolve("{a:{fields:{t:[T,8],value:[F,8],score:[F,8]}}}")
+    val subjectsA = e2.get("*.a", "{}")
+      .select("subject").collect().map(_.getString(0)).toSet
+    assert(subjectsA == Set("u1"),
+      s"a staged-but-unmarked save leaked across reopen+evolve: $subjectsA")
+    assert(e2.get("u1.a", "{}").select("score").head.getDouble(0) == 0.0,
+      "pre-evolve rows must read the aligned zero-fill")
+    // CASE B — death AFTER the commit point mid-finalize, then an
+    // evolve on the recovered engine: open-time recovery finalizes
+    // the staged instruction under the PRE-evolve era first (the
+    // marker records generations, not eras — recovery runs before
+    // any command can touch the tables), and the post-evolve live
+    // read aligns both eras
+    e2.set("u3.a", """{"t":"2024-01-03T01:00:00Z","value":5.0,"score":7.0}""")
+    e2.set("u3.b", """{"t":"2024-01-03T01:00:00Z","value":6.0}""")
+    val stB = e2.storeHandle("b")
+    var thrown = false
+    stB.onBeforeSnapshotRename = () => if (!thrown) {
+      thrown = true
+      throw new RuntimeException("injected crash mid-atomic-commit")
+    }
+    assert(scala.util.Try(e2.saveAll(Seq("a", "b"))).isFailure && thrown)
+    assert(e2.atomicMarker().nonEmpty,
+      "the crashed saveAll must leave its marker")
+    stB.onBeforeSnapshotRename = () => ()
+    val e3 = new Engine(spark, root, snapshots = true) // rolls forward
+    assert(e3.atomicMarker().isEmpty,
+      "open-time recovery did not release the marker")
+    e3.evolve("{b:{fields:{t:[T,8],value:[F,8],score:[F,8]}}}")
+    val a3 = e3.get("*.a", "{}").select("subject", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a3 == Map("u1" -> 0.0, "u3" -> 7.0),
+      s"recovered-then-evolved 'a' serves the wrong rows: $a3")
+    val b3 = e3.get("*.b", "{}").select("subject", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(b3 == Map("u1" -> 0.0, "u3" -> 0.0),
+      s"the rolled-forward pre-evolve round must align to era 1: $b3")
+  }
+
   test("maintainRollup: refuses without a bootstrap, no-ops when the store has not moved") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString
