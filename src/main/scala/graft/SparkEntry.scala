@@ -1250,10 +1250,9 @@ object SparkEntry {
     val stale = Similarity.probeStoredIvfPq(codes1, union, "vec_id",
         "embedding", qv, c1, b1, k = 10, nprobe = 4, shortlist = 100)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    // the FIRED dial drives x10's lifecycle on the composed tree:
-    // retrain on the live union aside, one marker flip, drop g1
-    val retrainWarranted = cellDrift > 0.3 || codeDrift > 0.3
-    require(retrainWarranted, "unreachable: dials checked above")
+    // the FIRED dials (REQUIREd above) drive x10's lifecycle on the
+    // composed tree: retrain on the live union aside, one marker
+    // flip, drop g1
     Similarity.ivfPqBuildStamp(union, root, "g2", "vec_id", "embedding",
       nlist = 16, m = 16, ksub = 16)
     Similarity.ivfCutover(s, root, "g2")

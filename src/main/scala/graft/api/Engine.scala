@@ -833,8 +833,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
       throw new IllegalArgumentException(
         s"changesBetween: generation $v of '$table' is unknown or " +
           "vacuumed"))
-    val timeField = catalog.get(table).flatMap(_.mainIndex.map(_.name))
-      .getOrElse(throw new IllegalArgumentException(
+    val sdb = catalog.get(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$table'"))
+    val timeField = sdb.mainIndex.map(_.name).getOrElse(
+      throw new IllegalArgumentException(
         s"changesBetween: table '$table' has no main index"))
     val from0 = pin(vFrom).drop("__day")
     val to0 = pin(vTo).drop("__day")
@@ -846,12 +848,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
         graft.ops.Convert.alignKeeping(from0, f, t, Seq("subject"))
       case _ => from0
     }
-    // (subject, time) is the store's upsert key — uniqueness is
-    // guaranteed by construction on every committed generation, so the
-    // public op's duplicate-key guard (a per-side keyed aggregation)
-    // would pay for a violation that cannot happen here
-    graft.ops.Cdc.diff(from, to0,
-      Seq("subject", timeField), assertUniqueKeys = false)
+    // the store's upsert identity is (subject, solely…, __day, time)
+    // (TsStore.set) and __day derives from time, so (subject,
+    // solely…, time) is unique by construction on every committed
+    // generation — the full key set MUST ride the diff (keying a
+    // solely table on (subject, time) alone would fan out its
+    // legitimate same-timestamp rows into phantom updates), and with
+    // it guaranteed unique, the public op's duplicate-key guard (a
+    // per-side keyed aggregation) would pay for a violation that
+    // cannot happen here. Solely fields survive alignment: evolve
+    // refuses changing them.
+    val keys = Seq("subject") ++ sdb.solelyFields.map(_.name) :+ timeField
+    graft.ops.Cdc.diff(from, to0, keys, assertUniqueKeys = false)
   }
 
   /** The out-of-process reader contract through the engine surface:
@@ -1347,6 +1355,19 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * The source must carry the table's declared fields + `subject`. */
   def startIngest(table: String, srcDir: String, checkpointDir: String,
       availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startIngestWith(table, srcDir, checkpointDir, availableNow,
+      postCommit = (_, _) => ())
+
+  /** The shared ingest-stream body: land each micro-batch in the
+    * table's store (set+save = one committed generation), publish it,
+    * then run the caller's post-commit hook with (batch, batchId) —
+    * [[startIngest]] passes a no-op, [[startIngestMaintained]] the
+    * rollup round. One implementation so the schema assembly, sink
+    * semantics, and trigger wiring cannot silently diverge. */
+  private def startIngestWith(table: String, srcDir: String,
+      checkpointDir: String, availableNow: Boolean,
+      postCommit: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
@@ -1356,11 +1377,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
         "subject", org.apache.spark.sql.types.StringType))
     val src = spark.readStream.schema(schema).parquet(srcDir)
     val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
-      (batch, _) => {
+      (batch, id) => {
         val b = batch.toDF()
         st.set(b)
         st.save()
         subs.publish(b, "subject", table)
+        postCommit(b, id)
       }
     val writer = src.writeStream
       .foreachBatch(sink)
@@ -1389,7 +1411,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // construction under a checkpointed stream).
 
   /** One-time bar-store bootstrap: flush `table`, roll its whole
-    * pinned state into `barRoot` as slot 0, set the cursor. */
+    * pinned state into `barRoot` as slot 0, set the cursor. Refuses
+    * an already-bootstrapped root: re-seeding slot 0 while later
+    * maintenance slots hold the same rows would double-count every
+    * bar silently. */
   def bootstrapRollup(table: String, barRoot: String,
       groupCols: Seq[org.apache.spark.sql.Column],
       orderKey: org.apache.spark.sql.Column,
@@ -1397,6 +1422,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
       volume: org.apache.spark.sql.Column): Long = {
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
+    require(graft.ops.Rollup.readBarCursor(spark, barRoot).isEmpty,
+      s"$barRoot is already a maintained bar store (it has a cursor) " +
+        "— re-seeding slot 0 would double-count rows already in later " +
+        "slots; start a fresh root to re-bootstrap")
     val st = storeOf(table)
     st.save()
     val g = st.snapshotVersions.lastOption.getOrElse(
@@ -1417,7 +1446,20 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * state, advance the cursor. No-op (returns empty) when the store
     * has not moved. The building block [[startIngestMaintained]]
     * drives per micro-batch; call it directly to propagate
-    * command-side writes (update/del/drop) on demand. */
+    * command-side writes (update/del/drop) on demand.
+    *
+    * Rounds SERIALIZE on the table's store monitor: a command-side
+    * round racing a live maintained stream's round would otherwise
+    * both read the same cursor, derive overlapping feeds, and place
+    * the same inserts under two different slots — double-counted
+    * bars no marker would ever flag. Serialized, the second round
+    * sees the advanced cursor and diffs empty. A CRASHED round
+    * (pending marker at `barRoot`) is recovered here before anything
+    * else: the round re-runs under the MARKER's slot — the feed
+    * re-derived from the unchanged cursor is the crashed feed (or a
+    * superset if more generations landed), so re-placing it into the
+    * same slot overwrites any partial placement instead of doubling
+    * it under a fresh slot. */
   def maintainRollup(table: String, barRoot: String,
       groupCols: Seq[org.apache.spark.sql.Column],
       orderKey: org.apache.spark.sql.Column,
@@ -1427,28 +1469,53 @@ final class Engine(val spark: SparkSession, rootPath: String,
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
     val st = storeOf(table)
-    val gN = st.snapshotVersions.lastOption.getOrElse(0L)
-    val cur = graft.ops.Rollup.readBarCursor(spark, barRoot).getOrElse(
-      throw new IllegalStateException(
-        s"no maintenance cursor at $barRoot — bootstrapRollup first"))
-    if (gN <= cur) return (Seq.empty, Seq.empty)
-    val sdb = catalog.get(table).get
-    val timeField = sdb.mainIndex.map(_.name).get
-    val dayExpr = Engine.dayOf(sdb, timeField)
-    val feed = changesBetween(table, cur, gN).localCheckpoint()
-    val dirtyDays = feed.filter(col("op").isin("update", "delete"))
-      .select(dayExpr.as("__d")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val inserts = feed.filter(col("op") === "insert")
-      .select(col("subject"), col(timeField), col("new.*"))
-      .withColumn("__day", dayExpr)
-    val sN = openSnapshotAt(table, gN).getOrElse(
-      throw new IllegalStateException(
-        s"maintainRollup: generation $gN of '$table' unreadable"))
-    val placed = graft.ops.Rollup.maintainDayPartials(inserts, dirtyDays,
-      sN, barRoot, col("__day"), groupCols, orderKey, value, volume, slot)
-    graft.ops.Rollup.writeBarCursor(spark, barRoot, gN)
-    placed
+    st.synchronized {
+      val gN = st.snapshotVersions.lastOption.getOrElse(0L)
+      val cur = graft.ops.Rollup.readBarCursor(spark, barRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no maintenance cursor at $barRoot — bootstrapRollup first"))
+      // crashed-round recovery: re-run under the marker's slot so the
+      // re-derived feed overwrites the partial placement
+      val pending = graft.ops.Rollup.pendingMaintenance(spark, barRoot)
+      val useSlot = pending.map(_._1).getOrElse(slot)
+      if (gN <= cur) {
+        // a pending marker with the cursor already at gN is a round
+        // that died between its cursor advance and the marker clear —
+        // placements provably complete (the cursor writes inside the
+        // marker's lifetime, after every placement): release it
+        pending.foreach { case (pSlot, _) =>
+          graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
+        return (Seq.empty, Seq.empty)
+      }
+      val sdb = catalog.get(table).get
+      val timeField = sdb.mainIndex.map(_.name).get
+      val keys = Seq("subject") ++ sdb.solelyFields.map(_.name) :+ timeField
+      val dayExpr = Engine.dayOf(sdb, timeField)
+      val feed = changesBetween(table, cur, gN).localCheckpoint()
+      val dirtyDays = feed.filter(col("op").isin("update", "delete"))
+        .select(dayExpr.as("__d")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      // keys (incl. any solely fields) ride the feed top-level; the
+      // payload struct carries the rest — reassemble the raw row shape
+      val inserts = feed.filter(col("op") === "insert")
+        .select(keys.map(col) :+ col("new.*"): _*)
+        .withColumn("__day", dayExpr)
+      val sN = openSnapshotAt(table, gN).getOrElse(
+        throw new IllegalStateException(
+          s"maintainRollup: generation $gN of '$table' unreadable"))
+      // the cursor advance rides INSIDE the round's marker lifetime
+      // (after every placement, before the marker clear): a crash
+      // anywhere leaves either an un-advanced cursor (the round
+      // re-runs whole) or a pending marker with the cursor advanced
+      // (released above) — never a cleared marker with a stale
+      // cursor, which a later round would re-derive into a FRESH
+      // slot and double-count
+      graft.ops.Rollup.maintainDayPartials(inserts, dirtyDays,
+        sN, barRoot, col("__day"), groupCols, orderKey, value, volume,
+        useSlot,
+        onPlaced = () =>
+          graft.ops.Rollup.writeBarCursor(spark, barRoot, gN))
+    }
   }
 
   /** [[startIngest]] with automatic cross-scale propagation: each
@@ -1469,29 +1536,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
-    val sdb = catalog.get(table).getOrElse(
-      throw new IllegalArgumentException(s"unknown table '$table'"))
-    val st = storeOf(table)
-    val schema = org.apache.spark.sql.types.StructType(
-      sdb.structType.fields :+ org.apache.spark.sql.types.StructField(
-        "subject", org.apache.spark.sql.types.StringType))
-    val src = spark.readStream.schema(schema).parquet(srcDir)
-    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-        Long) => Unit =
-      (batch, id) => {
-        val b = batch.toDF()
-        st.set(b)
-        st.save()
-        subs.publish(b, "subject", table)
+    startIngestWith(table, srcDir, checkpointDir, availableNow,
+      postCommit = (_, id) =>
         maintainRollup(table, barRoot, groupCols, orderKey, value,
-          volume, slot = id + 1)
-      }
-    val writer = src.writeStream
-      .foreachBatch(sink)
-      .option("checkpointLocation", checkpointDir)
-    (if (availableNow)
-      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    else writer).start()
+          volume, slot = id + 1))
   }
 
   /** T2 `psub` replay through the command surface (workers/sisdb/

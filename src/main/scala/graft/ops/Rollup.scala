@@ -153,13 +153,26 @@ object Rollup {
       insertRows: DataFrame, dirtyDays: Seq[String],
       rebuildState: DataFrame, root: String, day: Column,
       groupCols: Seq[Column], orderKey: Column, value: Column,
-      volume: Column, slot: Long): (Seq[String], Seq[String]) = {
+      volume: Column, slot: Long,
+      onPlaced: () => Unit = () => ()): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{
       escapePathName, unescapePathName}
     val ss = insertRows.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       ss.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a pending marker from a DIFFERENT round must not be cleared by
+    // this one (completing round B would mask round A's missing day —
+    // pendingMaintenance would read whole while a dirty day is gone):
+    // the crashed round must be RE-RUN (same slot — its re-derived
+    // feed overwrites the partial placement) before any new round
+    pendingMaintenance(ss, root).foreach { case (pSlot, pDays) =>
+      require(pSlot == slot,
+        s"maintainDayPartials: a crashed round (slot $pSlot, dirty " +
+          s"days ${pDays.mkString(",")}) is pending at $root — re-run " +
+          s"THAT round before starting slot $slot, or its partially " +
+          "placed days would be silently masked")
+    }
     val dirty = dirtyDays.distinct.sorted
     // staged dirs are listed by ESCAPED name (exactly what Spark's
     // writer produced) and decoded only for the returned day values /
@@ -215,6 +228,12 @@ object Rollup {
             true))
         dirty
       }
+    // caller's commit step (e.g. the engine's cursor advance) runs
+    // INSIDE the marker's lifetime: a crash between the placements
+    // and that step leaves the marker, so the round re-runs instead
+    // of a later round re-deriving the same feed into a FRESH slot
+    // (which would double-count the already-placed inserts)
+    onPlaced()
     clearMaintMarker(fs, root)
     (insDays.map(_._2), rebuilt)
   }
@@ -223,27 +242,62 @@ object Rollup {
     new org.apache.hadoop.fs.Path(
       s"${root.stripSuffix("/")}/_maint_round.json")
 
-  private def writeMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, slot: Long, dirty: Seq[String]): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
-    node.put("slot", slot)
-    val arr = node.putArray("dirtyDays")
-    dirty.foreach(arr.add)
-    val dest = maintMarkerPath(root)
+  /** One tmp+rename JSON commit — the marker and the cursor share it
+    * (and reads share [[graft.store.TsStore.readJsonBytes]]), so the
+    * FS plumbing exists once. */
+  private def writeJsonAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path,
+      node: com.fasterxml.jackson.databind.JsonNode): Unit = {
     fs.mkdirs(dest.getParent)
     val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(m.writeValueAsBytes(node)) finally out.close()
+    try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsBytes(node)) finally out.close()
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"maintainDayPartials: could not record round marker $dest")
+      throw new java.io.IOException(s"could not commit $dest")
+  }
+
+  private def readJson(ss: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.store.TsStore.readJsonBytes(fs, p)))
+  }
+
+  private def writeMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, slot: Long, dirty: Seq[String]): Unit = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
+    node.put("slot", slot)
+    val arr = node.putArray("dirtyDays")
+    dirty.foreach(arr.add)
+    writeJsonAtomic(fs, maintMarkerPath(root), node)
   }
 
   private def clearMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit =
     fs.delete(maintMarkerPath(root), false)
+
+  /** Release a pending round marker whose commit step PROVABLY
+    * completed — the caller's durable watermark (e.g. the engine's
+    * cursor) already advanced past the round, so the crash landed
+    * between the commit step and the marker clear. Refuses a slot
+    * mismatch: releasing a different round's marker would mask a
+    * genuinely incomplete round. */
+  def releaseMaintMarker(ss: org.apache.spark.sql.SparkSession,
+      root: String, slot: Long): Unit =
+    pendingMaintenance(ss, root).foreach { case (pSlot, pDays) =>
+      require(pSlot == slot,
+        s"releaseMaintMarker: pending round is slot $pSlot (dirty " +
+          s"${pDays.mkString(",")}), not slot $slot — re-run it " +
+          "instead of releasing")
+      clearMaintMarker(org.apache.hadoop.fs.FileSystem.get(
+        ss.sparkContext.hadoopConfiguration), root)
+    }
 
   /** The interrupted-round detector: Some((slot, dirtyDays)) while a
     * [[maintainDayPartials]] round is in flight OR died mid-placement
@@ -251,25 +305,12 @@ object Rollup {
     * re-run the round with the same inputs to converge, which clears
     * the marker), None when the store is whole. */
   def pendingMaintenance(ss: org.apache.spark.sql.SparkSession,
-      root: String): Option[(Long, Seq[String])] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val p = maintMarkerPath(root)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(bytes)
-      val days = (0 until node.path("dirtyDays").size())
-        .map(i => node.path("dirtyDays").get(i).asText())
-      Some((node.path("slot").asLong(), days))
+      root: String): Option[(Long, Seq[String])] =
+    readJson(ss, maintMarkerPath(root)).map { node =>
+      (node.path("slot").asLong(),
+        (0 until node.path("dirtyDays").size())
+          .map(i => node.path("dirtyDays").get(i).asText()))
     }
-  }
 
   // ── maintenance cursor (the streaming-maintainer watermark) ────
   //
@@ -294,41 +335,20 @@ object Rollup {
   /** The last store generation applied to the bar store at `root`,
     * or None before the first round. */
   def readBarCursor(ss: org.apache.spark.sql.SparkSession,
-      root: String): Option[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val p = cursorPath(root)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-        buf.toByteArray
-      } finally in.close()
-      Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(bytes).path("generation").asLong())
-    }
-  }
+      root: String): Option[Long] =
+    readJson(ss, cursorPath(root)).map(_.path("generation").asLong())
 
   /** Advance the cursor — call ONLY after the round's placements all
-    * landed (the crash-anywhere-else contract above). */
+    * landed (the engine passes this as [[maintainDayPartials]]'s
+    * `onPlaced` hook, so the advance rides inside the round marker's
+    * lifetime — see the crash-window comment there). */
   def writeBarCursor(ss: org.apache.spark.sql.SparkSession,
       root: String, generation: Long): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.createObjectNode()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
     node.put("generation", generation)
-    val dest = cursorPath(root)
-    fs.mkdirs(dest.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(m.writeValueAsBytes(node)) finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"writeBarCursor: could not advance the cursor at $dest")
+    writeJsonAtomic(org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration), cursorPath(root), node)
   }
 
   /** Fold rollup-partial batch slots ≤ `upTo` into one (the

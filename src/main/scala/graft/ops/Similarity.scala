@@ -312,9 +312,14 @@ object Similarity {
     * The standard drift dial — 0 for an in-distribution batch, → 1
     * as the batch concentrates in cells the reference never used.
     * Driver-side scalar (the input is ≤ nlist rows). */
-  def totalVariation(drift: DataFrame): Double = drift
-    .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
-    .head.getDouble(0)
+  def totalVariation(drift: DataFrame): Double = {
+    // empty drift stats (both slices empty — e.g. a per-micro-batch
+    // monitor seeing an empty batch) read as 0 drift, not an NPE
+    val r = drift
+      .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
+      .head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
 
   /** PQ-CODE-usage drift — the composed-index signal cell shares can
     * miss: a within-cell distribution shift moves the FINE codes
@@ -342,10 +347,13 @@ object Similarity {
     * variation, MAX over subspaces — one drifted subspace must trip
     * the dial even when the other m−1 hold. Driver-side scalar
     * (≤ m·ksub input rows). */
-  def pqCodeMaxTv(drift: DataFrame): Double = drift
-    .groupBy("mi")
-    .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
-    .agg(max("tv")).head.getDouble(0)
+  def pqCodeMaxTv(drift: DataFrame): Double = {
+    val r = drift
+      .groupBy("mi")
+      .agg((sum(abs(col("share_ref") - col("share_new"))) / 2).as("tv"))
+      .agg(max("tv")).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty slices → 0 drift
+  }
 
   // ── retrain cutover (the HOW of "retrain offline when drift
   // warrants", closing the x7→x9 lifecycle) ─────────────────────

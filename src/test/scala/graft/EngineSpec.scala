@@ -1220,5 +1220,35 @@ class EngineSpec extends SparkSpec {
       spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
     assert(bars.count() == 3 &&
       bars.agg(sum("volume")).head.getDouble(0) == 9.0)
+    // re-bootstrapping a maintained root would double-count rows
+    // already in later slots — refused
+    intercept[IllegalArgumentException] {
+      e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+        col("value"))
+    }
+  }
+
+  test("changesBetween keys include solely fields: same-timestamp rows diff cleanly") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    // a solely field: two legitimate rows per (subject, t)
+    e.create("{tr:{fields:{t:[T,8],side:[C,4,1,0,O],px:[F,8]}}}")
+    e.set("u1.tr", """[{"t":"2024-01-01T01:00:00Z","side":"buy","px":1.0},
+      {"t":"2024-01-01T01:00:00Z","side":"sell","px":2.0}]""")
+    e.save("tr")
+    val g1 = e.snapshotVersions("tr").last
+    // re-value ONE of the two same-timestamp rows
+    e.set("u1.tr", """{"t":"2024-01-01T01:00:00Z","side":"sell","px":3.0}""")
+    e.save("tr")
+    val g2 = e.snapshotVersions("tr").last
+    val feed = e.changesBetween("tr", g1, g2).collect()
+    // keyed on (subject, side, t) the feed is ONE update; keyed on
+    // (subject, t) alone the legitimate duplicate would fan out 2x2
+    // into phantom rows (or raise, with the guard on)
+    assert(feed.length == 1, s"feed fanned out: ${feed.toSeq}")
+    val r = feed.head
+    assert(r.getAs[String]("op") == "update" &&
+      r.getAs[String]("side") == "sell")
   }
 }

@@ -182,9 +182,20 @@ class RollupSpec extends SparkSpec {
     assert(Rollup.pendingMaintenance(spark, root)
       .contains((7L, Seq("d9"))),
       "an interrupted round was not detected")
-    // re-running a round converges AND clears the marker
-    maintain(base.limit(0), Seq.empty, finalState, 3L)
+    // a DIFFERENT round must refuse to run: completing it would clear
+    // the marker and mask the crashed round's possibly-missing day
+    val ex = intercept[IllegalArgumentException] {
+      maintain(base.limit(0), Seq.empty, finalState, 3L)
+    }
+    assert(ex.getMessage.contains("slot 7"), ex.getMessage)
+    assert(Rollup.pendingMaintenance(spark, root).contains((7L, Seq("d9"))))
+    // releasing under the WRONG slot is refused too
+    intercept[IllegalArgumentException] {
+      Rollup.releaseMaintMarker(spark, root, 3L)
+    }
+    // re-running THE crashed round (same slot) converges and clears
+    maintain(base.limit(0), Seq("d9"), finalState, 7L)
     assert(Rollup.pendingMaintenance(spark, root).isEmpty,
-      "a re-run round did not clear the stale marker")
+      "re-running the crashed round did not clear its marker")
   }
 }
