@@ -699,9 +699,15 @@ final class Engine(val spark: SparkSession, rootPath: String,
     require(snapshots, "openAtomicSnapshot requires snapshot mode")
     val ts = if (tables.nonEmpty) tables else catalog.tables.toSeq.sorted
     val marker = atomicMarker()
+    // an in-flight (or crashed) RESTORE likewise must never serve a
+    // mixed view: while its marker exists, every cut-listed table
+    // serves AT the cut — the restore's target state, which the
+    // marker guarantees will be reached (roll-forward at open)
+    val restoring = restoreMarker().flatMap(cutRecord)
     ts.map { t =>
       storeOf(t)
-      marker.flatMap(_.get(t)) match {
+      marker.flatMap(_.get(t))
+        .orElse(restoring.flatMap(_.get(t))) match {
         case Some(g) => t -> (if (g <= 0L) None else openSnapshotAt(t, g))
         case None => t -> openSnapshot(t)
       }
@@ -1070,7 +1076,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * restored state has itself been superseded. Tables recorded at
     * generation 0 (no corpus at cut time) are skipped — restore
     * cannot reconstruct "never committed". Returns table → new live
-    * generation. */
+    * generation.
+    *
+    * CRASH-RECOVERABLE: a restore marker (the cut id) spans the
+    * per-table loop — a crash mid-loop rolls FORWARD at the next
+    * engine open ([[recoverRestore]]) and, while the marker exists,
+    * [[openAtomicSnapshot]] serves every cut-listed table AT the cut,
+    * so no multi-table reader observes the half-restored middle. */
   def restoreToCut(cut: Long): Map[String, Long] = synchronized {
     val rec = cutRecord(cut).getOrElse(throw new IllegalArgumentException(
       s"unknown snapshot cut $cut (recorded: ${snapshotCuts.mkString(", ")})"))
@@ -1081,12 +1093,62 @@ final class Engine(val spark: SparkSession, rootPath: String,
     // unrestorable table must fail fast, never fail-partial (half the
     // corpus at the cut, half live — a state no cut ever recorded).
     // A fence/IO failure mid-loop can still land partial (each table
-    // commit is independent by design); re-running the restore after
-    // fixing the cause converges — every per-table restore is just
-    // another roll-forward commit.
+    // commit is independent by design), so the span is MARKED: the
+    // restore marker (cut id) lands durably after validation and
+    // clears only after the last table committed. A crash mid-loop is
+    // rolled FORWARD at the next open (recoverRestore re-runs this
+    // method — every per-table restore is an idempotent roll-forward
+    // commit), and while the marker exists [[openAtomicSnapshot]]
+    // serves every cut-listed table AT the cut (the restore's target
+    // state — the marker is the commit point, after which the restore
+    // provably completes), so no multi-table reader observes the
+    // half-restored middle.
     targets.foreach { case (_, v, st) => st.validateRestore(v) }
-    targets.map { case (t, v, st) => t -> st.restoreTo(v) }.toMap
+    writeRestoreMarker(cut)
+    val out = targets.map { case (t, v, st) => t -> st.restoreTo(v) }.toMap
+    clearRestoreMarker()
+    out
   }
+
+  private def restoreMarkerFile = new org.apache.hadoop.fs.Path(
+    s"${rootPath.stripSuffix("/")}/__restore_marker.json")
+
+  /** The in-flight (or crashed) restore's target cut, or None. */
+  private[graft] def restoreMarker(): Option[Long] = {
+    val f = hadoopFs
+    if (!f.exists(restoreMarkerFile)) None
+    else Some(mapper.readTree(
+      TsStore.readJsonBytes(f, restoreMarkerFile)).path("cut").asLong())
+  }
+
+  private def writeRestoreMarker(cut: Long): Unit = {
+    val f = hadoopFs
+    val node = mapper.createObjectNode()
+    node.put("cut", cut)
+    node.put("at", System.currentTimeMillis())
+    val tmp = new org.apache.hadoop.fs.Path(
+      restoreMarkerFile.toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(restoreMarkerFile.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, restoreMarkerFile,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def clearRestoreMarker(): Unit =
+    hadoopFs.delete(restoreMarkerFile, false)
+
+  /** Open-time restore recovery: a surviving restore marker means a
+    * [[restoreToCut]] died mid-loop — roll it forward (re-running the
+    * restore is idempotent; the cut's own pins guarantee the targets
+    * still exist) and the re-run clears the marker. Runs after
+    * [[recoverAtomicCommit]] (the restore targets are cut-pinned
+    * generations, untouched by a commit roll-forward) and before any
+    * command can touch the tables. */
+  private def recoverRestore(): Unit =
+    restoreMarker().foreach(restoreToCut)
 
   /** Register the whole cut as frozen SQL views — [[exposeSqlAt]] per
     * recorded (table, generation), `<db>.<table>__v<v>` each. Returns
@@ -1969,10 +2031,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
     rows.size.toLong
   }
 
-  // LAST constructor statement (the whole class body above is
-  // initialized by now): roll a crashed saveAll forward before any
-  // command can observe the half-committed middle.
+  // LAST constructor statements (the whole class body above is
+  // initialized by now): roll a crashed saveAll forward, then a
+  // crashed restore, before any command can observe either
+  // half-finished middle (a restore targets cut-pinned generations,
+  // which a commit roll-forward never touches — the order is safe).
   recoverAtomicCommit()
+  recoverRestore()
 }
 
 object Engine {

@@ -1091,6 +1091,50 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException](e.restoreToCut(99L))
   }
 
+  test("restoreToCut is crash-recoverable: the marker rolls forward at open; the atomic view never mixes") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{a:{fields:{t:[T,8],value:[F,8]}}}")
+    e.create("{b:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.a", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e.set("u1.b", """{"t":"2024-01-01T01:00:00Z","value":2.0}""")
+    val cut = e.snapshotAll(Seq("a", "b"))
+    // post-cut damage on both tables
+    e.set("u1.a", """{"t":"2024-01-02T01:00:00Z","value":9.0}""")
+    e.set("u1.b", """{"t":"2024-01-02T01:00:00Z","value":9.0}""")
+    e.save("a"); e.save("b")
+    // crash inside the SECOND table's restore commit ('b' sorts last)
+    val stB = e.storeHandle("b")
+    var thrown = false
+    stB.onBeforeSnapshotRename = () => if (!thrown) {
+      thrown = true
+      throw new RuntimeException("injected crash mid-restore")
+    }
+    assert(scala.util.Try(e.restoreToCut(cut)).isFailure && thrown)
+    assert(e.restoreMarker().contains(cut),
+      "the crashed restore must leave its marker")
+    // the per-table views are provably MIXED (a restored, b not) —
+    // the marker-aware atomic view still serves BOTH at the cut
+    assert(e.openSnapshot("a").get.count() == 1 &&
+      e.openSnapshot("b").get.count() == 2,
+      "the crash point did not produce the mixed middle")
+    val atomic = e.openAtomicSnapshot(Seq("a", "b"))
+      .map { case (t, df) => t -> df.get.count() }
+    assert(atomic == Map("a" -> 1L, "b" -> 1L),
+      s"the atomic view leaked the half-restored middle: $atomic")
+    stB.onBeforeSnapshotRename = () => ()
+    // a new engine over the root rolls the restore FORWARD at open
+    val e2 = new Engine(spark, root, snapshots = true)
+    assert(e2.restoreMarker().isEmpty,
+      "open-time recovery did not complete and release the restore")
+    assert(e2.get("*.a", "{}").count() == 1 &&
+      e2.get("*.b", "{}").count() == 1,
+      "the rolled-forward restore did not land both tables at the cut")
+    // history preserved: the damage generations still time-travel
+    assert(e2.openSnapshotAt("b", 2L).exists(_.count() == 2))
+  }
+
   test("saveAll holds store monitors: a concurrent set blocks for the span and is never lost") {
     val root = Files.createTempDirectory("graft_engine").toString
     val e = new Engine(spark, root, snapshots = true)
