@@ -434,4 +434,30 @@ class SimilaritySpec extends SparkSpec {
     Similarity.dropIvfStamp(spark, root, "g1")
     assert(!new java.io.File(g1Path).exists())
   }
+
+  test("drift dials: code-usage TV separates a shifted batch; empty slices read 0, not NPE") {
+    import org.apache.spark.sql.functions._
+    val vecs = (1L to 64L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.0 + d))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.trainPqCodebooks(df, "embedding", m = 4,
+      ksub = 4, sampleSize = 64)
+    val ref = Similarity.pqEncode(df, "vec_id", "embedding", books)
+    val shifted = Similarity.pqEncode(
+      df.withColumn("embedding", transform(col("embedding"), x => x + lit(2.0))),
+      "vec_id", "embedding", books)
+    val same = Similarity.pqCodeMaxTv(Similarity.pqCodeDriftStats(ref, ref))
+    val far = Similarity.pqCodeMaxTv(Similarity.pqCodeDriftStats(ref, shifted))
+    assert(same == 0.0, s"identical slices must read zero drift: $same")
+    assert(far > 0.4, s"shifted batch did not move code usage: $far")
+    // an empty micro-batch (or an empty monitor window) reads as 0.0
+    // drift on both dials, never an NPE
+    val empty = ref.limit(0)
+    assert(Similarity.pqCodeMaxTv(
+      Similarity.pqCodeDriftStats(empty, empty)) == 0.0)
+    assert(Similarity.totalVariation(
+      Similarity.ivfDriftStats(
+        ref.select(lit(0).as("cell")).limit(0),
+        ref.select(lit(0).as("cell")).limit(0))) == 0.0)
+  }
 }
