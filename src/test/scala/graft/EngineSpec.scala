@@ -1272,6 +1272,34 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("factor tables ride CDC and restore like any sdb table") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    val t1 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val t2 = java.time.Instant.parse("2024-01-02T00:00:00Z").toEpochMilli
+    e.fset("u1.macd", t1, 1.0)
+    e.fset("u1.macd", t2, 2.0)
+    e.save("macd")
+    val g1 = e.snapshotVersions("macd").last
+    val cut = e.snapshotAll(Seq("macd"))
+    e.fset("u1.macd", t2, 5.0) // update (same slot, new value)
+    e.fset("u2.macd", t1, 7.0) // insert (new subject)
+    e.save("macd")
+    val g2 = e.snapshotVersions("macd").last
+    val ops = e.changesBetween("macd", g1, g2).groupBy("op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops == Map("update" -> 1L, "insert" -> 1L),
+      s"factor CDC misclassified: $ops")
+    // restore returns the factor table to the cut exactly
+    e.restoreToCut(cut)
+    val back = e.fget("u1.macd", 0L, Long.MaxValue)
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(back == Seq(1.0, 2.0), s"restored factor series: $back")
+    assert(e.get("*.macd", "{}").count() == 2,
+      "the post-cut insert leaked through the restore")
+  }
+
   test("changesBetween keys include solely fields: same-timestamp rows diff cleanly") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString
