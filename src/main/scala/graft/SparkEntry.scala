@@ -1303,8 +1303,10 @@ object SparkEntry {
     * Each micro-batch lands in the store (set+save = one committed
     * generation) and then runs one a11 maintenance round derived from
     * the CHANGE FEED cursor→current ([[graft.ops.Rollup]] cursor
-    * protocol): feed inserts merge as the redelivery-stable slot
-    * batchId+1, update/delete days rebuild partition-pruned from the
+    * protocol): feed inserts merge as a slot DERIVED from the batch's
+    * committed generation (unique by construction — no caller-chosen
+    * slot can collide with another logical round's placements),
+    * update/delete days rebuild partition-pruned from the
     * new pin, and the durable cursor advances only after the round
     * completes. Drilled in-query: (1) full checkpoint-loss REPLAY —
     * every batch redelivers, re-lands content-identically, diffs
@@ -1313,7 +1315,7 @@ object SparkEntry {
     * the store commit — the bars provably miss it, and the
     * redelivered round re-derives the same feed against the re-landed
     * generation and converges; (3) a command-side `del` propagated
-    * through the SAME cursor protocol (disjoint slot). REQUIREd
+    * through the SAME cursor protocol. REQUIREd
     * further: the cursor ends at the max generation, no in-flight
     * maintenance marker survives, and the stream-maintained bars
     * equal the from-scratch rollup of the final pinned state
@@ -1407,16 +1409,17 @@ object SparkEntry {
     require(barMismatches(pinnedNow()) > 0,
       "the died-mid-maintenance drill is vacuous — bars already match")
     eng.maintainRollup("ev", barRoot, grp, okey, col("value"),
-      col("value"), slot = 3L) // the redelivered round (batchId 2 + 1)
+      col("value")) // the recovery round (slot = the batch's generation)
     require(barMismatches(pinnedNow()) == 0,
       "the recovered maintenance round did not converge")
     // DRILL 3 — a command-side delete propagates through the SAME
-    // cursor protocol (disjoint slot range for command rounds)
+    // cursor protocol (its slot derives from its own generation, so
+    // it cannot collide with any stream round's placements)
     val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
     val hi = java.time.Instant.parse("2024-01-15T23:59:59.999Z").toEpochMilli
     eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
     eng.maintainRollup("ev", barRoot, grp, okey, col("value"),
-      col("value"), slot = 1000L)
+      col("value"))
     val sN = pinnedNow().localCheckpoint()
     require(barMismatches(sN) == 0,
       "the propagated delete did not converge bar-for-bar")

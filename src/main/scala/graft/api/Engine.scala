@@ -1462,15 +1462,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // commit stream with a durable CURSOR (Rollup.readBarCursor) so a
   // crash ANYWHERE between "batch committed to the store" and "bars
   // maintained" replays convergently: the cursor names the last
-  // generation APPLIED, every round diffs cursor→current, and the
-  // round's slot is stable under redelivery — a re-landed batch whose
-  // maintenance died re-derives the SAME feed (against its re-landed
-  // generation) into the SAME slot. Slots must be unique per logical
-  // round: the stream uses batchId+1; command-side rounds (e.g.
-  // propagating a `del`) must pass a DISJOINT slot range. The
-  // deployment's vacuum keepHistory must cover the maintenance lag
-  // (the cursor generation stays diffable — one batch by
-  // construction under a checkpointed stream).
+  // generation APPLIED, every round diffs cursor→current. Slots are
+  // DERIVED, never caller-supplied: each round places its inserts
+  // under batch=<target generation gN>, which is unique by
+  // construction (the cursor advances to gN inside the round, so the
+  // next round's gN is strictly larger) — stream rounds, command-side
+  // rounds (e.g. propagating a `del`), and recovery rounds can never
+  // collide on a slot, where a caller-chosen slot could silently
+  // overwrite a different logical round's partials. The deployment's
+  // vacuum keepHistory must cover the maintenance lag (the cursor
+  // generation stays diffable — one batch by construction under a
+  // checkpointed stream; rounds no longer hold the store monitor, so
+  // it must also cover writes landing while a round is in flight).
 
   /** One-time bar-store bootstrap: flush `table`, roll its whole
     * pinned state into `barRoot` as slot 0, set the cursor. Refuses
@@ -1496,67 +1499,97 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val s0 = openSnapshotAt(table, g).getOrElse(
       throw new IllegalStateException(
         s"bootstrapRollup: generation $g of '$table' unreadable"))
-    graft.ops.Rollup.maintainDayPartials(s0, Seq.empty, s0, barRoot,
-      col("__day"), groupCols, orderKey, value, volume, slot = 0L)
-    graft.ops.Rollup.writeBarCursor(spark, barRoot, g)
+    maintLock(barRoot).synchronized {
+      graft.ops.Rollup.maintainDayPartials(s0, Seq.empty, s0, barRoot,
+        col("__day"), groupCols, orderKey, value, volume, slot = 0L)
+      graft.ops.Rollup.writeBarCursor(spark, barRoot, g)
+    }
     g
   }
 
+  /** Per-barRoot round serialization (see [[maintainRollup]]): rounds
+    * for one bar store must not interleave, but they must NOT hold
+    * the table's store monitor across whole Spark jobs either — that
+    * would stall every concurrent set()/save() for the full round,
+    * making the write→bar cascade block the very write path it
+    * cascades from. The store monitor is taken only long enough to
+    * read the committed generation. */
+  private val maintLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def maintLock(barRoot: String): Object =
+    maintLocks.computeIfAbsent(barRoot, _ => new Object)
+
   /** One cursor-protocol maintenance round: diff the cursor against
-    * `table`'s current committed generation, merge feed inserts as
-    * slot `slot`, rebuild update/delete days from the new pinned
-    * state, advance the cursor. No-op (returns empty) when the store
-    * has not moved. The building block [[startIngestMaintained]]
-    * drives per micro-batch; call it directly to propagate
-    * command-side writes (update/del/drop) on demand.
+    * `table`'s current committed generation `gN`, merge feed inserts
+    * as slot `gN` (DERIVED — unique by construction, since the cursor
+    * advances to `gN` inside the round and the next round diffs from
+    * there; no caller-chosen slot can collide with a different
+    * logical round's placements), rebuild update/delete days from the
+    * new pinned state, advance the cursor. No-op (returns empty) when
+    * the store has not moved. The building block
+    * [[startIngestMaintained]] drives per micro-batch; call it
+    * directly to propagate command-side writes (update/del/drop) on
+    * demand.
     *
-    * Rounds SERIALIZE on the table's store monitor: a command-side
-    * round racing a live maintained stream's round would otherwise
-    * both read the same cursor, derive overlapping feeds, and place
-    * the same inserts under two different slots — double-counted
-    * bars no marker would ever flag. Serialized, the second round
-    * sees the advanced cursor and diffs empty. A CRASHED round
-    * (pending marker at `barRoot`) is recovered here before anything
-    * else: the round re-runs under the MARKER's slot — the feed
-    * re-derived from the unchanged cursor is the crashed feed (or a
-    * superset if more generations landed), so re-placing it into the
-    * same slot overwrites any partial placement instead of doubling
-    * it under a fresh slot. */
+    * Rounds for one `barRoot` SERIALIZE on a dedicated maintenance
+    * lock: a command-side round racing a live maintained stream's
+    * round would otherwise both read the same cursor, derive
+    * overlapping feeds, and place the same inserts twice. Serialized,
+    * the second round sees the advanced cursor and diffs empty.
+    * Writers are NOT blocked meanwhile — the round reads committed
+    * snapshots, so a set()/save() landing mid-round simply becomes
+    * the next round's feed.
+    *
+    * A CRASHED round (pending marker at `barRoot`, its slot = that
+    * round's recorded target generation) is recovered here before
+    * anything else: if the cursor already reached the marker's
+    * generation, the round provably completed (the cursor writes
+    * after every placement) and the marker is released; otherwise
+    * every day the crashed round recorded (dirty AND insert) joins
+    * this round's dirty set, so its partial placements — including
+    * ones a netted-out feed would never re-derive, e.g. an insert a
+    * later generation deleted again — are rebuilt wholesale from the
+    * new pin instead of surviving as orphans under the dead slot. */
   def maintainRollup(table: String, barRoot: String,
       groupCols: Seq[org.apache.spark.sql.Column],
       orderKey: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column,
-      volume: org.apache.spark.sql.Column,
-      slot: Long): (Seq[String], Seq[String]) = {
+      volume: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
     val st = storeOf(table)
-    st.synchronized {
-      val gN = st.snapshotVersions.lastOption.getOrElse(0L)
+    maintLock(barRoot).synchronized {
+      val gN = st.synchronized {
+        st.snapshotVersions.lastOption.getOrElse(0L) }
       val cur = graft.ops.Rollup.readBarCursor(spark, barRoot).getOrElse(
         throw new IllegalStateException(
           s"no maintenance cursor at $barRoot — bootstrapRollup first"))
-      // crashed-round recovery: re-run under the marker's slot so the
-      // re-derived feed overwrites the partial placement
       val pending = graft.ops.Rollup.pendingMaintenance(spark, barRoot)
-      val useSlot = pending.map(_._1).getOrElse(slot)
-      if (gN <= cur) {
-        // a pending marker with the cursor already at gN is a round
-        // that died between its cursor advance and the marker clear —
-        // placements provably complete (the cursor writes inside the
-        // marker's lifetime, after every placement): release it
-        pending.foreach { case (pSlot, _) =>
-          graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
-        return (Seq.empty, Seq.empty)
-      }
+      // a pending marker whose recorded generation the cursor already
+      // reached is a round that died between its cursor advance and
+      // the marker clear — placements provably complete: release it.
+      // (Re-running under its slot instead would be CORRUPTION when
+      // new data landed in between: the re-derived feed — only the
+      // NEW changes, the completed round's are behind the advanced
+      // cursor — would overwrite the completed placements wholesale.)
+      pending.filter(_._1 <= cur).foreach { case (pSlot, _, _) =>
+        graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
+      if (gN <= cur) return (Seq.empty, Seq.empty)
+      // a still-incomplete crashed round (cursor below its recorded
+      // generation): this round subsumes it — the feed from the
+      // unchanged cursor covers its changes, and its recorded days
+      // rebuild from the pin (see the crash-recovery contract above)
+      val crashedDays = pending.filter(_._1 > cur)
+        .map { case (_, d, i) => (d ++ i).distinct }
+        .getOrElse(Seq.empty)
       val sdb = catalog.get(table).get
       val timeField = sdb.mainIndex.map(_.name).get
       val keys = Seq("subject") ++ sdb.solelyFields.map(_.name) :+ timeField
       val dayExpr = Engine.dayOf(sdb, timeField)
       val feed = changesBetween(table, cur, gN).localCheckpoint()
-      val dirtyDays = feed.filter(col("op").isin("update", "delete"))
+      val dirtyDays = (feed.filter(col("op").isin("update", "delete"))
         .select(dayExpr.as("__d")).distinct()
-        .collect().map(_.getString(0)).toSeq
+        .collect().map(_.getString(0)).toSeq ++ crashedDays).distinct
       // keys (incl. any solely fields) ride the feed top-level; the
       // payload struct carries the rest — reassemble the raw row shape
       val inserts = feed.filter(col("op") === "insert")
@@ -1568,13 +1601,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // the cursor advance rides INSIDE the round's marker lifetime
       // (after every placement, before the marker clear): a crash
       // anywhere leaves either an un-advanced cursor (the round
-      // re-runs whole) or a pending marker with the cursor advanced
-      // (released above) — never a cleared marker with a stale
-      // cursor, which a later round would re-derive into a FRESH
-      // slot and double-count
+      // re-runs whole, its recorded days rebuilding from the pin) or
+      // a pending marker with the cursor advanced (released above) —
+      // never a cleared marker with a stale cursor, which a later
+      // round would re-derive into a FRESH slot and double-count
       graft.ops.Rollup.maintainDayPartials(inserts, dirtyDays,
         sN, barRoot, col("__day"), groupCols, orderKey, value, volume,
-        useSlot,
+        slot = gN,
         onPlaced = () =>
           graft.ops.Rollup.writeBarCursor(spark, barRoot, gN))
     }
@@ -1582,10 +1615,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
 
   /** [[startIngest]] with automatic cross-scale propagation: each
     * micro-batch lands in the table's store (set+save, publish) and
-    * then runs ONE [[maintainRollup]] round with the redelivery-stable
-    * slot batchId+1 — the write→bar cascade of the reference, stream-
-    * wired with exactly-once bars under crash/replay (the cursor
-    * protocol above; st11 drills redelivery, a died-mid-maintenance
+    * then runs ONE [[maintainRollup]] round — the write→bar cascade
+    * of the reference, stream-wired with exactly-once bars under
+    * crash/replay (the cursor protocol above: the round's slot is the
+    * batch's committed generation, stable under redelivery because a
+    * re-landed batch re-derives the same feed against its re-landed
+    * generation; st11 drills redelivery, a died-mid-maintenance
     * batch, and a command-side delete propagated through the same
     * cursor). */
   def startIngestMaintained(table: String, srcDir: String,
@@ -1599,9 +1634,9 @@ final class Engine(val spark: SparkSession, rootPath: String,
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
     startIngestWith(table, srcDir, checkpointDir, availableNow,
-      postCommit = (_, id) =>
+      postCommit = (_, _) =>
         maintainRollup(table, barRoot, groupCols, orderKey, value,
-          volume, slot = id + 1))
+          volume))
   }
 
   /** T2 `psub` replay through the command surface (workers/sisdb/

@@ -162,16 +162,20 @@ object Rollup {
       ss.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
     // a pending marker from a DIFFERENT round must not be cleared by
-    // this one (completing round B would mask round A's missing day —
-    // pendingMaintenance would read whole while a dirty day is gone):
-    // the crashed round must be RE-RUN (same slot — its re-derived
-    // feed overwrites the partial placement) before any new round
-    pendingMaintenance(ss, root).foreach { case (pSlot, pDays) =>
-      require(pSlot == slot,
-        s"maintainDayPartials: a crashed round (slot $pSlot, dirty " +
-          s"days ${pDays.mkString(",")}) is pending at $root — re-run " +
-          s"THAT round before starting slot $slot, or its partially " +
-          "placed days would be silently masked")
+    // this one unless this round provably REPAIRS it: either re-run
+    // the crashed round (same slot — its re-derived feed overwrites
+    // the partial placement), or pass dirtyDays SUBSUMING every day
+    // the crashed round recorded (dirty ∪ insert), which this round
+    // then rebuilds wholesale from `rebuildState` — clearing the
+    // marker any other way would mask a possibly-missing day
+    pendingMaintenance(ss, root).foreach { case (pSlot, pDays, pIns) =>
+      val disturbed = (pDays ++ pIns).distinct
+      require(pSlot == slot || disturbed.forall(dirtyDays.contains),
+        s"maintainDayPartials: a crashed round (slot $pSlot, days " +
+          s"${disturbed.mkString(",")}) is pending at $root — re-run " +
+          s"THAT round before starting slot $slot, or pass dirtyDays " +
+          "subsuming its recorded days so they rebuild from state; " +
+          "anything else would silently mask its partially placed days")
     }
     val dirty = dirtyDays.distinct.sorted
     // staged dirs are listed by ESCAPED name (exactly what Spark's
@@ -205,7 +209,7 @@ object Rollup {
     // the round marker: durable BEFORE the first placement, removed
     // after the last — while it exists the bar store may be missing a
     // dirty day mid-swap, and a crashed round must not read as whole
-    writeMaintMarker(fs, root, slot, dirty)
+    writeMaintMarker(fs, root, slot, dirty, insDays.map(_._2))
     insDays.foreach { case (e, _) =>
       move(insStage, e, s"$root/day=$e/batch=$slot") }
     fs.delete(path(insStage), true)
@@ -244,7 +248,13 @@ object Rollup {
 
   /** One tmp+rename JSON commit — the marker and the cursor share it
     * (and reads share [[graft.store.TsStore.readJsonBytes]]), so the
-    * FS plumbing exists once. */
+    * FS plumbing exists once. The replace is a SINGLE atomic
+    * FileContext rename (Rename.OVERWRITE), never delete-then-rename:
+    * a crash between a delete and a rename would leave NO cursor file
+    * at all, and a bootstrapped-looking-empty root would pass
+    * bootstrapRollup's cursor-isEmpty guard and re-seed slot 0 over a
+    * store whose later slots still hold the same rows — exactly the
+    * double-count that guard exists to prevent. */
   private def writeJsonAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path,
       node: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -253,9 +263,9 @@ object Rollup {
     val out = fs.create(tmp, true)
     try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsBytes(node)) finally out.close()
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"could not commit $dest")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dest.toUri, fs.getConf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readJson(ss: org.apache.spark.sql.SparkSession,
@@ -269,12 +279,21 @@ object Rollup {
   }
 
   private def writeMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, slot: Long, dirty: Seq[String]): Unit = {
+      root: String, slot: Long, dirty: Seq[String],
+      insertDays: Seq[String]): Unit = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .createObjectNode()
     node.put("slot", slot)
     val arr = node.putArray("dirtyDays")
     dirty.foreach(arr.add)
+    // insert days are recorded too: a crash mid-insert-placement may
+    // have landed SOME of them under batch=slot — a recovering round
+    // running under a DIFFERENT slot must rebuild those days from the
+    // pin or the partial placements would survive as orphans (and a
+    // feed whose later generations CANCEL an insert would never
+    // re-derive it, leaving the orphan double-counted forever)
+    val ia = node.putArray("insertDays")
+    insertDays.foreach(ia.add)
     writeJsonAtomic(fs, maintMarkerPath(root), node)
   }
 
@@ -290,7 +309,7 @@ object Rollup {
     * genuinely incomplete round. */
   def releaseMaintMarker(ss: org.apache.spark.sql.SparkSession,
       root: String, slot: Long): Unit =
-    pendingMaintenance(ss, root).foreach { case (pSlot, pDays) =>
+    pendingMaintenance(ss, root).foreach { case (pSlot, pDays, _) =>
       require(pSlot == slot,
         s"releaseMaintMarker: pending round is slot $pSlot (dirty " +
           s"${pDays.mkString(",")}), not slot $slot — re-run it " +
@@ -299,17 +318,18 @@ object Rollup {
         ss.sparkContext.hadoopConfiguration), root)
     }
 
-  /** The interrupted-round detector: Some((slot, dirtyDays)) while a
-    * [[maintainDayPartials]] round is in flight OR died mid-placement
-    * (a crashed round may be serving bars missing a whole dirty day —
-    * re-run the round with the same inputs to converge, which clears
-    * the marker), None when the store is whole. */
+  /** The interrupted-round detector: Some((slot, dirtyDays,
+    * insertDays)) while a [[maintainDayPartials]] round is in flight
+    * OR died mid-placement (a crashed round may be serving bars
+    * missing a whole dirty day — re-run the round with the same slot,
+    * OR run any round whose dirtyDays subsume BOTH recorded sets, to
+    * converge and clear the marker), None when the store is whole. */
   def pendingMaintenance(ss: org.apache.spark.sql.SparkSession,
-      root: String): Option[(Long, Seq[String])] =
+      root: String): Option[(Long, Seq[String], Seq[String])] =
     readJson(ss, maintMarkerPath(root)).map { node =>
-      (node.path("slot").asLong(),
-        (0 until node.path("dirtyDays").size())
-          .map(i => node.path("dirtyDays").get(i).asText()))
+      def arr(k: String) = (0 until node.path(k).size())
+        .map(i => node.path(k).get(i).asText())
+      (node.path("slot").asLong(), arr("dirtyDays"), arr("insertDays"))
     }
 
   // ── maintenance cursor (the streaming-maintainer watermark) ────

@@ -1243,20 +1243,20 @@ class EngineSpec extends SparkSpec {
     val okey = unix_millis(col("t"))
     intercept[IllegalStateException] {
       e.maintainRollup("ev", barRoot, grp, okey, col("value"),
-        col("value"), slot = 1L)
+        col("value"))
     }
     val g = e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
       col("value"))
     assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g))
     // the store has not moved: the round is a no-op and the cursor holds
     assert(e.maintainRollup("ev", barRoot, grp, okey, col("value"),
-      col("value"), slot = 1L) == ((Seq.empty, Seq.empty)))
+      col("value")) == ((Seq.empty, Seq.empty)))
     assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g))
     // a write moves the store; the round propagates it and advances
     e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":5.0}""")
     e.save("ev")
     val (ins, rb) = e.maintainRollup("ev", barRoot, grp, okey,
-      col("value"), col("value"), slot = 1L)
+      col("value"), col("value"))
     assert(ins == Seq("2024-01-03") && rb.isEmpty, s"($ins, $rb)")
     assert(graft.ops.Rollup.readBarCursor(spark, barRoot)
       .exists(_ > g))
@@ -1270,6 +1270,133 @@ class EngineSpec extends SparkSpec {
       e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
         col("value"))
     }
+  }
+
+  test("maintainRollup: slots derive from the generation — interleaved rounds cannot collide") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"))
+    // two interleaved logical rounds — a "stream batch" and a
+    // "command-side propagation" — with NO caller-chosen slots: each
+    // places under its own committed generation, so the second can
+    // never overwrite the first's partials (pre-r17, both callers
+    // passing slot=1 silently erased round one's inserts)
+    e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":5.0}""")
+    e.save("ev")
+    val gA = e.snapshotVersions("ev").last
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    e.set("u1.ev", """{"t":"2024-01-03T02:00:00Z","value":7.0}""")
+    e.save("ev")
+    val gB = e.snapshotVersions("ev").last
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(gA != gB)
+    val day3 = new java.io.File(s"$barRoot/day=2024-01-03")
+    val slots = day3.listFiles().map(_.getName).toSet
+    assert(slots == Set(s"batch=$gA", s"batch=$gB"),
+      s"rounds must land under their own generations: $slots")
+    val bars = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .filter(col("day") === "2024-01-03")
+      .select("cnt", "volume").collect()
+    assert(bars.length == 1 && bars(0).getLong(0) == 2 &&
+      bars(0).getDouble(1) == 12.0,
+      "an interleaved round overwrote the other's placements")
+  }
+
+  test("maintainRollup recovery: a completed round's stale marker is released, never re-run over") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"))
+    // a round inserts TWO day-3 rows and completes through its cursor
+    // advance; the crash lands between the advance and the marker
+    // clear (reproduce the exact on-disk state by re-writing the
+    // cleared marker)
+    e.set("u1.ev", """[{"t":"2024-01-03T01:00:00Z","value":2.0},
+      {"t":"2024-01-03T02:00:00Z","value":4.0}]""")
+    e.save("ev")
+    val g1 = e.snapshotVersions("ev").last
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
+      s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-03"]}"""
+        .getBytes)
+    // new data lands on the SAME day before the next round: the
+    // recovery must RELEASE the completed round's marker and place
+    // under the new generation — re-running under the marker's slot
+    // would wholesale-delete day-3/batch=g1 and erase the completed
+    // round's two rows (the feed behind the advanced cursor can never
+    // re-derive them)
+    e.set("u1.ev", """{"t":"2024-01-03T03:00:00Z","value":8.0}""")
+    e.save("ev")
+    val g2 = e.snapshotVersions("ev").last
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g2))
+    val bars = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .filter(col("day") === "2024-01-03")
+      .select("cnt", "volume", "close").collect()
+    assert(bars.length == 1 && bars(0).getLong(0) == 3 &&
+      bars(0).getDouble(1) == 14.0 && bars(0).getDouble(2) == 8.0,
+      s"recovery erased the completed round's rows: ${bars.toSeq}")
+  }
+
+  test("maintainRollup recovery: a crashed round's recorded days rebuild even when the feed nets them out") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    val g0 = e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"))
+    // a round places a day-5 insert, then crashes BEFORE its cursor
+    // advance (reproduce: run the round whole, then roll the cursor
+    // back and restore its marker — placements present, cursor g0)
+    e.set("u1.ev", """{"t":"2024-01-05T01:00:00Z","value":9.0}""")
+    e.save("ev")
+    val g1 = e.snapshotVersions("ev").last
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    graft.ops.Rollup.writeBarCursor(spark, barRoot, g0)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
+      s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-05"]}"""
+        .getBytes)
+    // the insert is deleted again before recovery: the cursor→current
+    // feed NETS OUT (no day-5 change at all), so only the marker's
+    // recorded insertDays can tell the recovery that day-5 holds a
+    // partial placement needing a rebuild from the pin — without the
+    // union, the orphan under batch=g1 would serve a deleted row
+    // forever
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-05T23:59:59.999Z").toEpochMilli
+    e.del("u1.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    assert(!new java.io.File(s"$barRoot/day=2024-01-05").exists(),
+      "the netted-out orphan placement survived recovery")
+    val days = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .select(col("day").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(days == Set("2024-01-01"), s"wrong surviving days: $days")
   }
 
   test("factor tables ride CDC and restore like any sdb table") {

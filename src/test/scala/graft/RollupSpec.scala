@@ -175,20 +175,23 @@ class RollupSpec extends SparkSpec {
       s"fully-deleted hostile day dir survived: $days")
     assert(Rollup.pendingMaintenance(spark, root).isEmpty)
     // a crashed round leaves its marker for the detector (hand-write
-    // the artifact a crash mid-placement would leave behind)
+    // the artifact a crash mid-placement would leave behind; a marker
+    // without insertDays — the pre-r17 shape — reads as empty)
     val mk = new java.io.File(s"$root/_maint_round.json")
     java.nio.file.Files.write(mk.toPath,
       """{"slot":7,"dirtyDays":["d9"]}""".getBytes)
     assert(Rollup.pendingMaintenance(spark, root)
-      .contains((7L, Seq("d9"))),
+      .contains((7L, Seq("d9"), Seq.empty)),
       "an interrupted round was not detected")
-    // a DIFFERENT round must refuse to run: completing it would clear
-    // the marker and mask the crashed round's possibly-missing day
+    // a DIFFERENT round that does not subsume the crashed round's
+    // days must refuse to run: completing it would clear the marker
+    // and mask the crashed round's possibly-missing day
     val ex = intercept[IllegalArgumentException] {
       maintain(base.limit(0), Seq.empty, finalState, 3L)
     }
     assert(ex.getMessage.contains("slot 7"), ex.getMessage)
-    assert(Rollup.pendingMaintenance(spark, root).contains((7L, Seq("d9"))))
+    assert(Rollup.pendingMaintenance(spark, root)
+      .contains((7L, Seq("d9"), Seq.empty)))
     // releasing under the WRONG slot is refused too
     intercept[IllegalArgumentException] {
       Rollup.releaseMaintMarker(spark, root, 3L)
@@ -197,5 +200,25 @@ class RollupSpec extends SparkSpec {
     maintain(base.limit(0), Seq("d9"), finalState, 7L)
     assert(Rollup.pendingMaintenance(spark, root).isEmpty,
       "re-running the crashed round did not clear its marker")
+    // a round that SUBSUMES the crashed round's recorded days (dirty
+    // AND insert) may run under a different slot: those days rebuild
+    // wholesale from state, so the dead slot's partial placements —
+    // including ones its feed would never re-derive — cannot survive
+    java.nio.file.Files.write(mk.toPath,
+      """{"slot":9,"dirtyDays":["d9"],"insertDays":["plain"]}"""
+        .getBytes)
+    assert(Rollup.pendingMaintenance(spark, root)
+      .contains((9L, Seq("d9"), Seq("plain"))))
+    maintain(base.limit(0), Seq("d9", "plain"), finalState, 10L)
+    assert(Rollup.pendingMaintenance(spark, root).isEmpty,
+      "a subsuming round did not clear the crashed round's marker")
+    val survivors = Rollup.finalizeBars(
+      spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("key", "day")).select("day", "open", "cnt")
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2)))
+    assert(survivors == Seq(("plain", 2.0, 1L)),
+      s"the subsuming rebuild did not re-derive from state: $survivors")
   }
 }
