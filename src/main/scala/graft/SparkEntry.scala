@@ -4190,6 +4190,117 @@ object SparkEntry {
       .orderBy("src", "key")
   }
 
+  /** E23 — SCHEMA EVOLUTION ON THE DEGENERATE TABLE CLASSES, UNDER
+    * CUTS: e17/e20 proved evolve + cross-era reads on a structured
+    * sdb table; the reference converts on EVERY read path for EVERY
+    * key style (sis_dynamic.h:12-51), so the same contract must hold
+    * on the auto-created factor table (`fset`, disk/readme.md's
+    * `factor {time:T, value:F8}`) and the ONE-style KV table — the
+    * classes e22 just put under versioned commits. Arc: commit
+    * factors + KV atomically, cut, EVOLVE both tables (factor gains
+    * `conf:[F,8]`, KV gains `note:[C,16]`), write era-1 rows through
+    * the same `fset`/`set` surfaces, commit + cut again. REQUIREd
+    * in-query: the first cut's pinned read serves the PRE-evolve era
+    * exactly (no `conf`/`note` column, the pre-cut KV value); the
+    * live read aligns old factor rows to the new era with the PROVEN
+    * zero-fill (conf = 0.0, never null, for the users era 1 did not
+    * rewrite); the second cut serves the post-evolve era including
+    * the new KV field. Output: per-user factor aggregates of the
+    * pinned and live reads plus both KV states, hash-checked against
+    * the relational rebuild from the source events. */
+  private def qFactorEvolve(s: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_e23_fevo/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val eng = new graft.api.Engine(s, root, snapshots = true)
+    val ev = t(s, dir, "events").filter(col("user_id") < 6)
+    // era-0 factors: avg value per (user, day) over the ODD event-ids
+    def payloads(rows: DataFrame, withConf: Boolean): Array[(Long, String)] = {
+      val g = rows.groupBy(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(round(avg("value"), 6).as("factor"),
+          count(lit(1)).cast("double").as("conf"))
+      val j =
+        if (withConf) to_json(struct(
+          to_timestamp(col("day"), "yyyy-MM-dd").as("time"),
+          col("factor").as("value"), col("conf")))
+        else to_json(struct(
+          to_timestamp(col("day"), "yyyy-MM-dd").as("time"),
+          col("factor").as("value")))
+      g.select(col("user_id"), j.as("j")).groupBy("user_id")
+        .agg(concat(lit("["), concat_ws(",", collect_list("j")),
+          lit("]")).as("arr"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    payloads(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      withConf = false).foreach { case (u, arr) => eng.fset(s"u$u.macd", arr) }
+    eng.kset("cfg.mode", "A")
+    val gens = eng.saveAll()
+    require(Seq("macd", "__one").forall(t => gens.get(t).exists(_ >= 1L)),
+      s"saveAll must commit the factor and KV classes: $gens")
+    val cut1 = eng.snapshotAll()
+    // the era bump, on BOTH degenerate classes — same evolve surface
+    // the structured tables use (main index / solely unchanged)
+    eng.evolve("{macd:{fields:{time:[T,8],value:[F,8],conf:[F,8]}}}")
+    eng.evolve("{__one:{fields:{t:[T,8],value:[C,256],note:[C,16]}}}")
+    // era-1 rewrites: users 0-2 re-derive over ALL events with a real
+    // conf (count per day); users 3-5 stay era-0 rows, so the live
+    // read must ALIGN them (conf zero-fills to 0.0). The KV row is
+    // rewritten through the structured `set` path carrying the new
+    // field — the same (subject, t=0) upsert slot kset writes.
+    payloads(ev.filter(col("user_id") < 3), withConf = true)
+      .foreach { case (u, arr) => eng.fset(s"u$u.macd", arr) }
+    eng.set("cfg.mode.__one",
+      """{"t":"1970-01-01T00:00:00Z","value":"B","note":"v2"}""")
+    val gens2 = eng.saveAll()
+    require(Seq("macd", "__one").forall(t => gens2.get(t).exists(g =>
+      gens.get(t).exists(_ < g))),
+      s"the post-evolve saveAll must advance every class: $gens2 vs $gens")
+    val cut2 = eng.snapshotAll()
+    // cut 1 pins the PRE-evolve era exactly — schema and values
+    val pin1 = eng.openSnapshotAllAt(cut1)
+    val fxCut = pin1("macd").getOrElse(throw new IllegalStateException(
+      "factor table missing from cut 1")).localCheckpoint()
+    require(!fxCut.columns.contains("conf"),
+      "cut 1 must serve the factor table's pre-evolve era (no conf)")
+    val kvPin1 = pin1("__one").get.filter(col("subject") === "cfg.mode")
+      .localCheckpoint()
+    require(!kvPin1.columns.contains("note"),
+      "cut 1 must serve the KV table's pre-evolve era (no note)")
+    require(kvPin1.select("value").head.getString(0) == "A",
+      "cut 1 must pin the pre-cut KV value")
+    // the live read aligns old rows to the NEW era: conf zero-fills
+    val fxLive = eng.openSnapshot("macd").get.localCheckpoint()
+    require(fxLive.columns.contains("conf"),
+      "the live factor read must serve the post-evolve era")
+    val unwritten = fxLive.filter(col("subject").isin("u3", "u4", "u5"))
+    require(unwritten.filter(col("conf").isNull).count() == 0 &&
+      unwritten.filter(col("conf") =!= 0.0).count() == 0,
+      "era-0 factor rows must align with conf zero-filled to 0.0")
+    require(fxLive.filter(col("subject") < "u3" && col("conf") > 0.0)
+      .count() > 0, "era-1 factor rows lost their conf values")
+    // cut 2 pins the POST-evolve era, new KV field included
+    val kvPin2 = eng.openSnapshotAllAt(cut2)("__one").get
+      .filter(col("subject") === "cfg.mode").localCheckpoint()
+    require(kvPin2.select("value", "note").head() ==
+      org.apache.spark.sql.Row("B", "v2"),
+      "cut 2 must pin the post-evolve KV row with its new field")
+    def aggOf(df: DataFrame, tag: String) =
+      df.groupBy(col("subject")).agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("total"),
+          round(coalesce(sum("conf"), lit(0.0)), 2).as("conf_sum"))
+        .select(lit(tag).as("src"), col("subject").as("key"),
+          col("n"), col("total"), col("conf_sum"))
+    aggOf(fxCut.withColumn("conf", lit(0.0)), "fx_cut")
+      .unionByName(aggOf(fxLive, "fx_live"))
+      .unionByName(kvPin1.select(lit("kv_cut1").as("src"),
+        concat(lit("mode="), col("value")).as("key"),
+        lit(1L).as("n"), lit(0.0).as("total"), lit(0.0).as("conf_sum")))
+      .unionByName(kvPin2.select(lit("kv_cut2").as("src"),
+        concat(lit("mode="), col("value"), lit(":"), col("note")).as("key"),
+        lit(1L).as("n"), lit(0.0).as("total"), lit(0.0).as("conf_sum")))
+      .orderBy("src", "key")
+  }
+
   /** E14 — SCHEDULED vacuum on the commit path
     * ([[graft.api.Engine.autoVacuum]]): a snapshot-mode deployment
     * that never calls vacuum() accumulates superseded version dirs
@@ -5394,6 +5505,7 @@ object SparkEntry {
     "e20_cross_era_feed" -> qCrossEraFeed _,
     "e21_atomic_commit" -> qAtomicCommit _,
     "e22_factor_versioned" -> qFactorVersioned _,
+    "e23_factor_evolve" -> qFactorEvolve _,
     "st8_stream_sketch" -> qStreamSketch _,
     "sks2_compacted_sketches" -> qSketchCompaction _,
     "m10_pack_zorder" -> qPackZorder _,
@@ -6881,6 +6993,45 @@ object SparkEntry {
            UNION ALL
            SELECT 'kv' AS src, 'mode=A' AS key, 1::BIGINT AS n,
              0.0 AS total)
+         ORDER BY src, key""",
+    // e23: the pinned arm is the odd-split factors (era 0, conf_sum
+    // pinned 0 — the column does not exist at cut 1); the live arm is
+    // users 0-2 re-derived over ALL events (era 1, conf = events per
+    // day) plus users 3-5 still on their era-0 rows with the aligned
+    // 0.0 conf zero-fill; the KV rows pin both cut states. A null
+    // where the aligned 0.0 belongs, a leaked post-evolve column in
+    // the pinned read, or a lost upsert would all hash-mismatch.
+    "e23_factor_evolve" ->
+      """WITH fo AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS f
+           FROM events WHERE user_id < 6 AND event_id % 2 = 1
+           GROUP BY 1, 2),
+         fa AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             round(avg(value), 6) AS f, count(*)::DOUBLE AS conf
+           FROM events WHERE user_id < 3 GROUP BY 1, 2)
+         SELECT * FROM (
+           SELECT 'fx_cut' AS src, 'u' || user_id AS key,
+             count(*)::BIGINT AS n, round(sum(f), 4) AS total,
+             0.0 AS conf_sum
+           FROM fo GROUP BY 2, user_id
+           UNION ALL
+           SELECT 'fx_live' AS src, 'u' || user_id AS key,
+             count(*)::BIGINT AS n, round(sum(f), 4) AS total,
+             round(sum(conf), 2) AS conf_sum
+           FROM fa GROUP BY 2, user_id
+           UNION ALL
+           SELECT 'fx_live' AS src, 'u' || user_id AS key,
+             count(*)::BIGINT AS n, round(sum(f), 4) AS total,
+             0.0 AS conf_sum
+           FROM fo WHERE user_id >= 3 GROUP BY 2, user_id
+           UNION ALL
+           SELECT 'kv_cut1' AS src, 'mode=A' AS key, 1::BIGINT AS n,
+             0.0 AS total, 0.0 AS conf_sum
+           UNION ALL
+           SELECT 'kv_cut2' AS src, 'mode=B:v2' AS key, 1::BIGINT AS n,
+             0.0 AS total, 0.0 AS conf_sum)
          ORDER BY src, key""",
     // e20: e18's relational diff ACROSS the evolve boundary — g1 is
     // the odd split ALIGNED to the new era (score reads the 0.0

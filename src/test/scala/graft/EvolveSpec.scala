@@ -350,6 +350,43 @@ class EvolveSpec extends SparkSpec {
     assert(new java.io.File(man).exists())
   }
 
+  test("evolve composes with the degenerate table classes: factor, ONE and MUL KV") {
+    val root = Files.createTempDirectory("graft_evolve").toString + "/kv"
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    // factor table auto-created by fset; MUL list by kpush
+    eng.fset("u1.macd", 1000L, 1.5)
+    eng.kpush("watch", "a")
+    eng.kpush("watch", "b")
+    val gens = eng.saveAll()
+    assert(Seq("macd", "__mul").forall(t => gens.get(t).exists(_ >= 1L)), gens)
+    val cut = eng.snapshotAll()
+    // era bump on both classes through the same evolve surface
+    eng.evolve("{macd:{fields:{time:[T,8],value:[F,8],conf:[F,8]}}}")
+    eng.evolve("{__mul:{fields:{t:[T,8],value:[C,256],tag:[C,8]}}}")
+    // post-evolve writes land era-1 rows; old rows align on read
+    eng.fset("u1.macd",
+      """{"time":"1970-01-01T00:00:02Z","value":2.5,"conf":0.9}""")
+    eng.kpush("watch", "c")
+    eng.saveAll()
+    val live = eng.openSnapshot("macd").get
+    val rows = live.orderBy("time").select("value", "conf").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1.5, 0.0), (2.5, 0.9)),
+      s"era-0 factor row must align with conf zero-filled: $rows")
+    val mul = eng.krange("watch").select("value").collect()
+      .map(_.getString(0)).toSeq
+    assert(mul == Seq("a", "b", "c"),
+      s"MUL list must stay ordered across the era bump: $mul")
+    assert(eng.openSnapshot("__mul").get.columns.contains("tag"))
+    // the pre-evolve cut still serves the old eras exactly
+    val pin = eng.openSnapshotAllAt(cut)
+    assert(!pin("macd").get.columns.contains("conf"),
+      "cut must serve the factor table's pre-evolve era")
+    assert(!pin("__mul").get.columns.contains("tag"),
+      "cut must serve the MUL table's pre-evolve era")
+    assert(pin("macd").get.count() == 1 && pin("__mul").get.count() == 2)
+  }
+
   test("empty evolved store serves the new struct; evolve is idempotent") {
     val root = Files.createTempDirectory("graft_evolve").toString + "/m"
     val eng = new graft.api.Engine(spark, root, snapshots = true)
