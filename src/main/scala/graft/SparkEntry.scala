@@ -1247,9 +1247,28 @@ object SparkEntry {
     // translated by the same +1-per-coordinate shift
     val qv = emb.filter(col("vec_id") === 0).select("embedding")
       .head.getSeq[Double](0).toArray.map(_ + 1.0)
-    val stale = Similarity.probeStoredIvfPq(codes1, union, "vec_id",
-        "embedding", qv, c1, b1, k = 10, nprobe = 4, shortlist = 100)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the ADC shortlist is sized in IDENTITIES, then scaled by the
+    // corpus's measured replica multiplicity: the sf1 fixture holds
+    // every vector in 10 id-shifted copies with IDENTICAL codes, so a
+    // fixed 100-row shortlist would shrink to ~10 distinct identities
+    // and both trees' recalls would floor at 0.00 — a vacuous bar.
+    // Multiplicity-scaled, the identity capacity is SF-invariant and
+    // the retrained-≥-stale REQUIRE can actually fail. (repl = 1 at
+    // the base SFs, so the oracle-checked output is untouched there.)
+    val idMod = 100000000L
+    val nIdent = union.select(pmod(col("vec_id"), lit(idMod)))
+      .distinct().count()
+    val repl = math.max(1L,
+      math.round(union.count().toDouble / nIdent)).toInt
+    val shortlist = 100 * repl
+    // recall probes return 10·repl rows ranked, folded below to the
+    // top-10 DISTINCT identities — the exact re-rank would otherwise
+    // fill all of k=10 with ONE identity's tied replicas at sf1
+    val kRec = 10 * repl
+    val staleRows = Similarity.probeStoredIvfPq(codes1, union, "vec_id",
+        "embedding", qv, c1, b1, k = kRec, nprobe = 4,
+        shortlist = shortlist)
+      .orderBy("rank").select("vec_id").collect().map(_.getLong(0)).toSeq
     // the FIRED dials (REQUIREd above) drive x10's lifecycle on the
     // composed tree: retrain on the live union aside, one marker
     // flip, drop g1
@@ -1265,17 +1284,40 @@ object SparkEntry {
     PqDriftOracle.dt = Some(dt); PqDriftOracle.query = Some(qv)
     PqDriftOracle.probed = Some(probed)
     val top = Similarity.probeStoredIvfPq(codes2, union, "vec_id",
-        "embedding", qv, c2, b2, k = 10, nprobe = 4, shortlist = 100)
+        "embedding", qv, c2, b2, k = 10, nprobe = 4,
+        shortlist = shortlist)
       .localCheckpoint() // consumed thrice: equality + recall + output
     // retraining must not make search worse: recall vs the exact
-    // brute-force top-10 on the union, retrained ≥ stale
+    // brute-force top-10 on the union, retrained ≥ stale. The bar
+    // compares VECTOR IDENTITIES, not raw ids: the sf1 fixture
+    // replicates every vector 10× with ids shifted 1e8 per replica
+    // (TESTDATA scale-up scheme), so a raw-id truth set ties on
+    // distance and flushes the single-nearest's replicas out of both
+    // shortlists — 0.00 ≥ 0.00 would hold vacuously. Folding ids mod
+    // 1e8 makes any replica of a true neighbor count, so the REQUIRE
+    // binds at every SF (identity at the benched base SFs, where ids
+    // stay below the modulus).
     val truth = union
-      .select(col("vec_id"), VectorFunctions.l2sq(col("embedding"),
-        array(qv.toSeq.map(lit): _*)).as("d"))
-      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val fresh = top.select("vec_id").collect().map(_.getLong(0)).toSet
-    val rStale = stale.intersect(truth).size.toDouble / truth.size
+      .select(pmod(col("vec_id"), lit(idMod)).as("bid"),
+        VectorFunctions.l2sq(col("embedding"),
+          array(qv.toSeq.map(lit): _*)).as("d"))
+      .groupBy("bid").agg(min("d").as("d"))
+      .orderBy(col("d").asc, col("bid").asc).limit(10)
+      .select("bid").collect().map(_.getLong(0)).toSet
+    def idTop10(rows: Seq[Long]): Set[Long] =
+      rows.map(id => ((id % idMod) + idMod) % idMod)
+        .distinct.take(10).toSet
+    val staleIds = idTop10(staleRows)
+    val freshRows =
+      if (repl == 1) top.orderBy("rank").select("vec_id").collect()
+        .map(_.getLong(0)).toSeq
+      else Similarity.probeStoredIvfPq(codes2, union, "vec_id",
+          "embedding", qv, c2, b2, k = kRec, nprobe = 4,
+          shortlist = shortlist)
+        .orderBy("rank").select("vec_id").collect()
+        .map(_.getLong(0)).toSeq
+    val fresh = idTop10(freshRows)
+    val rStale = staleIds.intersect(truth).size.toDouble / truth.size
     val rNew = fresh.intersect(truth).size.toDouble / truth.size
     System.err.println(f"[x15] recall@10: stale=$rStale%.2f retrained=$rNew%.2f")
     require(rNew >= rStale,
@@ -1283,7 +1325,7 @@ object SparkEntry {
         f"$rStale%.2f — the drift-driven retrain made search worse")
     // the x14 contract on the retrained tree: stored == in-query
     val inQuery = Similarity.ivfPqSearch(union, "vec_id", "embedding",
-        qv, c2, b2, dt, k = 10, nprobe = 4, shortlist = 100)
+        qv, c2, b2, dt, k = 10, nprobe = 4, shortlist = shortlist)
       .select("vec_id", "cell", "adc_rank", "d2", "rank")
       .orderBy("rank").collect().toSeq
     val storedRows = top.select("vec_id", "cell", "adc_rank", "d2", "rank")
