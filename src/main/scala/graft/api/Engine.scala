@@ -1416,10 +1416,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * tagged with this table, so table-qualified sub patterns match.
     * The source must carry the table's declared fields + `subject`. */
   def startIngest(table: String, srcDir: String, checkpointDir: String,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     startIngestWith(table, srcDir, checkpointDir, availableNow,
-      postCommit = (_, _) => ())
+      postCommit = (_, _) => (), maxFilesPerTrigger = maxFilesPerTrigger)
 
   /** The shared ingest-stream body: land each micro-batch in the
     * table's store (set+save = one committed generation), publish it,
@@ -1429,7 +1430,8 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * semantics, and trigger wiring cannot silently diverge. */
   private def startIngestWith(table: String, srcDir: String,
       checkpointDir: String, availableNow: Boolean,
-      postCommit: (DataFrame, Long) => Unit)
+      postCommit: (DataFrame, Long) => Unit,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val sdb = catalog.get(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$table'"))
@@ -1437,7 +1439,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val schema = org.apache.spark.sql.types.StructType(
       sdb.structType.fields :+ org.apache.spark.sql.types.StructField(
         "subject", org.apache.spark.sql.types.StringType))
-    val src = spark.readStream.schema(schema).parquet(srcDir)
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
     val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, id) => {
         val b = batch.toDF()
@@ -1622,21 +1627,47 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * re-landed batch re-derives the same feed against its re-landed
     * generation; st11 drills redelivery, a died-mid-maintenance
     * batch, and a command-side delete propagated through the same
-    * cursor). */
+    * cursor).
+    *
+    * `housekeepEveryBatches > 0` adds the wall-clock housekeeping a
+    * deployment that never goes down needs (the reference packs from
+    * its own working thread on a schedule, sisdb.c:66-67,137-169):
+    * after every Nth batch's round, the bar store's multi-slot days
+    * fold into one slot ([[graft.ops.Rollup.compactMaintainedBars]] —
+    * exactly-equal merge, crash-rolls-forward), so slot count stays
+    * bounded by the cadence instead of growing one per round forever;
+    * `housekeepGroupCols` must name the stored partials' group
+    * columns. Version-dir growth on the TABLE side is the commit
+    * path's existing [[autoVacuum]] dial — the stream's set+save IS a
+    * commit, so a dialed engine vacuums as batches land. */
   def startIngestMaintained(table: String, srcDir: String,
       checkpointDir: String, barRoot: String,
       groupCols: Seq[org.apache.spark.sql.Column],
       orderKey: org.apache.spark.sql.Column,
       value: org.apache.spark.sql.Column,
       volume: org.apache.spark.sql.Column,
-      availableNow: Boolean = true)
+      availableNow: Boolean = true,
+      housekeepEveryBatches: Int = 0,
+      housekeepGroupCols: Seq[String] = Seq.empty,
+      maxFilesPerTrigger: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(snapshots, "rollup maintenance diffs committed generations " +
       "— snapshot mode only")
+    require(housekeepEveryBatches <= 0 || housekeepGroupCols.nonEmpty,
+      "housekeeping needs the stored partials' group column names " +
+        "(housekeepGroupCols) — they cannot be inferred safely")
     startIngestWith(table, srcDir, checkpointDir, availableNow,
-      postCommit = (_, _) =>
+      maxFilesPerTrigger = maxFilesPerTrigger,
+      postCommit = (_, id) => {
         maintainRollup(table, barRoot, groupCols, orderKey, value,
-          volume))
+          volume)
+        if (housekeepEveryBatches > 0 &&
+            (id + 1) % housekeepEveryBatches == 0)
+          maintLock(barRoot).synchronized {
+            graft.ops.Rollup.compactMaintainedBars(spark, barRoot,
+              housekeepGroupCols)
+          }
+      })
   }
 
   /** T2 `psub` replay through the command surface (workers/sisdb/

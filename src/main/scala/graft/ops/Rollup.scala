@@ -161,6 +161,9 @@ object Rollup {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       ss.sparkContext.hadoopConfiguration)
     def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a crashed slot compaction rolls forward first (pure FS ops) —
+    // its half-swapped day would otherwise read as missing
+    recoverBarCompaction(ss, root)
     // a pending marker from a DIFFERENT round must not be cleared by
     // this one unless this round provably REPAIRS it: either re-run
     // the crashed round (same slot — its re-derived feed overwrites
@@ -369,6 +372,134 @@ object Rollup {
     node.put("generation", generation)
     writeJsonAtomic(org.apache.hadoop.fs.FileSystem.get(
       ss.sparkContext.hadoopConfiguration), cursorPath(root), node)
+  }
+
+  // ── maintained-bar housekeeping (slot compaction) ──────────────
+  //
+  // A maintained bar store appends one insert slot per round
+  // (batch=<generation>), so a deployment that never goes down grows
+  // a hot day's slot count without bound — the analogue of the
+  // reference's scheduled Friday pack (workers/sisdb/sisdb.c:66-67,
+  // 137-169) for the write→bar cascade. Compaction folds every slot
+  // of a multi-slot day into ONE batch=0 dir via mergeBarPartials,
+  // which the carried order keys make EXACTLY equal to partials of
+  // the union — zero accuracy cost. Safe against the cursor
+  // protocol: with no maintenance marker pending, every placed slot
+  // belongs to a COMPLETED round (the marker brackets placements),
+  // and every FUTURE round places under its own target generation —
+  // strictly above the cursor, so never under a compacted day's
+  // batch=0 except as a wholesale dirty-day rebuild (which replaces
+  // the dir anyway).
+
+  private def compactMarkerPath(root: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}/_compact_round.json")
+  private def compactStagePath(root: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}/__compact_stage")
+
+  /** Days an interrupted [[compactMaintainedBars]] run may have left
+    * half-swapped (roll forward with [[recoverBarCompaction]] — both
+    * entry points do it automatically), None when whole. */
+  def pendingBarCompaction(ss: org.apache.spark.sql.SparkSession,
+      root: String): Option[Seq[String]] =
+    readJson(ss, compactMarkerPath(root)).map { node =>
+      (0 until node.path("days").size())
+        .map(i => node.path("days").get(i).asText())
+    }
+
+  /** Roll a crashed compaction forward: the staged merged dirs were
+    * durable BEFORE the marker (its commit point), so every marker
+    * day either still has its staged dir (re-swap it) or was already
+    * swapped (skip). Pure filesystem ops — no Spark jobs. */
+  def recoverBarCompaction(ss: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    pendingBarCompaction(ss, root).foreach { days =>
+      days.foreach { e =>
+        val staged = new org.apache.hadoop.fs.Path(
+          compactStagePath(root), s"__d=$e")
+        if (fs.exists(staged)) swapCompactedDay(fs, root, e)
+      }
+      fs.delete(compactMarkerPath(root), false)
+    }
+    // an orphan stage (crash BEFORE the marker) is dead weight
+    fs.delete(compactStagePath(root), true)
+  }
+
+  private def swapCompactedDay(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, escapedDay: String): Unit = {
+    val dayDir = new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}/day=$escapedDay")
+    val staged = new org.apache.hadoop.fs.Path(
+      compactStagePath(root), s"__d=$escapedDay")
+    fs.delete(dayDir, true)
+    fs.mkdirs(dayDir)
+    if (!fs.rename(staged, new org.apache.hadoop.fs.Path(dayDir, "batch=0")))
+      throw new java.io.IOException(
+        s"compactMaintainedBars: could not place $dayDir/batch=0")
+  }
+
+  /** Fold every multi-slot day of a maintained bar store into one
+    * `batch=0` slot. Stage → marker → swap: all merged day dirs are
+    * staged durably first, the marker write is the commit point, and
+    * a crash anywhere rolls FORWARD (the staged merge re-derives
+    * nothing). Refuses while a maintenance round is pending — the
+    * crashed round must converge first ([[maintainDayPartials]]'s
+    * recovery contract owns those days). `groupCols` must name the
+    * stored partials' group columns exactly (the same explicitness
+    * [[compactBarPartialBatches]] requires, and for the same reason:
+    * inferring them could silently aggregate away a group column
+    * named like a reserved partial field). Returns the days folded. */
+  def compactMaintainedBars(ss: org.apache.spark.sql.SparkSession,
+      root: String, groupCols: Seq[String],
+      minSlots: Int = 2): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{
+      escapePathName, unescapePathName}
+    require(minSlots >= 2, s"minSlots must be >= 2, got $minSlots")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    recoverBarCompaction(ss, root)
+    pendingMaintenance(ss, root).foreach { case (pSlot, _, _) =>
+      throw new IllegalStateException(
+        s"compactMaintainedBars: a crashed maintenance round (slot " +
+          s"$pSlot) is pending at $root — run its recovery (a " +
+          "maintainRollup round) before compacting")
+    }
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val days = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("day=")).map(_.stripPrefix("day=")).sorted
+    val multi = days.filter { e =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${root.stripSuffix("/")}/day=$e"))
+        .count(_.getPath.getName.startsWith("batch=")) >= minSlots
+    }.toSeq
+    if (multi.isEmpty) return Seq.empty
+    val stage = compactStagePath(root)
+    fs.delete(stage, true)
+    multi.foreach { e =>
+      val src = ss.read.parquet(s"${root.stripSuffix("/")}/day=$e")
+      val cols = src.columns.filterNot(_ == "batch").toSeq
+      val missing = groupCols.filterNot(cols.contains)
+      require(missing.isEmpty, s"stored partials lack group columns " +
+        s"${missing.mkString(", ")} (have ${cols.mkString(", ")})")
+      mergeBarPartials(src.drop("batch"), groupCols)
+        .select(cols.map(col): _*)
+        .write.parquet(new org.apache.hadoop.fs.Path(stage, s"__d=$e")
+          .toString)
+    }
+    // the marker write is the commit point (atomic create-over)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    val arr = node.putArray("days")
+    multi.foreach(arr.add)
+    writeJsonAtomic(fs, compactMarkerPath(root), node)
+    multi.foreach(e => swapCompactedDay(fs, root, e))
+    fs.delete(compactMarkerPath(root), false)
+    fs.delete(stage, true)
+    multi.map(unescapePathName)
   }
 
   /** Fold rollup-partial batch slots ≤ `upTo` into one (the

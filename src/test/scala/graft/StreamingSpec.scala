@@ -337,4 +337,121 @@ class StreamingSpec extends SparkSpec {
         s"append: ${admitted()}")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("maintained-stream housekeeping: slot growth stays bounded; compaction crash-rolls-forward") {
+    val root = Files.createTempDirectory("graft_stream_hk").toString
+    val e = new graft.api.Engine(spark, s"$root/eng", snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """{"t":"2024-01-01T00:30:00Z","value":0.5}""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // 8 one-row feed files, mtime-ordered, 6 of them on the SAME day —
+    // the worst case for slot growth on a long-running maintained
+    // stream (one insert slot per round, forever, without housekeeping)
+    val feed = s"$root/feed"; new java.io.File(feed).mkdirs()
+    val now = System.currentTimeMillis()
+    (1 to 8).foreach { b =>
+      val day = if (b <= 6) "2024-01-01" else "2024-01-02"
+      val tmp = s"$root/tmp_$b"
+      Seq(("u1",
+          java.sql.Timestamp.from(java.time.Instant.parse(
+            f"${day}T$b%02d:00:00Z")), b.toDouble))
+        .toDF("subject", "t", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$feed/b$b.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(now - (9 - b) * 60000L)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    e.startIngestMaintained("ev", feed, s"$root/ckpt", barRoot, grp,
+        okey, col("value"), col("value"), availableNow = true,
+        housekeepEveryBatches = 3, housekeepGroupCols = Seq("g"),
+        maxFilesPerTrigger = Some(1))
+      .awaitTermination(300000)
+    def slotsOf(day: String): Seq[String] =
+      Option(new java.io.File(s"$barRoot/day=$day").listFiles())
+        .fold(Seq.empty[String])(_.map(_.getName)
+          .filter(_.startsWith("batch=")).sorted.toSeq)
+    // 8 rounds landed on day 1 (bootstrap + 6 inserts); without the
+    // cadence it would hold 7 slots — with compaction every 3 batches
+    // (after batch ids 2 and 5) at most 1 + (8 mod 3) survive
+    val d1 = slotsOf("2024-01-01")
+    assert(d1.nonEmpty && d1.size <= 3, s"day-1 slots unbounded: $d1")
+    assert(graft.ops.Rollup.pendingBarCompaction(spark, barRoot).isEmpty)
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    // the folded store still equals the from-scratch rollup
+    def barsEqualFresh(): Unit = {
+      val merged = graft.ops.Rollup.finalizeBars(
+        spark.read.parquet(barRoot)
+          .withColumn("day", col("day").cast("string")).drop("batch"),
+        Seq("g", "day")).orderBy("day")
+        .select("day", "open", "high", "low", "close", "cnt", "volume")
+        .collect().map(_.toString).toSeq
+      val st = e.openSnapshot("ev").get
+      val fresh = graft.ops.Rollup.ohlc(
+        st.withColumn("g", lit("all")).withColumn("day", col("__day")),
+        Seq(col("g"), col("day")), okey, col("value"),
+        volume = Some(col("value"))).orderBy("day")
+        .select("day", "open", "high", "low", "close", "cnt", "volume")
+        .collect().map(_.toString).toSeq
+      assert(merged == fresh, s"maintained $merged != fresh $fresh")
+    }
+    barsEqualFresh()
+    // CRASH DRILL — reproduce the exact on-disk states an interrupted
+    // compaction leaves, and prove each rolls forward:
+    // (1) died between a day's delete and its staged rename: the day
+    // dir is gone, the staged merge and the marker survive
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.mkdirs(p(s"$barRoot/__compact_stage"))
+    assert(fs.rename(p(s"$barRoot/day=2024-01-01/batch=0"),
+      p(s"$barRoot/__compact_stage/__d=2024-01-01")))
+    fs.delete(p(s"$barRoot/day=2024-01-01"), true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_compact_round.json"),
+      """{"days":["2024-01-01"]}""".getBytes)
+    assert(graft.ops.Rollup.pendingBarCompaction(spark, barRoot)
+      .contains(Seq("2024-01-01")), "the detector missed the crash")
+    graft.ops.Rollup.recoverBarCompaction(spark, barRoot)
+    assert(graft.ops.Rollup.pendingBarCompaction(spark, barRoot).isEmpty)
+    assert(slotsOf("2024-01-01").nonEmpty, "roll-forward lost the day")
+    barsEqualFresh()
+    // (2) died after every swap, before the marker clear: recovery
+    // just releases the marker (the staged dirs are gone)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_compact_round.json"),
+      """{"days":["2024-01-01"]}""".getBytes)
+    graft.ops.Rollup.recoverBarCompaction(spark, barRoot)
+    assert(graft.ops.Rollup.pendingBarCompaction(spark, barRoot).isEmpty)
+    barsEqualFresh()
+    // (3) a maintenance round also rolls a crashed compaction forward
+    // (its entry recovery): compact day 2 to a single slot (a direct
+    // call — the same fold the cadence runs), fabricate the mid-swap
+    // state from it, then land a write and run the round
+    assert(slotsOf("2024-01-02").size >= 2,
+      "day 2 should hold multiple slots before the direct compaction")
+    assert(graft.ops.Rollup.compactMaintainedBars(spark, barRoot,
+      Seq("g")) == Seq("2024-01-02"))
+    assert(slotsOf("2024-01-02") == Seq("batch=0"))
+    barsEqualFresh()
+    fs.mkdirs(p(s"$barRoot/__compact_stage"))
+    assert(fs.rename(p(s"$barRoot/day=2024-01-02/batch=0"),
+      p(s"$barRoot/__compact_stage/__d=2024-01-02")))
+    fs.delete(p(s"$barRoot/day=2024-01-02"), true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_compact_round.json"),
+      """{"days":["2024-01-02"]}""".getBytes)
+    e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":9.0}""")
+    e.save("ev")
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingBarCompaction(spark, barRoot).isEmpty,
+      "the maintenance round did not roll the crashed compaction forward")
+    barsEqualFresh()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
