@@ -1272,6 +1272,53 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("writer fence at the engine seam: a second engine on one root supersedes the first, manifests stay whole") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e1 = new Engine(spark, root, snapshots = true)
+    e1.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e1.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e1.save("ev")
+    // a second engine over the SAME root (the lease lives on the
+    // shared filesystem, so the mechanism is identical for a second
+    // process): opening and READING must not fence the active writer
+    val e2 = new Engine(spark, root, snapshots = true)
+    assert(e2.get("*.ev", "{}").count() == 1)
+    e1.set("u1.ev", """{"t":"2024-01-02T01:00:00Z","value":2.0}""")
+    e1.save("ev") // still the sole writer — must not throw
+    // e2's first WRITE takes the root over
+    e2.set("u2.ev", """{"t":"2024-01-03T01:00:00Z","value":3.0}""")
+    e2.save("ev")
+    // the superseded engine fails LOUDLY at every mutating surface,
+    // before anything of its touches disk
+    e1.set("u1.ev", """{"t":"2024-01-04T01:00:00Z","value":9.0}""")
+    val ex = intercept[IllegalStateException] { e1.save("ev") }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    intercept[IllegalStateException] { e1.saveAll(Seq("ev")) }
+    intercept[IllegalStateException] {
+      e1.del("u1.ev", """{range:{start:0,stop:9999999999999}}""")
+    }
+    // the store serves the takeover's consistent view: e2's write is
+    // there, the fenced engine's rejected row never landed
+    val live = e2.get("*.ev", "{}")
+    assert(live.count() == 3 &&
+      live.filter(col("value") === 9.0).count() == 0,
+      "a fenced engine's write leaked into the store")
+    // the manifest stayed whole: the winner keeps committing, cuts
+    // and pinned reads work end to end
+    e2.set("u2.ev", """{"t":"2024-01-05T01:00:00Z","value":4.0}""")
+    val gens = e2.saveAll(Seq("ev"))
+    assert(gens("ev") >= 1L)
+    val cut = e2.snapshotAll(Seq("ev"))
+    assert(e2.openSnapshotAllAt(cut)("ev").get.count() == 4)
+    // a RESTART of the fenced engine (a fresh handle, the documented
+    // recovery) takes the root back and can write again
+    val e3 = new Engine(spark, root, snapshots = true)
+    e3.set("u3.ev", """{"t":"2024-01-06T01:00:00Z","value":5.0}""")
+    e3.save("ev")
+    assert(e3.get("*.ev", "{}").count() == 5)
+  }
+
   test("maintainRollup: slots derive from the generation — interleaved rounds cannot collide") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString
