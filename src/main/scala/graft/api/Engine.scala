@@ -93,6 +93,25 @@ final class Engine(val spark: SparkSession, rootPath: String,
   // it opens stores, which read engine fields (autoVacuumCfg, hooks)
   // declared below this point
 
+  /** Fail loudly if another writer took over any table root this
+    * engine has WRITTEN (the store-level fence, checked here at the
+    * engine's own shared artifact): a superseded engine's catalog
+    * persist would otherwise silently overwrite the winner's sidecar
+    * with a stale view — create/evolve are the one mutation class
+    * that touches no store, so the store fences alone cannot catch
+    * it. Engines that never wrote (readers; heal-persists) hold no
+    * lease and pass. */
+  private def requireCatalogUnfenced(): Unit =
+    stores.collectFirst {
+      case (t, st) if !st.holdsWriteLease => t
+    }.foreach { t =>
+      throw new IllegalStateException(
+        s"$rootPath: this engine is FENCED — another writer took over " +
+          s"table '$t'; its catalog write is refused (a stale sidecar " +
+          "would shadow the winner's declarations). Re-open the engine " +
+          "to continue.")
+    }
+
   private def persistEngineCatalog(): Unit = synchronized {
     if (rehydrating) return // sidecar is the source being replayed
     val root = mapper.createObjectNode()
@@ -102,6 +121,29 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val ex = root.putObject("exposed")
     exposedDbs.toSeq.sortBy(_._1).foreach { case (t, dbs) =>
       val arr = ex.putArray(t); dbs.foreach(arr.add)
+    }
+    // carry through on-disk declarations this engine does not know:
+    // tables are never REMOVED from the catalog (drop removes
+    // subjects), so a name-union is always safe — without it, two
+    // engines whose catalog views diverged (each created a different
+    // table) would last-wins-erase each other's declarations. Exposed
+    // entries merge only for those carried tables (an exposure of a
+    // KNOWN table may have been legitimately removed by unexpose).
+    locally {
+      val f = hadoopFs
+      if (f.exists(catalogFile)) scala.util.Try {
+        val node = mapper.readTree(TsStore.readJsonBytes(f, catalogFile))
+        import scala.jdk.CollectionConverters._
+        val unknown = node.path("tables").properties().asScala
+          .filter(e => catalog.get(e.getKey).isEmpty).toSeq
+        unknown.foreach(e => ts.put(e.getKey, e.getValue.asText()))
+        val exn = node.path("exposed")
+        unknown.map(_.getKey).filter(exn.has).foreach { t =>
+          val arr = ex.putArray(t)
+          (0 until exn.path(t).size())
+            .foreach(i => arr.add(exn.path(t).get(i).asText()))
+        }
+      }
     }
     // tmp + atomic rename-over, same protocol as TsStore.persistMeta —
     // a torn catalog write must never take down every table at once
@@ -153,6 +195,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * persisted under `rootPath`, so a new Engine over the same root
     * serves `get`/`del`/`sub`/SQL without re-issuing any `create`. */
   def create(dsl: String): SdbSchema.Sdb = {
+    requireCatalogUnfenced()
     val sdb = catalog.register(dsl)
     persistEngineCatalog()
     sdb
@@ -213,6 +256,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       s"evolve: '${next.name}' is exposed to SQL — a parquet backing " +
         "table cannot span schema eras; drop the exposure, evolve, " +
         "then re-expose")
+    requireCatalogUnfenced()
     store.evolveSchema(prev, next)
     catalog.register(next)
     persistEngineCatalog()
@@ -1761,6 +1805,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
     // record the exposure so a restarted Engine re-registers the view
     val already = exposedDbs.getOrElse(table, Vector.empty)
     if (!already.contains(db)) {
+      requireCatalogUnfenced()
       exposedDbs.put(table, already :+ db)
       persistEngineCatalog()
     }
@@ -2023,7 +2068,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
         dropRegistration(backing)
       }
     stores.get(table).foreach(_.onColdChange = _ => ())
-    if (exposedDbs.remove(table).isDefined) persistEngineCatalog()
+    if (exposedDbs.contains(table)) {
+      requireCatalogUnfenced()
+      exposedDbs.remove(table)
+      persistEngineCatalog()
+    }
   }
 
   private def dropRegistration(name: String): Unit = {

@@ -311,6 +311,17 @@ final class TsStore(
     token
   }
 
+  /** True while this handle can still write: it never wrote (no lease
+    * taken — readers always pass) or its lease token is still the
+    * live one. The engine checks this before ITS shared artifact (the
+    * catalog sidecar) — a superseded engine must not overwrite the
+    * winner's declarations either. */
+  private[graft] def holdsWriteLease: Boolean = leaseToken match {
+    case None => true
+    case Some(mine) =>
+      readLease().exists(_.path("token").asText() == mine)
+  }
+
   /** Fail loudly if another writer took over this root since this
     * handle FIRST WROTE. Checked at every mutation entry (before the
     * tmp job starts — nothing of the fenced writer's touches disk)

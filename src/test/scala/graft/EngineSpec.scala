@@ -1319,6 +1319,46 @@ class EngineSpec extends SparkSpec {
     assert(e3.get("*.ev", "{}").count() == 5)
   }
 
+  test("catalog sidecar fence and merge: a superseded engine cannot shadow the winner's declarations") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e1 = new Engine(spark, root, snapshots = true)
+    e1.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e1.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e1.save("ev")
+    // e2 takes the root over AND creates a new table the stale e1
+    // cannot know about
+    val e2 = new Engine(spark, root, snapshots = true)
+    e2.set("u2.ev", """{"t":"2024-01-02T01:00:00Z","value":2.0}""")
+    e2.save("ev")
+    e2.create("{won:{fields:{t:[T,8],score:[F,8]}}}")
+    // the superseded engine's catalog mutations are REFUSED — its
+    // persist would overwrite the winner's sidecar with a view that
+    // lacks 'won' (create touches no store, so the store fences alone
+    // never fire on it)
+    val ex = intercept[IllegalStateException] {
+      e1.create("{stale:{fields:{t:[T,8],x:[F,8]}}}")
+    }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    intercept[IllegalStateException] { e1.exposeSql("ev", "graftdb") }
+    // a fresh engine sees the winner's full catalog, nothing shadowed
+    val e3 = new Engine(spark, root, snapshots = true)
+    assert(e3.catalog.tables.toSet == Set("ev", "won"),
+      s"the winner's declarations were shadowed: ${e3.catalog.tables}")
+    // catalog-only divergence between engines that never wrote a
+    // store: the persist MERGES unknown on-disk declarations (tables
+    // are never removed, so a name-union is always safe) — two admin
+    // engines creating different tables no longer last-wins-erase
+    // each other
+    val a = new Engine(spark, root, snapshots = true)
+    val b = new Engine(spark, root, snapshots = true) // opened pre-'ta'
+    a.create("{ta:{fields:{t:[T,8],x:[F,8]}}}")
+    b.create("{tb:{fields:{t:[T,8],y:[F,8]}}}") // must carry 'ta' through
+    val e4 = new Engine(spark, root, snapshots = true)
+    assert(e4.catalog.tables.toSet == Set("ev", "won", "ta", "tb"),
+      s"catalog-only divergence erased a declaration: ${e4.catalog.tables}")
+  }
+
   test("maintainRollup: slots derive from the generation — interleaved rounds cannot collide") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString
