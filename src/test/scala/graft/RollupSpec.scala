@@ -136,6 +136,52 @@ class RollupSpec extends SparkSpec {
     assert(postMerge == preMerge, "compaction changed the merged bars")
   }
 
+  test("compactMaintainedBars: hostile day keys fold under their escaped dirs; refuses a pending round") {
+    val root = java.nio.file.Files
+      .createTempDirectory("rollup_cmp").toString + "/bars"
+    val hostile = "2024-01-03 10:30"
+    val b0 = Seq(("g", hostile, 10L, 1.0), ("g", "plain", 10L, 2.0))
+      .toDF("key", "day", "k", "v")
+    val b1 = Seq(("g", hostile, 20L, 3.0)).toDF("key", "day", "k", "v")
+    def maintain(ins: org.apache.spark.sql.DataFrame, slot: Long) =
+      Rollup.maintainDayPartials(ins, Seq.empty, ins, root, col("day"),
+        Seq(col("key")), col("k"), col("v"), col("v"), slot)
+    maintain(b0, 0L)
+    maintain(b1, 1L)
+    def bars() = Rollup.finalizeBars(
+      spark.read.parquet(root)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("key", "day")).orderBy("day")
+      .select("day", "open", "close", "cnt", "volume")
+      .collect().map(_.toString).toSeq
+    val before = bars()
+    // a pending maintenance round blocks compaction outright
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/_maint_round.json"),
+      """{"slot":9,"dirtyDays":["d9"],"insertDays":[]}""".getBytes)
+    val ex = intercept[IllegalStateException] {
+      Rollup.compactMaintainedBars(spark, root, Seq("key"))
+    }
+    assert(ex.getMessage.contains("pending"), ex.getMessage)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/_maint_round.json"))
+    // the hostile day (2 slots) folds; 'plain' (1 slot) is untouched
+    assert(Rollup.compactMaintainedBars(spark, root, Seq("key"))
+      == Seq(hostile))
+    val dayDirs = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).toSet
+    assert(dayDirs.exists(_.contains("%")),
+      s"the hostile day must live under its escaped dir: $dayDirs")
+    val hostileSlots = new java.io.File(root).listFiles()
+      .filter(d => d.getName.startsWith("day=") &&
+        d.getName.contains("%"))
+      .flatMap(_.listFiles()).map(_.getName).toSeq
+    assert(hostileSlots == Seq("batch=0"), s"slots: $hostileSlots")
+    assert(bars() == before, "compaction changed the merged bars")
+    // nothing left to fold → no-op
+    assert(Rollup.compactMaintainedBars(spark, root, Seq("key")).isEmpty)
+  }
+
   test("maintainDayPartials: hostile day keys round-trip; an interrupted round is detectable") {
     val root = java.nio.file.Files
       .createTempDirectory("rollup_esc").toString + "/bars"
