@@ -129,10 +129,26 @@ final class Engine(val spark: SparkSession, rootPath: String,
     // table) would last-wins-erase each other's declarations. Exposed
     // entries merge only for those carried tables (an exposure of a
     // KNOWN table may have been legitimately removed by unexpose).
+    // RESIDUAL, documented: the read-merge-write is not a filesystem
+    // CAS, so two engines persisting in the same instants can still
+    // miss each other's just-written tables (each merged what was on
+    // disk when it read). The merge closes the SEQUENTIAL divergence
+    // class — the one a real deployment hits — and concurrent
+    // catalog mutation from two engines violates the single-writer
+    // contract the store leases enforce on every data path.
     locally {
       val f = hadoopFs
-      if (f.exists(catalogFile)) scala.util.Try {
-        val node = mapper.readTree(TsStore.readJsonBytes(f, catalogFile))
+      if (f.exists(catalogFile)) {
+        // a merge that cannot read the sidecar must FAIL the persist:
+        // writing this engine's view blind would erase every other
+        // declaration — the exact bug the merge exists to prevent
+        val node =
+          try mapper.readTree(TsStore.readJsonBytes(f, catalogFile))
+          catch { case e: Exception => throw new IllegalStateException(
+            s"catalog sidecar $catalogFile is unreadable — refusing " +
+              "to persist without the union merge (a blind write " +
+              s"would erase other engines' declarations): ${e.getMessage}",
+            e) }
         import scala.jdk.CollectionConverters._
         val unknown = node.path("tables").properties().asScala
           .filter(e => catalog.get(e.getKey).isEmpty).toSeq
@@ -1566,7 +1582,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
   private val maintLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def maintLock(barRoot: String): Object =
-    maintLocks.computeIfAbsent(barRoot, _ => new Object)
+    // normalized key: two spellings of one root ("/x/bars" vs
+    // "/x/bars/") must serialize on the SAME monitor or concurrent
+    // rounds would interleave against one physical directory
+    maintLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(barRoot).toString, _ => new Object)
 
   /** One cursor-protocol maintenance round: diff the cursor against
     * `table`'s current committed generation `gN`, merge feed inserts
@@ -1621,14 +1641,22 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // new data landed in between: the re-derived feed — only the
       // NEW changes, the completed round's are behind the advanced
       // cursor — would overwrite the completed placements wholesale.)
-      pending.filter(_._1 <= cur).foreach { case (pSlot, _, _) =>
-        graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
+      // The release comparison is only meaningful for a marker whose
+      // slot IS a generation (scheme tag): a marker written under the
+      // old caller-chosen-slot scheme must instead take the rebuild
+      // path below — the safe direction for an unknown round.
+      val genScheme =
+        graft.ops.Rollup.pendingMarkerIsGenScheme(spark, barRoot)
+      pending.filter(p => genScheme && p._1 <= cur)
+        .foreach { case (pSlot, _, _) =>
+          graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
       if (gN <= cur) return (Seq.empty, Seq.empty)
       // a still-incomplete crashed round (cursor below its recorded
-      // generation): this round subsumes it — the feed from the
-      // unchanged cursor covers its changes, and its recorded days
-      // rebuild from the pin (see the crash-recovery contract above)
-      val crashedDays = pending.filter(_._1 > cur)
+      // generation, or any old-scheme marker): this round subsumes
+      // it — the feed from the unchanged cursor covers its changes,
+      // and its recorded days rebuild from the pin (see the
+      // crash-recovery contract above)
+      val crashedDays = pending.filter(p => !genScheme || p._1 > cur)
         .map { case (_, d, i) => (d ++ i).distinct }
         .getOrElse(Seq.empty)
       val sdb = catalog.get(table).get
@@ -1765,6 +1793,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * scan already running when a commit lands keeps its pinned file
     * list for as long as the vacuum grace holds those files. */
   def exposeSql(table: String, db: String = "graft"): String = {
+    // fence check FIRST (see unexposeSql): refusing after the save
+    // and the view registrations would leave this session's SQL
+    // catalog inconsistent with the sidecar it then never writes
+    requireCatalogUnfenced()
     val st = storeOf(table)
     st.save()
     // a parquet backing table reads day dirs raw — it cannot align
@@ -2062,6 +2094,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * backing DDL with the new columns). Frozen `exposeSqlAt` views
     * are unaffected — they pin a specific generation by design. */
   def unexposeSql(table: String): Unit = synchronized {
+    // fence check FIRST: refusing after the view drops would leave
+    // this session's SQL catalog, exposedDbs and the sidecar mutually
+    // inconsistent (views gone, exposure still recorded)
+    if (exposedDbs.contains(table)) requireCatalogUnfenced()
     sqlNames.remove(table).getOrElse(Vector.empty)
       .foreach { case (view, backing) =>
         dropRegistration(view)
@@ -2069,7 +2105,6 @@ final class Engine(val spark: SparkSession, rootPath: String,
       }
     stores.get(table).foreach(_.onColdChange = _ => ())
     if (exposedDbs.contains(table)) {
-      requireCatalogUnfenced()
       exposedDbs.remove(table)
       persistEngineCatalog()
     }

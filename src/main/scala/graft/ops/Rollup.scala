@@ -297,8 +297,24 @@ object Rollup {
     // re-derive it, leaving the orphan double-counted forever)
     val ia = node.putArray("insertDays")
     insertDays.foreach(ia.add)
+    // slots derive from the target GENERATION since r17; the scheme
+    // tag lets recovery distinguish such a marker from one written
+    // under the old caller-chosen-slot scheme, whose slot must never
+    // be compared against the generation cursor
+    node.put("scheme", "gen")
     writeJsonAtomic(fs, maintMarkerPath(root), node)
   }
+
+  /** True when the pending marker (if any) records a
+    * generation-scheme slot — comparing an OLD caller-chosen slot
+    * (batch ids, command-round constants) against the generation
+    * cursor could wrongly release a genuinely crashed round, so
+    * recovery treats unschemed markers as incomplete and rebuilds
+    * their days instead. */
+  private[graft] def pendingMarkerIsGenScheme(
+      ss: org.apache.spark.sql.SparkSession, root: String): Boolean =
+    readJson(ss, maintMarkerPath(root))
+      .exists(_.path("scheme").asText("") == "gen")
 
   private def clearMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit =
@@ -411,7 +427,15 @@ object Rollup {
   /** Roll a crashed compaction forward: the staged merged dirs were
     * durable BEFORE the marker (its commit point), so every marker
     * day either still has its staged dir (re-swap it) or was already
-    * swapped (skip). Pure filesystem ops — no Spark jobs. */
+    * swapped (skip). Pure filesystem ops — no Spark jobs.
+    *
+    * A MARKERLESS stage dir is left alone: it is either a
+    * crash-before-the-marker orphan (dead weight, invisible to
+    * readers behind its underscore prefix, reclaimed by the next
+    * compaction's own stage reset) or a compaction mid-staging —
+    * deleting it here would race a live run's stage out from under
+    * its marker write and turn the crash-recovery rule ("missing
+    * staged dir = already swapped") into silent day loss. */
   def recoverBarCompaction(ss: org.apache.spark.sql.SparkSession,
       root: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -423,9 +447,8 @@ object Rollup {
         if (fs.exists(staged)) swapCompactedDay(fs, root, e)
       }
       fs.delete(compactMarkerPath(root), false)
+      fs.delete(compactStagePath(root), true)
     }
-    // an orphan stage (crash BEFORE the marker) is dead weight
-    fs.delete(compactStagePath(root), true)
   }
 
   private def swapCompactedDay(fs: org.apache.hadoop.fs.FileSystem,

@@ -1420,8 +1420,8 @@ class EngineSpec extends SparkSpec {
     assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(g1))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
-      s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-03"]}"""
-        .getBytes)
+      (s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-03"],""" +
+        """"scheme":"gen"}""").getBytes)
     // new data lands on the SAME day before the next round: the
     // recovery must RELEASE the completed round's marker and place
     // under the new generation — re-running under the marker's slot
@@ -1441,6 +1441,46 @@ class EngineSpec extends SparkSpec {
     assert(bars.length == 1 && bars(0).getLong(0) == 3 &&
       bars(0).getDouble(1) == 14.0 && bars(0).getDouble(2) == 8.0,
       s"recovery erased the completed round's rows: ${bars.toSeq}")
+  }
+
+  test("maintainRollup recovery: an old-scheme marker is rebuilt, never released by a generation compare") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0},
+      {"t":"2024-01-02T01:00:00Z","value":2.0}]""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // a marker written under the OLD caller-chosen-slot scheme (no
+    // scheme tag, slot = a small batch id) whose crashed round
+    // half-swapped day 2: the day dir is gone, the cursor is PAST the
+    // slot number — a generation compare would wrongly release it
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$barRoot/day=2024-01-02"), true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
+      """{"slot":1,"dirtyDays":["2024-01-02"],"insertDays":[]}"""
+        .getBytes)
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).exists(_ >= 1L))
+    // new data lands; the round must REBUILD day 2 from the pin (the
+    // old release branch would have cleared the marker and served
+    // bars missing the whole day forever)
+    e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":3.0}""")
+    e.save("ev")
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    assert(new java.io.File(s"$barRoot/day=2024-01-02").exists(),
+      "the old-scheme marker's half-swapped day was not rebuilt")
+    val days = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .select(col("day").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(days == Set("2024-01-01", "2024-01-02", "2024-01-03"), days)
   }
 
   test("maintainRollup recovery: a crashed round's recorded days rebuild even when the feed nets them out") {
@@ -1464,8 +1504,8 @@ class EngineSpec extends SparkSpec {
     graft.ops.Rollup.writeBarCursor(spark, barRoot, g0)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
-      s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-05"]}"""
-        .getBytes)
+      (s"""{"slot":$g1,"dirtyDays":[],"insertDays":["2024-01-05"],""" +
+        """"scheme":"gen"}""").getBytes)
     // the insert is deleted again before recovery: the cursor→current
     // feed NETS OUT (no day-5 change at all), so only the marker's
     // recorded insertDays can tell the recovery that day-5 holds a
