@@ -113,7 +113,16 @@ final class Engine(val spark: SparkSession, rootPath: String,
     }
 
   private def persistEngineCatalog(): Unit = synchronized {
-    if (rehydrating) return // sidecar is the source being replayed
+    // skipped while rehydrating — the sidecar is the source being
+    // replayed. (A guard, not a `return`: Scala compiles a return
+    // inside `synchronized`'s by-name block to a NonLocalReturn
+    // exception unwound through the monitor — correct today, but a
+    // refactor moving the line into a nested closure would silently
+    // change which frame it exits.)
+    if (!rehydrating) persistEngineCatalogLocked()
+  }
+
+  private def persistEngineCatalogLocked(): Unit = {
     val root = mapper.createObjectNode()
     root.put("snapshots", snapshots)
     val ts = root.putObject("tables")
@@ -169,9 +178,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       s"${rootPath.stripSuffix("/")}/__catalog.json.tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(catalogFile.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, catalogFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TsStore.atomicReplace(f, tmp, catalogFile)
   }
 
   private def loadEngineCatalog(): Unit = {
@@ -259,24 +266,26 @@ final class Engine(val spark: SparkSession, rootPath: String,
     // TsStore's "evolve from the live schema" require.
     val store = storeOf(next.name)
     val prev = catalog.get(next.name).get
-    if (prev == next) return prev // idempotent no-op
-    def idx(s: SdbSchema.Sdb) = s.mainIndex.map(f => (f.name, f.style))
-    require(idx(prev) == idx(next),
-      s"evolve: the main index must not change (${idx(prev)} → " +
-        s"${idx(next)}) — re-keying is a new table, not an evolution")
-    def sole(s: SdbSchema.Sdb) = s.solelyFields.map(f => (f.name, f.style))
-    require(sole(prev) == sole(next),
-      s"evolve: the solely-field set must not change (${sole(prev)} → " +
-        s"${sole(next)}) — it is the store's upsert identity")
-    require(!sqlNames.contains(next.name),
-      s"evolve: '${next.name}' is exposed to SQL — a parquet backing " +
-        "table cannot span schema eras; drop the exposure, evolve, " +
-        "then re-expose")
-    requireCatalogUnfenced()
-    store.evolveSchema(prev, next)
-    catalog.register(next)
-    persistEngineCatalog()
-    next
+    if (prev == next) prev // idempotent no-op (guard, not a return —
+    else {                 // no non-local exits under the monitor)
+      def idx(s: SdbSchema.Sdb) = s.mainIndex.map(f => (f.name, f.style))
+      require(idx(prev) == idx(next),
+        s"evolve: the main index must not change (${idx(prev)} → " +
+          s"${idx(next)}) — re-keying is a new table, not an evolution")
+      def sole(s: SdbSchema.Sdb) = s.solelyFields.map(f => (f.name, f.style))
+      require(sole(prev) == sole(next),
+        s"evolve: the solely-field set must not change (${sole(prev)} → " +
+          s"${sole(next)}) — it is the store's upsert identity")
+      require(!sqlNames.contains(next.name),
+        s"evolve: '${next.name}' is exposed to SQL — a parquet backing " +
+          "table cannot span schema eras; drop the exposure, evolve, " +
+          "then re-expose")
+      requireCatalogUnfenced()
+      store.evolveSchema(prev, next)
+      catalog.register(next)
+      persistEngineCatalog()
+      next
+    }
   }
 
   /** Test/instrumentation access to a table's store (fault-injection
@@ -687,11 +696,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       atomicMarkerFile.toString + ".tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(atomicMarkerFile.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, atomicMarkerFile,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TsStore.atomicReplace(f, tmp, atomicMarkerFile)
   }
 
   private def clearAtomicMarker(): Unit =
@@ -1190,11 +1195,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       restoreMarkerFile.toString + ".tmp")
     val out = f.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(restoreMarkerFile.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, restoreMarkerFile,
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TsStore.atomicReplace(f, tmp, restoreMarkerFile)
   }
 
   private def clearRestoreMarker(): Unit =
@@ -1294,12 +1295,10 @@ final class Engine(val spark: SparkSession, rootPath: String,
     val out = f.create(tmp, true)
     try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     finally out.close()
-    // overwrite-capable atomic rename: a delete-then-rename pair would
+    // overwrite-capable atomic replace: a delete-then-rename pair would
     // open a window where a crash (or a concurrent reader) observes NO
-    // manifest at dest — FileContext.rename(OVERWRITE) swaps in one op
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(dest.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // manifest at dest — [[TsStore.atomicReplace]] swaps in one op
+    TsStore.atomicReplace(f, tmp, dest)
     outPath
   }
 
@@ -1650,7 +1649,35 @@ final class Engine(val spark: SparkSession, rootPath: String,
       pending.filter(p => genScheme && p._1 <= cur)
         .foreach { case (pSlot, _, _) =>
           graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
-      if (gN <= cur) return (Seq.empty, Seq.empty)
+      if (gN <= cur) {
+        // the store has not moved — but an UNSCHEMED pending marker
+        // (a pre-gen-scheme round that crashed) is not releasable by
+        // the cursor comparison above, and with no new generation the
+        // full round below never runs: left alone it would pend
+        // FOREVER on an idle store, failing pendingMaintenance probes
+        // and every compaction until a new write happens to land. Run
+        // a rebuild-only round over its recorded days from the
+        // current pin instead: dirtyDays subsume the marker's days,
+        // so maintainDayPartials accepts and CLEARS it, and a
+        // wholesale rebuild converges regardless of what the dead
+        // round had partially placed. (A gen-scheme marker can't
+        // reach here: its recorded generation is committed, hence
+        // <= gN <= cur, hence released above.)
+        pending.filter(_ => !genScheme) match {
+          case None => (Seq.empty, Seq.empty)
+          case Some((_, pDays, pIns)) =>
+            val days = (pDays ++ pIns).distinct
+            val sCur = openSnapshotAt(table, gN).getOrElse(
+              throw new IllegalStateException(
+                s"maintainRollup: generation $gN of '$table' unreadable " +
+                  "— cannot rebuild the crashed round's days"))
+            // slot is irrelevant (zero inserts stage nothing); the
+            // cursor needs no advance — the marker clear is the point
+            graft.ops.Rollup.maintainDayPartials(sCur.limit(0), days,
+              sCur, barRoot, col("__day"), groupCols, orderKey, value,
+              volume, slot = gN)
+        }
+      } else {
       // a still-incomplete crashed round (cursor below its recorded
       // generation, or any old-scheme marker): this round subsumes
       // it — the feed from the unchanged cursor covers its changes,
@@ -1687,6 +1714,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
         slot = gN,
         onPlaced = () =>
           graft.ops.Rollup.writeBarCursor(spark, barRoot, gN))
+      }
     }
   }
 

@@ -251,13 +251,16 @@ object Rollup {
 
   /** One tmp+rename JSON commit — the marker and the cursor share it
     * (and reads share [[graft.store.TsStore.readJsonBytes]]), so the
-    * FS plumbing exists once. The replace is a SINGLE atomic
-    * FileContext rename (Rename.OVERWRITE), never delete-then-rename:
-    * a crash between a delete and a rename would leave NO cursor file
-    * at all, and a bootstrapped-looking-empty root would pass
-    * bootstrapRollup's cursor-isEmpty guard and re-seed slot 0 over a
-    * store whose later slots still hold the same rows — exactly the
-    * double-count that guard exists to prevent. */
+    * FS plumbing exists once. The replace is a SINGLE rename
+    * ([[graft.store.TsStore.atomicReplace]] — `java.nio` ATOMIC_MOVE
+    * on `file://` roots, where Hadoop's own Rename.OVERWRITE is
+    * delete-then-rename; FileContext elsewhere), never a visible
+    * delete-then-rename pair: a crash between a delete and a rename
+    * would leave NO cursor file at all, and a bootstrapped-looking-
+    * empty root would pass bootstrapRollup's cursor-isEmpty guard and
+    * re-seed slot 0 over a store whose later slots still hold the
+    * same rows — exactly the double-count that guard exists to
+    * prevent. */
   private def writeJsonAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path,
       node: com.fasterxml.jackson.databind.JsonNode): Unit = {
@@ -266,9 +269,7 @@ object Rollup {
     val out = fs.create(tmp, true)
     try out.write(new com.fasterxml.jackson.databind.ObjectMapper()
       .writeValueAsBytes(node)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(dest.toUri, fs.getConf)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.store.TsStore.atomicReplace(fs, tmp, dest)
   }
 
   private def readJson(ss: org.apache.spark.sql.SparkSession,

@@ -449,9 +449,7 @@ object Similarity {
     val out = f.create(tmp, true)
     try out.write(m.writeValueAsBytes(node)) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(root, StampMarker)
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(dest.toUri, ss.sparkContext.hadoopConfiguration)
-      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.store.TsStore.atomicReplace(f, tmp, dest)
   }
 
   /** Resolve the marker ONCE, then open exactly that stamp's subtree:

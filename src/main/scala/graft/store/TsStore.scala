@@ -304,9 +304,7 @@ final class TsStore(
       path.stripSuffix("/") + "__lease.json.tmp")
     val out = f.create(tmp, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(leaseFile.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, leaseFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TsStore.atomicReplace(f, tmp, leaseFile)
     leaseEpoch = epoch
     token
   }
@@ -447,15 +445,13 @@ final class TsStore(
     // write-tmp + atomic rename-over: an in-place overwrite interrupted
     // mid-write corrupts the watermark/tombstone file and the store
     // fails to load (or worse, loads a stale watermark that lets a
-    // later tombstone rank below re-stamped rows). FileContext.rename
-    // with OVERWRITE is atomic on HDFS and the local FS alike.
+    // later tombstone rank below re-stamped rows). The replace is
+    // [[TsStore.atomicReplace]] — one rename on every filesystem.
     val tmp = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__meta.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(metaFile.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, metaFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    TsStore.atomicReplace(fs, tmp, metaFile)
   }
 
   // ── snapshot mode: versioned day dirs + a manifest as the single
@@ -682,20 +678,21 @@ final class TsStore(
     val prevBytes: Option[Array[Byte]] =
       if (fs.exists(snapFile)) Some(TsStore.readJsonBytes(fs, snapFile))
       else None
-    try org.apache.hadoop.fs.FileContext
-      .getFileContext(snapFile.toUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, snapFile, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    catch { case e: java.io.FileNotFoundException =>
-      // our staged tmp vanished mid-commit: a takeover's recovery
-      // swept it as stale. Report the fence, not a mystery ENOENT —
-      // the commit did not land either way.
-      if (!readLease().exists(_.path("token").asText() == myToken))
-        throw new IllegalStateException(
-          s"$path: commit FENCED mid-swap — the store root was taken " +
-            "over during this commit and the takeover swept the staged " +
-            "manifest; this write did not land. Re-open the store to " +
-            "take the root back.", e)
-      else throw e
+    try TsStore.atomicReplace(fs, tmp, snapFile)
+    catch {
+      // our staged tmp vanished mid-commit (ENOENT spelling differs
+      // by path: Hadoop throws FileNotFound, java.nio NoSuchFile): a
+      // takeover's recovery swept it as stale. Report the fence, not
+      // a mystery ENOENT — the commit did not land either way.
+      case e @ (_: java.io.FileNotFoundException |
+                _: java.nio.file.NoSuchFileException) =>
+        if (!readLease().exists(_.path("token").asText() == myToken))
+          throw new IllegalStateException(
+            s"$path: commit FENCED mid-swap — the store root was taken " +
+              "over during this commit and the takeover swept the staged " +
+              "manifest; this write did not land. Re-open the store to " +
+              "take the root back.", e)
+        else throw e
     }
     // ── post-swap fence verification: checkFence() above runs BEFORE
     // the rename, so a takeover landing in between could otherwise be
@@ -721,11 +718,7 @@ final class TsStore(
             path.stripSuffix("/") + s"__snapshot.json.tmp.$myToken")
           val o2 = fs.create(rtmp, true)
           try o2.write(bytes) finally o2.close()
-          org.apache.hadoop.fs.FileContext
-            .getFileContext(snapFile.toUri,
-              spark.sparkContext.hadoopConfiguration)
-            .rename(rtmp, snapFile,
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          TsStore.atomicReplace(fs, rtmp, snapFile)
         case None => fs.delete(snapFile, false) // first-ever commit: undo
       }
       val owner = liveLease.map(_.path("owner").asText()).getOrElse("unknown")
@@ -2031,6 +2024,51 @@ object TsStore {
       org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
       buf.toByteArray
     } finally in.close()
+  }
+
+  /** Replace `dest` with the already-written `tmp` in ONE rename —
+    * every sidecar commit in the engine (manifests, leases, cursors,
+    * markers, catalogs) funnels through here, because "atomic
+    * replace" is filesystem-specific:
+    *
+    *  - HDFS and object-store FileContexts implement
+    *    `Rename.OVERWRITE` as a single namespace op — used as-is;
+    *  - the LOCAL FileContext (`file://`) delegates to
+    *    `FileSystem.rename(Path,Path,Rename...)`, which is
+    *    delete-then-rename — a crash between the two leaves NO file
+    *    at `dest`, and for a cursor/manifest "absent" reads as
+    *    "never initialized" (e.g. a bar root with no cursor passes
+    *    `bootstrapRollup`'s guard and re-seeds slot 0 over live
+    *    slots). Local roots therefore go through `java.nio`
+    *    `ATOMIC_MOVE|REPLACE_EXISTING` — one `rename(2)`, which
+    *    POSIX guarantees replaces atomically.
+    *
+    * LocalFileSystem is checksummed, so both files' `.crc` sidecars
+    * are dropped first: a stale `dest` checksum surviving the move
+    * would fail every later read of the NEW bytes. Dropping the crc
+    * before the move is safe in every crash ordering — a checksum
+    * sidecar is optional on read, so `dest` stays readable as either
+    * the old or the new content, never unreadable and never absent. */
+  private[graft] def atomicReplace(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val q = f.makeQualified(dest)
+    if ("file" == q.toUri.getScheme) {
+      def crcOf(p: org.apache.hadoop.fs.Path): java.io.File = {
+        val qp = f.makeQualified(p)
+        new java.io.File(new java.io.File(qp.toUri.getPath).getParent,
+          s".${qp.getName}.crc")
+      }
+      crcOf(tmp).delete()
+      crcOf(dest).delete()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(q.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else
+      org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[store] def readSnapshot(f: org.apache.hadoop.fs.FileSystem,

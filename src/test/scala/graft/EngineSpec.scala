@@ -1483,6 +1483,57 @@ class EngineSpec extends SparkSpec {
     assert(days == Set("2024-01-01", "2024-01-02", "2024-01-03"), days)
   }
 
+  test("maintainRollup recovery: an unschemed marker on an IDLE store is rebuilt and cleared, not pended forever") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0},
+      {"t":"2024-01-02T01:00:00Z","value":2.0}]""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // a pre-gen-scheme round crashed mid-swap of day 2, and the store
+    // then went IDLE: no new write ever lands, so the cursor equals
+    // the max committed generation. The release filter can't touch an
+    // unschemed marker and the full round never runs — before the
+    // fix, this marker pended forever: pendingMaintenance read
+    // crashed and compactMaintainedBars threw, on a store nobody was
+    // writing to
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$barRoot/day=2024-01-02"), true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
+      """{"slot":1,"dirtyDays":["2024-01-02"],"insertDays":[]}"""
+        .getBytes)
+    intercept[IllegalStateException] {
+      graft.ops.Rollup.compactMaintainedBars(spark, barRoot,
+        Seq("g", "day"))
+    }
+    // one maintenance round on the idle store: no feed to derive, but
+    // the marker's recorded days rebuild from the current pin and the
+    // marker clears — the store is whole again without a new write
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty,
+      "the idle-store recovery did not clear the unschemed marker")
+    assert(new java.io.File(s"$barRoot/day=2024-01-02").exists(),
+      "the crashed round's half-swapped day was not rebuilt")
+    val bars = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .select(col("day").cast("string"), col("cnt"), col("volume"))
+      .orderBy("day").collect()
+    assert(bars.map(_.getString(0)).toSeq ==
+      Seq("2024-01-01", "2024-01-02"), bars.toSeq)
+    assert(bars.forall(r => r.getLong(1) == 1L), bars.toSeq)
+    // idempotent: a second idle round is a true no-op
+    val (ins, rb) = e.maintainRollup("ev", barRoot, grp, okey,
+      col("value"), col("value"))
+    assert(ins.isEmpty && rb.isEmpty)
+  }
+
   test("maintainRollup recovery: a crashed round's recorded days rebuild even when the feed nets them out") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString

@@ -579,4 +579,39 @@ class StoreSpec extends SparkSpec {
     assert(st3.read().filter(col("tag").isNull).count() == 16,
       "null-dim rows missing after z-pack")
   }
+
+  test("atomicReplace: one-rename replace on file:// — no absent-dest window, no stale-checksum poisoning") {
+    val dir = Files.createTempDirectory("graft_store").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+    def write(path: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = fs.create(path, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // dest written through the CHECKSUMMED local fs first — this is
+    // the mixed-history case: a `.dest.crc` sidecar exists on disk
+    // and records the OLD bytes' checksum
+    write(p("dest.json"), """{"generation":1}""")
+    assert(new java.io.File(s"$dir/.dest.json.crc").exists(),
+      "precondition: the local fs should have produced a crc sidecar")
+    write(p("dest.json.tmp"), """{"generation":2}""")
+    TsStore.atomicReplace(fs, p("dest.json.tmp"), p("dest.json"))
+    // the stale checksum must not poison the read of the NEW bytes
+    val got = new String(TsStore.readJsonBytes(fs, p("dest.json")), "UTF-8")
+    assert(got == """{"generation":2}""", got)
+    assert(!fs.exists(p("dest.json.tmp")), "tmp survived the replace")
+    // replace is also the CREATE path (first-ever cursor/manifest)
+    write(p("fresh.json.tmp"), "A")
+    TsStore.atomicReplace(fs, p("fresh.json.tmp"), p("fresh.json"))
+    assert(new String(TsStore.readJsonBytes(fs, p("fresh.json")),
+      "UTF-8") == "A")
+    // and repeated replaces keep converging (cursor-advance cadence)
+    (3 to 5).foreach { i =>
+      write(p("dest.json.tmp"), s"""{"generation":$i}""")
+      TsStore.atomicReplace(fs, p("dest.json.tmp"), p("dest.json"))
+      assert(new String(TsStore.readJsonBytes(fs, p("dest.json")),
+        "UTF-8") == s"""{"generation":$i}""")
+    }
+  }
 }
