@@ -1481,6 +1481,128 @@ object SparkEntry {
       .orderBy("etype", "day")
   }
 
+  /** E24 — MAINTAINED ROLLUP × SCHEMA EVOLUTION: the reference's
+    * write→bar cascade (workers/sisdb/sisdb.h:36-42) must survive its
+    * own schema versioning — it converts rows on every read path
+    * (sis_dynamic.h:12-51), so a bar maintained across an era bump
+    * has to aggregate era-0 rows AS the new schema sees them
+    * (widened ints, zero-filled new fields), not null-poison or
+    * mass-rebuild. The drill: bootstrap bars under era 0 (qty I4, no
+    * score), run one maintained-stream segment, then `evolve` (widen
+    * qty I4→I8, add score F8) and keep feeding under the new era —
+    * new-era inserts (score carried), updates of ERA-0 rows (their
+    * days rebuild from the era-ALIGNED pin), and a command-side
+    * delete whose range spans both eras, all through the same cursor
+    * protocol. The post-evolve volume column is `qty + score`, which
+    * is exactly the zero-fill proof: for an era-0 row the aligned
+    * score is 0.0, so the pre-evolve partials (volume = qty) stay
+    * correct under the new definition — if alignment produced NULL
+    * instead, every rebuilt day's volume would go null and the
+    * bar-for-bar REQUIRE against the from-scratch rollup would fail.
+    * Output: the final bars, hash-checked against the relational
+    * rebuild of the whole lifecycle. */
+  private def qEvolveMaintainedBars(s: SparkSession, dir: String)
+      : DataFrame = {
+    val base = s"/tmp/graft_e24_evbar/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val eng = new graft.api.Engine(s, s"$base/eng", snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,4],eid:[I,8]}}}")
+    val ev = t(s, dir, "events").filter(col("user_id") < 8)
+    val raw0 = ev.select(col("ts").as("t"),
+      col("event_type").as("etype"), col("value"),
+      (col("event_id") % 100).cast("int").as("qty"),
+      col("event_id").as("eid"),
+      concat(lit("u"), col("user_id")).as("subject"))
+    val okey = unix_millis(col("t")) * 1000000L + col("eid")
+    val grp = Seq(col("etype"))
+    val barRoot = s"$base/bars"
+    val volA = col("qty").cast("double")
+    val volB = col("qty") + col("score")
+    val now = System.currentTimeMillis()
+    // era 0, thirds 0 and 1: bootstrap + one maintained segment
+    writeFeedFile(raw0, s"$base/s0", pmod(col("eid"), lit(3)) === 0,
+      "b_init", now - 300000L)
+    eng.startIngest("ev", s"$base/s0/feed", s"$base/ckpt0")
+      .awaitTermination()
+    eng.bootstrapRollup("ev", barRoot, grp, okey, col("value"), volA)
+    writeFeedFile(raw0, s"$base/s1", pmod(col("eid"), lit(3)) === 1,
+      "b0", now - 240000L)
+    eng.startIngestMaintained("ev", s"$base/s1/feed", s"$base/ckpt1",
+      barRoot, grp, okey, col("value"), volA)
+      .awaitTermination()
+    // THE ERA BUMP, mid-lifecycle: qty widens I4→I8, score lands.
+    // Every stored bar slot so far was computed under era 0.
+    eng.evolve("{ev:{fields:{t:[T,8],etype:[C,16],value:[F,8]," +
+      "qty:[I,8],eid:[I,8],score:[F,8]}}}")
+    // era 1 feeds: third 2 inserts (score = 2·value), then u3's era-0
+    // rows on six days re-valued (value+1, score follows) — the
+    // update batch forces dirty-day rebuilds that read ERA-0 rows
+    // through the alignment. maxFilesPerTrigger=1 keeps them separate
+    // maintenance rounds, so the insert round's slots are already
+    // placed when the update round rebuilds those days.
+    val raw1 = raw0
+      .withColumn("qty", col("qty").cast("long"))
+      .withColumn("score", col("value") * 2)
+    writeFeedFile(raw1, s"$base/s2", pmod(col("eid"), lit(3)) === 2,
+      "b1", now - 120000L)
+    writeFeedFile(
+      raw1.withColumn("value", col("value") + 1)
+        .withColumn("score", col("value") * 2), s"$base/s2",
+      col("subject") === "u3" && pmod(col("eid"), lit(3)) < 2 &&
+        date_format(col("t"), "yyyy-MM-dd")
+          .between("2024-01-03", "2024-01-08"),
+      "b2", now - 60000L)
+    eng.startIngestMaintained("ev", s"$base/s2/feed", s"$base/ckpt2",
+      barRoot, grp, okey, col("value"), volB,
+      maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    // command-side delete spanning BOTH eras (u2 rows of every third
+    // land in the range), propagated through the same cursor
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-15T23:59:59.999Z").toEpochMilli
+    eng.del("u2.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    eng.maintainRollup("ev", barRoot, grp, okey, col("value"), volB)
+    // the convergence bar: stored slots (era-0 AND era-1 placements)
+    // merge to exactly the from-scratch rollup of the era-aligned
+    // final corpus, under the POST-evolve volume definition
+    val sN = eng.openSnapshotAt("ev",
+      eng.snapshotVersions("ev").max).get.localCheckpoint()
+    val merged = Rollup.finalizeBars(
+      s.read.parquet(barRoot)
+        .withColumn("day", col("day").cast("string")).drop("batch"),
+      Seq("etype", "day")).localCheckpoint()
+    val fresh = Rollup.ohlc(sN.withColumn("day", col("__day")),
+      Seq(col("etype"), col("day")), okey, col("value"),
+      volume = Some(volB))
+    val bad = merged.alias("m").join(fresh.alias("f"),
+        Seq("etype", "day"), "full")
+      .filter(col("m.open").isNull || col("f.open").isNull ||
+        col("m.open") =!= col("f.open") ||
+        col("m.high") =!= col("f.high") ||
+        col("m.low") =!= col("f.low") ||
+        col("m.close") =!= col("f.close") ||
+        col("m.cnt") =!= col("f.cnt") ||
+        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
+      .count()
+    require(bad == 0, s"$bad bars diverged from the from-scratch " +
+      "rollup across the schema-evolve era bump")
+    require(merged.filter(col("volume").isNull).count() == 0,
+      "era alignment null-poisoned a rebuilt day's volume — zero-fill " +
+        "did not flow into the partials")
+    require(graft.ops.Rollup.readBarCursor(s, barRoot)
+      .contains(eng.snapshotVersions("ev").max),
+      "the cursor did not end at the max committed generation")
+    require(graft.ops.Rollup.pendingMaintenance(s, barRoot).isEmpty,
+      "an in-flight maintenance marker survived the era bump")
+    merged
+      .select(col("etype"), col("day"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("cnt"), round(col("volume"), 2).as("volume"))
+      .orderBy("etype", "day")
+  }
+
   private[graft] object IvfOracle {
     @volatile var centroids: Option[Array[Array[Double]]] = None
     @volatile var storedCentroids: Option[Array[Array[Double]]] = None
@@ -5498,6 +5620,7 @@ object SparkEntry {
     "x14_ivfpq_stored" -> qStoredIvfPq _,
     "st10_stream_vector_index" -> qStreamVectorIndex _,
     "st11_stream_cdc_rollup" -> qStreamCdcRollup _,
+    "e24_evolve_maintained" -> qEvolveMaintainedBars _,
     "x15_pq_drift_retrain" -> qStoredPqDriftRetrain _,
     "tx1_lang_id" -> qLangId _,
     "tx2_text_quality" -> qTextQuality _,
@@ -6178,6 +6301,39 @@ object SparkEntry {
            round(min(value), 6) AS low,
            round(arg_max(value, k), 6) AS close,
            count(*) AS cnt, round(sum(value), 2) AS volume
+         FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
+    // e24: the maintained-bar lifecycle ACROSS a schema-evolve era
+    // bump, rebuilt relationally — thirds 0/1 land under era 0
+    // (score zero-fills to 0.0 on alignment), third 2 under era 1
+    // (score = 2·value), u3's era-0 rows on six days re-valued
+    // (value+1, score follows), u2's range deleted across both eras;
+    // volume = qty + score under the POST-evolve definition, so a
+    // null-poisoned alignment or a missed era-0 rebuild mismatches
+    "e24_evolve_maintained" ->
+      s"""WITH fin AS (
+           SELECT event_type AS etype, strftime(ts, '%Y-%m-%d') AS day,
+             CASE WHEN user_id = 3 AND event_id % 3 < 2
+                    AND strftime(ts, '%Y-%m-%d')
+                      BETWEEN '2024-01-03' AND '2024-01-08'
+                  THEN value + 1 ELSE value END AS v,
+             (event_id % 100)
+               + CASE WHEN user_id = 3 AND event_id % 3 < 2
+                        AND strftime(ts, '%Y-%m-%d')
+                          BETWEEN '2024-01-03' AND '2024-01-08'
+                      THEN (value + 1) * 2
+                      WHEN event_id % 3 = 2 THEN value * 2
+                      ELSE 0.0 END AS vol,
+             $evKeySql AS k
+           FROM events
+           WHERE user_id < 8
+             AND NOT (user_id = 2 AND strftime(ts, '%Y-%m-%d')
+               BETWEEN '2024-01-10' AND '2024-01-15'))
+         SELECT etype, day,
+           round(arg_min(v, k), 6) AS open,
+           round(max(v), 6) AS high,
+           round(min(v), 6) AS low,
+           round(arg_max(v, k), 6) AS close,
+           count(*) AS cnt, round(sum(vol), 2) AS volume
          FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
     // a10 maintains the SAME bars incrementally (batch slots + merge +
     // compaction), so its relational contract is a1's over the union —

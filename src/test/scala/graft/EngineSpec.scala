@@ -1577,6 +1577,67 @@ class EngineSpec extends SparkSpec {
     assert(days == Set("2024-01-01"), s"wrong surviving days: $days")
   }
 
+  test("restoreToCut × maintained bars: one round after the restore converges bars to the restored corpus") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    def round(): Unit =
+      e.maintainRollup("ev", barRoot, grp, okey, col("value"),
+        col("value"))
+    def bars() = graft.ops.Rollup.finalizeBars(
+        spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day").select("day", "close", "cnt", "volume").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // the good corpus: days 1-3, bars maintained up to date
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0},
+      {"t":"2024-01-02T01:00:00Z","value":2.0}]""")
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value"))
+    e.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":3.0}""")
+    e.save("ev")
+    round()
+    val cut = e.snapshotAll(Seq("ev"))
+    val good = bars()
+    assert(good.map(_._1) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"), good)
+    // the damage — every op class, each propagated to the bars so the
+    // bar store genuinely FOLLOWS the bad corpus: day 2 deleted, day 1
+    // re-valued, junk day 4 inserted
+    val lo = java.time.Instant.parse("2024-01-02T00:00:00Z").toEpochMilli
+    val hi = java.time.Instant.parse("2024-01-02T23:59:59.999Z").toEpochMilli
+    e.del("u1.ev", s"""{range:{start:$lo,stop:$hi}}""")
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":8.0},
+      {"t":"2024-01-04T01:00:00Z","value":9.0}]""")
+    e.save("ev")
+    round()
+    assert(bars() != good, "the damage drill is vacuous — bars unchanged")
+    // ROLLBACK, then ONE ordinary maintenance round: the restore mints
+    // a new generation re-pointing at the cut's dirs, so the round
+    // diffs cursor→restored state — the delete comes back as an
+    // insert, the junk day as a delete, the re-value as an update —
+    // and the bar store must converge to the restored corpus's
+    // from-scratch rollup with the cursor at the restore-minted
+    // generation and no pending marker
+    e.restoreToCut(cut)
+    val gR = e.snapshotVersions("ev").max
+    round()
+    assert(bars() == good,
+      s"bars did not converge to the restored corpus: ${bars()} vs $good")
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot).contains(gR),
+      "the cursor did not land at the restore-minted generation")
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    // and the next round is a clean no-op — the lifecycle continues
+    val (ins, rb) = e.maintainRollup("ev", barRoot, grp, okey,
+      col("value"), col("value"))
+    assert(ins.isEmpty && rb.isEmpty)
+  }
+
   test("factor tables ride CDC and restore like any sdb table") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString

@@ -398,4 +398,60 @@ class EvolveSpec extends SparkSpec {
     assert(fieldTypes(empty)("flag") == StringType &&
       fieldTypes(empty)("score") == DoubleType)
   }
+
+  test("maintained rollup × evolve: bars converge across the era bump; era-0 zero-fill flows into rebuilt partials") {
+    val root = Files.createTempDirectory("graft_evolve").toString
+    val eng = new graft.api.Engine(spark, root, snapshots = true)
+    eng.create("{ev:{fields:{t:[T,8],value:[F,8],qty:[I,4]}}}")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    val volA = col("qty").cast("double")
+    // era 0: days 1-2 bootstrap, then one maintained round
+    eng.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0,"qty":2},
+      {"t":"2024-01-02T01:00:00Z","value":3.0,"qty":4}]""")
+    eng.bootstrapRollup("ev", barRoot, grp, okey, col("value"), volA)
+    eng.set("u1.ev", """{"t":"2024-01-02T02:00:00Z","value":5.0,"qty":6}""")
+    eng.save("ev")
+    eng.maintainRollup("ev", barRoot, grp, okey, col("value"), volA)
+    // the era bump: qty widens I4→I8, score lands. Post-evolve rounds
+    // aggregate volume = qty + score — for era-0 rows the aligned
+    // score is 0.0, so every PRE-evolve partial (volume = qty) is
+    // still exactly correct under the new definition
+    eng.evolve("{ev:{fields:{t:[T,8],value:[F,8],qty:[I,8],score:[F,8]}}}")
+    val volB = col("qty") + col("score")
+    // new-era insert on day 3 + an UPDATE of the era-0 day-1 row:
+    // day 1 rebuilds from the era-ALIGNED pin
+    eng.set("u1.ev",
+      """{"t":"2024-01-03T01:00:00Z","value":7.0,"qty":10,"score":1.5}""")
+    eng.set("u1.ev",
+      """{"t":"2024-01-01T01:00:00Z","value":2.0,"qty":2,"score":0.5}""")
+    eng.save("ev")
+    eng.maintainRollup("ev", barRoot, grp, okey, col("value"), volB)
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    assert(graft.ops.Rollup.readBarCursor(spark, barRoot)
+      .contains(eng.snapshotVersions("ev").max))
+    val bars = graft.ops.Rollup.finalizeBars(
+        spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day")
+      .select("day", "open", "close", "cnt", "volume").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(bars.toSeq == Seq(
+      ("2024-01-01", 2.0, 2.0, 1L, 2.5),   // rebuilt: updated era-1 row
+      ("2024-01-02", 3.0, 5.0, 2L, 10.0),  // UNTOUCHED era-0 partials
+      ("2024-01-03", 7.0, 7.0, 1L, 11.5)), // new-era insert slot
+      s"bars diverged across the era bump: ${bars.toSeq}")
+    // day 2 was never touched post-evolve: its dir must still hold
+    // only the era-0 placements (slot 0 + the era-0 round's slot) —
+    // the era bump must NOT force a mass rebuild of untouched days
+    val day2Slots = new java.io.File(s"$barRoot/day=2024-01-02")
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(day2Slots.size == 2 && day2Slots.contains("batch=0"),
+      s"the era bump disturbed an untouched day's slots: $day2Slots")
+    // and nothing null-poisoned: a failed zero-fill would null the
+    // rebuilt day-1 volume (qty + NULL) instead of 2.5
+    assert(!bars.exists(_._5.isNaN), s"NaN volume: ${bars.toSeq}")
+  }
 }
