@@ -122,42 +122,112 @@ final class Engine(val spark: SparkSession, rootPath: String,
     if (!rehydrating) persistEngineCatalogLocked()
   }
 
-  private def persistEngineCatalogLocked(): Unit = {
-    val root = mapper.createObjectNode()
-    root.put("snapshots", snapshots)
-    val ts = root.putObject("tables")
-    catalog.tables.foreach(t => ts.put(t, catalog.get(t).get.toDsl))
-    val ex = root.putObject("exposed")
-    exposedDbs.toSeq.sortBy(_._1).foreach { case (t, dbs) =>
-      val arr = ex.putArray(t); dbs.foreach(arr.add)
+  // ── catalog persistence: numbered generations + exclusive claim.
+  // The sidecar is a shared artifact two engines can legitimately
+  // mutate (create/evolve touch no store, so no store lease covers
+  // them). A read-merge-write over ONE file is not a CAS: two engines
+  // persisting in the same instants each merge what was on disk when
+  // they read and the later rename silently erases the earlier
+  // engine's just-created table. Numbered generations close that
+  // window structurally: each persist merges the NEWEST on-disk
+  // generation and then claims `__catalog.<N+1>.json` with
+  // [[TsStore.commitExclusive]] — exactly one claimant of a slot
+  // wins; the loser re-reads (now seeing the winner's tables),
+  // re-merges, and claims the next slot. Lose the race, detect it,
+  // retry the merge — never lose a declaration.
+  // lazy: loadEngineCatalog runs from the constructor ABOVE this
+  // declaration in the class body
+  private lazy val CatalogGen = "^__catalog\\.(\\d+)\\.json$".r
+  private def catalogGenFile(n: Long) = new org.apache.hadoop.fs.Path(
+    s"${rootPath.stripSuffix("/")}/__catalog.$n.json")
+  private def listCatalogGens(
+      f: org.apache.hadoop.fs.FileSystem): Seq[Long] = {
+    val rp = new org.apache.hadoop.fs.Path(rootPath)
+    if (!f.exists(rp)) Seq.empty
+    else f.listStatus(rp).toSeq.map(_.getPath.getName)
+      .collect { case CatalogGen(n) => n.toLong }.sorted
+  }
+
+  /** The newest committed catalog: (generation, node). Generation 0 =
+    * the pre-CAS single-file sidecar (migrated by the next persist) or
+    * a virgin root (node None). An unreadable numbered generation is
+    * CORRUPTION and fails loudly — claims land fully-written by
+    * construction, so "torn newest" cannot be a benign state — except
+    * for the one benign spelling: the file VANISHED between list and
+    * read because a concurrent persist's GC retired it, in which case
+    * a newer generation exists and a re-list finds it. */
+  private def readNewestCatalog(f: org.apache.hadoop.fs.FileSystem)
+      : (Long, Option[com.fasterxml.jackson.databind.JsonNode]) = {
+    var attempts = 0
+    var out = Option.empty[
+      (Long, Option[com.fasterxml.jackson.databind.JsonNode])]
+    while (out.isEmpty) {
+      attempts += 1
+      if (attempts > 32) throw new IllegalStateException(
+        s"catalog at $rootPath keeps shifting between list and read — " +
+          "churn beyond any plausible concurrent-writer count")
+      listCatalogGens(f).lastOption match {
+        case None =>
+          try {
+            if (f.exists(catalogFile))
+              out = Some((0L, Some(mapper.readTree(
+                TsStore.readJsonBytes(f, catalogFile)))))
+            // a vanished/absent legacy file may be a migration that
+            // committed generation 1 in the instants since the list —
+            // conclude "virgin root" only on a second clean pass
+            else if (attempts >= 2) out = Some((0L, None))
+          } catch { case _: java.io.FileNotFoundException => }
+        case Some(n) =>
+          try out = Some((n,
+            Some(mapper.readTree(TsStore.readJsonBytes(f,
+              catalogGenFile(n))))))
+          catch {
+            case e: java.io.FileNotFoundException =>
+              if (attempts > 16) throw new IllegalStateException(
+                s"catalog generation $n at $rootPath keeps vanishing " +
+                  "between list and read — GC churn beyond any " +
+                  "plausible concurrent-writer count", e)
+          }
+      }
     }
-    // carry through on-disk declarations this engine does not know:
-    // tables are never REMOVED from the catalog (drop removes
-    // subjects), so a name-union is always safe — without it, two
-    // engines whose catalog views diverged (each created a different
-    // table) would last-wins-erase each other's declarations. Exposed
-    // entries merge only for those carried tables (an exposure of a
-    // KNOWN table may have been legitimately removed by unexpose).
-    // RESIDUAL, documented: the read-merge-write is not a filesystem
-    // CAS, so two engines persisting in the same instants can still
-    // miss each other's just-written tables (each merged what was on
-    // disk when it read). The merge closes the SEQUENTIAL divergence
-    // class — the one a real deployment hits — and concurrent
-    // catalog mutation from two engines violates the single-writer
-    // contract the store leases enforce on every data path.
-    locally {
-      val f = hadoopFs
-      if (f.exists(catalogFile)) {
-        // a merge that cannot read the sidecar must FAIL the persist:
-        // writing this engine's view blind would erase every other
-        // declaration — the exact bug the merge exists to prevent
-        val node =
-          try mapper.readTree(TsStore.readJsonBytes(f, catalogFile))
-          catch { case e: Exception => throw new IllegalStateException(
-            s"catalog sidecar $catalogFile is unreadable — refusing " +
-              "to persist without the union merge (a blind write " +
-              s"would erase other engines' declarations): ${e.getMessage}",
-            e) }
+    out.get
+  }
+
+  /** Spec hook: fires between the merge-read and the exclusive claim —
+    * the exact instant a concurrent engine's commit turns this
+    * persist's merge stale. Tests inject a foreign generation here to
+    * drill the lost-race retry deterministically. */
+  private[graft] var onBeforeCatalogClaim: () => Unit = () => ()
+
+  private def persistEngineCatalogLocked(): Unit = {
+    val f = hadoopFs
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      if (attempt > 64) throw new IllegalStateException(
+        s"catalog persist at $rootPath lost ${attempt - 1} straight " +
+          "claim races — a livelock this dense means something is " +
+          "spinning persists; refusing to fight it blind")
+      // merge base: the NEWEST on-disk generation. A merge that cannot
+      // read it must FAIL the persist (readNewestCatalog throws):
+      // writing this engine's view blind would erase every other
+      // engine's declarations — the exact bug the merge prevents.
+      val (gen, onDisk) = readNewestCatalog(f)
+      val root = mapper.createObjectNode()
+      root.put("snapshots", snapshots)
+      val ts = root.putObject("tables")
+      catalog.tables.foreach(t => ts.put(t, catalog.get(t).get.toDsl))
+      val ex = root.putObject("exposed")
+      exposedDbs.toSeq.sortBy(_._1).foreach { case (t, dbs) =>
+        val arr = ex.putArray(t); dbs.foreach(arr.add)
+      }
+      // carry through on-disk declarations this engine does not know:
+      // tables are never REMOVED from the catalog (drop removes
+      // subjects), so a name-union is always safe. Exposed entries
+      // merge only for those carried tables (an exposure of a KNOWN
+      // table may have been legitimately removed by unexpose).
+      onDisk.foreach { node =>
         import scala.jdk.CollectionConverters._
         val unknown = node.path("tables").properties().asScala
           .filter(e => catalog.get(e.getKey).isEmpty).toSeq
@@ -169,29 +239,29 @@ final class Engine(val spark: SparkSession, rootPath: String,
             .foreach(i => arr.add(exn.path(t).get(i).asText()))
         }
       }
+      f.mkdirs(new org.apache.hadoop.fs.Path(rootPath))
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"${rootPath.stripSuffix("/")}/__catalog.tmp." +
+          java.util.UUID.randomUUID().toString)
+      val out = f.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+      onBeforeCatalogClaim()
+      // the CAS: exactly one claimant of gen+1 wins; a lost claim
+      // loops back to re-read the winner's generation and re-merge
+      if (TsStore.commitExclusive(f, tmp, catalogGenFile(gen + 1)))
+        committed = gen + 1
     }
-    // tmp + atomic rename-over, same protocol as TsStore.persistMeta —
-    // a torn catalog write must never take down every table at once
-    val f = hadoopFs
-    f.mkdirs(new org.apache.hadoop.fs.Path(rootPath))
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"${rootPath.stripSuffix("/")}/__catalog.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    TsStore.atomicReplace(f, tmp, catalogFile)
+    // committed: retire superseded generations, keeping one behind for
+    // readers that listed before this claim; the legacy single-file
+    // sidecar (generation 0) is migrated — its content rode the merge
+    listCatalogGens(f).filter(_ <= committed - 2)
+      .foreach(n => f.delete(catalogGenFile(n), false))
+    if (committed >= 2) f.delete(catalogFile, false)
   }
 
   private def loadEngineCatalog(): Unit = {
     val f = hadoopFs
-    if (f.exists(catalogFile)) {
-      val in = f.open(catalogFile)
-      val bytes =
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toByteArray
-        } finally in.close()
-      val node = mapper.readTree(bytes)
+    readNewestCatalog(f)._2.foreach { node =>
       import scala.jdk.CollectionConverters._
       // fail at open, before any store is touched: a wrong-mode reopen
       // would lazily hit each TsStore's own guard one table at a time
@@ -210,8 +280,18 @@ final class Engine(val spark: SparkSession, rootPath: String,
         }
       } finally rehydrating = false
     }
-    f.delete(new org.apache.hadoop.fs.Path(
-      s"${rootPath.stripSuffix("/")}/__catalog.json.tmp"), false)
+    // sweep stale persist tmps — ONLY ones old enough that no live
+    // persist can still be mid-claim with them (a fresh tmp may belong
+    // to a concurrent engine whose link/rename is in flight)
+    val rp = new org.apache.hadoop.fs.Path(rootPath)
+    if (f.exists(rp)) {
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000L
+      f.listStatus(rp).toSeq
+        .filter(s => s.getPath.getName.startsWith("__catalog.tmp.") ||
+          s.getPath.getName == "__catalog.json.tmp")
+        .filter(_.getModificationTime < cutoff)
+        .foreach(s => f.delete(s.getPath, false))
+    }
   }
 
   /** `create`: declare a table from the schema DSL. The declaration is
@@ -1564,6 +1644,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       throw new IllegalStateException(
         s"bootstrapRollup: generation $g of '$table' unreadable"))
     maintLock(barRoot).synchronized {
+      ensureMaintLease(barRoot, "bootstrap")
       graft.ops.Rollup.maintainDayPartials(s0, Seq.empty, s0, barRoot,
         col("__day"), groupCols, orderKey, value, volume, slot = 0L)
       graft.ops.Rollup.writeBarCursor(spark, barRoot, g)
@@ -1587,6 +1668,28 @@ final class Engine(val spark: SparkSession, rootPath: String,
     maintLocks.computeIfAbsent(
       new org.apache.hadoop.fs.Path(barRoot).toString, _ => new Object)
 
+  // ── the CROSS-engine half of round serialization: maintLock only
+  // serializes rounds within this Engine instance; the bar-root
+  // maintenance LEASE ([[graft.ops.Rollup.claimMaintLease]]) fences
+  // a second engine (same JVM or another process) the way TsStore's
+  // writer lease fences store commits — this engine's first round on
+  // a root takes the lease over, every later round re-verifies it at
+  // round start and again before the cursor advance, and a
+  // superseded maintainer fails loudly instead of interleaving
+  // placements with the winner's.
+  private val maintToken = java.util.UUID.randomUUID().toString
+  private val maintLeasedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureMaintLease(barRoot: String, when: String): Unit = {
+    val key = new org.apache.hadoop.fs.Path(barRoot).toString
+    if (maintLeasedRoots.contains(key))
+      graft.ops.Rollup.requireMaintLease(spark, barRoot, maintToken, when)
+    else {
+      graft.ops.Rollup.claimMaintLease(spark, barRoot, maintToken)
+      maintLeasedRoots.add(key)
+    }
+  }
+
   /** One cursor-protocol maintenance round: diff the cursor against
     * `table`'s current committed generation `gN`, merge feed inserts
     * as slot `gN` (DERIVED — unique by construction, since the cursor
@@ -1606,7 +1709,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * the second round sees the advanced cursor and diffs empty.
     * Writers are NOT blocked meanwhile — the round reads committed
     * snapshots, so a set()/save() landing mid-round simply becomes
-    * the next round's feed.
+    * the next round's feed. ACROSS engines (another instance or
+    * another process) the same exclusion is enforced by the bar
+    * root's maintenance LEASE: this engine's first round takes it
+    * over, every round re-verifies it at start and again before the
+    * cursor advance, and a superseded maintainer fails loudly — see
+    * [[graft.ops.Rollup.claimMaintLease]] for the protocol and its
+    * documented instants-between residual.
     *
     * A CRASHED round (pending marker at `barRoot`, its slot = that
     * round's recorded target generation) is recovered here before
@@ -1627,6 +1736,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
       "— snapshot mode only")
     val st = storeOf(table)
     maintLock(barRoot).synchronized {
+      ensureMaintLease(barRoot, "round start")
       val gN = st.synchronized {
         st.snapshotVersions.lastOption.getOrElse(0L) }
       val cur = graft.ops.Rollup.readBarCursor(spark, barRoot).getOrElse(
@@ -1712,8 +1822,14 @@ final class Engine(val spark: SparkSession, rootPath: String,
       graft.ops.Rollup.maintainDayPartials(inserts, dirtyDays,
         sN, barRoot, col("__day"), groupCols, orderKey, value, volume,
         slot = gN,
-        onPlaced = () =>
-          graft.ops.Rollup.writeBarCursor(spark, barRoot, gN))
+        onPlaced = () => {
+          // a takeover landing mid-round must not advance the cursor:
+          // the winner re-runs the round against the same cursor and
+          // converges; a fenced advance could mask its recovery
+          graft.ops.Rollup.requireMaintLease(spark, barRoot, maintToken,
+            "cursor advance")
+          graft.ops.Rollup.writeBarCursor(spark, barRoot, gN)
+        })
       }
     }
   }
@@ -1764,6 +1880,7 @@ final class Engine(val spark: SparkSession, rootPath: String,
         if (housekeepEveryBatches > 0 &&
             (id + 1) % housekeepEveryBatches == 0)
           maintLock(barRoot).synchronized {
+            ensureMaintLease(barRoot, "housekeeping compaction")
             graft.ops.Rollup.compactMaintainedBars(spark, barRoot,
               housekeepGroupCols)
           }

@@ -391,6 +391,65 @@ object Rollup {
       ss.sparkContext.hadoopConfiguration), cursorPath(root), node)
   }
 
+  // ── maintenance lease (the bar-root writer fence) ──────────────
+  //
+  // maintLock serializes rounds WITHIN one Engine; two engines (same
+  // JVM or two processes) on one barRoot would otherwise both read
+  // the same cursor and interleave delete/rename placements under the
+  // same derived slot with no loud failure. The lease extends the
+  // TsStore writer-fence idea to the bar root: an engine's FIRST
+  // round on a root takes the lease over (a unique token — takeover,
+  // not mutual exclusion: a crashed maintainer must never brick the
+  // bar store, and a restart is indistinguishable from a takeover),
+  // and every later round re-checks the token at round start AND
+  // before the cursor advance — of two live maintainers, only the
+  // latest can commit; the superseded one fails loudly instead of
+  // interleaving. Residual, same as the store fence: a takeover
+  // landing in the instants between a loser's last check and its
+  // placement can interleave one round's file ops — both rounds
+  // derive the same feed from the same cursor, so the placements are
+  // content-identical and the marker protocol converges the rest.
+
+  private def maintLeasePath(root: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}/_maint_lease.json")
+
+  /** The live maintenance-lease token at `root`, or None before any
+    * maintainer claimed it. */
+  def maintLeaseToken(ss: org.apache.spark.sql.SparkSession,
+      root: String): Option[String] =
+    readJson(ss, maintLeasePath(root)).map(_.path("token").asText())
+
+  /** Take the maintenance lease over (rename-over: latest claimant
+    * wins; the superseded maintainer fails at its next check). */
+  def claimMaintLease(ss: org.apache.spark.sql.SparkSession,
+      root: String, token: String): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("token", token)
+    node.put("owner", s"${ProcessHandle.current().pid()}@" +
+      java.net.InetAddress.getLocalHost.getHostName)
+    node.put("acquiredAt", System.currentTimeMillis())
+    writeJsonAtomic(org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration), maintLeasePath(root), node)
+  }
+
+  /** Fail loudly unless `token` still holds the maintenance lease —
+    * the superseded maintainer's round must not interleave placements
+    * with the winner's. */
+  def requireMaintLease(ss: org.apache.spark.sql.SparkSession,
+      root: String, token: String, when: String): Unit = {
+    val live = readJson(ss, maintLeasePath(root))
+    if (!live.exists(_.path("token").asText() == token)) {
+      val owner = live.map(_.path("owner").asText()).getOrElse("unknown")
+      throw new IllegalStateException(
+        s"$root: this maintainer is FENCED ($when) — the bar root's " +
+          s"maintenance lease was taken over by '$owner'. One " +
+          "maintainer owns a bar root at a time; re-open the engine " +
+          "to take it back (the other maintainer is then fenced).")
+    }
+  }
+
   // ── maintained-bar housekeeping (slot compaction) ──────────────
   //
   // A maintained bar store appends one insert slot per round

@@ -2049,6 +2049,46 @@ object TsStore {
     * before the move is safe in every crash ordering — a checksum
     * sidecar is optional on read, so `dest` stays readable as either
     * the old or the new content, never unreadable and never absent. */
+  /** Claim `dest` with the fully-written `tmp`'s content — atomically
+    * and EXCLUSIVELY: exactly one of N concurrent claimants of the
+    * same `dest` returns true; the rest return false with their tmp
+    * cleaned up. This is the compare-and-swap primitive the engine
+    * catalog's numbered generations build on ([[atomicReplace]] is
+    * last-writer-wins and so can NEVER detect a lost race).
+    *
+    *  - `file://`: `java.nio` `createLink` — `link(2)` fails EEXIST
+    *    atomically, and the linked content is the tmp's fully-written
+    *    bytes, so no reader ever sees a partial dest;
+    *  - elsewhere: Hadoop's plain `rename(src, dst)`, which HDFS
+    *    implements as an atomic namespace op that refuses an existing
+    *    dst (returns false / throws FileAlreadyExists). */
+  private[graft] def commitExclusive(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Boolean = {
+    val q = f.makeQualified(dest)
+    if ("file" == q.toUri.getScheme) {
+      val t = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      // the local fs checksums the tmp; dest gets no sidecar (crc is
+      // optional on read) and the tmp's is deleted with it
+      new java.io.File(t.getParent.toFile, s".${t.getFileName}.crc")
+        .delete()
+      val won =
+        try { java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(q.toUri.getPath), t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      java.nio.file.Files.deleteIfExists(t)
+      won
+    } else {
+      val won =
+        try f.rename(tmp, dest)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      if (!won) f.delete(tmp, false)
+      won
+    }
+  }
+
   private[graft] def atomicReplace(f: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path): Unit = {

@@ -532,23 +532,27 @@ class EngineSpec extends SparkSpec {
       """{"time":"2021-01-04","open":1.0,"close":2.0,"vol":1}""")
     e1.exposeSql("stk_day", db = "graft_rh_a")
     e1.exposeSql("stk_day", db = "graft_rh_b")
-    val sidecar = java.nio.file.Paths.get(root, "__catalog.json")
+    val sidecar = newestCatalogPath(root)
     val before = java.nio.file.Files.readAllBytes(sidecar)
     val mtime = java.nio.file.Files.getLastModifiedTime(sidecar)
     // reopen: the replay funnels through exposeSql, which used to
     // persist the sidecar per exposure while exposedDbs was still a
     // partial subset — a crash between those rewrites permanently lost
     // the not-yet-replayed exposures. Rehydration must treat the
-    // sidecar as read-only: same bytes, same mtime after open.
+    // sidecar as read-only: same newest generation, same bytes, same
+    // mtime after open.
     val e2 = new Engine(spark, root)
     assert(e2.catalog.tables.toSet == Set("stk_day", "idx_day"))
-    assert(java.nio.file.Files.getLastModifiedTime(sidecar) == mtime &&
+    assert(newestCatalogPath(root) == sidecar &&
+      java.nio.file.Files.getLastModifiedTime(sidecar) == mtime &&
       java.util.Arrays.equals(
         java.nio.file.Files.readAllBytes(sidecar), before),
       "open rewrote the catalog sidecar during rehydration")
-    // and a post-open exposure still persists (the flag was cleared)
+    // and a post-open exposure still persists (the flag was cleared) —
+    // as a NEW committed generation
     e2.exposeSql("stk_day", db = "graft_rh_c")
-    assert(new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      newestCatalogPath(root)), "UTF-8")
       .contains("graft_rh_c"), "post-open exposure not persisted")
   }
 
@@ -1357,6 +1361,110 @@ class EngineSpec extends SparkSpec {
     val e4 = new Engine(spark, root, snapshots = true)
     assert(e4.catalog.tables.toSet == Set("ev", "won", "ta", "tb"),
       s"catalog-only divergence erased a declaration: ${e4.catalog.tables}")
+  }
+
+  test("catalog CAS: a persist that loses the claim race re-merges and retries — both concurrent creates survive") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val a = new Engine(spark, root, snapshots = true)
+    a.create("{ta:{fields:{t:[T,8],x:[F,8]}}}")
+    // inject the exact lost-update interleaving the old read-merge-
+    // write could never detect: BETWEEN a's merge-read and a's commit,
+    // a concurrent engine commits the next generation with a table `a`
+    // has never seen. Under rename-over, a's commit silently erased
+    // it; under the exclusive claim, a LOSES the slot, re-reads the
+    // winner's generation, re-merges, and wins the next slot.
+    var fired = false
+    a.onBeforeCatalogClaim = () => if (!fired) {
+      fired = true
+      val b = new Engine(spark, root, snapshots = true)
+      b.create("{tb:{fields:{t:[T,8],y:[F,8]}}}")
+    }
+    a.create("{tc:{fields:{t:[T,8],z:[F,8]}}}")
+    a.onBeforeCatalogClaim = () => ()
+    assert(fired, "the race injection never fired")
+    val check = new Engine(spark, root, snapshots = true)
+    assert(check.catalog.tables.toSet == Set("ta", "tb", "tc"),
+      s"the lost claim race erased a declaration: ${check.catalog.tables}")
+    // committed generations stay bounded: the winner's GC keeps the
+    // newest and one predecessor, and the newest carries everything
+    val gens = new java.io.File(root).list()
+      .filter(_.matches("__catalog\\.\\d+\\.json")).sorted
+    assert(gens.length <= 2, s"generation GC left ${gens.toSeq}")
+    val newest = new String(java.nio.file.Files.readAllBytes(
+      newestCatalogPath(root)), "UTF-8")
+    assert(Seq("ta", "tb", "tc").forall(newest.contains), newest)
+  }
+
+  test("bar-root maintenance lease: a second engine's round fences the first maintainer loudly, bars stay whole") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    val e1 = new Engine(spark, root, snapshots = true)
+    e1.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e1.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e1.bootstrapRollup("ev", barRoot, grp, okey, col("value"),
+      col("value")) // e1 claims the maintenance lease
+    e1.set("u1.ev", """{"t":"2024-01-02T01:00:00Z","value":2.0}""")
+    e1.save("ev")
+    e1.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // a SECOND engine starts maintaining the same bar root: its first
+    // round takes the lease over (takeover, not mutex — a crashed
+    // maintainer must never brick the root)
+    val e2 = new Engine(spark, root, snapshots = true)
+    e2.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    // the superseded maintainer's next round fails LOUDLY at round
+    // start — before any marker or placement
+    e1.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":3.0}""")
+    e1.save("ev")
+    val ex = intercept[IllegalStateException] {
+      e1.maintainRollup("ev", barRoot, grp, okey, col("value"),
+        col("value"))
+    }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty,
+      "the fenced round left a marker despite failing at round start")
+    // the winner carries on: its round propagates the day-3 write and
+    // the bars converge
+    e2.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    val days = graft.ops.Rollup.finalizeBars(
+        spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .select(col("day").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(days == Set("2024-01-01", "2024-01-02", "2024-01-03"), days)
+  }
+
+  test("writer fence across a process boundary: a foreign lease token injected on disk fences this engine, manifests stay whole") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """{"t":"2024-01-01T01:00:00Z","value":1.0}""")
+    e.save("ev") // first write: e takes the table's writer lease
+    // simulate ANOTHER PROCESS taking the root over: no second Engine
+    // object in this JVM — a foreign token lands in the lease sidecar
+    // through the filesystem alone, exactly what a takeover from a
+    // different process looks like to this one
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "ev__lease.json"),
+      ("""{"epoch":99,"token":"foreign-process-token",""" +
+        """"owner":"12345@other-host","acquiredAt":0}""").getBytes)
+    val ex = intercept[IllegalStateException] {
+      e.set("u1.ev", """{"t":"2024-01-02T01:00:00Z","value":2.0}""")
+      e.save("ev")
+    }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+    // no manifest corruption: a fresh engine (the "other process")
+    // serves exactly the pre-takeover committed corpus and can write
+    val e2 = new Engine(spark, root, snapshots = true)
+    val rows = e2.get("u1.ev", "{}").select("value").collect()
+      .map(_.getDouble(0)).toSeq
+    assert(rows == Seq(1.0),
+      s"the fenced engine's refused write leaked into the store: $rows")
+    e2.set("u1.ev", """{"t":"2024-01-03T01:00:00Z","value":3.0}""")
+    e2.save("ev")
+    assert(e2.get("u1.ev", "{}").count() == 2)
   }
 
   test("maintainRollup: slots derive from the generation — interleaved rounds cannot collide") {

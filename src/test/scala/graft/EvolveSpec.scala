@@ -162,7 +162,8 @@ class EvolveSpec extends SparkSpec {
     // the engine sidecar back to the OLD declaration
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val catFile = new org.apache.hadoop.fs.Path(s"$root/__catalog.json")
+    val catFile = new org.apache.hadoop.fs.Path(
+      newestCatalogPath(root).toString)
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.readTree(TsStore.readJsonBytes(f, catFile))
     node.path("tables").asInstanceOf[
@@ -197,7 +198,8 @@ class EvolveSpec extends SparkSpec {
     // but the engine sidecar still carries the OLD declaration
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val catFile = new org.apache.hadoop.fs.Path(s"$root/__catalog.json")
+    val catFile = new org.apache.hadoop.fs.Path(
+      newestCatalogPath(root).toString)
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = m.readTree(TsStore.readJsonBytes(f, catFile))
     node.path("tables").asInstanceOf[

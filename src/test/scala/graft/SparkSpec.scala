@@ -20,4 +20,18 @@ object SparkTestSession {
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** The engine root's NEWEST committed catalog sidecar — the numbered
+    * generation file when any exist, the legacy single-file sidecar
+    * otherwise. Specs that simulate torn/stale catalogs rewrite this
+    * file in place. */
+  def newestCatalogPath(root: String): java.nio.file.Path = {
+    val gens = Option(new java.io.File(root).list()).toSeq.flatten
+      .flatMap { n =>
+        "^__catalog\\.(\\d+)\\.json$".r.findFirstMatchIn(n)
+          .map(m => (m.group(1).toLong, n))
+      }.sortBy(_._1)
+    java.nio.file.Paths.get(root,
+      gens.lastOption.map(_._2).getOrElse("__catalog.json"))
+  }
 }
