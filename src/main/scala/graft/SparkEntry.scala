@@ -325,16 +325,7 @@ object SparkEntry {
       .localCheckpoint() // consumed twice: the cross-check + output
     val fresh = Rollup.ohlc(e, grp, evKey, col("value"),
       volume = Some(col("value")))
-    val bad = merged.alias("m")
-      .join(fresh.alias("f"), Seq("event_type", "day"), "full")
-      .filter(col("m.open").isNull || col("f.open").isNull ||
-        col("m.open") =!= col("f.open") ||
-        col("m.high") =!= col("f.high") ||
-        col("m.low") =!= col("f.low") ||
-        col("m.close") =!= col("f.close") ||
-        col("m.cnt") =!= col("f.cnt") ||
-        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
-      .count()
+    val bad = Rollup.barDivergence(merged, fresh, Seq("event_type", "day"))
     require(bad == 0,
       s"incremental rollup diverged from from-scratch on $bad bars")
     merged.select(col("event_type"), col("day"),
@@ -477,16 +468,7 @@ object SparkEntry {
       sN.withColumn("day", col("__day")),
       Seq(col("etype"), col("day")), okey, col("value"),
       volume = Some(col("value")))
-    val bad = merged.alias("m")
-      .join(fresh.alias("f"), Seq("etype", "day"), "full")
-      .filter(col("m.open").isNull || col("f.open").isNull ||
-        col("m.open") =!= col("f.open") ||
-        col("m.high") =!= col("f.high") ||
-        col("m.low") =!= col("f.low") ||
-        col("m.close") =!= col("f.close") ||
-        col("m.cnt") =!= col("f.cnt") ||
-        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
-      .count()
+    val bad = Rollup.barDivergence(merged, fresh, Seq("etype", "day"))
     require(bad == 0,
       s"feed-maintained rollup diverged from from-scratch on $bad bars")
     merged.select(col("etype"), col("day"),
@@ -1384,15 +1366,7 @@ object SparkEntry {
       val fresh = Rollup.ohlc(state.withColumn("day", col("__day")),
         Seq(col("etype"), col("day")), okey, col("value"),
         volume = Some(col("value")))
-      merged.alias("m").join(fresh.alias("f"), Seq("etype", "day"), "full")
-        .filter(col("m.open").isNull || col("f.open").isNull ||
-          col("m.open") =!= col("f.open") ||
-          col("m.high") =!= col("f.high") ||
-          col("m.low") =!= col("f.low") ||
-          col("m.close") =!= col("f.close") ||
-          col("m.cnt") =!= col("f.cnt") ||
-          abs(col("m.volume") - col("f.volume")) > lit(1e-6))
-        .count()
+      Rollup.barDivergence(merged, fresh, Seq("etype", "day"))
     }
     def pinnedNow() = eng.openSnapshotAt("ev",
       eng.snapshotVersions("ev").max).get
@@ -1575,16 +1549,7 @@ object SparkEntry {
     val fresh = Rollup.ohlc(sN.withColumn("day", col("__day")),
       Seq(col("etype"), col("day")), okey, col("value"),
       volume = Some(volB))
-    val bad = merged.alias("m").join(fresh.alias("f"),
-        Seq("etype", "day"), "full")
-      .filter(col("m.open").isNull || col("f.open").isNull ||
-        col("m.open") =!= col("f.open") ||
-        col("m.high") =!= col("f.high") ||
-        col("m.low") =!= col("f.low") ||
-        col("m.close") =!= col("f.close") ||
-        col("m.cnt") =!= col("f.cnt") ||
-        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
-      .count()
+    val bad = Rollup.barDivergence(merged, fresh, Seq("etype", "day"))
     require(bad == 0, s"$bad bars diverged from the from-scratch " +
       "rollup across the schema-evolve era bump")
     require(merged.filter(col("volume").isNull).count() == 0,

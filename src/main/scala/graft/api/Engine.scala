@@ -248,8 +248,22 @@ final class Engine(val spark: SparkSession, rootPath: String,
       onBeforeCatalogClaim()
       // the CAS: exactly one claimant of gen+1 wins; a lost claim
       // loops back to re-read the winner's generation and re-merge
-      if (TsStore.commitExclusive(f, tmp, catalogGenFile(gen + 1)))
-        committed = gen + 1
+      if (TsStore.commitExclusive(f, tmp, catalogGenFile(gen + 1))) {
+        // post-claim verify — the ABA guard: GC deletes retired
+        // generation FILES, which frees their slot NAMES, so a
+        // claimant stalled long enough (read gen N, slept while
+        // others advanced to N+3 and GC'd N+1) can win a claim of
+        // N+1 that no reader will ever treat as newest — a silently
+        // lost persist. A claim stands only while it is still the
+        // MAX generation; otherwise drop it (never the max ⇒ no
+        // reader resolved it ⇒ safe to delete) and retry against the
+        // real newest. The benign case this also catches — a faster
+        // engine claiming N+2 right after our N+1 — costs one
+        // harmless re-merge (it already merged our content).
+        if (listCatalogGens(f).lastOption.contains(gen + 1))
+          committed = gen + 1
+        else f.delete(catalogGenFile(gen + 1), false)
+      }
     }
     // committed: retire superseded generations, keeping one behind for
     // readers that listed before this claim; the legacy single-file
@@ -1645,8 +1659,13 @@ final class Engine(val spark: SparkSession, rootPath: String,
         s"bootstrapRollup: generation $g of '$table' unreadable"))
     maintLock(barRoot).synchronized {
       ensureMaintLease(barRoot, "bootstrap")
+      // the bootstrap round's cursor lands AFTER maintainDayPartials
+      // returns, outside the marker lifetime — so its marker is
+      // non-advancing: "cursor reached slot 0" must never release a
+      // crashed bootstrap's marker (re-bootstrap re-runs it whole)
       graft.ops.Rollup.maintainDayPartials(s0, Seq.empty, s0, barRoot,
-        col("__day"), groupCols, orderKey, value, volume, slot = 0L)
+        col("__day"), groupCols, orderKey, value, volume, slot = 0L,
+        advancesCursor = false)
       graft.ops.Rollup.writeBarCursor(spark, barRoot, g)
     }
     g
@@ -1751,17 +1770,24 @@ final class Engine(val spark: SparkSession, rootPath: String,
       // NEW changes, the completed round's are behind the advanced
       // cursor — would overwrite the completed placements wholesale.)
       // The release comparison is only meaningful for a marker whose
-      // slot IS a generation (scheme tag): a marker written under the
-      // old caller-chosen-slot scheme must instead take the rebuild
-      // path below — the safe direction for an unknown round.
+      // slot IS a generation (scheme tag) AND whose round's commit
+      // step advances the cursor to that slot (advances tag): a
+      // marker written under the old caller-chosen-slot scheme, or by
+      // a rebuild-only recovery round (which runs UNDER the cursor by
+      // design, so "cursor reached its slot" proves nothing), must
+      // instead take the rebuild path below — the safe direction for
+      // a round the proof does not cover.
       val genScheme =
         graft.ops.Rollup.pendingMarkerIsGenScheme(spark, barRoot)
-      pending.filter(p => genScheme && p._1 <= cur)
+      val advancing =
+        graft.ops.Rollup.pendingMarkerAdvancesCursor(spark, barRoot)
+      pending.filter(p => genScheme && advancing && p._1 <= cur)
         .foreach { case (pSlot, _, _) =>
           graft.ops.Rollup.releaseMaintMarker(spark, barRoot, pSlot) }
       if (gN <= cur) {
-        // the store has not moved — but an UNSCHEMED pending marker
-        // (a pre-gen-scheme round that crashed) is not releasable by
+        // the store has not moved — but a pending marker that is
+        // UNSCHEMED (pre-gen-scheme crash) or NON-ADVANCING (a
+        // crashed rebuild-only recovery round) is not releasable by
         // the cursor comparison above, and with no new generation the
         // full round below never runs: left alone it would pend
         // FOREVER on an idle store, failing pendingMaintenance probes
@@ -1770,10 +1796,15 @@ final class Engine(val spark: SparkSession, rootPath: String,
         // current pin instead: dirtyDays subsume the marker's days,
         // so maintainDayPartials accepts and CLEARS it, and a
         // wholesale rebuild converges regardless of what the dead
-        // round had partially placed. (A gen-scheme marker can't
-        // reach here: its recorded generation is committed, hence
-        // <= gN <= cur, hence released above.)
-        pending.filter(_ => !genScheme) match {
+        // round had partially placed. (A gen-scheme ADVANCING marker
+        // can't reach here: its recorded generation is committed,
+        // hence <= gN <= cur, hence released above.) The recovery
+        // round's own marker is tagged non-advancing — if IT crashes,
+        // the next round re-enters this branch instead of wrongly
+        // releasing it — and the marker clear re-verifies the
+        // maintenance lease: a takeover mid-recovery must not have
+        // its in-flight marker cleared out from under it.
+        pending.filter(_ => !genScheme || !advancing) match {
           case None => (Seq.empty, Seq.empty)
           case Some((_, pDays, pIns)) =>
             val days = (pDays ++ pIns).distinct
@@ -1785,15 +1816,19 @@ final class Engine(val spark: SparkSession, rootPath: String,
             // cursor needs no advance — the marker clear is the point
             graft.ops.Rollup.maintainDayPartials(sCur.limit(0), days,
               sCur, barRoot, col("__day"), groupCols, orderKey, value,
-              volume, slot = gN)
+              volume, slot = gN,
+              onPlaced = () => graft.ops.Rollup.requireMaintLease(
+                spark, barRoot, maintToken, "recovery marker clear"),
+              advancesCursor = false)
         }
       } else {
       // a still-incomplete crashed round (cursor below its recorded
-      // generation, or any old-scheme marker): this round subsumes
-      // it — the feed from the unchanged cursor covers its changes,
-      // and its recorded days rebuild from the pin (see the
-      // crash-recovery contract above)
-      val crashedDays = pending.filter(p => !genScheme || p._1 > cur)
+      // generation, any old-scheme marker, or a crashed non-advancing
+      // recovery round): this round subsumes it — the feed from the
+      // unchanged cursor covers its changes, and its recorded days
+      // rebuild from the pin (see the crash-recovery contract above)
+      val crashedDays = pending
+        .filter(p => !genScheme || !advancing || p._1 > cur)
         .map { case (_, d, i) => (d ++ i).distinct }
         .getOrElse(Seq.empty)
       val sdb = catalog.get(table).get

@@ -101,6 +101,25 @@ object Rollup {
     mergeBarPartials(partials, groupCols)
       .drop("first_k", "last_k")
 
+  /** Bars that DIVERGE between a stored-merged view and a
+    * from-scratch rollup of the same corpus — the maintenance
+    * drills' shared convergence criterion (one definition, so it
+    * cannot drift between the a10/a11/st11/e24 harnesses): picked
+    * fields (open/high/low/close) and cnt compare exactly, volume
+    * within 1e-6 (slot sums reassociate within float ulps), and a
+    * bar present on only one side counts as divergent. */
+  def barDivergence(merged: DataFrame, fresh: DataFrame,
+      keys: Seq[String]): Long =
+    merged.alias("m").join(fresh.alias("f"), keys, "full")
+      .filter(col("m.open").isNull || col("f.open").isNull ||
+        col("m.open") =!= col("f.open") ||
+        col("m.high") =!= col("f.high") ||
+        col("m.low") =!= col("f.low") ||
+        col("m.close") =!= col("f.close") ||
+        col("m.cnt") =!= col("f.cnt") ||
+        abs(col("m.volume") - col("f.volume")) > lit(1e-6))
+      .count()
+
   // ── CDC-driven maintenance (change feed → stored rollup) ───────
   //
   // a10's slot machinery maintains bars from INGEST batches the
@@ -154,7 +173,8 @@ object Rollup {
       rebuildState: DataFrame, root: String, day: Column,
       groupCols: Seq[Column], orderKey: Column, value: Column,
       volume: Column, slot: Long,
-      onPlaced: () => Unit = () => ()): (Seq[String], Seq[String]) = {
+      onPlaced: () => Unit = () => (),
+      advancesCursor: Boolean = true): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.{
       escapePathName, unescapePathName}
     val ss = insertRows.sparkSession
@@ -212,7 +232,8 @@ object Rollup {
     // the round marker: durable BEFORE the first placement, removed
     // after the last — while it exists the bar store may be missing a
     // dirty day mid-swap, and a crashed round must not read as whole
-    writeMaintMarker(fs, root, slot, dirty, insDays.map(_._2))
+    writeMaintMarker(fs, root, slot, dirty, insDays.map(_._2),
+      advancesCursor)
     insDays.foreach { case (e, _) =>
       move(insStage, e, s"$root/day=$e/batch=$slot") }
     fs.delete(path(insStage), true)
@@ -284,7 +305,7 @@ object Rollup {
 
   private def writeMaintMarker(fs: org.apache.hadoop.fs.FileSystem,
       root: String, slot: Long, dirty: Seq[String],
-      insertDays: Seq[String]): Unit = {
+      insertDays: Seq[String], advances: Boolean): Unit = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .createObjectNode()
     node.put("slot", slot)
@@ -303,8 +324,26 @@ object Rollup {
     // under the old caller-chosen-slot scheme, whose slot must never
     // be compared against the generation cursor
     node.put("scheme", "gen")
+    // whether the round's commit step ADVANCES the caller's durable
+    // watermark to exactly `slot`: the cursor-reached release proof
+    // ("cursor >= slot ⇒ placements provably complete") is only valid
+    // for such rounds — a rebuild-only recovery round runs UNDER the
+    // cursor by design, so its crashed marker must never be released
+    // by that comparison (it would read as "completed" while a day
+    // sits half-swapped); it rebuilds instead
+    node.put("advances", advances)
     writeJsonAtomic(fs, maintMarkerPath(root), node)
   }
+
+  /** True when the pending marker (if any) records a round whose
+    * commit step advances the caller's durable watermark to the
+    * marker's slot — the precondition of the cursor-reached release
+    * proof. Pre-r18 gen-scheme markers lack the field and were all
+    * cursor-advancing rounds: default true. */
+  private[graft] def pendingMarkerAdvancesCursor(
+      ss: org.apache.spark.sql.SparkSession, root: String): Boolean =
+    readJson(ss, maintMarkerPath(root))
+      .forall(_.path("advances").asBoolean(true))
 
   /** True when the pending marker (if any) records a
     * generation-scheme slot — comparing an OLD caller-chosen slot

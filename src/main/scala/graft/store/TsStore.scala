@@ -2049,6 +2049,28 @@ object TsStore {
     * before the move is safe in every crash ordering — a checksum
     * sidecar is optional on read, so `dest` stays readable as either
     * the old or the new content, never unreadable and never absent. */
+  private[graft] def atomicReplace(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val q = f.makeQualified(dest)
+    if ("file" == q.toUri.getScheme) {
+      def crcOf(p: org.apache.hadoop.fs.Path): java.io.File = {
+        val qp = f.makeQualified(p)
+        new java.io.File(new java.io.File(qp.toUri.getPath).getParent,
+          s".${qp.getName}.crc")
+      }
+      crcOf(tmp).delete()
+      crcOf(dest).delete()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(q.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else
+      org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
+        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Claim `dest` with the fully-written `tmp`'s content — atomically
     * and EXCLUSIVELY: exactly one of N concurrent claimants of the
     * same `dest` returns true; the rest return false with their tmp
@@ -2061,7 +2083,11 @@ object TsStore {
     *    bytes, so no reader ever sees a partial dest;
     *  - elsewhere: Hadoop's plain `rename(src, dst)`, which HDFS
     *    implements as an atomic namespace op that refuses an existing
-    *    dst (returns false / throws FileAlreadyExists). */
+    *    dst (returns false / throws FileAlreadyExists). A false
+    *    return is reported as a lost race ONLY when `dest` actually
+    *    exists — rename also returns false for vanished sources or
+    *    missing parents, and looping on those would masquerade a real
+    *    I/O failure as an endless claim race. */
   private[graft] def commitExclusive(f: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path): Boolean = {
@@ -2084,31 +2110,15 @@ object TsStore {
         catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         }
-      if (!won) f.delete(tmp, false)
+      if (!won) {
+        if (!f.exists(dest)) throw new java.io.IOException(
+          s"commitExclusive: rename $tmp -> $dest failed with NO file " +
+            "at the destination — not a lost claim race (vanished " +
+            "source or missing parent?); refusing to retry blind")
+        f.delete(tmp, false)
+      }
       won
     }
-  }
-
-  private[graft] def atomicReplace(f: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path,
-      dest: org.apache.hadoop.fs.Path): Unit = {
-    val q = f.makeQualified(dest)
-    if ("file" == q.toUri.getScheme) {
-      def crcOf(p: org.apache.hadoop.fs.Path): java.io.File = {
-        val qp = f.makeQualified(p)
-        new java.io.File(new java.io.File(qp.toUri.getPath).getParent,
-          s".${qp.getName}.crc")
-      }
-      crcOf(tmp).delete()
-      crcOf(dest).delete()
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath),
-        java.nio.file.Paths.get(q.toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else
-      org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, f.getConf)
-        .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private[store] def readSnapshot(f: org.apache.hadoop.fs.FileSystem,

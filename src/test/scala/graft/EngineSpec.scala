@@ -1642,6 +1642,77 @@ class EngineSpec extends SparkSpec {
     assert(ins.isEmpty && rb.isEmpty)
   }
 
+  test("maintainRollup recovery: a CRASHED recovery round's non-advancing marker rebuilds again — never released by the cursor compare") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e = new Engine(spark, root, snapshots = true)
+    e.create("{ev:{fields:{t:[T,8],value:[F,8]}}}")
+    e.set("u1.ev", """[{"t":"2024-01-01T01:00:00Z","value":1.0},
+      {"t":"2024-01-02T01:00:00Z","value":2.0}]""")
+    val barRoot = s"$root/bars"
+    val grp = Seq(lit("all").as("g"))
+    val okey = unix_millis(col("t"))
+    e.bootstrapRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    val g = e.snapshotVersions("ev").max
+    // the on-disk state of a rebuild-only RECOVERY round that died
+    // mid-rebuild: day 2 deleted but not yet re-placed, and a
+    // gen-scheme NON-advancing marker whose slot the cursor already
+    // "reached" (slot = g = cursor — recovery runs UNDER the cursor
+    // by design). The release proof ("cursor >= slot ⇒ placements
+    // complete") is INVALID for such a round: releasing here would
+    // clear the marker over a half-swapped day and serve bars missing
+    // day 2 forever, with pendingMaintenance empty.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$barRoot/day=2024-01-02"), true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$barRoot/_maint_round.json"),
+      (s"""{"slot":$g,"dirtyDays":["2024-01-02"],"insertDays":[],""" +
+        """"scheme":"gen","advances":false}""").getBytes)
+    e.maintainRollup("ev", barRoot, grp, okey, col("value"), col("value"))
+    assert(graft.ops.Rollup.pendingMaintenance(spark, barRoot).isEmpty)
+    assert(new java.io.File(s"$barRoot/day=2024-01-02").exists(),
+      "the crashed recovery round was RELEASED instead of rebuilt — " +
+        "day 2 is gone with no marker left to say so")
+    val days = graft.ops.Rollup.finalizeBars(
+      spark.read.parquet(barRoot).drop("batch"), Seq("g", "day"))
+      .select(col("day").cast("string")).collect()
+      .map(_.getString(0)).toSet
+    assert(days == Set("2024-01-01", "2024-01-02"), days)
+  }
+
+  test("catalog CAS: a claim of a GC-retired slot number is detected and retried (the ABA window)") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val a = new Engine(spark, root, snapshots = true)
+    a.create("{ta:{fields:{t:[T,8],x:[F,8]}}}")
+    // a stalls between its merge-read and its claim while another
+    // engine commits THREE more generations — the GC of the third
+    // retires (deletes) the very slot `a` is about to claim, so a's
+    // exclusive claim SUCCEEDS on a slot no reader will ever resolve
+    // as newest. Without the post-claim max-verify, a's table would
+    // be silently lost.
+    var fired = false
+    a.onBeforeCatalogClaim = () => if (!fired) {
+      fired = true
+      val b = new Engine(spark, root, snapshots = true)
+      b.create("{b1:{fields:{t:[T,8],x:[F,8]}}}")
+      b.create("{b2:{fields:{t:[T,8],x:[F,8]}}}")
+      b.create("{b3:{fields:{t:[T,8],x:[F,8]}}}")
+    }
+    a.create("{tx:{fields:{t:[T,8],z:[F,8]}}}")
+    a.onBeforeCatalogClaim = () => ()
+    assert(fired)
+    val check = new Engine(spark, root, snapshots = true)
+    assert(check.catalog.tables.toSet ==
+      Set("ta", "b1", "b2", "b3", "tx"),
+      s"the ABA claim lost a declaration: ${check.catalog.tables}")
+    // the stale mid-range claim was dropped and GC stayed bounded
+    val gens = new java.io.File(root).list()
+      .filter(_.matches("__catalog\\.\\d+\\.json")).sorted
+    assert(gens.length <= 2, s"generation GC left ${gens.toSeq}")
+  }
+
   test("maintainRollup recovery: a crashed round's recorded days rebuild even when the feed nets them out") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft_engine").toString
