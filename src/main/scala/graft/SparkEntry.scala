@@ -4181,13 +4181,13 @@ object SparkEntry {
     val fxStore = eng.storeHandle("fx")
     var midMixed = Option.empty[(Long, Long)]
     var midAtomic = Option.empty[Map[String, Long]]
-    fxStore.onBeforeSnapshotRename = () => if (midAtomic.isEmpty) {
+    fxStore.onBeforeSnapshotClaim = () => if (midAtomic.isEmpty) {
       midMixed = Some((eng.openSnapshot("ev").get.count(),
         eng.openSnapshot("fx").get.count()))
       midAtomic = Some(counts(eng.openAtomicSnapshot(Seq("ev", "fx"))))
     }
     eng.saveAll(Seq("ev", "fx"))
-    fxStore.onBeforeSnapshotRename = () => ()
+    fxStore.onBeforeSnapshotClaim = () => ()
     val (midEv, midFx) = midMixed.getOrElse(
       throw new IllegalStateException("mid-commit probe never fired"))
     require(midEv > pre("ev") && midFx == pre("fx"),
@@ -4200,7 +4200,7 @@ object SparkEntry {
     // a new engine over the root must roll the commit forward at open
     ingest(2)
     var thrown = false
-    fxStore.onBeforeSnapshotRename = () => if (!thrown) {
+    fxStore.onBeforeSnapshotClaim = () => if (!thrown) {
       thrown = true
       throw new RuntimeException("injected crash mid-atomic-commit")
     }

@@ -1734,7 +1734,9 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * over, every round re-verifies it at start and again before the
     * cursor advance, and a superseded maintainer fails loudly — see
     * [[graft.ops.Rollup.claimMaintLease]] for the protocol and its
-    * documented instants-between residual.
+    * documented instants-between residual (benign by construction:
+    * racing rounds derive content-identical placements from the same
+    * cursor).
     *
     * A CRASHED round (pending marker at `barRoot`, its slot = that
     * round's recorded target generation) is recovered here before

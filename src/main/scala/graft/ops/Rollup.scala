@@ -443,11 +443,13 @@ object Rollup {
   // and every later round re-checks the token at round start AND
   // before the cursor advance — of two live maintainers, only the
   // latest can commit; the superseded one fails loudly instead of
-  // interleaving. Residual, same as the store fence: a takeover
-  // landing in the instants between a loser's last check and its
-  // placement can interleave one round's file ops — both rounds
-  // derive the same feed from the same cursor, so the placements are
-  // content-identical and the marker protocol converges the rest.
+  // interleaving. Residual (this fence is check-based, unlike the
+  // store manifest's claim-based commit, which since r18 has none): a
+  // takeover landing in the instants between a loser's last check and
+  // its placement can interleave one round's file ops — benign by
+  // construction, because both rounds derive the same feed from the
+  // same cursor, so the placements are content-identical and the
+  // marker protocol converges the rest.
 
   private def maintLeasePath(root: String) =
     new org.apache.hadoop.fs.Path(

@@ -50,8 +50,11 @@ import org.apache.spark.storage.StorageLevel
   * external SQL engines over the same parquet paths) and cannot
   * tolerate a transiently missing day during a swap get SNAPSHOT
   * MODE (`snapshots = true`): cold commits write versioned
-  * `__day=X/__v=N` dirs and the single commit point is an atomic
-  * rename-over of the `__snapshot.json` manifest (day → version).
+  * `__day=X/__v=N` dirs and the single commit point is an EXCLUSIVE
+  * CLAIM of the next numbered manifest slot (`__snapshot.<v>.<k>
+  * .json`, day → version inside) — exactly one of N concurrent
+  * claimants of a slot wins, so a commit either linearizes fully or
+  * fails loudly with nothing published; readers resolve the max slot.
   * Nothing a committed manifest references is ever deleted by a
   * later commit — a reader that pinned a manifest ([[TsStore
   * .openSnapshot]]) reads immutable dirs for as long as it runs, a
@@ -132,7 +135,8 @@ final class TsStore(
     require(!(snapshots && probe.contains(false)),
       s"$path holds a flat-layout store — open it with snapshots = " +
         "false, or migrate by rewriting through a snapshot-mode save")
-    require(!(!snapshots && (probe.contains(true) || fs.exists(snapFile))),
+    require(!(!snapshots && (probe.contains(true) ||
+        TsStore.anyManifest(fs, path))),
       s"$path was written in snapshot mode — open it with snapshots = true")
     metaNodeAtOpen =
       if (!fs.exists(metaFile)) None
@@ -149,30 +153,45 @@ final class TsStore(
   // writer processes by construction — every command runs on one
   // dispatcher thread of one server (sisdb_server.c:474-476). Here
   // the single-writer contract (scaladoc above) is ENFORCED, not just
-  // documented: a handle's FIRST MUTATION takes over a lease sidecar
-  // (a unique token — the fencing identity — plus a best-effort
-  // diagnostic epoch, committed by atomic rename-over), and every
-  // later mutation re-checks the token before
-  // touching the live store — so of two live writer handles on one
-  // root, only the latest WRITER can commit; the superseded one fails
-  // loudly at its next write instead of interleaving rename-aside
-  // commits into a corrupt manifest. Acquisition is lazy, at first
-  // mutation rather than at open, so a process that opens the store
-  // only to READ (an engine serving get/exposeSql, a snapshot
-  // inspector) never fences the active writer — read coexistence is
-  // the vacuum-grace contract's whole point. Takeover (not mutual
-  // exclusion) is deliberate: a crashed writer must never brick the
-  // store behind a stale lock file, and a restart is
-  // indistinguishable from a takeover. The token is additionally
-  // bound INTO every committed manifest (a `writer` record), and
-  // [[commitSnapshot]] re-verifies the live lease AFTER the manifest
-  // rename — a takeover landing inside the in-flight commit no
-  // longer loses an update: the loser detects the takeover, restores
-  // the pre-commit manifest (only if its own is still in place) and
-  // throws, leaving a residual race of the instants between its
-  // rename and the verify rather than the whole commit. Recovery at
-  // open can itself commit (roll-forward), which takes the lease then
-  // — correct: replaying a pending commit IS writing.
+  // documented, by two layers with distinct jobs:
+  //
+  //  POLICY — the lease: a handle's FIRST MUTATION takes over a lease
+  //  sidecar (a unique token — the fencing identity — plus a
+  //  best-effort diagnostic epoch, committed by atomic rename-over),
+  //  and every later mutation re-checks the token before touching the
+  //  live store — so of two live writer handles on one root, the
+  //  superseded one fails loudly at its next write. Acquisition is
+  //  lazy, at first mutation rather than at open, so a process that
+  //  opens the store only to READ (an engine serving get/exposeSql, a
+  //  snapshot inspector) never fences the active writer — read
+  //  coexistence is the vacuum-grace contract's whole point. Takeover
+  //  (not mutual exclusion) is deliberate: a crashed writer must never
+  //  brick the store behind a stale lock file, and a restart is
+  //  indistinguishable from a takeover. Acquiring over a root with a
+  //  RESERVED-but-uncommitted generation first seals or adopts it
+  //  ([[sealOrAdoptPendingSlots]]), so the new writer's own commits
+  //  start from a sequence with nothing in flight under them.
+  //
+  //  SAFETY — the claims: the commit point is an EXCLUSIVE CLAIM of a
+  //  numbered manifest slot ([[commitSnapshot]]), and every placement
+  //  of day dirs is preceded by an exclusive claim of its generation
+  //  ([[claimOrAdoptResv]]) with writer-token-unique staging paths.
+  //  Lease checks order who SHOULD win; the claims guarantee that
+  //  whatever happens in the unobservable instants between a check
+  //  and an action, every commit either linearizes fully or fails
+  //  loudly with nothing published — no lost update, no mixed slot,
+  //  no rollback, under ANY interleaving of takeovers and in-flight
+  //  commits. (The old rename-over protocol verified the lease after
+  //  the swap and rolled back on takeover, which left a documented
+  //  residual race of the instants between rename and verify; the
+  //  claim protocol removed both the rollback and the residual.) One
+  //  consequence worth naming: a superseded writer's ALREADY-IN-FLIGHT
+  //  commit may still win its slot claim and land — consistently,
+  //  linearized before the takeover's first write, and adopted as the
+  //  new writer's baseline; the fence then stops the superseded
+  //  writer's NEXT mutation. Recovery at open can itself commit
+  //  (roll-forward), which takes the lease then — correct: replaying
+  //  a pending commit IS writing.
   @volatile private var leaseToken: Option[String] = None
   @volatile private var leaseEpoch: Long = 0L
   // meta BEFORE recovery: a recovery-path snapshot commit mints the
@@ -204,10 +223,13 @@ final class TsStore(
     dirtyDaysSinceVacuum ++= days
 
   /** Test-only hook, invoked between the fence check and the manifest
-    * rename — lets a spec land a competing takeover exactly inside the
-    * commit window the post-swap verification closes. Declared before
-    * the recovery call below (recovery can commit). */
-  private[graft] var onBeforeSnapshotRename: () => Unit = () => ()
+    * slot CLAIM — lets a spec land a competing takeover exactly inside
+    * the commit window. Under the claimed-slot protocol either order
+    * is safe: the claim is the single arbiter, so the in-flight commit
+    * linearizes fully (the takeover then builds on it) or fails loudly
+    * (nothing published) — there is no rollback and no verify window.
+    * Declared before the recovery call below (recovery can commit). */
+  private[graft] var onBeforeSnapshotClaim: () => Unit = () => ()
 
   loadMeta()
   recoverSwaps()
@@ -306,7 +328,84 @@ final class TsStore(
     try out.write(m.writeValueAsBytes(root)) finally out.close()
     TsStore.atomicReplace(f, tmp, leaseFile)
     leaseEpoch = epoch
+    // the token must be set BEFORE the seal/adopt pass: sealing
+    // commits (and adoption replays commit routines), whose fence
+    // checks must see this writer as the live lease holder
+    leaseToken = Some(token)
+    sealOrAdoptPendingSlots()
     token
+  }
+
+  /** The new lease holder's first duty: resolve every RESERVED but
+    * UNCOMMITTED generation above the live manifest, so its own
+    * commits start from a sequence with no in-flight slots under it.
+    * For each pending reservation (ascending — they are dense: a
+    * reservation's baseline is always the committed generation below
+    * it):
+    *  - the recorded commit instruction is still COMPLETE on disk →
+    *    ADOPT: roll it forward (placements replay byte-identically
+    *    from the same tmp; the slot claim tolerates the owner racing
+    *    us with equal content). An in-flight commit that got this far
+    *    is linearized BEFORE this takeover.
+    *  - incomplete/vanished → SEAL: claim the slot with an empty
+    *    advance (baseline days under the reserved generation). The
+    *    old writer's eventual claim of the slot then fails atomically
+    *    — FENCED with nothing published, no rollback needed.
+    * If the old writer's real commit wins a race against our seal,
+    * the loop re-reads and simply builds on it. Snapshot mode only;
+    * a no-op whenever no reservation is pending (the common case —
+    * one extra listing per lease acquisition). */
+  private def sealOrAdoptPendingSlots(): Unit = {
+    if (!snapshots) return
+    val f = fs
+    var guard = 0
+    var done = false
+    while (!done) {
+      guard += 1
+      if (guard > 64) throw new IllegalStateException(
+        s"$path: pending-reservation churn beyond any plausible " +
+          "concurrent-writer count — refusing to fight it blind")
+      val snap = loadSnapshot()
+      val pending = TsStore.listSlotsAndResvs(f, path)._2.filter(_ > snap.v)
+      if (pending.isEmpty) done = true
+      else {
+        val rv = pending.min
+        if (rv != snap.v + 1) throw new IllegalStateException(
+          s"$path: reservation for generation $rv pends over a live " +
+            s"manifest at ${snap.v} with a gap — protocol corruption " +
+            "(reservations chain densely from the committed generation)")
+        val info = scala.util.Try(new com.fasterxml.jackson.databind
+          .ObjectMapper().readTree(TsStore.readJsonBytes(f,
+            TsStore.resvFile(path, rv)))).toOption
+        val tmpP = info.map(i => new org.apache.hadoop.fs.Path(
+          i.path("tmp").asText()))
+        val kind = info.map(_.path("kind").asText()).getOrElse("")
+        val manifest = if (kind == "deleting") TsStore.AffectedManifest
+          else TsStore.CommitManifest
+        val complete = tmpP.exists(t =>
+          f.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS")) &&
+            f.exists(new org.apache.hadoop.fs.Path(t, manifest)))
+        if (complete) {
+          kind match {
+            case "deleting" => commitDeletingSnapshot(tmpP.get)
+            case "packed" => commitPackedSnapshot(tmpP.get)
+            case _ => commitSavingSnapshot(tmpP.get)
+          }
+          f.delete(tmpP.get, true)
+        } else {
+          // SEAL: consume the reserved slot with an empty advance. If
+          // the reservation's owner commits the real slot first, our
+          // claim loses — benign: the loop re-reads and the owner's
+          // commit (linearized before this takeover's first write)
+          // becomes our baseline.
+          try commitSnapshot(TsStore.Snapshot(rv, snap.days, snap.removed))
+          catch {
+            case e: IllegalStateException =>
+              if (!holdsWriteLease) throw e // a THIRD writer took over
+          }
+        }
+      }
+    }
   }
 
   /** True while this handle can still write: it never wrote (no lease
@@ -327,7 +426,8 @@ final class TsStore(
     * check a handle ever makes acquires the lease instead (lazy —
     * read-only handles never touch it). */
   private def checkFence(): Unit = leaseToken match {
-    case None => leaseToken = Some(acquireLease())
+    case None => acquireLease() // sets leaseToken itself, BEFORE its
+      // seal/adopt pass commits anything under the new lease
     case Some(mine) =>
       val lease = readLease()
       if (!lease.exists(_.path("token").asText() == mine)) {
@@ -458,19 +558,65 @@ final class TsStore(
   // commit point. The tmp-write halves of save/deleteWhere/pack are
   // shared with the default mode; only the COMMIT differs — instead
   // of delete-dest + rename over the live day dirs, each produced day
-  // renames into `__day=X/__v=(v+1)` and the new manifest swaps in by
-  // atomic rename-over. Old versions are never touched by a commit,
-  // so pinned readers stay whole; a crash before the manifest swap
-  // changes nothing a reader can see.
+  // renames into `__day=X/__v=(v+1)` (under an exclusive per-
+  // generation reservation) and the new manifest is claimed as the
+  // next numbered slot `__snapshot.<v>.<k>.json` — readers resolve
+  // the max slot. Old versions are never touched by a commit, so
+  // pinned readers stay whole; a crash before the slot claim changes
+  // nothing a reader can see.
 
+  /** The LEGACY single-file manifest: read as a fallback while no
+    * numbered slot exists (stores written before the claim protocol),
+    * retired by the first numbered commit. New code never writes it. */
   private def snapFile =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snapshot.json")
 
   private def histDir =
     new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snaphist")
 
-  private def loadSnapshot(): TsStore.Snapshot =
-    TsStore.readSnapshot(fs, snapFile)
+  /** The last slot this handle resolved — a probe hint only, never
+    * trusted: [[loadSnapshot]] walks FORWARD from it (slots are dense:
+    * every advance is v+1, every bookkeeping rewrite k+1, and a
+    * takeover seals skipped reservations, so the walk cannot jump a
+    * commit), and a hint whose file GC already retired falls back to
+    * the full listing. Stale reads are impossible either way; the
+    * hint only trades a directory listing for two existence probes on
+    * the steady path. */
+  @volatile private var slotHint: Option[TsStore.SnapSlot] = None
+
+  private def loadSnapshot(): TsStore.Snapshot = {
+    val f = fs
+    slotHint match {
+      case Some(h) if f.exists(TsStore.slotFile(path, h)) =>
+        var cur = h
+        var moved = true
+        while (moved) {
+          val adv = TsStore.SnapSlot(cur.v + 1, 0)
+          val bk = TsStore.SnapSlot(cur.v, cur.k + 1)
+          if (f.exists(TsStore.slotFile(path, adv))) cur = adv
+          else if (f.exists(TsStore.slotFile(path, bk))) cur = bk
+          else moved = false
+        }
+        try {
+          val s = TsStore.readSnapshot(f, TsStore.slotFile(path, cur))
+            .copy(sub = cur.k)
+          slotHint = Some(cur)
+          s
+        } catch { // GC retired it mid-walk: resolve from a fresh list
+          case _: java.io.FileNotFoundException => resolveLive()
+        }
+      case _ => resolveLive()
+    }
+  }
+
+  private def resolveLive(): TsStore.Snapshot = {
+    val s = TsStore.readLiveSnapshot(fs, path)
+    // legacy single-file manifests resolve with sub=0 and no hint —
+    // the first numbered claim then seeds the hint
+    if (s.v > 0L || s.days.nonEmpty)
+      slotHint = Some(TsStore.SnapSlot(s.v, s.sub))
+    s
+  }
 
   /** Record a committed manifest generation for time travel:
     * `__snaphist/v=N.json` holds the generation's day→version map AND
@@ -525,8 +671,6 @@ final class TsStore(
     * current tombstone map. No-op when nothing drifted. */
   private[graft] def commitPendingTombstones(): Unit = synchronized {
     if (!snapshots) return
-    val snap = loadSnapshot()
-    if (snap.v <= 0L) return // nothing ever committed: no record to lag
     // compare against the latest RETAINED record at or below the live
     // generation — snap.v's own record may have been vacuumed under
     // keepHistory=0, and treating that as "recorded nothing" would
@@ -536,17 +680,31 @@ final class TsStore(
     // drops (forward) and packs (cleared, which rewrites days and
     // mints its own generation), so live == as-of-r ⇒ nothing drifted
     // since r, hence nothing since snap.v ≥ r either.
-    val recorded = (snap.v +: snapshotVersions.filter(_ < snap.v).reverse)
-      .iterator.map(historyRecord).collectFirst { case Some((_, t)) => t }
-    recorded match {
-      case Some(t) if t == tombstones => // nothing drifted: no-op
-      case Some(_) => commitSnapshot(snap.copy(v = snap.v + 1))
-      case None =>
-        // no record retained at all: drift is undecidable — commit
-        // only if any tombstone is live (a resurrected drop is worse
-        // than one spurious generation; a table with no tombstones
-        // trivially has nothing to record)
-        if (tombstones.nonEmpty) commitSnapshot(snap.copy(v = snap.v + 1))
+    def pending(): Option[TsStore.Snapshot] = {
+      val snap = loadSnapshot()
+      if (snap.v <= 0L) return None // nothing ever committed: no record to lag
+      val recorded = (snap.v +: snapshotVersions.filter(_ < snap.v).reverse)
+        .iterator.map(historyRecord).collectFirst { case Some((_, t)) => t }
+      recorded match {
+        case Some(t) if t == tombstones => None // nothing drifted: no-op
+        case Some(_) => Some(snap.copy(v = snap.v + 1, sub = 0))
+        case None =>
+          // no record retained at all: drift is undecidable — commit
+          // only if any tombstone is live (a resurrected drop is worse
+          // than one spurious generation; a table with no tombstones
+          // trivially has nothing to record)
+          if (tombstones.nonEmpty) Some(snap.copy(v = snap.v + 1, sub = 0))
+          else None
+      }
+    }
+    // decide first WITHOUT fencing (a no-drift probe must stay
+    // read-only — a cut over another writer's live table must not
+    // steal its lease), then fence and RE-DECIDE: a first mutation's
+    // lease acquisition can adopt a pending foreign commit and move
+    // the generation under the first read
+    if (pending().nonEmpty) {
+      checkFence()
+      pending().foreach(s => commitSnapshot(s))
     }
   }
 
@@ -576,6 +734,8 @@ final class TsStore(
     * days — re-running the restore converges, like every interrupted
     * commit here). Returns the new live generation. */
   def restoreTo(g: Long): Long = synchronized {
+    checkFence() // a first mutation's adopt pass must run before the
+    // live generation is read (save's rule)
     validateRestore(g)
     val (daysG, tombsG) = TsStore.readHistRecord(fs, path, g).get
     val snap = loadSnapshot()
@@ -642,16 +802,45 @@ final class TsStore(
     * keepHistory=0 vacuum just reclaimed). */
   private def commitSnapshot(s: TsStore.Snapshot,
       recordHistory: Boolean = true): Unit = {
-    checkFence() // the manifest swap is THE commit point
+    checkFence() // policy gate; the exclusive slot claim below is the
+    // SAFETY gate — a takeover landing after this check loses nothing
     val myToken = leaseToken.getOrElse(
       throw new IllegalStateException("commit without a lease")) // unreachable
+    // ── chain check: this commit's content was derived from some
+    // baseline generation; the claim slot encodes it. An advance
+    // (s.v = live+1) claims (s.v, 0); a same-generation bookkeeping
+    // rewrite (vacuum's removal-record retirement) claims the next
+    // sub-slot. Anything else means another writer moved the manifest
+    // since this commit's inputs were read — committing would publish
+    // state derived from a superseded corpus, the exact lost update
+    // the old rename-over protocol could only roll back after the
+    // fact. Here it cannot happen: the claim slot would not chain.
+    val cur = loadSnapshot()
+    val target =
+      if (s.v == cur.v + 1) TsStore.SnapSlot(s.v, 0)
+      else if (s.v == cur.v && s.v > 0L) TsStore.SnapSlot(s.v, cur.sub + 1)
+      else throw new IllegalStateException(
+        s"$path: commit FENCED — this commit's baseline is stale " +
+          s"(it targets generation ${s.v} but the live manifest is at " +
+          s"${cur.v}.${cur.sub}): another writer advanced the store; " +
+          "this write did not land. Re-open the store to continue.")
+    // resurrection guard: GC frees retired slot NAMES after recording
+    // the floor, so a claimant stalled across takeovers can win a
+    // claim of a freed name that no reader would resolve as newest —
+    // refuse before claiming (the floor is written BEFORE any free,
+    // so a freed name is always at or below it)
+    if (target.v <= TsStore.readFloor(fs, path))
+      throw new IllegalStateException(
+        s"$path: commit FENCED — slot $target was already retired by " +
+          "GC (this writer stalled across takeovers); this write did " +
+          "not land. Re-open the store to continue.")
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("v", s.v)
-    // the fence bound INTO the commit artifact: the writer's lease
-    // token (identity) and epoch (diagnostics) ride inside the
-    // manifest, so after the rename this writer can tell whether the
-    // manifest in place is its own — the post-swap verification below
+    root.put("sub", target.k)
+    // writer identity rides in the manifest for diagnostics and for
+    // the equal-content check below (a recovery replay of THIS commit
+    // differs only here)
     val w = root.putObject("writer")
     w.put("token", myToken)
     w.put("epoch", leaseEpoch)
@@ -659,77 +848,89 @@ final class TsStore(
     s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
     val r = root.putObject("removed")
     s.removed.toSeq.sortBy(_._1).foreach { case (k, ts) => r.put(k, ts) }
-    // UNIQUE tmp per writer (token suffix): two live writer handles
-    // racing a commit must not consume each other's staged manifest —
-    // with a shared tmp name the loser's rename dies on ENOENT
-    // instead of reaching the fence verification below
+    // UNIQUE tmp per writer (token suffix): concurrent claimants must
+    // never consume each other's staged bytes
     val tmp = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + s"__snapshot.json.tmp.$myToken")
     val out = fs.create(tmp, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
-    onBeforeSnapshotRename()
-    // the manifest our rename will stomp, for the fenced-loser
-    // rollback below — read as LATE as possible (immediately before
-    // the rename): a competing writer's commit landing before this
-    // read is then preserved by the rollback; only one landing in the
-    // instants between this read and the rename could still be lost
-    // (the residual race the verify narrows the old full-commit
-    // window down to)
-    val prevBytes: Option[Array[Byte]] =
-      if (fs.exists(snapFile)) Some(TsStore.readJsonBytes(fs, snapFile))
-      else None
-    try TsStore.atomicReplace(fs, tmp, snapFile)
-    catch {
-      // our staged tmp vanished mid-commit (ENOENT spelling differs
-      // by path: Hadoop throws FileNotFound, java.nio NoSuchFile): a
-      // takeover's recovery swept it as stale. Report the fence, not
-      // a mystery ENOENT — the commit did not land either way.
-      case e @ (_: java.io.FileNotFoundException |
-                _: java.nio.file.NoSuchFileException) =>
-        if (!readLease().exists(_.path("token").asText() == myToken))
-          throw new IllegalStateException(
-            s"$path: commit FENCED mid-swap — the store root was taken " +
-              "over during this commit and the takeover swept the staged " +
-              "manifest; this write did not land. Re-open the store to " +
-              "take the root back.", e)
-        else throw e
-    }
-    // ── post-swap fence verification: checkFence() above runs BEFORE
-    // the rename, so a takeover landing in between could otherwise be
-    // silently stomped by our rename — the classic lost update the
-    // one-in-flight-commit window allowed. Re-reading the LEASE after
-    // the swap closes it: if another writer took over, this commit
-    // must not stand. Rollback is conditional on the manifest in
-    // place still being OURS (writer.token match) — if the new
-    // writer already committed over us, restoring the pre-commit
-    // manifest would stomp THEIR commit, so we only throw. The
-    // residual race shrinks from "any time during the commit job"
-    // to the instants between our rename and this verify.
-    val liveLease = readLease()
-    if (!liveLease.exists(_.path("token").asText() == myToken)) {
-      val current = scala.util.Try(
-        new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(TsStore.readJsonBytes(fs, snapFile))).toOption
-      val oursInPlace = current.exists(
-        _.path("writer").path("token").asText() == myToken)
-      if (oursInPlace) prevBytes match {
-        case Some(bytes) =>
-          val rtmp = new org.apache.hadoop.fs.Path(
-            path.stripSuffix("/") + s"__snapshot.json.tmp.$myToken")
-          val o2 = fs.create(rtmp, true)
-          try o2.write(bytes) finally o2.close()
-          TsStore.atomicReplace(fs, rtmp, snapFile)
-        case None => fs.delete(snapFile, false) // first-ever commit: undo
+    onBeforeSnapshotClaim()
+    // ── THE commit point: an exclusive claim of the slot. Exactly one
+    // of N concurrent claimants wins; there is no in-between state, no
+    // rollback, and no verify window — the lost-update race the old
+    // rename-over protocol carried (documented three rounds running)
+    // is structurally gone. A commit that wins is linearized at the
+    // claim instant; a commit that loses provably never published.
+    val won =
+      try TsStore.commitExclusive(fs, tmp, TsStore.slotFile(path, target))
+      catch {
+        // our staged tmp vanished mid-claim (ENOENT spelling differs
+        // by path: Hadoop throws FileNotFound, java.nio NoSuchFile):
+        // a takeover's recovery swept it as stale. Report the fence,
+        // not a mystery ENOENT — the commit did not land either way.
+        case e @ (_: java.io.FileNotFoundException |
+                  _: java.nio.file.NoSuchFileException) =>
+          if (!readLease().exists(_.path("token").asText() == myToken))
+            throw new IllegalStateException(
+              s"$path: commit FENCED mid-claim — the store root was " +
+                "taken over during this commit and the takeover swept " +
+                "the staged manifest; this write did not land. Re-open " +
+                "the store to take the root back.", e)
+          else throw e
       }
-      val owner = liveLease.map(_.path("owner").asText()).getOrElse("unknown")
+    if (!won) {
+      // the slot was claimed first by someone else. One benign
+      // spelling: a concurrent replay of THIS VERY commit (takeover
+      // adoption, open-time recovery) — replays rebuild the identical
+      // content from the same on-disk instruction, so equal content
+      // means this commit IS committed, just by another hand.
+      // `removed` compares by KEY SET: its values are removal epochs a
+      // replay re-stamps with its own clock, and the days map already
+      // fully determines the corpus the slot publishes
+      val there = scala.util.Try(TsStore.readSnapshot(fs,
+        TsStore.slotFile(path, target))).toOption
+      if (there.exists(t => t.v == s.v && t.days == s.days &&
+          t.removed.keySet == s.removed.keySet)) {
+        slotHint = Some(target)
+        if (recordHistory) writeHistory(s)
+        return
+      }
+      val owner = readLease().map(_.path("owner").asText()).getOrElse("unknown")
       throw new IllegalStateException(
-        s"$path: commit FENCED after the manifest swap — the store " +
-          s"root was taken over by '$owner' during this commit; the " +
-          "manifest was restored to the pre-commit generation and " +
+        s"$path: commit FENCED at the manifest claim — slot $target " +
+          s"was committed by another writer ('$owner' holds the lease); " +
           "this write did not land. Re-open the store to take the " +
           "root back.")
     }
+    slotHint = Some(target)
+    gcManifestSlots(target)
     if (recordHistory) writeHistory(s)
+  }
+
+  /** Retire manifest machinery the committed slot supersedes: slots
+    * and reservations at generations ≤ committed−2 (committed−1 stays
+    * one behind for readers that listed before this claim — and its
+    * survival is what keeps [[loadSnapshot]]'s forward probe-walk
+    * sound for a hint lagging one commit), plus the legacy single-file
+    * manifest once any numbered slot exists. The floor records the
+    * highest retired generation BEFORE anything is freed, so a stale
+    * claimant re-claiming a freed name is always detectable. */
+  private def gcManifestSlots(committed: TsStore.SnapSlot): Unit = {
+    val f = fs
+    val (slots, resvs) = TsStore.listSlotsAndResvs(f, path)
+    val doomedS = slots.filter(_.v <= committed.v - 2)
+    val doomedR = resvs.filter(_ <= committed.v - 2)
+    if (doomedS.nonEmpty || doomedR.nonEmpty) {
+      val hi = (doomedS.map(_.v) ++ doomedR).max
+      if (hi > TsStore.readFloor(f, path)) TsStore.writeFloor(f, path, hi)
+      doomedS.foreach(sl => f.delete(TsStore.slotFile(path, sl), false))
+      doomedR.foreach(v => f.delete(TsStore.resvFile(path, v), false))
+    }
+    // the legacy manifest's content rode into the first numbered claim
+    // as its baseline; readers that found no numbered slot and saw the
+    // legacy file vanish re-list and find the slot (readLiveSnapshot's
+    // second-pass rule)
+    if (f.exists(snapFile)) f.delete(snapFile, false)
   }
 
   /** Rename a commit's produced day dirs from `tmp` into their
@@ -799,10 +1000,30 @@ final class TsStore(
   private def commitVersioned(tmp: org.apache.hadoop.fs.Path,
       days: Seq[String], storedV: Option[Long],
       next: (TsStore.Snapshot, Long) => TsStore.Snapshot,
+      kind: String,
       legacyNoop: TsStore.Snapshot => Boolean = _ => false): Unit = {
-    val snap = loadSnapshot()
-    val targetV = storedV.getOrElse(snap.v + 1)
-    if (snap.v < targetV) {
+    val snap0 = loadSnapshot()
+    val targetV = storedV.getOrElse(snap0.v + 1)
+    if (snap0.v < targetV) {
+      if (targetV != snap0.v + 1) throw new IllegalStateException(
+        s"$path: commit FENCED — the commit instruction targets " +
+          s"generation $targetV but the live manifest is at ${snap0.v}: " +
+          "another writer moved the store since this commit was staged; " +
+          "this write did not land.")
+      // ── reserve the version slot BEFORE placing a single day dir:
+      // placements happen ahead of the atomic claim (crash-replay
+      // needs them on disk first), so without exclusivity two writers'
+      // placements could interleave inside one __v=N slot and the
+      // claim winner would publish a mix. The reservation makes the
+      // slot single-writer; an identical-instruction replay (takeover
+      // adoption, open-time recovery — recognized by the recorded tmp
+      // path, unique per writer token) re-enters it instead.
+      claimOrAdoptResv(targetV, tmp, kind)
+      // the reservation handshake can COMPLETE this very commit: a
+      // first-mutation lease takeover seals/adopts pending slots, and
+      // adopting replays the same instruction this call is committing
+      val snap = loadSnapshot()
+      if (snap.v >= targetV) { writeHistory(snap); return }
       val placedAny = placeVersions(tmp, days, targetV)
       val legacyAlreadySwapped = storedV.isEmpty && !placedAny &&
         (if (days.nonEmpty) days.forall(d => snap.days.get(d).contains(snap.v))
@@ -810,14 +1031,65 @@ final class TsStore(
       if (!legacyAlreadySwapped)
         try commitSnapshot(next(snap, targetV))
         catch { case e: IllegalStateException =>
-          // a post-swap FENCE rolled the manifest back: delete the tmp
-          // (best-effort) so the NEW writer's recovery cannot replay
-          // this commit later — "did not land" must stay true. The
-          // placed version dirs are inert orphans vacuum reclaims.
+          // FENCED at the claim: delete the tmp (best-effort) so the
+          // NEW writer's recovery cannot replay this commit later —
+          // "did not land" must stay true. The placed version dirs
+          // are inert orphans vacuum reclaims; the consumed
+          // reservation is sealed by the new writer's first advance.
           scala.util.Try(fs.delete(tmp, true))
           throw e
         }
-    } else writeHistory(snap)
+    } else writeHistory(snap0)
+  }
+
+  /** Claim the reservation that makes version slot `v`'s placements
+    * exclusive to one commit instruction. Outcomes:
+    *  - fresh claim wins → the slot is this writer's;
+    *  - already reserved by THIS instruction (same recorded tmp path —
+    *    tmp names are writer-token-unique) → re-enter: a crash replay
+    *    or takeover adoption placing the same bytes;
+    *  - already reserved by a DIFFERENT instruction → a concurrent
+    *    writer is mid-commit at this generation with different data —
+    *    placing would mix bytes inside the slot, so fail loudly
+    *    (FENCED); the lease holder's seal/adopt pass is what resolves
+    *    the pending slot.
+    * The floor guard refuses generations GC already retired (a stale
+    * claimant re-claiming a freed reservation name would otherwise
+    * place fresh bytes into version dirs that time-travel records
+    * still reference). */
+  private def claimOrAdoptResv(v: Long,
+      tmp: org.apache.hadoop.fs.Path, kind: String): Unit = {
+    checkFence() // acquires the lease on a first mutation — which
+    // seals/adopts pending slots before any targetV math trusts them
+    val myToken = leaseToken.get
+    if (v <= TsStore.readFloor(fs, path)) throw new IllegalStateException(
+      s"$path: commit FENCED — generation $v was already retired by GC " +
+        "(this writer stalled across takeovers); this write did not land.")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("v", v)
+    root.put("token", myToken)
+    root.put("tmp", tmp.toString)
+    root.put("kind", kind)
+    val ctmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") +
+      s"__resv.$v.json.tmp.$myToken")
+    val out = fs.create(ctmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    if (!TsStore.commitExclusive(fs, ctmp, TsStore.resvFile(path, v))) {
+      val there = scala.util.Try(new com.fasterxml.jackson.databind
+        .ObjectMapper().readTree(TsStore.readJsonBytes(fs,
+          TsStore.resvFile(path, v)))).toOption
+      val sameWriter = there.exists(_.path("token").asText() == myToken)
+      val sameInstruction = there.exists(_.path("tmp").asText() == tmp.toString)
+      if (!sameWriter && !sameInstruction) {
+        val owner = readLease().map(_.path("owner").asText()).getOrElse("unknown")
+        throw new IllegalStateException(
+          s"$path: commit FENCED at the generation reservation — " +
+            s"generation $v is reserved by another writer's in-flight " +
+            s"commit ('$owner' holds the lease); this write did not " +
+            "land. Re-open the store to take the root back.")
+      }
+    }
   }
 
   /** Commit a save tmp as a snapshot: produced days advance to the
@@ -837,7 +1109,8 @@ final class TsStore(
     commitVersioned(tmp, days, storedV, (snap, targetV) =>
       TsStore.Snapshot(targetV,
         snap.days ++ days.map(_ -> targetV),
-        snap.removed -- days))
+        snap.removed -- days),
+      kind = "saving")
   }
 
   /** Commit a delete tmp as a snapshot: `replaced` days advance to
@@ -855,6 +1128,7 @@ final class TsStore(
         snap.days ++ replaced.map(_ -> targetV) -- removed,
         snap.removed -- replaced ++
           removed.map(_ -> System.currentTimeMillis())),
+      kind = "deleting",
       // a legacy all-days-removed delete (replaced empty) placed no
       // dirs, so the only replay evidence is the removal itself:
       // every removed day already out of the manifest ⇒ the swap
@@ -877,7 +1151,7 @@ final class TsStore(
       TsStore.Snapshot(targetV, days.map(_ -> targetV).toMap,
         snap.removed -- days ++
           gone.map(_ -> System.currentTimeMillis()))
-    })
+    }, kind = "packed")
   }
 
   /** The committed manifest's (day dir name, version) pairs, sorted by
@@ -1092,31 +1366,43 @@ final class TsStore(
             s.getPath.getName != s"$snapName.tmp.$liveToken")
           .foreach(s => f.delete(s.getPath, false))
     }
-    def marker(suffix: String) =
-      new org.apache.hadoop.fs.Path(path.stripSuffix("/") + suffix)
     def complete(tmp: org.apache.hadoop.fs.Path, manifest: String): Boolean =
       f.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
         f.exists(new org.apache.hadoop.fs.Path(tmp, manifest))
-    val saving = marker("__saving")
-    if (f.exists(saving)) {
-      if (complete(saving, TsStore.CommitManifest)) commitSavingSnapshot(saving)
-      f.delete(saving, true)
-    }
-    val deleting = marker("__deleting")
-    if (f.exists(deleting)) {
-      if (complete(deleting, TsStore.AffectedManifest))
-        commitDeletingSnapshot(deleting)
-      f.delete(deleting, true)
-    }
-    val packed = marker("__packed")
-    if (f.exists(packed)) {
-      if (complete(packed, TsStore.CommitManifest)) commitPackedSnapshot(packed)
-      f.delete(packed, true)
-    }
+    // staging tmps are writer-token-suffixed — process every writer's
+    // (the legacy fixed names included), but SPARE the live lease
+    // holder's: an active writer's in-flight stage must not be
+    // replayed-and-deleted (or discarded half-written) out from under
+    // it by a concurrent open of the same root.
+    val liveTok8 = readLease().map(_.path("token").asText().take(8))
+    def ownedByLiveWriter(t: org.apache.hadoop.fs.Path): Boolean =
+      liveTok8.exists(tok => t.getName.endsWith("." + tok))
+    def sweep(kind: String, manifest: String,
+        replay: org.apache.hadoop.fs.Path => Unit): Unit =
+      stagingTmps(kind).filterNot(ownedByLiveWriter).foreach { t =>
+        if (complete(t, manifest)) replay(t)
+        f.delete(t, true)
+      }
+    sweep("saving", TsStore.CommitManifest, commitSavingSnapshot)
+    sweep("deleting", TsStore.AffectedManifest, commitDeletingSnapshot)
+    sweep("packed", TsStore.CommitManifest, commitPackedSnapshot)
     f.delete(new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__snapshot.json.tmp"), false)
     f.delete(new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__meta.json.tmp"), false)
+    f.delete(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapfloor.json.tmp"), false)
+    // reservation-claim tmps from a crash between create and link
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+      val parent = p.getParent
+      val rPre = p.getName + "__resv."
+      if (parent != null && f.exists(parent))
+        f.listStatus(parent)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(rPre) &&
+            s.getPath.getName.contains(".json.tmp."))
+          .foreach(s => f.delete(s.getPath, false))
+    }
     // a writeHistory that died between create and rename leaves a
     // v=N.json.tmp no later pass touches (vacuum deletes exact names,
     // HistFile excludes .tmp) — sweep them here or they accumulate
@@ -1359,6 +1645,12 @@ final class TsStore(
     * keeps `save` O(dirty days), not O(store) — at 100 TB the store
     * holds years of days and the tail touches one or two. */
   def save(): Unit = synchronized {
+    // fence FIRST — before any plan reads the manifest: a first
+    // mutation acquires the lease, whose seal/adopt pass may advance
+    // the live generation (rolling a crashed predecessor's commit
+    // forward); the merge below must plan against the post-adoption
+    // corpus or it would rebuild dirty days from the superseded one
+    checkFence()
     hotUnion.foreach { h =>
       val dirtyDays = h.select(col("__day").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
@@ -1372,7 +1664,7 @@ final class TsStore(
           Write.upsert(h.limit(0).drop("__seq"), h, subject,
             soleCols :+ "__day", time, "__seq")
       }
-      val tmp = path.stripSuffix("/") + "__saving"
+      val tmp = stagingTmp("saving") // token-suffixed in snapshot mode
       // durable watermark BEFORE the tmp write — not merely before the
       // swap: the tmp becomes roll-forward-able the instant its job
       // commits _SUCCESS, so a crash in the gap would otherwise install
@@ -1433,8 +1725,41 @@ final class TsStore(
   // marker between the two halves is the commit point
   // ([[graft.api.Engine.saveAll]]).
 
-  private def stagedSaveTmp =
-    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__staged_save")
+  /** Staging-tmp path for `kind` (`saving`/`deleting`/`packed`/
+    * `staged_save`). In snapshot mode the name carries the writer's
+    * lease-token prefix, so two writers' staged bytes can NEVER share
+    * a path — a takeover mid-stage used to clobber the old writer's
+    * tmp in place (both wrote to the one fixed name), leaving its
+    * in-flight commit instruction pointing at the new writer's
+    * half-written job. With unique names the reservation protocol's
+    * adoption identity ("same recorded tmp path = same instruction")
+    * is exact. Acquires the lease on a first mutation (the token IS
+    * the name). Flat mode keeps the fixed names — its recovery
+    * markers predate the lease and stay byte-compatible. */
+  private def stagingTmp(kind: String): String = {
+    val base = path.stripSuffix("/") + "__" + kind
+    if (!snapshots) base
+    else {
+      checkFence()
+      base + "." + leaseToken.get.take(8)
+    }
+  }
+
+  /** Every on-disk staging tmp of `kind`, any writer's: the fixed
+    * legacy name plus every token-suffixed one. */
+  private def stagingTmps(kind: String): Seq[org.apache.hadoop.fs.Path] = {
+    val f = fs
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val parent = p.getParent
+    if (parent == null || !f.exists(parent)) return Seq.empty
+    val pre = p.getName + "__" + kind
+    f.listStatus(parent).toSeq
+      .filter(s => s.isDirectory && {
+        val n = s.getPath.getName
+        n == pre || n.startsWith(pre + ".")
+      })
+      .map(_.getPath).sortBy(_.getName)
+  }
 
   /** Stage the hot tail as a durable, inert commit instruction under
     * `__staged_save` — everything [[save]] does up to (and including)
@@ -1443,11 +1768,18 @@ final class TsStore(
     * mode only: without generations there is no inert staging point. */
   private[graft] def stageSave(): Boolean = synchronized {
     require(snapshots, "staged commits are a snapshot-mode primitive")
+    checkFence() // before the merge plans against the manifest (save's rule)
     hotUnion match {
       case None =>
-        fs.delete(stagedSaveTmp, true) // stale leftovers never linger
+        // stale leftovers never linger — any writer's (a crashed
+        // predecessor's token-suffixed tmp included: staging is
+        // pre-marker by contract, so discarding is always a rollback
+        // of something never acknowledged)
+        stagingTmps("staged_save").foreach(fs.delete(_, true))
         false
       case Some(h) =>
+        val stagedTmp = new org.apache.hadoop.fs.Path(
+          stagingTmp("staged_save"))
         val dirtyDays = h.select(col("__day").cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq
         val merged = cold match {
@@ -1465,10 +1797,10 @@ final class TsStore(
           .repartition(col("__day"))
           .sortWithinPartitions(col(subject), col(time))
           .write.mode("overwrite").partitionBy("__day")
-          .parquet(stagedSaveTmp.toString)
+          .parquet(stagedTmp.toString)
         val f = fs
         f.mkdirs(new org.apache.hadoop.fs.Path(path))
-        val dayDirs = f.listStatus(stagedSaveTmp)
+        val dayDirs = f.listStatus(stagedTmp)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
         require(dayDirs.length == dirtyDays.length,
           s"stage produced ${dayDirs.length} day dirs for " +
@@ -1476,42 +1808,51 @@ final class TsStore(
         // the commit manifest completes the instruction — staged-tmp
         // completeness is exactly "manifest present" (written last)
         TsStore.writeCommitDays(f,
-          new org.apache.hadoop.fs.Path(stagedSaveTmp,
+          new org.apache.hadoop.fs.Path(stagedTmp,
             TsStore.CommitManifest),
           dayDirs.map(_.getPath.getName).toSeq, loadSnapshot().v + 1)
         true
     }
   }
 
-  /** True when `__staged_save` holds a COMPLETE commit instruction
-    * (job `_SUCCESS` + commit manifest, both written before the
-    * engine's marker can exist). */
-  private[graft] def hasStagedSave: Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(stagedSaveTmp, "_SUCCESS")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(stagedSaveTmp,
-        TsStore.CommitManifest))
+  private def completeStagedSaves: Seq[org.apache.hadoop.fs.Path] =
+    stagingTmps("staged_save").filter(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(t, TsStore.CommitManifest)))
 
-  /** Turn a staged instruction into the real commit — [[save]]'s
-    * second half over the staged tmp, idempotently replayable from
-    * any crash point exactly like open-time `__saving` recovery
-    * (placed days skip, the stored target generation pins the
-    * version). No-op when nothing (complete) is staged. */
+  /** True when a staged-save tmp (this writer's token-suffixed one,
+    * a crashed predecessor's, or the legacy fixed name) holds a
+    * COMPLETE commit instruction (job `_SUCCESS` + commit manifest,
+    * both written before the engine's marker can exist). */
+  private[graft] def hasStagedSave: Boolean = completeStagedSaves.nonEmpty
+
+  /** Turn every complete staged instruction into a real commit —
+    * [[save]]'s second half over the staged tmp, idempotently
+    * replayable from any crash point exactly like open-time `__saving`
+    * recovery (placed days skip, the stored target generation pins the
+    * version). A restarted engine finalizes its crashed predecessor's
+    * token-suffixed tmp here the same way (ordered by target
+    * generation when several pend). No-op when nothing (complete) is
+    * staged. */
   private[graft] def finalizeStagedSave(): Unit = synchronized {
-    if (!hasStagedSave) return
-    val (days, _) = TsStore.readCommitDays(fs,
-      new org.apache.hadoop.fs.Path(stagedSaveTmp, TsStore.CommitManifest))
-    commitSavingSnapshot(stagedSaveTmp)
-    fs.delete(stagedSaveTmp, true)
-    clearHot()
-    onColdChange(TsStore.DaysUpserted(days.map(n =>
-      java.net.URLDecoder.decode(n.stripPrefix("__day="), "UTF-8"))))
-    maybeAutoVacuum()
+    val staged = completeStagedSaves
+      .map { t => (t, TsStore.readCommitDays(fs,
+        new org.apache.hadoop.fs.Path(t, TsStore.CommitManifest))) }
+      .sortBy(_._2._2.getOrElse(Long.MaxValue))
+    staged.foreach { case (t, (days, _)) =>
+      commitSavingSnapshot(t)
+      fs.delete(t, true)
+      clearHot()
+      onColdChange(TsStore.DaysUpserted(days.map(n =>
+        java.net.URLDecoder.decode(n.stripPrefix("__day="), "UTF-8"))))
+    }
+    if (staged.nonEmpty) maybeAutoVacuum()
   }
 
-  /** Roll a staged-but-unmarked commit BACK (crash before the
-    * engine's marker): the tmp vanishes, nothing ever served it. */
+  /** Roll every staged-but-unmarked commit BACK (crash before the
+    * engine's marker): the tmps vanish, nothing ever served them. */
   private[graft] def discardStagedSave(): Unit =
-    fs.delete(stagedSaveTmp, true)
+    stagingTmps("staged_save").foreach(fs.delete(_, true))
 
   /** M5 `del`: delete rows matching `cond`, rewriting ONLY the day
     * partitions `affectsDay` selects — O(days in range) exactly as
@@ -1523,6 +1864,7 @@ final class TsStore(
     * the row (only a definite match deletes). */
   def deleteWhere(cond: org.apache.spark.sql.Column,
       affectsDay: String => Boolean): Unit = synchronized {
+    checkFence() // before the rewrite plans against the manifest (save's rule)
     val defMatch = coalesce(cond, lit(false))
     // hotRows now overcounts the filtered tail — the flush bound fires
     // earlier than strictly needed, which is the safe direction
@@ -1550,7 +1892,7 @@ final class TsStore(
           .filter(col("__day").isin(affectedDays: _*))
           .filter(!defMatch)
           .withColumn("__seq", lit(seq))
-        val tmp = path.stripSuffix("/") + "__deleting"
+        val tmp = stagingTmp("deleting") // token-suffixed in snapshot mode
         kept.repartition(col("__day"))
           .sortWithinPartitions(col(subject), col(time))
           .write.mode("overwrite").partitionBy("__day").parquet(tmp)
@@ -1802,7 +2144,7 @@ final class TsStore(
     // with the current sequence and the tmp becomes replayable the
     // moment its commit manifest lands (see save)
     persistMeta()
-    val tmp = path.stripSuffix("/") + "__packed"
+    val tmp = stagingTmp("packed") // token-suffixed (snapshot mode)
     packedLayout(tombFiltered(c).withColumn("__seq", lit(seq)),
         targetFiles, zorderBy)
       .write.mode("overwrite").partitionBy("__day").parquet(tmp)
@@ -2014,7 +2356,137 @@ object TsStore {
     * later version ever supersedes a day that left the manifest).
     * Immutable; the manifest file swaps atomically. */
   private[store] final case class Snapshot(v: Long, days: Map[String, Long],
-      removed: Map[String, Long] = Map.empty)
+      removed: Map[String, Long] = Map.empty, sub: Int = 0)
+
+  /** A committed manifest's position in the claim sequence:
+    * generation `v` plus a same-generation bookkeeping counter `k`
+    * (vacuum's removal-record retirement rewrites the manifest
+    * without advancing the generation). Total order: readers resolve
+    * the MAX slot; writers claim exactly one slot per commit. */
+  private[store] final case class SnapSlot(v: Long, k: Int)
+      extends Ordered[SnapSlot] {
+    def compare(o: SnapSlot): Int =
+      if (v != o.v) java.lang.Long.compare(v, o.v) else k - o.k
+    override def toString = s"$v.$k"
+  }
+
+  private[store] def slotFile(path: String, s: SnapSlot) =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + s"__snapshot.${s.v}.${s.k}.json")
+
+  private[store] def resvFile(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + s"__resv.$v.json")
+
+  private[store] def floorFile(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__snapfloor.json")
+
+  /** One listing of the store root's PARENT dir → (committed manifest
+    * slots, reserved-but-maybe-uncommitted generations). Manifest and
+    * reservation files are SIBLINGS of the store root (like every
+    * sidecar here), so the listing costs O(tables × sidecars) on an
+    * engine root, never O(days). */
+  private[store] def listSlotsAndResvs(f: org.apache.hadoop.fs.FileSystem,
+      path: String): (Seq[SnapSlot], Seq[Long]) = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val parent = p.getParent
+    val leaf = p.getName
+    if (parent == null || !f.exists(parent)) return (Seq.empty, Seq.empty)
+    val names = f.listStatus(parent).map(_.getPath.getName)
+    val mPre = leaf + "__snapshot."
+    val slots = names.collect {
+      // the legacy single-file manifest (`__snapshot.json`) and the
+      // floor record share the prefix but carry no slot digits
+      case n if n.startsWith(mPre) && n.endsWith(".json") &&
+          n.length > mPre.length + 5 =>
+        n.substring(mPre.length, n.length - 5).split("\\.")
+    }.collect {
+      case Array(v, k) if v.nonEmpty && v.forall(_.isDigit) &&
+          k.nonEmpty && k.forall(_.isDigit) =>
+        SnapSlot(v.toLong, k.toInt)
+    }.toSeq.sorted
+    val rPre = leaf + "__resv."
+    val resvs = names.collect {
+      case n if n.startsWith(rPre) && n.endsWith(".json") &&
+          n.length > rPre.length + 5 =>
+        n.substring(rPre.length, n.length - 5)
+    }.collect {
+      case v if v.nonEmpty && v.forall(_.isDigit) => v.toLong
+    }.toSeq.sorted
+    (slots, resvs)
+  }
+
+  /** The highest generation whose claim-slot NAMES have been freed by
+    * GC — written BEFORE any freeing, so a claim that wins a freed
+    * name (a claimant stalled across takeovers re-claiming a retired
+    * slot) is detectable: any claim at `v <= floor` is a resurrection
+    * and must not stand. 0 when GC never freed anything. */
+  private[graft] def readFloor(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val p = floorFile(path)
+    if (!f.exists(p)) 0L
+    else scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readJsonBytes(f, p)).path("v").asLong(0L)).getOrElse(0L)
+  }
+
+  private[store] def writeFloor(f: org.apache.hadoop.fs.FileSystem,
+      path: String, v: Long): Unit = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("v", v)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapfloor.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    atomicReplace(f, tmp, floorFile(path))
+  }
+
+  /** True when the root carries ANY committed manifest — numbered
+    * slot or the legacy single file. The open-time mode probe. */
+  private[store] def anyManifest(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Boolean =
+    f.exists(new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__snapshot.json")) ||
+      listSlotsAndResvs(f, path)._1.nonEmpty
+
+  /** Resolve the LIVE committed snapshot: the max numbered slot, with
+    * the legacy single-file manifest as fallback while no numbered
+    * commit exists. A slot that vanishes between list and read is the
+    * one benign spelling (a concurrent committer's GC retired it — a
+    * newer slot exists and a re-list finds it); sustained churn is
+    * corruption and fails loudly. "Virgin root" is concluded only on
+    * a second clean pass, because an absent legacy file may be a
+    * migration that committed slot (v,0) in the instants since the
+    * list. */
+  private[store] def readLiveSnapshot(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Snapshot = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 32) throw new IllegalStateException(
+        s"$path: the snapshot manifest keeps shifting between list and " +
+          "read — churn beyond any plausible concurrent-writer count")
+      listSlotsAndResvs(f, path)._1.lastOption match {
+        case Some(mx) =>
+          // exists-then-read, both racing GC: either absence spelling
+          // (exists false, or vanished between the probes) loops to a
+          // fresh list — readSnapshot's absent-file "empty store"
+          // default must never swallow a retired max slot
+          val sf = slotFile(path, mx)
+          if (f.exists(sf)) {
+            try return readSnapshot(f, sf).copy(sub = mx.k)
+            catch { case _: java.io.FileNotFoundException => }
+          }
+        case None =>
+          val legacy = new org.apache.hadoop.fs.Path(
+            path.stripSuffix("/") + "__snapshot.json")
+          if (f.exists(legacy)) {
+            try return readSnapshot(f, legacy)
+            catch { case _: java.io.FileNotFoundException => }
+          } else if (attempts >= 2) return Snapshot(0L, Map.empty)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private[graft] def readJsonBytes(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Array[Byte] = {
@@ -2180,8 +2652,7 @@ object TsStore {
   def openSnapshot(spark: SparkSession, path: String): Option[DataFrame] = {
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val snap = readSnapshot(f, new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "__snapshot.json"))
+    val snap = readLiveSnapshot(f, path)
     if (snap.days.isEmpty) return None
     // tombstones are a (subject, sequence) predicate and the manifest
     // does not record the subject column name — this raw variant

@@ -616,8 +616,9 @@ class EngineSpec extends SparkSpec {
     // the engine's stores really are in snapshot layout
     val f = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(f.exists(new org.apache.hadoop.fs.Path(
-      s"$root/stk_day__snapshot.json")), "engine store not in snapshot mode")
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("stk_day__snapshot.")),
+      "engine store not in snapshot mode")
     // a reader pinned through the engine surface survives a delete
     val pinned = e.openSnapshot("stk_day").get
     e.del("SH600600.stk_day", """{range:{start:20210101,stop:20210131}}""")
@@ -738,16 +739,19 @@ class EngineSpec extends SparkSpec {
     // durable, but no marker ever lands
     e.set("SH600600.stk_day",
       """{"time":"2021-01-05","open":10.20,"close":10.60,"vol":120}""")
+    // staged tmps are writer-token-suffixed — probe by prefix
+    def stagedTmps: Seq[String] = new java.io.File(root).list().toSeq
+      .filter(_.startsWith("stk_day__staged_save"))
     assert(e.storeHandle("stk_day").stageSave(),
       "the hot tail must stage")
-    assert(new java.io.File(s"$root/stk_day__staged_save").exists())
+    assert(stagedTmps.nonEmpty)
     val e2 = new Engine(spark, root, snapshots = true)
     assert(e2.atomicMarker().isEmpty)
     // all-pre: the staged round is invisible and its tmp discarded
     assert(e2.get("SH600600.stk_day", "{}").count() == 1,
       "a staged-but-unmarked commit leaked")
     assert(e2.openAtomicSnapshot(Seq("stk_day"))("stk_day").get.count() == 1)
-    assert(!new java.io.File(s"$root/stk_day__staged_save").exists(),
+    assert(stagedTmps.isEmpty,
       "open did not roll the unmarked stage back")
   }
 
@@ -777,7 +781,7 @@ class EngineSpec extends SparkSpec {
     // AND auto-vacuumed under the marker — the atomic view must still
     // serve its pinned pre-commit generation, not degrade to None
     var midView = Option.empty[Map[String, Long]]
-    e.storeHandle("stk_two").onBeforeSnapshotRename = () =>
+    e.storeHandle("stk_two").onBeforeSnapshotClaim = () =>
       if (midView.isEmpty)
         midView = Some(e.openAtomicSnapshot(Seq("stk_day", "stk_two"))
           .map { case (t, df) => t -> df.map(_.count()).getOrElse(-1L) })
@@ -1111,7 +1115,7 @@ class EngineSpec extends SparkSpec {
     // crash inside the SECOND table's restore commit ('b' sorts last)
     val stB = e.storeHandle("b")
     var thrown = false
-    stB.onBeforeSnapshotRename = () => if (!thrown) {
+    stB.onBeforeSnapshotClaim = () => if (!thrown) {
       thrown = true
       throw new RuntimeException("injected crash mid-restore")
     }
@@ -1127,7 +1131,7 @@ class EngineSpec extends SparkSpec {
       .map { case (t, df) => t -> df.get.count() }
     assert(atomic == Map("a" -> 1L, "b" -> 1L),
       s"the atomic view leaked the half-restored middle: $atomic")
-    stB.onBeforeSnapshotRename = () => ()
+    stB.onBeforeSnapshotClaim = () => ()
     // a new engine over the root rolls the restore FORWARD at open
     val e2 = new Engine(spark, root, snapshots = true)
     assert(e2.restoreMarker().isEmpty,
@@ -1155,7 +1159,7 @@ class EngineSpec extends SparkSpec {
     val setter = new Thread(() =>
       e.set("u2.a", """{"t":"2024-01-02T00:00:00Z","value":3.0}"""))
     @volatile var sawBlocked = false
-    stA.onBeforeSnapshotRename = () => {
+    stA.onBeforeSnapshotClaim = () => {
       if (!setter.isAlive && setter.getState == Thread.State.NEW)
         setter.start()
       val deadline = System.currentTimeMillis() + 30000
@@ -1165,7 +1169,7 @@ class EngineSpec extends SparkSpec {
       sawBlocked = setter.getState == Thread.State.BLOCKED
     }
     e.saveAll(Seq("a", "b"))
-    stA.onBeforeSnapshotRename = () => ()
+    stA.onBeforeSnapshotClaim = () => ()
     setter.join(30000)
     assert(sawBlocked,
       "the racing set() did not block on the store monitor mid-commit")
@@ -1213,14 +1217,14 @@ class EngineSpec extends SparkSpec {
     e2.set("u3.b", """{"t":"2024-01-03T01:00:00Z","value":6.0}""")
     val stB = e2.storeHandle("b")
     var thrown = false
-    stB.onBeforeSnapshotRename = () => if (!thrown) {
+    stB.onBeforeSnapshotClaim = () => if (!thrown) {
       thrown = true
       throw new RuntimeException("injected crash mid-atomic-commit")
     }
     assert(scala.util.Try(e2.saveAll(Seq("a", "b"))).isFailure && thrown)
     assert(e2.atomicMarker().nonEmpty,
       "the crashed saveAll must leave its marker")
-    stB.onBeforeSnapshotRename = () => ()
+    stB.onBeforeSnapshotClaim = () => ()
     val e3 = new Engine(spark, root, snapshots = true) // rolls forward
     assert(e3.atomicMarker().isEmpty,
       "open-time recovery did not release the marker")

@@ -252,7 +252,9 @@ class SnapshotStoreSpec extends SparkSpec {
     hfs.listStatus(hp(s"$base/snap"))
       .filter(_.getPath.getName.startsWith("__day="))
       .foreach(s => hfs.delete(s.getPath, true))
-    hfs.delete(hp(s"$base/snap__snapshot.json"), false)
+    hfs.listStatus(hp(base))
+      .filter(_.getPath.getName.startsWith("snap__snapshot."))
+      .foreach(s => hfs.delete(s.getPath, false))
     assertThrows[IllegalArgumentException] {
       new TsStore(spark, s"$base/snap", subject = "code", time = "t",
         soleCols = Nil, dayCol = col("day"))
@@ -516,20 +518,19 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
-  test("post-swap fence verification: a takeover landing INSIDE the commit window rolls the loser back") {
+  test("takeover landing INSIDE the commit window: the in-flight commit linearizes atomically, the next write is fenced") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val a = mkStore(root)
     a.set(rows3days); a.save() // generation 1; a holds the lease
-    // hook the exact window the post-swap verify closes: between a's
-    // entry fence check and its manifest rename, another PROCESS takes
-    // over the lease (written directly here — its recovery has not yet
-    // found a's complete tmp, the interleave the old one-in-flight
-    // window allowed to become a lost update)
-    val preCommit = new String(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root.stripSuffix("/") + "__snapshot.json")),
-      "UTF-8")
-    a.onBeforeSnapshotRename = () => {
+    // hook the window between a's entry fence check and its manifest
+    // slot claim: another PROCESS takes over the lease (written
+    // directly — it performs no write of its own yet). Under the
+    // claimed-slot protocol there is no verify-and-rollback: the claim
+    // is the single arbiter. With no competing claim, a's in-flight
+    // commit wins its slot and is LINEARIZED BEFORE the takeover's
+    // first write — fully published, fully consistent, nothing for
+    // the new writer to trip over.
+    a.onBeforeSnapshotClaim = () => {
       val lease =
         """{"epoch":999,"token":"foreign-takeover","owner":"other@host"}"""
       java.nio.file.Files.write(
@@ -537,60 +538,168 @@ class SnapshotStoreSpec extends SparkSpec {
         lease.getBytes("UTF-8"))
     }
     a.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    a.save() // commits cleanly: the claim landed before any foreign write
+    a.onBeforeSnapshotClaim = () => ()
+    val live = TsStore.openSnapshot(spark, root, "code").get
+    assert(live.filter(col("v") === 99.0).count() == 1 && live.count() == 6,
+      "the in-flight commit did not linearize")
+    // no half-state left behind: the staging tmp is gone and exactly
+    // one manifest slot per generation exists
+    assert(hfs.listStatus(hp(root).getParent)
+      .forall(s => !s.getPath.getName.contains("__saving")),
+      "a committed save left a staging tmp behind")
+    // the superseded handle fails LOUDLY at its next mutation — the
+    // fence still decides who may keep writing; the claim only decides
+    // that whatever committed, committed atomically
+    a.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
     val ex = intercept[IllegalStateException] { a.save() }
     assert(ex.getMessage.contains("FENCED"), ex.getMessage)
-    // the loser's commit provably did not land: the rename physically
-    // stomped the manifest, and the verify restored it byte-for-byte
-    val after = new String(
-      java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(root.stripSuffix("/") + "__snapshot.json")),
-      "UTF-8")
-    assert(after == preCommit,
-      "the fenced writer's manifest swap was not rolled back")
-    val live = TsStore.openSnapshot(spark, root, "code").get
-    assert(live.filter(col("v") === 99.0).count() == 0 && live.count() == 6,
-      "the fenced writer's commit landed despite the takeover")
-    // the fenced writer's tmp was neutralized — the takeover's
-    // recovery must not replay the rejected commit later
-    assert(!hfs.exists(hp(root.stripSuffix("/") + "__saving")),
-      "a fenced commit left a replayable tmp behind")
-    // and the fenced handle stays fenced at its next mutation
-    a.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
-    intercept[IllegalStateException] { a.save() }
+    // and the refused write left nothing: same row count, no Z
+    val after = TsStore.openSnapshot(spark, root, "code").get
+    assert(after.filter(col("code") === "Z").count() == 0 &&
+      after.count() == 6, "a fenced write published data")
   }
 
-  test("takeover mid-commit via a second handle: roll-forward + its commits survive the loser's stomp") {
+  test("takeover mid-commit via a second handle: the pending slot is adopted, both writers' data survives, zero lost updates") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val a = mkStore(root)
     a.set(rows3days); a.save() // generation 1; a holds the lease
-    // a full second writer handle opens INSIDE a's commit window: its
-    // open finds a's complete, replayable tmp and rolls it forward
-    // (takeover recovery cannot distinguish in-flight from crashed —
-    // the documented contract), then commits its own generation. The
-    // verify must leave the TAKEOVER's manifest standing when a's
-    // rename stomps it.
+    // a full second writer handle takes over INSIDE a's commit window
+    // (a has reserved generation 2 and placed its day dirs; its slot
+    // claim has not run). b's first mutation seals-or-adopts pending
+    // reservations: a's commit instruction is complete on disk, so b
+    // ADOPTS it — rolls generation 2 forward byte-identically — and
+    // then commits its own generation 3 on top. a's claim then finds
+    // its slot already committed with ITS OWN content and reports
+    // success: the in-flight commit linearized before the takeover's
+    // first write, through whichever hand got there first.
     var b: TsStore = null
-    a.onBeforeSnapshotRename = () => if (b == null) {
+    a.onBeforeSnapshotClaim = () => if (b == null) {
       b = mkStore(root)
       b.set(Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day"))
       b.save()
     }
     a.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
-    val ex = intercept[IllegalStateException] { a.save() }
-    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
-    // nothing was lost: b's open replayed a's acknowledged commit
-    // (A=99 present — committed by roll-forward, not by a's rejected
-    // rename) and b's own generation survived a's stomp
+    a.save() // acknowledged: the adopted slot carries exactly this commit
+    a.onBeforeSnapshotClaim = () => ()
     val live = TsStore.openSnapshot(spark, root, "code").get
     assert(live.filter(col("code") === "C").count() == 1,
-      "the takeover's interleaved commit was lost to the loser's stomp")
+      "the takeover's interleaved commit was lost")
     assert(live.filter(col("v") === 99.0).count() == 1,
-      "the roll-forward of the acknowledged in-flight commit was lost")
+      "the adopted in-flight commit was lost")
     assert(live.count() == 7) // 6 seed rows (A,1 upserted to 99) + C
+    // the superseded handle is fenced at its NEXT write, loudly
+    a.set(Seq(("Y", 11L, 2.0, "d1")).toDF("code", "t", "v", "day"))
+    val ex = intercept[IllegalStateException] { a.save() }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
     // b keeps writing normally
     b.set(Seq(("D", 10L, 1.0, "d9")).toDF("code", "t", "v", "day"))
     b.save()
     assert(b.read().count() == 8)
+  }
+
+  test("claimed generations: a crashed in-flight commit is ADOPTED when its instruction is complete, SEALED when not") {
+    // CASE 1 — complete instruction: crash between placement and the
+    // slot claim. The next writer's first mutation rolls the commit
+    // forward byte-identically (it was acknowledged-able work in
+    // flight — adoption linearizes it before the takeover's writes).
+    val root1 = Files.createTempDirectory("graft_snap").toString + "/s"
+    val a1 = mkStore(root1)
+    a1.set(rows3days); a1.save() // generation 1
+    a1.onBeforeSnapshotClaim = () =>
+      throw new RuntimeException("injected crash before the slot claim")
+    a1.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    assert(scala.util.Try(a1.save()).isFailure)
+    // the crash left the reservation + placed dirs + complete tmp;
+    // nothing is visible yet
+    assert(TsStore.openSnapshot(spark, root1, "code").get
+      .filter(col("v") === 99.0).count() == 0,
+      "an unclaimed commit is visible")
+    val b1 = mkStore(root1)
+    b1.set(Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day"))
+    b1.save() // first mutation: adopt generation 2, commit own gen 3
+    val live1 = b1.read()
+    assert(live1.filter(col("v") === 99.0).count() == 1,
+      "the complete in-flight commit was not adopted")
+    assert(live1.filter(col("code") === "C").count() == 1 &&
+      live1.count() == 7)
+
+    // CASE 2 — incomplete instruction (tmp's commit manifest gone):
+    // the reserved generation is SEALED with an empty advance; the
+    // crashed data is discarded (it was never acknowledged), the next
+    // writer's own commits proceed cleanly above the sealed slot.
+    val root2 = Files.createTempDirectory("graft_snap").toString + "/s"
+    val a2 = mkStore(root2)
+    a2.set(rows3days); a2.save()
+    a2.onBeforeSnapshotClaim = () =>
+      throw new RuntimeException("injected crash before the slot claim")
+    a2.set(Seq(("A", 1L, 99.0, "d1")).toDF("code", "t", "v", "day"))
+    assert(scala.util.Try(a2.save()).isFailure)
+    // mutilate the instruction: the staged tmp loses its manifest
+    hfs.listStatus(hp(root2).getParent)
+      .filter(_.getPath.getName.startsWith("s__saving."))
+      .foreach(t => hfs.delete(
+        new org.apache.hadoop.fs.Path(t.getPath, "__commit.json"), false))
+    val b2 = mkStore(root2)
+    b2.set(Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day"))
+    b2.save() // seal gen 2 (empty advance), commit own data at gen 3
+    val live2 = b2.read()
+    assert(live2.filter(col("v") === 99.0).count() == 0,
+      "an incomplete (never acknowledged) commit leaked through the seal")
+    assert(live2.filter(col("code") === "C").count() == 1 &&
+      live2.count() == 7)
+    // the sealed generation is a real, time-travelable empty advance
+    assert(b2.currentGeneration == 3L,
+      s"seal + own commit should land at generation 3, " +
+        s"got ${b2.currentGeneration}")
+    // and the crashed writer, if it resumes, is fenced loudly
+    a2.onBeforeSnapshotClaim = () => ()
+    a2.set(Seq(("Z", 99L, 1.0, "d1")).toDF("code", "t", "v", "day"))
+    val ex = intercept[IllegalStateException] { a2.save() }
+    assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+  }
+
+  test("claimed generations: GC retires old slots behind a floor record; the legacy single-file manifest migrates") {
+    val base = Files.createTempDirectory("graft_snap").toString
+    val root = s"$base/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // gen 1
+    for (i <- 2 to 5) {
+      st.set(Seq(("A", 1L, i * 1.0, "d1")).toDF("code", "t", "v", "day"))
+      st.save()
+    } // gens 2..5
+    def slotNames = hfs.listStatus(hp(base)).map(_.getPath.getName)
+      .filter(n => n.startsWith("s__snapshot.") && n.endsWith(".json")).toSeq
+    // retention: committed + one predecessor (the probe-walk's
+    // soundness window); everything older is freed behind the floor
+    assert(slotNames.sorted == Seq("s__snapshot.4.0.json",
+      "s__snapshot.5.0.json"), s"unexpected slots: $slotNames")
+    assert(TsStore.readFloor(hfs, root) == 3L,
+      s"floor should record the highest freed generation, " +
+        s"got ${TsStore.readFloor(hfs, root)}")
+    // reservations below the kept window are freed too
+    assert(!hfs.listStatus(hp(base)).map(_.getPath.getName)
+      .exists(_.startsWith("s__resv.3")), "stale reservations leaked")
+
+    // legacy migration: simulate a pre-claim store by rewriting its
+    // manifest as the old single file and dropping the numbered slots
+    val legacyRoot = s"$base/leg"
+    val lst = mkStore(legacyRoot)
+    lst.set(rows3days); lst.save()
+    val slot1 = new org.apache.hadoop.fs.Path(s"$base/leg__snapshot.1.0.json")
+    val bytes = TsStore.readJsonBytes(hfs, slot1)
+    val out = hfs.create(hp(s"$base/leg__snapshot.json"), true)
+    try out.write(bytes) finally out.close()
+    hfs.delete(slot1, false)
+    val reopened = mkStore(legacyRoot)
+    assert(reopened.read().count() == 6, "legacy manifest did not resolve")
+    reopened.set(Seq(("C", 9L, 90.0, "d9")).toDF("code", "t", "v", "day"))
+    reopened.save() // first claim commits slot 2.0 and retires the legacy file
+    assert(reopened.read().count() == 7)
+    assert(!hfs.exists(hp(s"$base/leg__snapshot.json")),
+      "the legacy manifest was not retired after the first numbered claim")
+    assert(hfs.exists(hp(s"$base/leg__snapshot.2.0.json")),
+      "the migrating commit did not claim the next numbered slot")
   }
 
   test("scheduled vacuum is incremental (O(touched days)); manual vacuum sweeps all") {
