@@ -31,8 +31,16 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // a failed query records the sentinel -1, NOT its time-to-failure —
     // otherwise a regression that breaks a query reads as a speedup
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the pass to named queries — an
+    // A/B or regression-triage dial (host throttle windows last minutes
+    // and hit alphabetical blocks; interleaved single-query passes are
+    // the only honest cross-build comparison)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def timeQueries(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -914,17 +914,41 @@ final class TsStore(
     * sound for a hint lagging one commit), plus the legacy single-file
     * manifest once any numbered slot exists. The floor records the
     * highest retired generation BEFORE anything is freed, so a stale
-    * claimant re-claiming a freed name is always detectable. */
+    * claimant re-claiming a freed name is always detectable.
+    *
+    * PROBE-DRIVEN, no directory listing: GC always retires generations
+    * newest-retirable-first and contiguously, so "newest retirable
+    * holds nothing" proves there is no backlog below it either — the
+    * steady state is two existence probes per commit, never an
+    * O(root-dir entries) listing (a 10k-table engine root would pay
+    * that listing on EVERY table's every commit). A crash mid-walk
+    * leaves a contiguous backlog the next commit's walk resumes; a
+    * generation's sub-slots are deleted highest-k-first so a partial
+    * sweep still leaves (g,0) as the resume marker. */
   private def gcManifestSlots(committed: TsStore.SnapSlot): Unit = {
     val f = fs
-    val (slots, resvs) = TsStore.listSlotsAndResvs(f, path)
-    val doomedS = slots.filter(_.v <= committed.v - 2)
-    val doomedR = resvs.filter(_ <= committed.v - 2)
-    if (doomedS.nonEmpty || doomedR.nonEmpty) {
-      val hi = (doomedS.map(_.v) ++ doomedR).max
-      if (hi > TsStore.readFloor(f, path)) TsStore.writeFloor(f, path, hi)
-      doomedS.foreach(sl => f.delete(TsStore.slotFile(path, sl), false))
-      doomedR.foreach(v => f.delete(TsStore.resvFile(path, v), false))
+    var g = committed.v - 2
+    if (g >= 1 && (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, 0))) ||
+        f.exists(TsStore.resvFile(path, g)))) {
+      if (g > TsStore.readFloor(f, path)) TsStore.writeFloor(f, path, g)
+      var cont = true
+      while (cont && g >= 1) {
+        var any = false
+        // find this generation's highest sub-slot, then delete downward
+        var hi = -1
+        while (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, hi + 1))))
+          hi += 1
+        (hi to 0 by -1).foreach { k =>
+          f.delete(TsStore.slotFile(path, TsStore.SnapSlot(g, k)), false)
+          any = true
+        }
+        if (f.exists(TsStore.resvFile(path, g))) {
+          f.delete(TsStore.resvFile(path, g), false)
+          any = true
+        }
+        cont = any
+        g -= 1
+      }
     }
     // the legacy manifest's content rode into the first numbered claim
     // as its baseline; readers that found no numbered slot and saw the
