@@ -91,6 +91,14 @@ final class TsStore(
   // handles are kept separately and released here on clearHot
   private var hotCached: Vector[DataFrame] = Vector.empty
   private var hotRows: Long = 0L
+  // exact day set of the hot tail, tracked at set() time when the
+  // batch is driver-local and __day is a string (the engine paths) —
+  // lets save()/stageSave() skip a distinct().collect() Spark job per
+  // flush. None = unknown (a distributed batch, or a hot-tail filter
+  // from deleteWhere/dropSubject may have emptied a day): fall back
+  // to computing. Exactness matters: save REQUIREs produced day dirs
+  // == dirty days, so an overcount is an error, never "just slower".
+  private var hotDays: Option[Set[String]] = Some(Set.empty)
   private var seq: Long = 0L
   // M6 tombstones: subject → drop-sequence. A `drop` is an O(1)
   // metadata write (the reference marks blocks moved and erases them at
@@ -498,6 +506,7 @@ final class TsStore(
     hotCached = Vector.empty
     hotFrames = Vector.empty
     hotRows = 0L
+    hotDays = Some(Set.empty)
   }
 
   // "exists" = holds at least one day partition — a delete that empties
@@ -1586,29 +1595,62 @@ final class TsStore(
     * bound triggers an automatic [[save]] (flush-on-threshold). */
   def set(rows: DataFrame): Long = synchronized {
     seq += 1
-    val stamped = rows
+    val stamped0 = rows
       .withColumn("__day", dayCol)
       .withColumn("__seq", lit(seq))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // one pass counts the batch AND rejects null days: `save`'s
-    // dirty-day matching is `isin(days)`, which (SQL null semantics)
-    // can never select a NULL partition — a null-day row staged here
-    // would clobber the cold __HIVE_DEFAULT_PARTITION__ dir without
-    // merging it. The time/day column is the store's primary index;
-    // a null there is a malformed row, refuse it at the door.
-    val Array(total, nonNullDays) = stamped
-      .select(count(lit(1)), count(col("__day")))
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    if (total != nonNullDays) {
-      stamped.unpersist()
-      seq -= 1
-      throw new IllegalArgumentException(
-        s"set: ${total - nonNullDays} row(s) have a null day/time index " +
-          s"(store $path partitions by day; the main index must be non-null)")
+    // ── driver-local fast path. Engine commands (`set`/`fset`/`kset`)
+    // build each batch from driver-side JSON, so after constant
+    // folding the whole batch optimizes to a materialized
+    // LocalRelation: its rows already live in the plan, and the count
+    // + null-day check below run on the driver — no Spark job, no
+    // persist (there is nothing to recompute). The lifecycle drills
+    // issue hundreds of these per query; a tiny count job per set was
+    // measurably ~40% of their job COUNT (JobProf, round 19).
+    val total = stamped0.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val dayIdx = l.output.indexWhere(_.name == "__day")
+        val nullDays = l.data.count(_.isNullAt(dayIdx))
+        if (nullDays > 0) {
+          seq -= 1
+          throw new IllegalArgumentException(
+            s"set: $nullDays row(s) have a null day/time index " +
+              s"(store $path partitions by day; the main index must be non-null)")
+        }
+        hotRows += l.data.length
+        // re-wrap the OPTIMIZED relation so downstream plans reuse the
+        // evaluated rows instead of re-folding the parse expressions
+        hotFrames :+= org.apache.spark.sql.graftbridge.DatasetBridge
+          .ofRows(spark, l)
+        hotDays = l.output(dayIdx).dataType match {
+          case org.apache.spark.sql.types.StringType => hotDays.map(
+            _ ++ l.data.iterator.map(_.getUTF8String(dayIdx).toString))
+          case _ => None // day tracking needs save()'s cast-to-string form
+        }
+        l.data.length.toLong
+      case _ =>
+        val stamped = stamped0.persist(StorageLevel.MEMORY_AND_DISK)
+        // one pass counts the batch AND rejects null days: `save`'s
+        // dirty-day matching is `isin(days)`, which (SQL null semantics)
+        // can never select a NULL partition — a null-day row staged here
+        // would clobber the cold __HIVE_DEFAULT_PARTITION__ dir without
+        // merging it. The time/day column is the store's primary index;
+        // a null there is a malformed row, refuse it at the door.
+        val Array(n, nonNullDays) = stamped
+          .select(count(lit(1)), count(col("__day")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        if (n != nonNullDays) {
+          stamped.unpersist()
+          seq -= 1
+          throw new IllegalArgumentException(
+            s"set: ${n - nonNullDays} row(s) have a null day/time index " +
+              s"(store $path partitions by day; the main index must be non-null)")
+        }
+        hotRows += n
+        hotCached :+= stamped
+        hotFrames :+= stamped
+        hotDays = None // distributed batch: day set unknown without a job
+        n
     }
-    hotRows += total
-    hotCached :+= stamped
-    hotFrames :+= stamped
     if (hotRows >= maxHotRows || hotFrames.size >= maxHotBatches) save()
     total
   }
@@ -1676,8 +1718,11 @@ final class TsStore(
     // corpus or it would rebuild dirty days from the superseded one
     checkFence()
     hotUnion.foreach { h =>
-      val dirtyDays = h.select(col("__day").cast("string")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // day set tracked at set() time when exact (zero Spark jobs);
+      // a distributed batch or a hot-tail filter falls back to compute
+      val dirtyDays = hotDays.map(_.toSeq.sorted).getOrElse(
+        h.select(col("__day").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq)
       val merged = cold match {
         case Some(c) =>
           Write.upsert(
@@ -1804,8 +1849,9 @@ final class TsStore(
       case Some(h) =>
         val stagedTmp = new org.apache.hadoop.fs.Path(
           stagingTmp("staged_save"))
-        val dirtyDays = h.select(col("__day").cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
+        val dirtyDays = hotDays.map(_.toSeq.sorted).getOrElse(
+          h.select(col("__day").cast("string")).distinct()
+            .collect().map(_.getString(0)).toSeq)
         val merged = cold match {
           case Some(c) =>
             Write.upsert(
@@ -1893,6 +1939,7 @@ final class TsStore(
     // hotRows now overcounts the filtered tail — the flush bound fires
     // earlier than strictly needed, which is the safe direction
     hotFrames = hotFrames.map(_.filter(!defMatch))
+    if (hotFrames.nonEmpty) hotDays = None // a filter can empty a day
     if (coldExists) {
       val f = fs
       val byName =
@@ -1964,6 +2011,7 @@ final class TsStore(
     * sequences above the tombstone's. */
   def dropSubject(key: String): Unit = synchronized {
     hotFrames = hotFrames.map(_.filter(col(subject) =!= lit(key)))
+    if (hotFrames.nonEmpty) hotDays = None // a filter can empty a day
     seq += 1
     if (coldExists) {
       tombstones += key -> seq
