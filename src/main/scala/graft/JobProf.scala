@@ -43,13 +43,69 @@ object JobProf {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+
+    // ── poor-man's sampling profiler for the DRIVER thread running
+    // the query: classifies where the between-jobs "gap" time goes
+    // (Catalyst analysis/optimization, codegen, parquet footers,
+    // sidecar fs ops, JSON, …). Enabled with SPARK_GRAFT_SAMPLE=1.
+    val sampleOn = sys.env.getOrElse("SPARK_GRAFT_SAMPLE", "0") == "1"
+    @volatile var sampleTarget: Thread = null
+    val sampleCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def classify(st: Array[StackTraceElement]): String = {
+      val s = st.map(e => e.getClassName + "." + e.getMethodName)
+      def has(p: String) = s.exists(_.contains(p))
+      val head = s.take(3).mkString(";")
+      if (head.contains("park") || head.contains("Object.wait") ||
+        head.contains(".take") || head.contains(".poll") ||
+        head.contains("Thread.sleep")) "blocked-waiting"
+      else if (has("runJob") || has("awaitResult") || has("executeCollect") &&
+        has("DAGScheduler")) "await-job"
+      else if (has("janino") || has("CodeGenerator") || has("compile")) "codegen"
+      else if (has("RuleExecutor") || has("Optimizer") || has("Analyzer")) "catalyst-opt"
+      else if (has("QueryPlanningTracker") || has("QueryExecution")) "planning-other"
+      else if (has("ParquetFileFormat") || has("ParquetFooterReader") ||
+        has("InMemoryFileIndex") || has("DataSource")) "scan-setup"
+      else if (has("RawLocalFileSystem") || has("ChecksumFileSystem") ||
+        has("java.io.Unix") || has("java.nio.file")) "fs-ops"
+      else if (has("jackson")) "json"
+      else if (has("DAGScheduler") || has("submitJob") || has("runJob") ||
+        has("awaitResult") || has("ThreadUtils")) "await-job"
+      else if (has("graft.")) "graft-other"
+      else if (st.head.getClassName.startsWith("java.lang.Object") ||
+        has("park")) "waiting"
+      else s.take(3).mkString(";")
+    }
+    val sampler = new Thread(() => {
+      while (true) {
+        val t = sampleTarget
+        if (t != null) {
+          val st = t.getStackTrace
+          if (st.nonEmpty)
+            sampleCounts.merge(classify(st), 1, (a, b) => a + b)
+        }
+        Thread.sleep(10)
+      }
+    })
+    if (sampleOn) { sampler.setDaemon(true); sampler.start() }
+
     names.foreach { name =>
       (1 to runs).foreach { r =>
         jobs = Nil
+        sampleCounts.clear()
+        sampleTarget = Thread.currentThread()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        sampleTarget = null
+        if (sampleOn) {
+          import scala.jdk.CollectionConverters._
+          val tot = sampleCounts.values.asScala.map(_.toInt).sum.max(1)
+          println(s"  -- driver-thread samples ($tot):")
+          sampleCounts.asScala.toSeq.sortBy(-_._2).take(12).foreach {
+            case (k, v) => println(f"     ${v * 100.0 / tot}%5.1f%% $k")
+          }
+        }
         // listener bus is async; give it a moment to drain
         Thread.sleep(500)
         val js = jobs.sortBy(_._2)

@@ -230,6 +230,42 @@ final class TsStore(
   private def noteDirtyDays(days: Iterable[String]): Unit =
     dirtyDaysSinceVacuum ++= days
 
+  // ── in-memory protocol state, declared BEFORE the recovery call in
+  // the constructor body below (recovery can commit, and a commit
+  // touches every one of these — a later declaration would NPE or be
+  // reset by its own initializer mid-recovery):
+  @volatile private var slotHint: Option[TsStore.SnapSlot] = None
+  // the CONTENT behind the hint: when the probe walk lands on the
+  // same slot the handle already read, the JSON re-read is skipped —
+  // committed slots are immutable, so slot identity implies content
+  @volatile private var snapCache: Option[(TsStore.SnapSlot, TsStore.Snapshot)] =
+    None
+  // cached GC floor (-1 = not yet read). Pre-claim resurrection
+  // checks read this (cheap); every claim WINNER re-reads the real
+  // file post-claim (the authoritative check), which also refreshes
+  // the cache. GC's own floor writes refresh it too.
+  private var floorCache: Long = -1L
+  private def cachedFloor: Long = {
+    if (floorCache < 0L) floorCache = TsStore.readFloor(fs, path)
+    floorCache
+  }
+  // sub-slot counts of recently committed generations (GC needs the
+  // count to delete a generation's slots without probing upward)
+  private var recentSubs: Map[Long, Int] = Map.empty
+  // GC watermark: generations strictly below this are KNOWN clean
+  // (no slot, no reservation). Unset (-1) until the first GC of this
+  // handle, which does one listing sweep — that sweep also heals any
+  // backlog a predecessor's crash mid-walk orphaned below an empty
+  // generation (the probe-driven walk could never resume past one).
+  private var gcCleanBelow: Long = -1L
+  // probed once per handle: after the first numbered commit deletes
+  // it, the legacy single-file manifest can never reappear
+  private var legacySnapMayExist: Boolean = true
+  private var histDirReady = false
+  private var coldCacheKey: Option[(Long, Long, Int, Int)] = None
+  private var coldCacheFrame: Option[DataFrame] = None
+  private var coldEpoch: Long = 0L
+
   /** Test-only hook, invoked between the fence check and the manifest
     * slot CLAIM — lets a spec land a competing takeover exactly inside
     * the commit window. Under the claimed-slot protocol either order
@@ -406,7 +442,8 @@ final class TsStore(
           // claim loses — benign: the loop re-reads and the owner's
           // commit (linearized before this takeover's first write)
           // becomes our baseline.
-          try commitSnapshot(TsStore.Snapshot(rv, snap.days, snap.removed))
+          try commitSnapshot(TsStore.Snapshot(rv, snap.days, snap.removed),
+            advance = true, cur0 = Some(snap))
           catch {
             case e: IllegalStateException =>
               if (!holdsWriteLease) throw e // a THIRD writer took over
@@ -433,7 +470,23 @@ final class TsStore(
     * AND at [[commitSnapshot]], the manifest swap itself. The first
     * check a handle ever makes acquires the lease instead (lazy —
     * read-only handles never touch it). */
-  private def checkFence(): Unit = leaseToken match {
+  // re-entrancy depth for the fence check: a public mutator checks
+  // ONCE at entry (via [[fenced]]); the nested protocol steps it runs
+  // (persistMeta, stagingTmp, claimOrAdoptResv, commitSnapshot) skip
+  // the redundant lease re-reads. This narrows no safety property:
+  // the lease check was always advisory check-then-act — the
+  // exclusive slot/reservation CLAIMS (plus the advance-content rule
+  // in commitSnapshot) are what guarantee a superseded writer's
+  // commit either linearizes fully or fails loudly.
+  private var fenceDepth: Int = 0
+  private def fenced[A](body: => A): A = synchronized {
+    checkFence()
+    fenceDepth += 1
+    try body finally fenceDepth -= 1
+  }
+  private def checkFence(): Unit =
+    if (fenceDepth == 0 || leaseToken.isEmpty) checkFenceNow()
+  private def checkFenceNow(): Unit = leaseToken match {
     case None => acquireLease() // sets leaseToken itself, BEFORE its
       // seal/adopt pass commits anything under the new lease
     case Some(mine) =>
@@ -591,7 +644,6 @@ final class TsStore(
     * the full listing. Stale reads are impossible either way; the
     * hint only trades a directory listing for two existence probes on
     * the steady path. */
-  @volatile private var slotHint: Option[TsStore.SnapSlot] = None
 
   private def loadSnapshot(): TsStore.Snapshot = {
     val f = fs
@@ -606,13 +658,20 @@ final class TsStore(
           else if (f.exists(TsStore.slotFile(path, bk))) cur = bk
           else moved = false
         }
-        try {
-          val s = TsStore.readSnapshot(f, TsStore.slotFile(path, cur))
-            .copy(sub = cur.k)
-          slotHint = Some(cur)
-          s
-        } catch { // GC retired it mid-walk: resolve from a fresh list
-          case _: java.io.FileNotFoundException => resolveLive()
+        snapCache match {
+          case Some((slot, snap)) if slot == cur =>
+            slotHint = Some(cur)
+            snap
+          case _ =>
+            try {
+              val s = TsStore.readSnapshot(f, TsStore.slotFile(path, cur))
+                .copy(sub = cur.k)
+              slotHint = Some(cur)
+              snapCache = Some((cur, s))
+              s
+            } catch { // GC retired it mid-walk: resolve from a fresh list
+              case _: java.io.FileNotFoundException => resolveLive()
+            }
         }
       case _ => resolveLive()
     }
@@ -622,8 +681,10 @@ final class TsStore(
     val s = TsStore.readLiveSnapshot(fs, path)
     // legacy single-file manifests resolve with sub=0 and no hint —
     // the first numbered claim then seeds the hint
-    if (s.v > 0L || s.days.nonEmpty)
+    if (s.v > 0L || s.days.nonEmpty) {
       slotHint = Some(TsStore.SnapSlot(s.v, s.sub))
+      snapCache = Some((TsStore.SnapSlot(s.v, s.sub), s))
+    }
     s
   }
 
@@ -641,17 +702,16 @@ final class TsStore(
     val f = fs
     val dest = new org.apache.hadoop.fs.Path(histDir, s"v=${s.v}.json")
     if (f.exists(dest)) return
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
+    val root = TsStore.Json.createObjectNode()
     root.put("v", s.v)
     val d = root.putObject("days")
     s.days.toSeq.sortBy(_._1).foreach { case (k, ver) => d.put(k, ver) }
     val tb = root.putObject("tombstones")
     tombstoneList.sortBy(_._1).foreach { case (sub, g) => tb.put(sub, g) }
-    f.mkdirs(histDir)
+    if (!histDirReady) { f.mkdirs(histDir); histDirReady = true }
     val tmp = new org.apache.hadoop.fs.Path(histDir, s"v=${s.v}.json.tmp")
     val out = f.create(tmp, true)
-    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    try out.write(TsStore.Json.writeValueAsBytes(root)) finally out.close()
     if (!f.rename(tmp, dest)) f.delete(tmp, false) // lost the race: fine
   }
 
@@ -713,7 +773,7 @@ final class TsStore(
     // the generation under the first read
     if (pending().nonEmpty) {
       checkFence()
-      pending().foreach(s => commitSnapshot(s))
+      pending().foreach(s => commitSnapshot(s, advance = true))
     }
   }
 
@@ -742,9 +802,9 @@ final class TsStore(
     * re-loads pre-restore tombstones under a manifest already at g's
     * days — re-running the restore converges, like every interrupted
     * commit here). Returns the new live generation. */
-  def restoreTo(g: Long): Long = synchronized {
-    checkFence() // a first mutation's adopt pass must run before the
-    // live generation is read (save's rule)
+  def restoreTo(g: Long): Long = fenced {
+    // the fence (via [[fenced]]) runs first: a first mutation's adopt
+    // pass must run before the live generation is read (save's rule)
     validateRestore(g)
     val (daysG, tombsG) = TsStore.readHistRecord(fs, path, g).get
     val snap = loadSnapshot()
@@ -759,8 +819,10 @@ final class TsStore(
     // discarded only once the restore has actually committed.
     val prevTombstones = tombstones
     tombstones = tombsG
-    try commitSnapshot(TsStore.Snapshot(snap.v + 1, daysG, removed))
+    try commitSnapshot(TsStore.Snapshot(snap.v + 1, daysG, removed),
+      advance = true, cur0 = Some(snap))
     catch { case e: Throwable => tombstones = prevTombstones; throw e }
+    invalidateCold()
     clearHot()
     persistMeta()
     // restore re-points/removes arbitrary days — feed the scoped
@@ -808,9 +870,28 @@ final class TsStore(
     * ADVANCED to it — re-minting one later would stamp it with
     * current tombstones instead of as-of-commit tombstones, silently
     * rewriting time-travel history (and resurrecting records a
-    * keepHistory=0 vacuum just reclaimed). */
+    * keepHistory=0 vacuum just reclaimed).
+    *
+    * `advance = true` declares the commit's INSTRUCTION is an advance
+    * (its content was derived as baseline+1) — such a commit must
+    * NEVER fall into the same-generation sub-slot branch: if the live
+    * manifest already sits AT its target generation, either a replay
+    * of this very instruction landed it (equal content → success) or
+    * another writer's commit/seal consumed the generation (different
+    * content → FENCED). Without the flag, a takeover sealing the
+    * reserved generation mid-flight would let the superseded advance
+    * claim `(v, 1)` as a "bookkeeping rewrite" and publish content
+    * derived from the superseded baseline OVER the seal — an
+    * acknowledged commit the next reader silently shadows.
+    *
+    * `cur0` lets a caller that just resolved the live snapshot (and
+    * has run nothing manifest-moving since) pass it in, skipping a
+    * redundant re-resolve; the claim remains the safety arbiter for
+    * anything that moved in between. */
   private def commitSnapshot(s: TsStore.Snapshot,
-      recordHistory: Boolean = true): Unit = {
+      recordHistory: Boolean = true,
+      advance: Boolean = false,
+      cur0: Option[TsStore.Snapshot] = None): Unit = {
     checkFence() // policy gate; the exclusive slot claim below is the
     // SAFETY gate — a takeover landing after this check loses nothing
     val myToken = leaseToken.getOrElse(
@@ -824,26 +905,55 @@ final class TsStore(
     // state derived from a superseded corpus, the exact lost update
     // the old rename-over protocol could only roll back after the
     // fact. Here it cannot happen: the claim slot would not chain.
-    val cur = loadSnapshot()
+    val cur = cur0.getOrElse(loadSnapshot())
+    var alreadyLanded = false
     val target =
       if (s.v == cur.v + 1) TsStore.SnapSlot(s.v, 0)
+      else if (s.v == cur.v && s.v > 0L && advance) {
+        // an ADVANCE whose target generation is already live: a
+        // concurrent replay of this instruction (takeover adoption,
+        // open-time recovery) landed it — equal content means this
+        // commit IS committed; anything else consumed the generation
+        // with different content (a takeover's seal, a foreign
+        // commit) and this advance must not land at all — least of
+        // all as a sub-slot over it
+        if (cur.days == s.days && cur.removed.keySet == s.removed.keySet) {
+          alreadyLanded = true
+          TsStore.SnapSlot(s.v, cur.sub)
+        } else throw new IllegalStateException(
+          s"$path: commit FENCED — generation ${s.v} was committed " +
+            "by another writer with different content (a takeover " +
+            "sealed or superseded this in-flight commit); this write " +
+            "did not land. Re-open the store to continue.")
+      }
       else if (s.v == cur.v && s.v > 0L) TsStore.SnapSlot(s.v, cur.sub + 1)
       else throw new IllegalStateException(
         s"$path: commit FENCED — this commit's baseline is stale " +
           s"(it targets generation ${s.v} but the live manifest is at " +
           s"${cur.v}.${cur.sub}): another writer advanced the store; " +
           "this write did not land. Re-open the store to continue.")
+    if (alreadyLanded) {
+      slotHint = Some(target)
+      if (recordHistory) writeHistory(s)
+    } else commitSnapshotAt(s, target, myToken, recordHistory)
+  }
+
+  private def commitSnapshotAt(s: TsStore.Snapshot,
+      target: TsStore.SnapSlot, myToken: String,
+      recordHistory: Boolean): Unit = {
     // resurrection guard: GC frees retired slot NAMES after recording
     // the floor, so a claimant stalled across takeovers can win a
     // claim of a freed name that no reader would resolve as newest —
-    // refuse before claiming (the floor is written BEFORE any free,
-    // so a freed name is always at or below it)
-    if (target.v <= TsStore.readFloor(fs, path))
+    // refuse before claiming. The pre-claim check reads the CACHED
+    // floor (cheap, possibly stale); the authoritative re-verify runs
+    // AFTER the claim is won (below), closing the check-then-act
+    // window a stalled writer could otherwise slip through.
+    if (target.v <= cachedFloor)
       throw new IllegalStateException(
         s"$path: commit FENCED — slot $target was already retired by " +
           "GC (this writer stalled across takeovers); this write did " +
           "not land. Re-open the store to continue.")
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = TsStore.Json
     val root = m.createObjectNode()
     root.put("v", s.v)
     root.put("sub", target.k)
@@ -900,7 +1010,7 @@ final class TsStore(
         TsStore.slotFile(path, target))).toOption
       if (there.exists(t => t.v == s.v && t.days == s.days &&
           t.removed.keySet == s.removed.keySet)) {
-        slotHint = Some(target)
+        noteCommitted(target, s)
         if (recordHistory) writeHistory(s)
         return
       }
@@ -911,9 +1021,38 @@ final class TsStore(
           "this write did not land. Re-open the store to take the " +
           "root back.")
     }
-    slotHint = Some(target)
+    // ── post-claim resurrection RE-VERIFY (authoritative, fresh
+    // read): the pre-claim floor check is check-then-act — a writer
+    // stalled between it and the claim can still win a slot name GC
+    // freed in the interim (takeover + 2 commits + GC inside the
+    // window). Re-read the floor now that the claim is won: at or
+    // below it means this slot name was retired and no reader will
+    // ever resolve it as newest — unlink the claim and fail loudly
+    // instead of acknowledging a silent lost update.
+    floorCache = TsStore.readFloor(fs, path)
+    if (target.v <= floorCache) {
+      scala.util.Try(fs.delete(TsStore.slotFile(path, target), false))
+      throw new IllegalStateException(
+        s"$path: commit FENCED — slot $target was retired by GC while " +
+          "this commit was in flight (writer stalled across takeovers); " +
+          "the claim was withdrawn and this write did not land. " +
+          "Re-open the store to continue.")
+    }
+    noteCommitted(target, s)
     gcManifestSlots(target)
     if (recordHistory) writeHistory(s)
+  }
+
+  /** Record a just-resolved committed slot in the handle's in-memory
+    * protocol state: the probe hint, the snapshot CONTENT cache (so
+    * the next loadSnapshot whose walk lands here skips the JSON
+    * re-read), and the generation's sub-slot count for GC. */
+  private def noteCommitted(target: TsStore.SnapSlot,
+      s: TsStore.Snapshot): Unit = {
+    slotHint = Some(target)
+    snapCache = Some((target, s.copy(sub = target.k)))
+    recentSubs += target.v -> target.k
+    if (recentSubs.size > 8) recentSubs -= recentSubs.keys.min
   }
 
   /** Retire manifest machinery the committed slot supersedes: slots
@@ -936,34 +1075,63 @@ final class TsStore(
     * sweep still leaves (g,0) as the resume marker. */
   private def gcManifestSlots(committed: TsStore.SnapSlot): Unit = {
     val f = fs
-    var g = committed.v - 2
-    if (g >= 1 && (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, 0))) ||
-        f.exists(TsStore.resvFile(path, g)))) {
-      if (g > TsStore.readFloor(f, path)) TsStore.writeFloor(f, path, g)
-      var cont = true
-      while (cont && g >= 1) {
-        var any = false
-        // find this generation's highest sub-slot, then delete downward
-        var hi = -1
-        while (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, hi + 1))))
-          hi += 1
+    val g = committed.v - 2
+    if (g >= 1 && g >= gcCleanBelow) {
+      if (gcCleanBelow < 0L) {
+        // first GC of this handle: ONE listing sweep of everything
+        // retirable. Besides seeding the watermark, this heals the
+        // backlog a predecessor's crash exactly between finishing one
+        // generation and touching the next left below an EMPTY
+        // generation — the old probe-driven walk stopped there and
+        // orphaned the rest forever.
+        val (slots, resvs) = TsStore.listSlotsAndResvs(f, path)
+        val retireSlots = slots.filter(sl => sl.v >= 1 && sl.v <= g)
+        val retireResvs = resvs.filter(rv => rv >= 1 && rv <= g)
+        if (retireSlots.nonEmpty || retireResvs.nonEmpty) {
+          if (g > cachedFloor) writeFloorCached(f, g)
+          retireSlots.sorted.reverse.foreach(sl =>
+            f.delete(TsStore.slotFile(path, sl), false))
+          retireResvs.foreach(rv =>
+            f.delete(TsStore.resvFile(path, rv), false))
+        }
+      } else {
+        // steady state: the contiguous walk means exactly generation
+        // g can be newly retirable — free its slots and reservation
+        // with no downward probing (everything below the watermark is
+        // already clean). The floor is written BEFORE any free.
+        if (g > cachedFloor) writeFloorCached(f, g)
+        val hi = recentSubs.getOrElse(g, {
+          var k = 0
+          while (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, k + 1))))
+            k += 1
+          k
+        })
         (hi to 0 by -1).foreach { k =>
           f.delete(TsStore.slotFile(path, TsStore.SnapSlot(g, k)), false)
-          any = true
         }
-        if (f.exists(TsStore.resvFile(path, g))) {
-          f.delete(TsStore.resvFile(path, g), false)
-          any = true
-        }
-        cont = any
-        g -= 1
+        f.delete(TsStore.resvFile(path, g), false)
+        recentSubs -= g
       }
-    }
+      gcCleanBelow = g + 1
+    } else if (gcCleanBelow < 0L && committed.v >= 1)
+      gcCleanBelow = math.max(1L, committed.v - 1)
     // the legacy manifest's content rode into the first numbered claim
     // as its baseline; readers that found no numbered slot and saw the
     // legacy file vanish re-list and find the slot (readLiveSnapshot's
     // second-pass rule)
-    if (f.exists(snapFile)) f.delete(snapFile, false)
+    if (legacySnapMayExist) {
+      if (f.exists(snapFile)) f.delete(snapFile, false)
+      legacySnapMayExist = false
+    }
+  }
+
+  /** [[TsStore.writeFloor]] + cache refresh, advancing only (a floor
+    * regression widens the resurrection window the floor exists to
+    * close — see writeFloor's monotonicity note). */
+  private def writeFloorCached(f: org.apache.hadoop.fs.FileSystem,
+      g: Long): Unit = {
+    TsStore.writeFloor(f, path, g, leaseToken.getOrElse("anon"))
+    floorCache = math.max(floorCache, g)
   }
 
   /** Rename a commit's produced day dirs from `tmp` into their
@@ -1062,7 +1230,8 @@ final class TsStore(
         (if (days.nonEmpty) days.forall(d => snap.days.get(d).contains(snap.v))
          else legacyNoop(snap))
       if (!legacyAlreadySwapped)
-        try commitSnapshot(next(snap, targetV))
+        try commitSnapshot(next(snap, targetV), advance = true,
+          cur0 = Some(snap))
         catch { case e: IllegalStateException =>
           // FENCED at the claim: delete the tmp (best-effort) so the
           // NEW writer's recovery cannot replay this commit later —
@@ -1095,32 +1264,61 @@ final class TsStore(
     checkFence() // acquires the lease on a first mutation — which
     // seals/adopts pending slots before any targetV math trusts them
     val myToken = leaseToken.get
-    if (v <= TsStore.readFloor(fs, path)) throw new IllegalStateException(
+    // pre-claim resurrection check against the CACHED floor (cheap);
+    // the authoritative fresh read runs after the claim is won
+    if (v <= cachedFloor) throw new IllegalStateException(
       s"$path: commit FENCED — generation $v was already retired by GC " +
         "(this writer stalled across takeovers); this write did not land.")
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
+    val root = TsStore.Json.createObjectNode()
     root.put("v", v)
     root.put("token", myToken)
     root.put("tmp", tmp.toString)
     root.put("kind", kind)
+    val bytes = TsStore.Json.writeValueAsBytes(root)
     val ctmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") +
       s"__resv.$v.json.tmp.$myToken")
     val out = fs.create(ctmp, true)
-    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    try out.write(bytes) finally out.close()
     if (!TsStore.commitExclusive(fs, ctmp, TsStore.resvFile(path, v))) {
-      val there = scala.util.Try(new com.fasterxml.jackson.databind
-        .ObjectMapper().readTree(TsStore.readJsonBytes(fs,
-          TsStore.resvFile(path, v)))).toOption
+      val there = scala.util.Try(TsStore.Json.readTree(
+        TsStore.readJsonBytes(fs, TsStore.resvFile(path, v)))).toOption
       val sameWriter = there.exists(_.path("token").asText() == myToken)
       val sameInstruction = there.exists(_.path("tmp").asText() == tmp.toString)
-      if (!sameWriter && !sameInstruction) {
+      if (!sameInstruction && sameWriter) {
+        // this writer's OWN reservation from a DIFFERENT, aborted
+        // instruction (a commit that failed after reserving, same
+        // generation). Re-entering as-is would break the protocol
+        // invariant that the recorded tmp IS the generation's one
+        // instruction — a concurrent takeover reading the stale
+        // record could adopt the aborted bytes over ours. Retire the
+        // stale instruction first (its tmp vanishes, so any adopter
+        // finds it incomplete and seals instead), then re-record the
+        // reservation as this instruction.
+        there.map(_.path("tmp").asText()).filter(_.nonEmpty).foreach(old =>
+          scala.util.Try(fs.delete(new org.apache.hadoop.fs.Path(old), true)))
+        val out2 = fs.create(ctmp, true)
+        try out2.write(bytes) finally out2.close()
+        TsStore.atomicReplace(fs, ctmp, TsStore.resvFile(path, v))
+      } else if (!sameInstruction) {
         val owner = readLease().map(_.path("owner").asText()).getOrElse("unknown")
         throw new IllegalStateException(
           s"$path: commit FENCED at the generation reservation — " +
             s"generation $v is reserved by another writer's in-flight " +
             s"commit ('$owner' holds the lease); this write did not " +
             "land. Re-open the store to take the root back.")
+      }
+    } else {
+      // post-claim resurrection RE-VERIFY (fresh read): a writer
+      // stalled between the cached check and the claim could have
+      // won a reservation name GC freed — placements under it would
+      // write into version dirs time-travel records still reference
+      floorCache = TsStore.readFloor(fs, path)
+      if (v <= floorCache) {
+        scala.util.Try(fs.delete(TsStore.resvFile(path, v), false))
+        throw new IllegalStateException(
+          s"$path: commit FENCED — generation $v was retired by GC " +
+            "while this reservation was in flight; the claim was " +
+            "withdrawn and this write did not land.")
       }
     }
   }
@@ -1573,7 +1771,24 @@ final class TsStore(
     * bounds. */
   def hotSize: Long = synchronized(hotRows)
 
-  def cold: Option[DataFrame] =
+  // ── cold PLAN cache: constructing the cold frame costs a directory
+  // listing of every referenced version dir plus a parquet footer
+  // read for schema inference, repeated on every read()/save() even
+  // though the dirs a committed manifest references are IMMUTABLE.
+  // Cache the constructed DataFrame keyed on (manifest slot, era
+  // count, explicit invalidation epoch) — a plan/metadata reuse only:
+  // every action still scans the parquet, nothing row-level is
+  // persisted. Flat mode keys on the epoch alone (its commits bump
+  // it; snapshot-mode commits move the slot, so the epoch is a
+  // belt for paths that change layout without moving it — restore,
+  // vacuum, recovery).
+  private def invalidateCold(): Unit = synchronized {
+    coldEpoch += 1
+    coldCacheKey = None
+    coldCacheFrame = None
+  }
+
+  def cold: Option[DataFrame] = synchronized {
     if (snapshots) {
       // resolve the manifest ONCE; the returned frame reads immutable
       // version dirs (basePath recovers __day as a partition column,
@@ -1584,9 +1799,24 @@ final class TsStore(
       // plain-read path unchanged.
       val snap = loadSnapshot()
       if (snap.days.isEmpty) None
-      else Some(TsStore.readVersionedAligned(
-        spark, path, snap.days, eraRecords, currentEra))
-    } else if (coldExists) Some(spark.read.parquet(path)) else None
+      else {
+        val key = (coldEpoch, snap.v, snap.sub, eraRecords.size)
+        if (!coldCacheKey.contains(key)) {
+          coldCacheFrame = Some(TsStore.readVersionedAligned(
+            spark, path, snap.days, eraRecords, currentEra))
+          coldCacheKey = Some(key)
+        }
+        coldCacheFrame
+      }
+    } else if (coldExists) {
+      val key = (coldEpoch, -1L, -1, eraRecords.size)
+      if (!coldCacheKey.contains(key)) {
+        coldCacheFrame = Some(spark.read.parquet(path))
+        coldCacheKey = Some(key)
+      }
+      coldCacheFrame
+    } else None
+  }
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
     * at read/save time via the ingest sequence). The batch is persisted
@@ -1684,7 +1914,10 @@ final class TsStore(
     }
   }
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
+  // resolved once: FileSystem.get consults Hadoop's global cache
+  // under a lock on every call, and the commit path touches fs
+  // dozens of times per commit
+  private lazy val fs = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
 
   /** Day-partition dirs under a root, as (escaped dir name → partition
@@ -1710,13 +1943,13 @@ final class TsStore(
     * the tail never wrote is never read or rewritten. This is what
     * keeps `save` O(dirty days), not O(store) — at 100 TB the store
     * holds years of days and the tail touches one or two. */
-  def save(): Unit = synchronized {
-    // fence FIRST — before any plan reads the manifest: a first
-    // mutation acquires the lease, whose seal/adopt pass may advance
-    // the live generation (rolling a crashed predecessor's commit
-    // forward); the merge below must plan against the post-adoption
-    // corpus or it would rebuild dirty days from the superseded one
-    checkFence()
+  def save(): Unit = fenced {
+    // fence FIRST (via [[fenced]]) — before any plan reads the
+    // manifest: a first mutation acquires the lease, whose seal/adopt
+    // pass may advance the live generation (rolling a crashed
+    // predecessor's commit forward); the merge below must plan
+    // against the post-adoption corpus or it would rebuild dirty
+    // days from the superseded one
     hotUnion.foreach { h =>
       // day set tracked at set() time when exact (zero Spark jobs);
       // a distributed batch or a hot-tail filter falls back to compute
@@ -1775,6 +2008,7 @@ final class TsStore(
           throw new java.io.IOException(s"could not commit day partition $dest")
       }
       f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      invalidateCold()
       clearHot()
       onColdChange(TsStore.DaysUpserted(dirtyDays))
       maybeAutoVacuum()
@@ -1835,9 +2069,8 @@ final class TsStore(
     * the commit manifest, nothing after it. Returns false when there
     * is nothing hot to stage (finalize is then a no-op). Snapshot
     * mode only: without generations there is no inert staging point. */
-  private[graft] def stageSave(): Boolean = synchronized {
+  private[graft] def stageSave(): Boolean = fenced {
     require(snapshots, "staged commits are a snapshot-mode primitive")
-    checkFence() // before the merge plans against the manifest (save's rule)
     hotUnion match {
       case None =>
         // stale leftovers never linger — any writer's (a crashed
@@ -1912,6 +2145,7 @@ final class TsStore(
     staged.foreach { case (t, (days, _)) =>
       commitSavingSnapshot(t)
       fs.delete(t, true)
+      invalidateCold()
       clearHot()
       onColdChange(TsStore.DaysUpserted(days.map(n =>
         java.net.URLDecoder.decode(n.stripPrefix("__day="), "UTF-8"))))
@@ -1933,8 +2167,7 @@ final class TsStore(
     * row-less by the delete is removed. A NULL predicate result keeps
     * the row (only a definite match deletes). */
   def deleteWhere(cond: org.apache.spark.sql.Column,
-      affectsDay: String => Boolean): Unit = synchronized {
-    checkFence() // before the rewrite plans against the manifest (save's rule)
+      affectsDay: String => Boolean): Unit = fenced {
     val defMatch = coalesce(cond, lit(false))
     // hotRows now overcounts the filtered tail — the flush bound fires
     // earlier than strictly needed, which is the safe direction
@@ -1991,6 +2224,7 @@ final class TsStore(
         if (snapshots) commitDeletingSnapshot(new org.apache.hadoop.fs.Path(tmp))
         else commitDeleting(new org.apache.hadoop.fs.Path(tmp))
         f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        invalidateCold()
         val removed = affected.collect {
           case (name, v) if !produced.contains(name) => v
         }
@@ -2040,18 +2274,19 @@ final class TsStore(
     * numeric ones. Default `None` keeps the (subject, time)
     * sort-within-day layout (the O1 sorted-series contract). */
   def pack(targetFiles: Int, zorderBy: Option[(String, String)])
-      : Unit = synchronized {
-    checkFence()
+      : Unit = fenced {
     if (!coldExists) return // nothing flushed yet — benign, like save
     if (snapshots) {
       packSnapshot(targetFiles, zorderBy); maybeAutoVacuum(); return
     }
     if (tombstones.isEmpty && zorderBy.isEmpty) {
       Write.pack(spark, path, Seq("__day"), targetFiles)
+      invalidateCold()
       onColdChange(TsStore.Compacted)
     } else cold.foreach { c =>
       flatRewriteSwap(tombFiltered(c).withColumn("__seq", lit(seq)),
         targetFiles, zorderBy)
+      invalidateCold()
       tombstones = Map.empty
       persistMeta()
       // materializing tombstones may have removed whole days → full
@@ -2119,8 +2354,7 @@ final class TsStore(
     * the commit point; [[latestEraSdb]] is how an owning engine
     * re-derives the live declaration after any crash. */
   def evolveSchema(from: graft.schema.SdbSchema.Sdb,
-      to: graft.schema.SdbSchema.Sdb): Unit = synchronized {
-    checkFence()
+      to: graft.schema.SdbSchema.Sdb): Unit = fenced {
     eraRecords.lastOption.foreach { last =>
       require(last.sdb == from,
         s"evolveSchema: 'from' does not match the store's latest " +
@@ -2139,6 +2373,7 @@ final class TsStore(
       flatRewriteSwap(
         graft.ops.Convert.alignKeeping(c, from, to, system.toSeq),
         TsStore.MigrateTargetFiles, None)
+      invalidateCold()
       onColdChange(TsStore.Rewritten)
     }
     val f = fs
@@ -2435,6 +2670,11 @@ object TsStore {
     * (vacuum's removal-record retirement rewrites the manifest
     * without advancing the generation). Total order: readers resolve
     * the MAX slot; writers claim exactly one slot per commit. */
+  /** Shared JSON mapper: ObjectMapper construction is not free and
+    * the commit path serializes several sidecars per commit.
+    * Jackson's read/write surface is thread-safe after config. */
+  private[graft] val Json = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[store] final case class SnapSlot(v: Long, k: Int)
       extends Ordered[SnapSlot] {
     def compare(o: SnapSlot): Int =
@@ -2500,15 +2740,24 @@ object TsStore {
       .readTree(readJsonBytes(f, p)).path("v").asLong(0L)).getOrElse(0L)
   }
 
+  /** Best-effort monotonic: the recorded value is max(old, new) and
+    * the tmp name carries the writer token, so two racing GC passes
+    * (a fenced writer's in-flight commit GC vs the new holder's)
+    * cannot stomp each other's tmp bytes and the max() bounds the
+    * regression one interleaving could otherwise leave (a smaller
+    * floor would widen the resurrection window the post-claim
+    * re-verify closes). The residual write-after-write reorder is
+    * harmless under that re-verify: it reads the floor fresh AFTER
+    * winning a claim. */
   private[store] def writeFloor(f: org.apache.hadoop.fs.FileSystem,
-      path: String, v: Long): Unit = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createObjectNode()
-    root.put("v", v)
+      path: String, v: Long, token: String = "anon"): Unit = {
+    val prior = readFloor(f, path)
+    val root = Json.createObjectNode()
+    root.put("v", math.max(prior, v))
     val tmp = new org.apache.hadoop.fs.Path(
-      path.stripSuffix("/") + "__snapfloor.json.tmp")
+      path.stripSuffix("/") + s"__snapfloor.json.tmp.$token")
     val out = f.create(tmp, true)
-    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    try out.write(Json.writeValueAsBytes(root)) finally out.close()
     atomicReplace(f, tmp, floorFile(path))
   }
 
