@@ -964,10 +964,11 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * generation a run consumed, keep it inside `vacuum`'s
     * `keepHistory` horizon, and any later job re-reads the identical
     * corpus. None when the generation is unknown or vacuumed out. */
-  def openSnapshotAt(table: String, v: Long): Option[DataFrame] = {
-    storeOf(table)
-    TsStore.openSnapshotAt(spark, s"$rootPath/$table", v, "subject")
-  }
+  def openSnapshotAt(table: String, v: Long): Option[DataFrame] =
+    // routed through the handle's pinned-plan memo: a drill (or a
+    // training loop) re-opening the same pin pays the version-dir
+    // listing and footer inference once per generation, not per call
+    storeOf(table).openPinned(v, "subject")
 
   /** Row-level change feed between two committed generations — the
     * store's time-travel history turned into CDC
@@ -1039,10 +1040,12 @@ final class Engine(val spark: SparkSession, rootPath: String,
     * crashed-but-acknowledged commit forward before the pin — without
     * it, the pinned view would depend on whether some OTHER command
     * had already touched the table this process. */
-  def openSnapshot(table: String): Option[DataFrame] = {
-    storeOf(table)
-    TsStore.openSnapshot(spark, s"$rootPath/$table", "subject")
-  }
+  def openSnapshot(table: String): Option[DataFrame] =
+    // served from the handle (cold plan cache + in-memory tombstones,
+    // which the sidecar mirrors): same pinned-manifest contract as
+    // the static out-of-process reader, without re-listing version
+    // dirs and re-inferring footers on every call
+    storeOf(table).openLive()
 
   // ── ENGINE-WIDE CONSISTENT SNAPSHOT CUT. Per-table time travel
   // (openSnapshotAt / exposeSqlAt) cannot record one reproducible

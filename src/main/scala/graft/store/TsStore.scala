@@ -265,6 +265,13 @@ final class TsStore(
   private var coldCacheKey: Option[(Long, Long, Int, Int)] = None
   private var coldCacheFrame: Option[DataFrame] = None
   private var coldEpoch: Long = 0L
+  // pinned-read (time-travel) plan cache: a generation's referenced
+  // version dirs are immutable, so the constructed frame is reusable
+  // until something epoch-bumping happens (commit minting the
+  // generation later, vacuum reclaiming records/dirs, restore).
+  // Bounded; caches None too (an unknown generation stays unknown
+  // within an epoch). Plan metadata only — actions still scan.
+  private var pinnedCache: Map[Long, Option[DataFrame]] = Map.empty
 
   /** Test-only hook, invoked between the fence check and the manifest
     * slot CLAIM — lets a spec land a competing takeover exactly inside
@@ -1440,6 +1447,8 @@ final class TsStore(
       : Unit = synchronized {
     if (!snapshots) return
     checkFence() // vacuum deletes live-store dirs — writers only
+    invalidateCold() // cached cold/pinned plans may reference dirs or
+    // history records this run reclaims
     // drain any pending commit first: a complete, replayable tmp may
     // have already PLACED version dirs the live manifest does not yet
     // reference — reclaiming those as "superseded orphans" would make
@@ -1786,6 +1795,21 @@ final class TsStore(
     coldEpoch += 1
     coldCacheKey = None
     coldCacheFrame = None
+    pinnedCache = Map.empty
+  }
+
+  /** [[TsStore.openSnapshotAt]] through this handle, with the pinned
+    * frame memoized per generation (see [[pinnedCache]]). */
+  private[graft] def openPinned(v: Long, subjectCol: String)
+      : Option[DataFrame] = synchronized {
+    pinnedCache.get(v) match {
+      case Some(df) => df
+      case None =>
+        val df = TsStore.openSnapshotAt(spark, path, v, subjectCol)
+        pinnedCache += v -> df
+        if (pinnedCache.size > 16) pinnedCache -= pinnedCache.keys.min
+        df
+    }
   }
 
   def cold: Option[DataFrame] = synchronized {
@@ -1816,6 +1840,16 @@ final class TsStore(
       }
       coldCacheFrame
     } else None
+  }
+
+  /** The owning handle's [[TsStore.openSnapshot]] (live pinned cold
+    * view + live tombstones): identical contract to the static
+    * out-of-process reader, served from the cold plan cache and the
+    * in-memory tombstone map (which the meta sidecar mirrors — every
+    * drop persists it). */
+  private[graft] def openLive(): Option[DataFrame] = synchronized {
+    if (!snapshots) None
+    else cold.map(c => tombFiltered(c).drop("__seq"))
   }
 
   /** M1/M3 `set`: stage rows into the hot tail (upsert semantics apply
