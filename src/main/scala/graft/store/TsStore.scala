@@ -1870,7 +1870,24 @@ final class TsStore(
     // persist (there is nothing to recompute). The lifecycle drills
     // issue hundreds of these per query; a tiny count job per set was
     // measurably ~40% of their job COUNT (JobProf, round 19).
-    val total = stamped0.queryExecution.optimizedPlan match {
+    // GATED on a structural walk of the UNANALYZED plan: running the
+    // optimizer just to discover the batch is distributed would add
+    // a full extra Catalyst pass to every streaming micro-batch set
+    // (measured ~1.3-1.8x on the ingest drills when ungated).
+    def localOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        localOnly(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        localOnly(f.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        localOnly(s.child)
+      case _ => false
+    }
+    val total = (if (localOnly(stamped0.queryExecution.logical))
+        stamped0.queryExecution.optimizedPlan
+      else stamped0.queryExecution.logical) match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         val dayIdx = l.output.indexWhere(_.name == "__day")
         val nullDays = l.data.count(_.isNullAt(dayIdx))
