@@ -21,6 +21,13 @@ object Bench {
       // CPU. Cap it — 100k leaves the in-query plan-assert strings (o4,
       // u1, j4: a few KB) untouched while bounding the MB-scale renders.
       .config("spark.sql.maxPlanStringLength", "100000")
+      // The generated-class cache is a 100-entry LRU by default; this
+      // inventory's plan diversity (169 queries, lifecycle drills with
+      // per-stage shapes, iterative loops, streaming micro-batches)
+      // thrashes it, so repeated shapes recompile instead of hitting
+      // janino's cache. Scale-neutral: bounded by class count, not by
+      // data or core count.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
@@ -142,8 +149,16 @@ object Bench {
     // spark.stop() so no executor shutdown logging lands behind it,
     // mirrored on stderr as a second channel. The full sorted
     // per-query vector lives in BENCH_QUERIES.json (written above).
+    // When the full line FITS the tail (an SPARK_GRAFT_ONLY A/B run, a
+    // small inventory), emit it — the driver contract wants the inline
+    // queries map and can have it whenever physics allows. The full
+    // inventory (~6 KB at 169 queries) can never fit; those runs keep
+    // the compact summary and the BENCH_QUERIES.json channel.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","runs":$runs,"queries_file":"BENCH_QUERIES.json"}"""
+      if (line.length <= 1800) line.stripSuffix("}") +
+        s""","runs":$runs,"queries_file":"BENCH_QUERIES.json"}"""
+      else
+        s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir","runs":$runs,"queries_file":"BENCH_QUERIES.json"}"""
     System.out.flush()
     println(compact)
     System.err.println(compact)

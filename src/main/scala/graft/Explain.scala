@@ -24,6 +24,13 @@ object Explain {
       // CPU. Cap it — 100k leaves the in-query plan-assert strings (o4,
       // u1, j4: a few KB) untouched while bounding the MB-scale renders.
       .config("spark.sql.maxPlanStringLength", "100000")
+      // The generated-class cache is a 100-entry LRU by default; this
+      // inventory's plan diversity (169 queries, lifecycle drills with
+      // per-stage shapes, iterative loops, streaming micro-batches)
+      // thrashes it, so repeated shapes recompile instead of hitting
+      // janino's cache. Scale-neutral: bounded by class count, not by
+      // data or core count.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)

@@ -50,10 +50,13 @@ object VectorFunctions {
     */
   def hyperplaneSig(vec: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.size <= 63)
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.toSeq.map(lit): _*)
-      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one fused expression with the matrix riding as a reference
+    // constant — the per-plane when(dot(vec, array(lit…)))-chain it
+    // replaces planted nPlanes×dim Literal nodes in the plan (~3.6k
+    // nodes at 56×64, rendered at 150-475 KB per AQE plan update);
+    // arithmetic and null semantics are reproduced bit-for-bit, see
+    // [[HyperplaneSigExpr]]
+    HyperplaneSigExpr(vec, planes)
   }
 
   /** Deterministic pseudo-random unit-ish planes (xorshift-seeded). */

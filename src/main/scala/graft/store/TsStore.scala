@@ -264,6 +264,8 @@ final class TsStore(
   private var histDirReady = false
   private var coldCacheKey: Option[(Long, Long, Int, Int)] = None
   private var coldCacheFrame: Option[DataFrame] = None
+  // flat-mode external freshness fingerprint (see [[cold]]'s flat branch)
+  private var flatColdSig: Seq[(String, Long)] = Nil
   private var coldEpoch: Long = 0L
   // pinned-read (time-travel) plan cache: a generation's referenced
   // version dirs are immutable, so the constructed frame is reusable
@@ -941,6 +943,11 @@ final class TsStore(
           "this write did not land. Re-open the store to continue.")
     if (alreadyLanded) {
       slotHint = Some(target)
+      // run the GC round the skipped commit would have run — without
+      // it this round's retirable generation waits for the NEXT real
+      // commit's range sweep (and leaks for the handle's lifetime if
+      // this was its last commit) — r19 advice
+      gcManifestSlots(target)
       if (recordHistory) writeHistory(s)
     } else commitSnapshotAt(s, target, myToken, recordHistory)
   }
@@ -1102,22 +1109,31 @@ final class TsStore(
             f.delete(TsStore.resvFile(path, rv), false))
         }
       } else {
-        // steady state: the contiguous walk means exactly generation
-        // g can be newly retirable — free its slots and reservation
-        // with no downward probing (everything below the watermark is
-        // already clean). The floor is written BEFORE any free.
+        // steady state: retire every generation in [gcCleanBelow, g] —
+        // normally exactly one, but a skipped round (an alreadyLanded
+        // replay, a retaken lease) leaves a contiguous backlog this
+        // range sweep heals instead of leaking for the handle's
+        // lifetime (r19 advice). No downward probing below the
+        // watermark (everything there is already clean). The floor is
+        // written BEFORE any free.
         if (g > cachedFloor) writeFloorCached(f, g)
-        val hi = recentSubs.getOrElse(g, {
-          var k = 0
-          while (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(g, k + 1))))
-            k += 1
-          k
-        })
-        (hi to 0 by -1).foreach { k =>
-          f.delete(TsStore.slotFile(path, TsStore.SnapSlot(g, k)), false)
+        (math.max(gcCleanBelow, 1L) to g).foreach { gen =>
+          // probe UPWARD from the recorded sub count: after a lease
+          // retake a foreign writer may have minted sub-slots above
+          // what this handle saw (stale recentSubs would leak them).
+          // Steady state pays exactly one false exists-probe.
+          val hi = {
+            var k = recentSubs.getOrElse(gen, 0)
+            while (f.exists(TsStore.slotFile(path, TsStore.SnapSlot(gen, k + 1))))
+              k += 1
+            k
+          }
+          (hi to 0 by -1).foreach { k =>
+            f.delete(TsStore.slotFile(path, TsStore.SnapSlot(gen, k)), false)
+          }
+          f.delete(TsStore.resvFile(path, gen), false)
+          recentSubs -= gen
         }
-        f.delete(TsStore.resvFile(path, g), false)
-        recentSubs -= g
       }
       gcCleanBelow = g + 1
     } else if (gcCleanBelow < 0L && committed.v >= 1)
@@ -1832,14 +1848,35 @@ final class TsStore(
         }
         coldCacheFrame
       }
-    } else if (coldExists) {
-      val key = (coldEpoch, -1L, -1, eraRecords.size)
-      if (!coldCacheKey.contains(key)) {
-        coldCacheFrame = Some(spark.read.parquet(path))
-        coldCacheKey = Some(key)
+    } else {
+      // flat mode has no manifest slot to act as an external freshness
+      // signal, and the handle-private epoch only sees THIS handle's
+      // mutations — a second writer's flush or in-place day rewrite
+      // left a cached frame referencing deleted files (r19 advice).
+      // Key on a one-level listing fingerprint of the day dirs
+      // (name + mtime): every flat commit path swaps whole day dirs
+      // via rename, so any external change moves the fingerprint. One
+      // listStatus per call, vs the recursive listing + parquet footer
+      // schema inference the cache exists to avoid.
+      val root = new org.apache.hadoop.fs.Path(path)
+      val f = fs
+      val sig: Seq[(String, Long)] =
+        if (!f.exists(root)) Nil
+        else f.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("__day="))
+          .map(s => s.getPath.getName -> s.getModificationTime)
+          .toSeq.sortBy(_._1)
+      if (sig.isEmpty) None
+      else {
+        val key = (coldEpoch, -1L, -1, eraRecords.size)
+        if (!coldCacheKey.contains(key) || flatColdSig != sig) {
+          coldCacheFrame = Some(spark.read.parquet(path))
+          coldCacheKey = Some(key)
+          flatColdSig = sig
+        }
+        coldCacheFrame
       }
-      coldCacheFrame
-    } else None
+    }
   }
 
   /** The owning handle's [[TsStore.openSnapshot]] (live pinned cold
@@ -2515,6 +2552,10 @@ final class TsStore(
       new org.apache.hadoop.fs.Path(tmpP, TsStore.CommitManifest), produced,
       loadSnapshot().v + 1)
     commitPackedSnapshot(tmpP)
+    // every other generation-minting mutator invalidates here; without
+    // it the pinnedCache can keep serving a cached None for exactly the
+    // generation this pack mints (r19 advice)
+    invalidateCold()
     f.delete(tmpP, true)
     tombstones = Map.empty
     persistMeta()

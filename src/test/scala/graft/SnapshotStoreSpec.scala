@@ -208,6 +208,44 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!hfs.exists(hp(s"$root/__day=d1/__v=2")))
   }
 
+  test("pack mints a generation the pinned-plan cache then serves (no cached None)") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save() // gen 1
+    // poison the pinned cache: generation 2 does not exist yet
+    assert(st.openPinned(2L, "code").isEmpty)
+    st.pack(targetFiles = 1) // mints generation 2
+    assert(st.openPinned(2L, "code").nonEmpty,
+      "pinned cache kept serving a stale None for the generation pack minted")
+  }
+
+  test("steady-state GC probes above the recorded sub count: a foreign sub-slot is swept, not leaked") {
+    val root = Files.createTempDirectory("graft_snap").toString + "/s"
+    val st = mkStore(root)
+    st.set(rows3days); st.save()                                   // gen 1
+    st.set(Seq(("A", 1L, 11.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()                                                      // gen 2
+    // a foreign writer's bookkeeping rewrite minted (2,1) — this
+    // handle's recentSubs still says gen 2 has sub count 0 (the stale
+    // state a lease retake leaves). Valid content: same corpus, sub=1.
+    val base = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root + "__snapshot.2.0.json")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root + "__snapshot.2.1.json"),
+      base.replace("\"sub\":0", "\"sub\":1").getBytes("UTF-8"))
+    st.set(Seq(("C", 9L, 21.0, "d1")).toDF("code", "t", "v", "day"))
+    st.save()                                                      // gen 3
+    st.set(Seq(("D", 9L, 31.0, "d2")).toDF("code", "t", "v", "day"))
+    st.save()                      // gen 4 → GC retires generation 2
+    assert(!hfs.exists(hp(root + "__snapshot.2.0.json")),
+      "gen-2 base slot leaked past GC")
+    assert(!hfs.exists(hp(root + "__snapshot.2.1.json")),
+      "foreign sub-slot above the recorded count leaked past GC")
+    assert(hfs.exists(hp(root + "__snapshot.3.0.json")),
+      "GC must keep one generation behind the committed slot")
+    assert(st.read().count() == 8)
+  }
+
   test("vacuum reclaims a manifest-removed day only after the removal grace") {
     val root = Files.createTempDirectory("graft_snap").toString + "/s"
     val st = mkStore(root)

@@ -36,6 +36,26 @@ class StoreSpec extends SparkSpec {
     assert(after.map(_.getAs[Double]("v")).toSeq == Seq(11.0, 20.0))
   }
 
+  test("flat cold plan cache: a second handle sees another writer's flush and day rewrite") {
+    val root = Files.createTempDirectory("graft_store").toString + "/t_fresh"
+    val writer = mkStore(root)
+    writer.set(Seq(("A", 1L, 10.0, "d1")).toDF("code", "t", "v", "day"))
+    writer.save()
+    // second handle on the same root builds (and caches) its cold plan
+    val reader = mkStore(root)
+    assert(reader.read().count() == 1)
+    // external in-place rewrite of day d1 (save deletes the dest dir and
+    // renames over it) PLUS a brand-new day — the reader's handle-private
+    // epoch never moves; the listing fingerprint must catch both
+    writer.set(Seq(("A", 1L, 11.0, "d1"), ("B", 2L, 20.0, "d2"))
+      .toDF("code", "t", "v", "day"))
+    writer.save()
+    val after = reader.read().orderBy("code").collect()
+    assert(after.map(r => (r.getAs[String]("code"), r.getAs[Double]("v")))
+      .toSeq == Seq(("A", 11.0), ("B", 20.0)),
+      "stale cached cold frame served after an external writer's flush")
+  }
+
   test("day-pruned read hits PartitionFilters; pack bounds file count") {
     val root = Files.createTempDirectory("graft_store").toString + "/t2"
     val st = mkStore(root)
