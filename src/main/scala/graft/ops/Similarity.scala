@@ -207,16 +207,14 @@ object Similarity {
       queries, id, vec, k, centroids, nprobe)
   }
 
-  /** Per-centroid score structs struct(c·v − |c|²/2, cell) — argmax
-    * picks the nearest cell (ties toward the larger cell id, the
-    * `greatest`-over-structs order the oracle mirrors). */
-  private def cellStructs(vecCol: org.apache.spark.sql.Column,
-      centroids: Array[Array[Double]]) =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val lit2 = array(c.toSeq.map(lit): _*)
-      struct((graft.functions.DotProductExpr(vecCol.cast("array<double>"), lit2) -
-        lit(c.map(x => x * x).sum / 2)).as("s"), lit(i).as("cell"))
-    }
+  // Nearest-cell assignment rides [[graft.functions.IvfCellExpr]] — one
+  // fused kernel with the centroid matrix as a reference constant. The
+  // per-centroid struct(c·v − |c|²/2, cell) + greatest chain it
+  // replaces planted nlist×dim Literal nodes per occurrence (the
+  // x13/x15 encode plans rendered at up to 6.3 MB and blew janino's
+  // method limits, disabling whole-stage codegen for exactly these
+  // stages). Argmax order is unchanged: score desc, ties toward the
+  // larger cell id — the order the oracles mirror.
 
   /** The persistable half of IVF: every corpus vector assigned to its
     * nearest centroid cell, with the vector and its norm carried so a
@@ -227,8 +225,7 @@ object Similarity {
     * each query batch probes it from parquet. */
   def ivfAssignments(corpus: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]]): DataFrame = {
-    val bestCell = greatest(cellStructs(col(vec), centroids): _*)
-      .getField("cell")
+    val bestCell = graft.functions.IvfCellExpr(col(vec), centroids)
     corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
       norm(col(vec)).as("__cn"), bestCell.as("cell"))
   }
@@ -490,13 +487,12 @@ object Similarity {
   def probeIvfIndex(index: DataFrame, queries: DataFrame,
       id: String, vec: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int = 4): DataFrame = {
-    // queries probe their nprobe best cells: sort the per-cell scores
-    // descending and explode the first nprobe
-    val probed = sort_array(array(cellStructs(col(vec), centroids): _*),
-      asc = false)
+    // queries probe their nprobe best cells: the fused kernel ranks
+    // the per-cell scores descending and returns the first nprobe
     val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
         norm(col(vec)).as("__qn"),
-        slice(transform(probed, s => s.getField("cell")), 1, nprobe).as("__cells"))
+        graft.functions.IvfTopCellsExpr(col(vec), centroids, nprobe)
+          .as("__cells"))
       .select(col("query_id"), col("__qv"), col("__qn"),
         explode(col("__cells")).as("cell"))
     val w = Window.partitionBy("query_id")
@@ -620,31 +616,16 @@ object Similarity {
     }
   }
 
-  /** Per-subspace nearest-codeword structs — the IVF
-    * [[cellStructs]] argmax (c·v − |c|²/2, ties toward the larger
-    * code) applied to one subspace slice, so encode and its oracle
-    * reuse the assignment arithmetic x3 already proves bit-stable
-    * across engines. */
-  private def codeStructs(sub: org.apache.spark.sql.Column,
-      book: Array[Array[Double]]) =
-    book.zipWithIndex.map { case (c, k) =>
-      struct((graft.functions.DotProductExpr(sub,
-        array(c.toSeq.map(lit): _*)) -
-        lit(c.map(x => x * x).sum / 2)).as("s"), lit(k).as("code"))
-    }
-
   /** The per-row PQ code array for a vector column — the reusable
     * half of [[pqEncode]], so the stored composed index can compute
-    * cell assignment AND codes in ONE corpus pass. */
+    * cell assignment AND codes in ONE corpus pass. One fused kernel
+    * ([[graft.functions.PqEncodeExpr]]) with the m×ksub×dsub codebook
+    * riding as a reference constant; per-subspace argmax arithmetic
+    * (c·v − |c|²/2, ties toward the larger code) is unchanged — the
+    * assignment order x3's oracle already proves bit-stable. */
   private[ops] def pqCodeArray(vecCol: org.apache.spark.sql.Column,
-      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
-    val dsub = books(0)(0).length
-    val v = vecCol.cast("array<double>")
-    array(books.zipWithIndex.map { case (book, mi) =>
-      greatest(codeStructs(slice(v, mi * dsub + 1, dsub), book): _*)
-        .getField("code")
-    }.toSeq: _*)
-  }
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column =
+    graft.functions.PqEncodeExpr(vecCol, books)
 
   /** Encode the corpus: (id, codes) with codes(mi) ∈ [0, ksub) the
     * nearest codeword of subspace mi. Pure per-row arithmetic riding
@@ -677,10 +658,8 @@ object Similarity {
     * reproduce bit-for-bit), then TakeOrdered moves k rows. */
   def pqTopK(encoded: DataFrame, id: String, dt: Array[Array[Double]],
       k: Int, keep: Seq[String] = Nil): DataFrame = {
-    val adc = dt.zipWithIndex.map { case (row, mi) =>
-      element_at(array(row.toSeq.map(lit): _*),
-        col("codes").getItem(mi).cast("int") + 1)
-    }.reduceLeft(_ + _)
+    val adc = graft.functions.PqAdcExpr(
+      col("codes").cast("array<int>"), dt)
     encoded.withColumn("adc", adc)
       .orderBy(col("adc").asc, col(id).asc).limit(k)
       .withColumn("rank", row_number().over(
@@ -727,7 +706,7 @@ object Similarity {
   }
 
   /** The query's `nprobe` nearest IVF cells, driver-side — the same
-    * argmax arithmetic as [[cellStructs]] (c·q − |c|²/2, ties toward
+    * argmax arithmetic as [[graft.functions.IvfCellExpr]] (c·q − |c|²/2, ties toward
     * the larger cell), computed once per query on m·nlist doubles. */
   def queryCells(query: Array[Double], cents: Array[Array[Double]],
       nprobe: Int): Seq[Int] =
@@ -752,8 +731,7 @@ object Similarity {
       books: Array[Array[Array[Double]]], dt: Array[Array[Double]],
       k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val probed = queryCells(query, cents, nprobe)
-    val bestCell = greatest(cellStructs(col(vec), cents): _*)
-      .getField("cell")
+    val bestCell = graft.functions.IvfCellExpr(col(vec), cents)
     val pruned = corpus.withColumn("cell", bestCell)
       .filter(col("cell").isin(probed: _*))
     // `cell` rides the re-rank as a pass-through column — the raw
@@ -827,8 +805,7 @@ object Similarity {
   private def ivfPqAssignments(corpus: DataFrame, id: String, vec: String,
       cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]]): DataFrame = {
-    val bestCell = greatest(cellStructs(col(vec), cents): _*)
-      .getField("cell")
+    val bestCell = graft.functions.IvfCellExpr(col(vec), cents)
     corpus.select(col(id), pqCodeArray(col(vec), books).as("codes"),
       bestCell.as("cell"))
   }
