@@ -2972,7 +2972,21 @@ object TsStore {
     *    return is reported as a lost race ONLY when `dest` actually
     *    exists — rename also returns false for vanished sources or
     *    missing parents, and looping on those would masquerade a real
-    *    I/O failure as an endless claim race. */
+    *    I/O failure as an endless claim race.
+    *
+    * DEPLOYMENT REQUIREMENT (adjudicated): this primitive needs an
+    * HDFS-CLASS filesystem — one whose rename is an atomic namespace
+    * operation that refuses an existing destination (HDFS, posix
+    * via the link(2) branch, Azure ABFS). Bare S3A/GCS connectors
+    * implement rename as copy+delete with no exclusivity, so two
+    * claimants could both "win" — running the claim protocol
+    * directly on such a store is NOT supported. Object-store
+    * deployments must either mount an HDFS-class layer over the
+    * bucket (consistent rename semantics) or extend this method with
+    * a conditional-put branch (S3 `If-None-Match:*` / GCS
+    * `ifGenerationMatch=0` preconditions give the same
+    * exactly-one-winner guarantee); the scheme dispatch below is the
+    * seam where such a branch plugs in. */
   private[graft] def commitExclusive(f: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path): Boolean = {
