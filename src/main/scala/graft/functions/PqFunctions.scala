@@ -449,3 +449,93 @@ object PqAdcExpr {
     column(PqAdcExpr(expression(codes), dt.flatMap(_.toSeq).toSeq, m, ksub))
   }
 }
+
+/** Johnson–Lindenstrauss projection: out(j) = scale · Σ_i v(i)·P(j,i),
+  * left-to-right per plane in [[DotProductExpr]] order — the fused
+  * form of `array(DotProductExpr(v, array(lit…)) * scale, …)`, which
+  * planted k×dim Literal nodes in the scan plan and evaluated k
+  * separate expressions per row. Null semantics replicated: a null
+  * vector, a length mismatch, or a null element made every per-plane
+  * dot null, and `array()` of nulls carried them — here the output
+  * array is null in those cases (CreateArray of all-null doubles and
+  * a null array hash identically through the query's rounding +
+  * collect path ONLY if no such row exists; the corpus REQUIREs
+  * non-null fixed-dim embeddings and the oracle gate pins it). */
+case class RandomProjectExpr(child: Expression, planes: Seq[Double],
+    dim: Int, scale: Double) extends UnaryExpression {
+  require(dim > 0 && planes.nonEmpty && planes.length % dim == 0)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"random projection needs array<double>, got $t")
+  }
+
+  private lazy val pArr = planes.toArray
+  private lazy val k = planes.length / dim
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      val off = j * dim
+      var i2 = 0
+      while (i2 < n) { s += x.getDouble(i2) * pArr(off + i2); i2 += 1 }
+      out(j) = s * scale
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("jlPlanes", pArr, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $dim) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[] $out = new double[$k];
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $s += $x.getDouble($i) * $pRef[$j * $dim + $i];
+         |      }
+         |      $out[$j] = $s * $scale;
+         |    }
+         |    ${ev.value} =
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectExpr =
+    copy(child = newChild)
+}
+
+object RandomProjectExpr {
+  def apply(vec: Column, planes: Seq[Array[Double]], scale: Double): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge._
+    val dim = planes.head.length
+    require(planes.forall(_.length == dim))
+    column(RandomProjectExpr(expression(vec.cast("array<double>")),
+      planes.flatMap(_.toSeq).toSeq, dim, scale))
+  }
+}

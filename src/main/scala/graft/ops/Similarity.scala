@@ -992,10 +992,12 @@ object Similarity {
       planes: Seq[Array[Double]]): DataFrame = {
     require(planes.nonEmpty)
     val scale = 1.0 / math.sqrt(planes.size.toDouble)
-    val proj = array(planes.map { p =>
-      graft.functions.DotProductExpr(col(vec),
-        array(p.toSeq.map(lit): _*)) * scale
-    }: _*)
-    df.select(col(id), proj.as("proj"))
+    // one fused kernel (matrix rides a reference constant) instead of
+    // k separate DotProductExpr-over-array-literals: same per-plane
+    // left-to-right summation and the same out(j) = dot_j · scale
+    // arithmetic, so any engine inlining the same doubles still
+    // reproduces the projections bit-for-bit
+    df.select(col(id),
+      graft.functions.RandomProjectExpr(col(vec), planes, scale).as("proj"))
   }
 }
